@@ -1,0 +1,167 @@
+"""Posting-block codec: delta-gap + varint (PForDelta-style), numpy-vectorized.
+
+The reference's index compression lives inside Lucene (FOR/PForDelta posting
+blocks, invisible to its app code — SURVEY.md §4 "Compression"). This module
+is our explicit, from-scratch equivalent: posting lists are cut into
+``BLOCK_SIZE``-doc blocks; doc_ids are strictly increasing within a block and
+stored as varint-encoded deltas from the block's first doc_id; term
+frequencies and doc lengths are varint-encoded as-is. Everything is
+numpy-vectorized — no per-row Python (BASELINE.json ``input_hint``).
+
+Varint = LEB128: 7 payload bits per byte, high bit set on continuation
+bytes. Encode/decode work on whole uint64 arrays:
+
+- encode: per-value byte counts via threshold comparisons, exclusive-scan
+  offsets, one flat byte write with shift/mask arithmetic.
+- decode: terminator mask -> group ids via cumsum, per-byte contribution
+  ``(b & 0x7f) << (7 * intra_index)`` accumulated with ``np.add.at``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+# Thresholds where a uint64 needs one more varint byte: 2**7, 2**14, ... 2**63.
+_VARINT_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array into bytes (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + (#thresholds <= value)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    for t in _VARINT_THRESHOLDS:
+        more = v >= t
+        if not more.any():
+            break
+        nbytes += more
+    total = int(nbytes.sum())
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # global byte position -> owning value index and intra-value byte index
+    owner = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
+    intra = np.arange(total, dtype=np.int64) - starts[owner]
+    shifted = v[owner] >> (7 * intra).astype(np.uint64)
+    payload = (shifted & np.uint64(0x7F)).astype(np.uint8)
+    cont = (intra < (nbytes[owner] - 1)).astype(np.uint8) << 7
+    return (payload | cont).tobytes()
+
+
+def varint_decode(data: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array (vectorized)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_end)[:-1]
+    n_groups = int(is_end.sum())
+    starts = np.zeros(n_groups, dtype=np.int64)
+    # start of group g = 1 + end position of group g-1
+    end_pos = np.flatnonzero(is_end)
+    starts[1:] = end_pos[:-1] + 1
+    intra = np.arange(b.size, dtype=np.int64) - starts[group]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * intra).astype(np.uint64)
+    out = np.zeros(n_groups, dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    if count is not None and n_groups != count:
+        raise ValueError(f"varint stream held {n_groups} values, expected {count}")
+    return out
+
+
+def delta_encode(doc_ids: np.ndarray) -> tuple[int, bytes]:
+    """Encode strictly-increasing int64 doc_ids as (first_id, varint gaps).
+
+    Gaps are ``diff(doc_ids)`` (>=1 for strictly increasing input); the
+    first element is returned out-of-band so gap values stay small.
+    """
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return 0, b""
+    gaps = np.empty(0, dtype=np.uint64)
+    if ids.size > 1:
+        if (ids[1:] <= ids[:-1]).any():
+            raise ValueError("doc_ids must be strictly increasing within a block")
+        # gap arithmetic in uint64: doc_ids span the full signed range
+        # (xxhash64 keys), so a signed diff can overflow; two's-complement
+        # wraparound of the unsigned subtraction is exact for sorted input.
+        u = ids.view(np.uint64)
+        gaps = u[1:] - u[:-1]
+    return int(ids[0]), varint_encode(gaps)
+
+
+def delta_decode(first_id: int, gap_bytes: bytes, count: int) -> np.ndarray:
+    """Inverse of :func:`delta_encode` -> int64 doc_id array of ``count``."""
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(count, dtype=np.uint64)
+    out[0] = np.int64(first_id).view(np.uint64)  # wraparound-safe
+    if count > 1:
+        gaps = varint_decode(gap_bytes, count - 1)
+        out[1:] = out[0] + np.cumsum(gaps, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def bm25_term_scores(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """Textbook BM25 per-posting partial score (float64, vectorized).
+
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); Lucene's
+    published defaults k1=1.2, b=0.75 are applied by callers. We score in
+    float64 everywhere (engine, oracle) so ranks are reproducible.
+    """
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = BLOCK_SIZE,
+):
+    """Cut one term's postings (sorted by doc_id) into compressed blocks.
+
+    Yields dict rows ready for the ``postings`` table:
+    ``block_id, n_docs, first_doc_id, last_doc_id, doc_gaps, tf_bytes,
+    dl_bytes, block_max_score``. ``block_max_score`` is the exact max BM25
+    partial score inside the block (dl known at encode time), used for
+    block-max pruning at query time.
+    """
+    n = doc_ids.size
+    for blk, start in enumerate(range(0, n, block_size)):
+        end = min(start + block_size, n)
+        ids = doc_ids[start:end]
+        tf = tfs[start:end]
+        dl = dls[start:end]
+        first, gap_bytes = delta_encode(ids)
+        scores = bm25_term_scores(tf, dl, idf, avgdl, k1, b)
+        yield {
+            "block_id": blk,
+            "n_docs": int(end - start),
+            "first_doc_id": first,
+            "last_doc_id": int(ids[-1]),
+            "doc_gaps": gap_bytes,
+            "tf_bytes": varint_encode(tf.astype(np.uint64)),
+            "dl_bytes": varint_encode(dl.astype(np.uint64)),
+            "block_max_score": float(scores.max()),
+        }
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one postings-table row -> (doc_ids int64, tfs u64, dls u64)."""
+    n = int(row["n_docs"])
+    ids = delta_decode(int(row["first_doc_id"]), row["doc_gaps"], n)
+    tfs = varint_decode(row["tf_bytes"], n)
+    dls = varint_decode(row["dl_bytes"], n)
+    return ids, tfs, dls

@@ -1,0 +1,233 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+These go beyond the reference (whose only dedups are the build-id
+anti-join, scraper.py:28-32, and keep-first cleanup, SURVEY.md §2.5 W2) —
+they're the operations a 100 TB text-corpus pipeline needs. All are
+declarative DataFrame plans; the only Python is hash math inside
+vectorized expressions or Arrow-batched pandas UDFs.
+
+Scale notes (the design constraint, not an afterthought):
+- exact dedup = one hash-shuffle on a 64-bit digest, never on raw text;
+- MinHash signatures are computed per-row (narrow), banding turns the
+  O(n²) pair problem into a groupBy on band keys; candidate verification
+  joins only within buckets;
+- SimHash = one 64-bit fingerprint per doc; near-dup pairs via bit-band
+  buckets (Hamming ≤ k by pigeonhole across 4 bands of 16 bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
+
+# deterministic MinHash parameters (public textbook construction)
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE - 1, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE - 1, size=n_hashes, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    Shuffles on xxhash64(text) (8 bytes/row), not the text itself; the
+    min-id pick is a partial-aggregating min, no window sort needed."""
+    keyed = df.withColumn("__h", F.xxhash64(F.col(text_col)))
+    keep = keyed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__h", id_col], "left_semi").drop("__h")
+
+
+def shingles_column(text_col: str, n: int = 3):
+    """Token n-gram shingles as an array<string> column (Catalyst-only):
+    tokenize → slide a window via transform over token indexes."""
+    toks = tokenize_column(F.col(text_col))
+    return F.when(F.size(toks) >= n,
+                  F.transform(
+                      F.sequence(F.lit(0), F.size(toks) - n),
+                      lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                  )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 64,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length n_hashes).
+
+    Shingle base-hashes are computed JVM-side (xxhash64 inside a
+    higher-order ``transform`` — deterministic across executors, unlike
+    Python's seed-randomized ``hash``); the pandas UDF is numeric-only:
+    the n_hashes permutations are one (n_shingles × n_hashes) numpy min
+    per doc."""
+    a, b = _hash_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append([0] * n_hashes)
+                continue
+            base = np.asarray(arr, dtype=np.int64).astype(np.uint64) \
+                   & np.uint64(0x7FFFFFFFFFFFFFFF)
+            # (n_shingles, n_hashes) permuted hashes -> column mins
+            perm = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(perm.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    shingle_hashes = F.transform(
+        shingles_column(text_col, shingle_n), lambda s: F.xxhash64(s)
+    )
+    return df.select(
+        id_col, F.col(text_col), sig(shingle_hashes).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    signature → ``bands`` band-hash keys → explode → groupBy band key
+    (the shuffle is on tiny band hashes) → within-bucket self-join →
+    verified Jaccard estimate = fraction of equal signature components
+    ≥ threshold. Returns (id_a, id_b, est_jaccard), id_a < id_b."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    banded = sigs.select(
+        F.col(id_col), "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice("signature",
+                                     bnd * rows_per_band + 1, rows_per_band)
+                    ),
+                    bnd,
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(F.col("band"), F.col("band_key"),
+                         F.col(id_col).alias("id_a"),
+                         F.col("signature").alias("sig_a"))
+    right = banded.select(F.col("band"), F.col("band_key"),
+                          F.col(id_col).alias("id_b"),
+                          F.col("signature").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.lit(float(n_hashes))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc: token hashes JVM-side
+    (xxhash64 in ``transform`` — deterministic), then a numeric pandas
+    UDF sums ±1 per bit (tf-weighted via hash multiplicity), sign → bit."""
+
+    @F.pandas_udf(T.LongType())
+    def fp(token_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(token_hashes), dtype=np.int64)
+        for i, ts in enumerate(token_hashes):
+            if ts is None or len(ts) == 0:
+                continue
+            hs = np.asarray(ts, dtype=np.int64).astype(np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = np.where(bits > 0, 1, -1).sum(axis=0)
+            out[i] = int(
+                np.bitwise_or.reduce(
+                    (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                ).astype(np.int64)
+            )
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        tokenize_column(F.col(text_col)), lambda t: F.xxhash64(t)
+    )
+    return df.select(id_col, fp(token_hashes).alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: 4 bands of 16 bits — any pair within Hamming ≤ 3
+    agrees exactly on ≥1 band; candidate pairs come from band-equality
+    groupBys, verified with bit_count(xor)."""
+    fps = simhash(df, text_col, id_col)
+    bands = [
+        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        for i in range(4)
+    ]
+    banded = fps.select(id_col, "simhash", *bands)
+    out = None
+    for i in range(4):
+        l = banded.select(F.col(f"b{i}").alias("k"),
+                          F.col(id_col).alias("id_a"),
+                          F.col("simhash").alias("h_a"))
+        r = banded.select(F.col(f"b{i}").alias("k"),
+                          F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("h_b"))
+        cand = l.join(r, "k").where(F.col("id_a") < F.col("id_b")).drop("k")
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verification-grade path;
+    quadratic within shared-shingle buckets only).
+
+    Plan: explode distinct shingles → self-join on shingle (co-occurrence)
+    → count shared → Jaccard = shared / (|A| + |B| - shared). The shuffle
+    key is xxhash64(shingle), never raw text."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_column(text_col, shingle_n))).alias("s"),
+    ).withColumn("sh", F.xxhash64("s")).drop("s")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard",
+                    F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

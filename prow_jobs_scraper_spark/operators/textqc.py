@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All Catalyst-first: counts/ratios are JVM expressions over the shared
+tokenizer; the only pandas UDF is the rolling-hash fingerprint (numeric
+numpy over JVM-computed token hashes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
+
+# Tiny deterministic stopword profiles for n-gram-heuristic language ID.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "une", "dans"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "por", "con"],
+}
+
+EN_STOPWORDS = _LANG_MARKERS["en"] + [
+    "a", "an", "as", "at", "by", "be", "are", "was", "on", "or", "this",
+]
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens, engine tokens, and a BPE-ish subword estimate
+    (chars/4 heuristic + punctuation splits) — all Catalyst expressions."""
+    toks = tokenize_column(F.col(text_col))
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda s: s != ""))
+    bpe_ish = F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long")
+    return df.withColumns({
+        "n_ws_tokens": ws,
+        "n_tokens": F.size(toks),
+        "n_bpe_est": bpe_ish,
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite [0,1] score:
+    length, alpha ratio, punctuation ratio, stopword ratio, mean word
+    length, repetition ratio (distinct/total tokens)."""
+    toks = tokenize_column(F.col(text_col))
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    n_alpha = F.length(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"[^!-/:-@\[-`{-~]", ""))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, F.array(
+        *[F.lit(w) for w in EN_STOPWORDS])))
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(F.lit(0.0))
+    out = df.withColumns({
+        "n_chars": n_chars,
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0),
+        "stopword_ratio": F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0),
+        "mean_word_len": F.when(n_tok > 0, F.aggregate(
+            toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok).otherwise(0.0),
+        "distinct_ratio": distinct_ratio,
+    })
+    score = (
+        F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0)) * 0.25
+        + F.col("alpha_ratio") * 0.25
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.1
+        + F.col("distinct_ratio") * 0.2
+    )
+    return out.withColumn("quality_score", score)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-heuristic language ID: score each language profile
+    by marker-token hit count (array_intersect per profile — pure
+    Catalyst); 'und' (undetermined) when nothing matches."""
+    toks = F.array_distinct(tokenize_column(F.col(text_col)))
+    scores = F.array(*[
+        F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ])
+    best = F.array_max(scores)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                window: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): min rolling
+    polynomial hash over token-hash windows. Token hashes come from
+    Catalyst xxhash64; the pandas UDF is numeric numpy only."""
+    w = window
+
+    @F.pandas_udf(T.LongType())
+    def fp(token_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(token_hashes), dtype=np.int64)
+        base = np.uint64(1099511628211)
+        for i, ts in enumerate(token_hashes):
+            if ts is None or len(ts) == 0:
+                continue
+            h = np.asarray(ts, dtype=np.int64).astype(np.uint64)
+            if len(h) < w:
+                acc = np.uint64(0)
+                for v in h:
+                    acc = acc * base + v
+                out[i] = int(acc.astype(np.int64))
+                continue
+            # rolling windows via stride trick, vectorized polynomial hash
+            powers = base ** np.arange(w - 1, -1, -1, dtype=np.uint64)
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            hashes = (wins * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            out[i] = int(hashes.min().astype(np.int64))
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        tokenize_column(F.col(text_col)), lambda t: F.xxhash64(t)
+    )
+    return df.withColumn("fingerprint", fp(token_hashes))

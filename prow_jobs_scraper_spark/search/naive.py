@@ -1,0 +1,87 @@
+"""Naive BM25 top-k: a pure DataFrame plan, no index required.
+
+This is the P1 slice from SURVEY.md §7 and the engine-internal oracle for
+the compressed path (three-way agreement: naive == compressed == numpy
+oracle). Semantics = reference's analyzed conjunctive match + BM25
+(src/jobsautoreport/query.py:47-74,105-111 — ES ``match``/``operator:
+and``); plan = tokenize (Catalyst regexp) → explode → filter to query
+terms → per-doc tf → broadcast-join tiny idf dim → conjunctive groupBy →
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.functions.tokenize import tokenize_column, tokenize_text
+from prow_jobs_scraper_spark.index.build import BM25Params, with_doc_ids
+
+
+def naive_bm25_topk(
+    docs_df: DataFrame,
+    query_text: str,
+    k: int,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Top-k ``(doc_id, score)`` over a corpus frame.
+
+    ``docs_df`` either already carries ``(doc_id, text)`` (any table with
+    an int64 key — e.g. a ``documents`` table) or is a raw transcripts
+    frame, in which case the engine key xxhash64(conv_id, turn_idx) is
+    attached. Returns an empty 2-column frame when the query has no terms
+    or any term is missing from the corpus (conjunctive AND).
+    """
+    params = params or BM25Params()
+    spark = docs_df.sparkSession
+    q_terms = sorted(set(tokenize_text(query_text)))
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not q_terms:
+        return empty
+
+    if "doc_id" not in docs_df.columns:
+        docs_df = with_doc_ids(docs_df)
+    docs = docs_df.select("doc_id", tokenize_column(F.col("text")).alias("tokens"))
+    # two tiny scalar aggregates; the corpus-wide scan they trigger is the
+    # same scan the scoring pass needs (no extra shuffle)
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("tokens")).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return empty
+
+    flat = (
+        docs.select("doc_id", F.size("tokens").alias("dl"),
+                    F.explode("tokens").alias("term"))
+        .where(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfs = {r["term"]: int(r["n"]) for r in
+           flat.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if any(t not in dfs for t in q_terms):
+        return empty
+
+    import math  # noqa: PLC0415
+
+    idf_dim = spark.createDataFrame(
+        [(t, math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+         for t in q_terms],
+        "term string, idf double",
+    )
+    k1, b = params.k1, params.b
+    scored = flat.join(F.broadcast(idf_dim), "term").withColumn(
+        "part_score",
+        F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score"),
+             F.count(F.lit(1)).alias("n_terms_hit"))
+        .where(F.col("n_terms_hit") == len(q_terms))
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1,0 +1,94 @@
+"""Dedup + similarity operators: planted-duplicate recall and brute-force
+agreement checks on deterministic fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.operators import dedup as D
+from prow_jobs_scraper_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = []
+    for i in range(20):
+        rows.append((i, f"unique document number {i} about topic_{i} "
+                        f"with content {'x%d ' % i * 5}"))
+    rows.append((100, base))
+    rows.append((101, base))                        # exact dup of 100
+    rows.append((102, base.replace("lazy", "sleepy")))  # near dup
+    rows.append((103, "completely different text about spark engines"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 100 in ids and 101 not in ids  # min id kept
+    assert out.count() == docs.count() - 1
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got            # identical docs always collide
+    assert (100, 102) in got or (101, 102) in got  # near dup
+    # estimated jaccard for identical docs is 1.0
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (100, 101)][0]
+    assert exact["est_jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_near_dup(docs):
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((100, 101)) == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got.get((100, 101)) == pytest.approx(1.0)
+    near = got.get((100, 102))
+    assert near is not None and 0.5 <= near < 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] * 1.001 + 0.0001  # planted near-identical pair
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    pdf = embeddings.toPandas()
+    m = np.stack(pdf["embedding"].map(np.asarray))
+    q = m[3].astype(np.float64).tolist()
+    sims = (m @ np.asarray(q)) / (
+        np.linalg.norm(m, axis=1) * np.linalg.norm(q) + 1e-12)
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -sims))[:5]
+    want = pdf["vec_id"].to_numpy()[order].tolist()
+    got = S.brute_force_topk(embeddings, q, 5).collect()
+    assert [r["vec_id"] for r in got] == want
+    assert got[0]["vec_id"] == 3 and got[1]["vec_id"] == 7
+
+
+def test_lsh_topk_recalls_nearest(embeddings):
+    pdf = embeddings.toPandas()
+    q = np.asarray(pdf.loc[pdf.vec_id == 3, "embedding"].iloc[0], dtype=float)
+    got = S.lsh_bucketed_topk(embeddings, q.tolist(), 3,
+                              n_planes=8, multi_probe=2).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 3 and 7 in ids  # the planted near-dup is recalled
+
+
+def test_pairwise_cosine_dedup(embeddings):
+    pairs = S.pairwise_cosine_dedup(embeddings, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (3, 7) in got

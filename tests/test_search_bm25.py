@@ -1,0 +1,88 @@
+"""The correctness heart: three-way rank-identical agreement on the
+reference query set — numpy oracle == naive DataFrame path == compressed
+block-max path — plus the per-turn text-equality invariant
+(BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.index.build import (
+    BuildConfig,
+    build_index,
+    with_doc_ids,
+)
+from prow_jobs_scraper_spark.oracle.bm25 import bm25_oracle_topk
+from prow_jobs_scraper_spark.search.compressed import search_topk
+from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+from prow_jobs_scraper_spark.synth import reference_query_set
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(spark, transcripts) -> pd.DataFrame:
+    """(doc_id, text) with the engine's own doc_ids — the oracle scores
+    the identical corpus under the identical keys."""
+    return (
+        with_doc_ids(transcripts).select("doc_id", "text").toPandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, transcripts, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("idx"))
+    metrics = build_index(
+        spark, transcripts, d,
+        BuildConfig(n_ranges=8, n_buckets=4, n_chunks=1),
+    )
+    assert metrics["n_docs"] == transcripts.count()
+    assert metrics["n_postings"] > 0
+    return d
+
+
+def _assert_rank_identical(got: pd.DataFrame, want: pd.DataFrame, label: str):
+    assert len(got) == len(want), f"{label}: row count {len(got)} != {len(want)}"
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"{label}: doc order"
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), rtol=1e-9, atol=1e-12,
+        err_msg=f"{label}: scores",
+    )
+
+
+@pytest.mark.parametrize("q", reference_query_set(), ids=lambda q: q["query_id"])
+def test_three_way_agreement(spark, transcripts, oracle_docs, index_dir, q):
+    want = bm25_oracle_topk(oracle_docs, q["query_text"], q["k"])
+    naive = naive_bm25_topk(transcripts, q["query_text"], q["k"]).toPandas()
+    _assert_rank_identical(naive, want, f"naive:{q['query_id']}")
+    comp = search_topk(spark, index_dir, q["query_text"], q["k"]).toPandas()
+    _assert_rank_identical(comp, want, f"compressed:{q['query_id']}")
+
+
+def test_per_turn_text_equality(spark, transcripts, index_dir):
+    """input_hint invariant: engine round-trip preserves per-turn text
+    under stable (conv_id, turn_idx) ordering. doc_stats is the engine's
+    doc map; joining it back to the source must reproduce every turn."""
+    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    src = with_doc_ids(transcripts)
+    joined = src.join(doc_stats.select("doc_id", F.col("conv_id").alias("c2"),
+                                       F.col("turn_idx").alias("t2")),
+                      "doc_id", "inner")
+    n_src = transcripts.count()
+    assert joined.count() == n_src
+    mismatches = joined.where(
+        (F.col("conv_id") != F.col("c2")) | (F.col("turn_idx") != F.col("t2"))
+    ).count()
+    assert mismatches == 0
+    # stable ordering round-trip: texts in (conv_id, turn_idx) order match
+    a = transcripts.orderBy("conv_id", "turn_idx").select("text").toPandas()
+    b = (src.join(doc_stats.select("doc_id"), "doc_id")
+            .orderBy("conv_id", "turn_idx").select("text").toPandas())
+    assert a["text"].tolist() == b["text"].tolist()
+
+
+def test_topk_is_truncation_of_larger_k(spark, index_dir):
+    small = search_topk(spark, index_dir, "spark", 5).toPandas()
+    big = search_topk(spark, index_dir, "spark", 10).toPandas()
+    assert small["doc_id"].tolist() == big["doc_id"].tolist()[:5]

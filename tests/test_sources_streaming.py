@@ -1,0 +1,74 @@
+"""Sources (junit XML UDTF-shaped parse, schema-enforced JSON) and the
+Structured Streaming incremental ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from prow_jobs_scraper_spark.sources import readers as R
+from prow_jobs_scraper_spark.streaming.incremental import incremental_ingest
+
+JUNIT = """<?xml version="1.0"?>
+<testsuites>
+ <testsuite name="assisted">
+  <testcase name="step-ok" time="12.5"/>
+  <testcase name="step-bad" time="oops">
+    <failure>boom\nmultiline details</failure>
+  </testcase>
+ </testsuite>
+</testsuites>"""
+
+
+def test_parse_junit_xml(spark):
+    df = spark.createDataFrame([(bytearray(JUNIT.encode()),)], "content binary")
+    rows = {r["step_name"]: r for r in R.parse_junit_xml(df).collect()}
+    assert rows["step-ok"]["step_state"] == "success"
+    assert rows["step-ok"]["step_duration"] == 12.5
+    # malformed time falls back to 0.0 (reference step.py:36-43)
+    assert rows["step-bad"]["step_duration"] == 0.0
+    assert rows["step-bad"]["step_state"] == "failure"
+    assert "multiline" in rows["step-bad"]["step_details"]
+
+
+def test_read_job_events_json(spark, tmp_path):
+    p = tmp_path / "jobs.json"
+    rec = {"build_id": "b1", "name": "j", "state": "success",
+           "type": "periodic", "duration": 10,
+           "refs": {"org": "openshift", "repo": "assisted", "pull": 7}}
+    p.write_text(json.dumps(rec) + "\n")
+    df = R.read_job_events_json(spark, str(p))
+    row = df.collect()[0]
+    assert row["refs"]["org"] == "openshift"
+    assert row["duration"] == 10
+    assert df.schema["start_time"].dataType.typeName() == "timestamp"
+
+
+def test_incremental_ingest_exactly_once(spark, transcripts, tmp_path):
+    src = str(tmp_path / "src")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts.limit(200).write.parquet(src)
+
+    q = incremental_ingest(spark, src, staging, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(staging).count()
+    assert n1 == 200
+
+    # second tick with no new files: nothing new ingested
+    q2 = incremental_ingest(spark, src, staging, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(staging).count() == n1
+
+    # new file arrives -> only its rows are appended
+    transcripts.limit(250).write.mode("overwrite").parquet(src + "2")
+    spark.read.parquet(src + "2").write.mode("append").parquet(src)
+    q3 = incremental_ingest(spark, src, staging, ckpt)
+    q3.awaitTermination(120)
+    total = spark.read.parquet(staging).count()
+    # 200 original + 250 new-file rows, minus the dropDuplicates overlap
+    dedup = spark.read.parquet(staging).dropDuplicates(
+        ["conv_id", "turn_idx"]).count()
+    assert total >= 250 and dedup <= 250

@@ -1,0 +1,87 @@
+"""Text QC + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.operators import multimodal as M
+from prow_jobs_scraper_spark.operators import textqc as Q
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and it is fine."),
+        (1, "der hund und die katze sind nicht da, das ist ein problem"),
+        (2, "le chat et le chien sont dans la maison et pas dehors"),
+        (3, "!!! ??? ..."),
+        (4, ""),
+        (5, "spam spam spam spam spam spam spam spam"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(texts):
+    got = {r["doc_id"]: r for r in Q.token_count(texts).collect()}
+    assert got[0]["n_ws_tokens"] == 13
+    assert got[0]["n_tokens"] == 13
+    assert got[3]["n_tokens"] == 0
+    assert got[4]["n_ws_tokens"] == 0
+
+
+def test_language_id(texts):
+    got = {r["doc_id"]: r["lang_pred"] for r in Q.language_id(texts).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+    assert got[3] == "und"
+
+
+def test_quality_score_ordering(texts):
+    got = {r["doc_id"]: r for r in Q.quality_score(texts).collect()}
+    assert got[0]["quality_score"] > got[5]["quality_score"] > 0
+    assert got[3]["quality_score"] < 0.3
+    assert got[5]["distinct_ratio"] == pytest.approx(1 / 8)
+    assert 0 <= got[0]["stopword_ratio"] <= 1
+
+
+def test_fingerprint_deterministic_and_dup_sensitive(spark):
+    rows = [(0, "a b c d e f g"), (1, "a b c d e f g"), (2, "x y z w q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in Q.fingerprint(df).collect()}
+    assert got[0] == got[1] != got[2]
+    # stable across recomputation (deterministic across executors)
+    again = {r["doc_id"]: r["fingerprint"] for r in Q.fingerprint(df).collect()}
+    assert got == again
+
+
+def test_media_features_shape(spark):
+    media = M.synth_media(spark, n=12)
+    out = M.extract_features(media).collect()
+    assert len(out) == 12
+    for r in out:
+        assert len(r["feat"]) == 8 and r["n_bytes"] >= 64
+
+
+def test_media_decode_stub_raises_without_fake(spark):
+    media = M.synth_media(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        M.extract_features(media, deterministic_fake=False).collect()
+
+
+def test_resize_shapes(spark):
+    media = M.synth_media(spark, n=9)
+    out = M.resize_images(media, 8, 6).collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(out) == n_images
+    for r in out:
+        assert len(r["payload"]) == 8 * 6 * 3
+
+
+def test_frame_sampling(spark):
+    media = M.synth_media(spark, n=9)
+    out = M.sample_frames(media, every_n=2)
+    pdf = out.toPandas()
+    vids = media.where("kind='video'").select("media_id", "meta.n_frames").collect()
+    want = sum(len(range(0, r["n_frames"], 2)) for r in vids)
+    assert len(pdf) == want
+    assert (pdf["frame_idx"] % 2 == 0).all()
