@@ -1,38 +1,587 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001 documents.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus
+the training-data-pipeline extras; each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents. Keys without an
+oracle are genuinely non-SQL-expressible (hash-based LSH, compressed-index
+internals, multimodal UDF plumbing) and get the weaker rows-only check.
+
+Column names and (rounded) values are aligned pairwise: every computed
+column is aliased identically on both sides; floating aggregates are
+rounded on both sides; explicit ``rank`` columns preserve order info
+through the driver's order-insensitive hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+TOKEN_RE = "[a-z0-9_]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(col):
+    from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
+
+    return tokenize_column(col)
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 (P11 + our engine's core) on the
+    sf0.001 documents table."""
+    return _bm25_topk(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# query implementations (Spark side)
+# --------------------------------------------------------------------------
+
+def _bm25_topk(spark, sf_dir):
+    from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = naive_bm25_topk(docs, "key agg", 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _pricing_summary(spark, sf_dir):
+    # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _top_failing_users(spark, sf_dir):
+    # T2: top-N by composite key (failure_rate, failures, key)
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        F.count(F.lit(1)).alias("total"),
+    ).withColumn("error_rate", F.round(F.col("errors") / F.col("total"), 6))
+    w = Window.orderBy(F.desc("error_rate"), F.desc("errors"), F.desc("user_id"))
+    return (
+        m.where(F.col("errors") > 0)
+        .select("user_id", "errors", "total", "error_rate")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def _anti_join_customers(spark, sf_dir):
+    # J1/U1: anti-join — customers that never ordered
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def _cost_by_segment(spark, sf_dir):
+    # J5/A5: broadcast dim join + grouped sum
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("segment_value"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _top_revenue_orders(spark, sf_dir):
+    # J4 + T3: join-aggregate cost per key, top-5 with tie-break
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    w = Window.orderBy(F.desc("r"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("l_orderkey").alias("orderkey"), "rank",
+                F.round("r", 2).alias("revenue"))
+    )
+
+
+def _flakiness_users(spark, sf_dir):
+    # W1: the reference's flakiness window op over event streams
+    from prow_jobs_scraper_spark.operators.analytics import flakiness
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("name"),
+        F.when(F.col("event_type") == "error", "failure")
+         .otherwise("success").alias("state"),
+        F.col("ts").alias("start_time"),
+        F.col("event_id").alias("tiebreak"),
+    )
+    out = flakiness(ev, order_cols=["start_time", "tiebreak"])
+    return out.select(F.col("name").cast("long").alias("user_id"),
+                      F.round("flakiness", 6).alias("flakiness"))
+
+
+def _dedup_keep_first(spark, sf_dir):
+    # W2: keep-first dedup by comparison fields, shortest id
+    from prow_jobs_scraper_spark.operators.analytics import dedup_keep_first
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "id", F.col("doc_id").cast("string"))
+    out = dedup_keep_first(d, ["lang", "source"], "id")
+    return out.select("lang", "source", "doc_id")
+
+
+def _trends_weekly(spark, sf_dir):
+    # A9: report-over-report delta via adjacent tumbling windows
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "week", "event_type", "n",
+        (F.col("n") - F.coalesce(F.lag("n").over(w), F.lit(0))).alias("delta"),
+    )
+
+
+def _weekly_partition_names(spark, sf_dir):
+    # F10/S9: weekly time-partition key (the reference's weekly indices)
+    from prow_jobs_scraper_spark.functions.scalars import weekly_index_name
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(weekly_index_name("events", F.col("ts")).alias("index_name"))
+        .groupBy("index_name").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _time_range_filter(spark, sf_dir):
+    # P3/P4/P9: membership + contains + time-range predicates
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            F.col("ts").between("2024-01-08 00:00:00", "2024-01-21 23:59:59")
+            & F.col("event_type").isin("error", "purchase")
+            & F.col("props").contains("7")
+        )
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+def _regex_filter(spark, sf_dir):
+    # P2: regex predicate pushed into the scan
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("text").rlike("spark.*join")).select("doc_id", "n_chars")
+
+
+def _classifier(spark, sf_dir):
+    # P6/P7/P8: conjunctive/disjunctive classifier chain
+    d = _t(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("text").contains("spark") & (F.col("lang") == "en"),
+               "spark_en")
+        .when(F.col("source").isin("src0", "src1"), "early_src")
+        .when(F.col("text").contains("join") | F.col("text").contains("query"),
+              "sqlish")
+        .otherwise("other")
+    )
+    return d.select(cls.alias("doc_class")).groupBy("doc_class").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def _conjunctive_match(spark, sf_dir):
+    # P11 brute-force semantics: doc matches iff ALL query terms present
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    return d.where(
+        F.array_contains(toks, "key") & F.array_contains(toks, "agg")
+        & F.array_contains(toks, "row")
+    ).select("doc_id")
+
+
+def _exact_dedup(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+def _unigram_jaccard(spark, sf_dir):
+    # token-set Jaccard near-dup pairs (exact verification path)
+    from prow_jobs_scraper_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, shingle_n=1, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _token_counts(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.textqc import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_count(d)
+    return out.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_est").cast("long").alias("n_bpe_est"),
+    )
+
+
+def _quality(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.textqc import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_score(d)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+
+
+def _language_id(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.textqc import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+def _similarity_topk(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = brute_force_topk(e, [float(x) for x in q], 10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rank"),
+                       F.round("cosine", 4).alias("cosine"))
+
+
+# ---- rows-only entries (non-SQL-expressible; weaker check acknowledged) --
+
+def _minhash_candidates(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+
+
+def _simhash_pairs(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def _lsh_ann_topk(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucketed_topk(e, [float(x) for x in q], 10, multi_probe=2)
+
+
+def _media_features(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    return extract_features(synth_media(spark, n=48)).select(
+        "media_id", "kind", "n_bytes")
+
+
+def _transcripts_bm25_compressed(spark, sf_dir):
+    """North-rule path end-to-end: synth transcripts → salted compressed
+    index build → block-max BM25 top-k (rank-identity vs the numpy oracle
+    is enforced in tests; here the driver gets the rows-only check)."""
+    import tempfile  # noqa: PLC0415
+
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.compressed import search_topk
+    from prow_jobs_scraper_spark.synth import synth_transcripts_pandas
+
+    t = spark.createDataFrame(synth_transcripts_pandas(2000, seed=42))
+    d = tempfile.mkdtemp(prefix="entry_idx_")
+    build_index(spark, t, d, BuildConfig(n_ranges=8, n_buckets=4))
+    return search_topk(spark, d, "spark agent", 10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": _bm25_topk,
+        "pricing_summary": _pricing_summary,
+        "top_failing_users": _top_failing_users,
+        "anti_join_customers": _anti_join_customers,
+        "cost_by_segment": _cost_by_segment,
+        "top_revenue_orders": _top_revenue_orders,
+        "flakiness_users": _flakiness_users,
+        "dedup_keep_first": _dedup_keep_first,
+        "trends_weekly": _trends_weekly,
+        "weekly_partition_names": _weekly_partition_names,
+        "time_range_filter": _time_range_filter,
+        "regex_filter": _regex_filter,
+        "classifier": _classifier,
+        "conjunctive_match": _conjunctive_match,
+        "exact_dedup": _exact_dedup,
+        "unigram_jaccard": _unigram_jaccard,
+        "token_counts": _token_counts,
+        "quality": _quality,
+        "language_id": _language_id,
+        "similarity_topk": _similarity_topk,
+        # rows-only (no SQL-expressible oracle):
+        "minhash_candidates": _minhash_candidates,
+        "simhash_pairs": _simhash_pairs,
+        "lsh_ann_topk": _lsh_ann_topk,
+        "media_features": _media_features,
+        "transcripts_bm25_compressed": _transcripts_bm25_compressed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+_BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score,
+         count(*) AS nt
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score
+FROM sc WHERE nt = 2
+ORDER BY sc.score DESC, doc_id LIMIT 10
+"""
+
+_FLAKINESS_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 0.0 ELSE 1.0 END AS s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+d AS (
+  SELECT user_id, rn, n,
+         abs(s - lag(s) OVER (PARTITION BY user_id ORDER BY rn)) AS t,
+         CASE WHEN n > 2 THEN 0.1 + 0.9*(rn-2)::DOUBLE/(n-2) ELSE 1.0 END AS w
+  FROM e)
+SELECT user_id,
+       round(coalesce(sum(t*w) FILTER (rn > 1) / sum(w) FILTER (rn > 1), 0.0),
+             6) AS flakiness
+FROM d GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _BM25_SQL,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_failing_users": """
+            WITH m AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS errors,
+                     count(*) AS total
+              FROM events GROUP BY user_id),
+            r AS (
+              SELECT user_id, errors, total,
+                     round(errors::DOUBLE / total, 6) AS error_rate,
+                     row_number() OVER (
+                       ORDER BY errors::DOUBLE / total DESC, errors DESC,
+                                user_id DESC) AS rank
+              FROM m WHERE errors > 0)
+            SELECT user_id, errors, total, error_rate, rank
+            FROM r WHERE rank <= 10
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "cost_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS segment_value,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_revenue_orders": """
+            WITH rev AS (
+              SELECT l_orderkey AS orderkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS r
+              FROM lineitem GROUP BY 1),
+            rk AS (SELECT orderkey, r,
+                          row_number() OVER (ORDER BY r DESC, orderkey) AS rank
+                   FROM rev)
+            SELECT orderkey, rank, round(r, 2) AS revenue FROM rk WHERE rank <= 5
+        """,
+        "flakiness_users": _FLAKINESS_SQL,
+        "dedup_keep_first": """
+            SELECT lang, source, doc_id FROM (
+              SELECT lang, source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY length(doc_id::VARCHAR), doc_id::VARCHAR) AS rn
+              FROM documents) WHERE rn = 1
+        """,
+        "trends_weekly": """
+            WITH weekly AS (
+              SELECT date_trunc('week', ts) AS week, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT week, event_type, n,
+                   n - coalesce(lag(n) OVER (
+                     PARTITION BY event_type ORDER BY week), 0) AS delta
+            FROM weekly
+        """,
+        "weekly_partition_names": """
+            SELECT printf('events-%d.%02d', isoyear(ts), week(ts)) AS index_name,
+                   count(*) AS n_docs
+            FROM events GROUP BY 1
+        """,
+        "time_range_filter": """
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                         AND TIMESTAMP '2024-01-21 23:59:59'
+              AND event_type IN ('error', 'purchase')
+              AND contains(props, '7')
+        """,
+        "regex_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE regexp_matches(text, 'spark.*join')
+        """,
+        "classifier": """
+            SELECT CASE
+                     WHEN contains(text, 'spark') AND lang = 'en' THEN 'spark_en'
+                     WHEN source IN ('src0', 'src1') THEN 'early_src'
+                     WHEN contains(text, 'join') OR contains(text, 'query')
+                       THEN 'sqlish'
+                     ELSE 'other'
+                   END AS doc_class,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "conjunctive_match": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({_TOKS}, 'key')
+              AND list_contains({_TOKS}, 'agg')
+              AND list_contains({_TOKS}, 'row')
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "unigram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+            sz AS (SELECT doc_id, len(t) AS n FROM toks),
+            flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+              FROM flat a JOIN flat b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(sh::DOUBLE / (sa.n + sb.n - sh), 6) AS jaccard
+            FROM shared
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE sh::DOUBLE / (sa.n + sb.n - sh) >= 0.5
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS n_ws_tokens,
+                   len({_TOKS}) AS n_tokens,
+                   ceil(length(text) / 4.0)::BIGINT AS n_bpe_est
+            FROM documents
+        """,
+        "quality": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   round(CASE WHEN length(text) > 0 THEN
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     len(list_distinct(toks))::DOUBLE / len(toks)
+                     ELSE 0.0 END, 6) AS distinct_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                       / len(toks) ELSE 0.0 END, 6) AS mean_word_len
+            FROM t
+        """,
+        "language_id": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, list_max([
+                {{'hits': len(list_intersect(toks, ['the','and','of','to','in',
+                   'is','that','it','for','with'])), 'lang': 'en'}},
+                {{'hits': len(list_intersect(toks, ['der','die','und','das',
+                   'ist','nicht','ein','mit','auf'])), 'lang': 'de'}},
+                {{'hits': len(list_intersect(toks, ['le','la','et','les','des',
+                   'est','pas','une','dans'])), 'lang': 'fr'}},
+                {{'hits': len(list_intersect(toks, ['el','la','los','las','es',
+                   'una','para','por','con'])), 'lang': 'es'}}
+              ]) AS best
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+                     AS lang_pred
+            FROM sc
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            sims AS (
+              SELECT vec_id,
+                     list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            (SELECT qv FROM q)) AS c
+              FROM embeddings),
+            rk AS (SELECT vec_id, c,
+                          row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+                   FROM sims)
+            SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
+        """,
+    }

@@ -61,7 +61,7 @@ def top_triggered(jobs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
-def flakiness(jobs: DataFrame) -> DataFrame:
+def flakiness(jobs: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """W1: the reference's flakiness score per job name
     (reference report.py:93-123), distributed.
 
@@ -75,8 +75,10 @@ def flakiness(jobs: DataFrame) -> DataFrame:
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    order_cols = order_cols or ["start_time"]
+
     def per_name(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=["start_time"]).sort_values("start_time")
+        pdf = pdf.dropna(subset=["start_time"]).sort_values(order_cols)
         name = pdf["name"].iloc[0] if len(pdf) else None
         if len(pdf) == 0:
             return pd.DataFrame({"name": [], "flakiness": []})
@@ -89,7 +91,8 @@ def flakiness(jobs: DataFrame) -> DataFrame:
         return pd.DataFrame({"name": [name], "flakiness": [score]})
 
     return (
-        jobs.select("name", "state", "start_time")
+        jobs.select("name", "state", "start_time",
+                    *[c for c in order_cols if c != "start_time"])
         .groupBy("name")
         .applyInPandas(per_name, schema="name string, flakiness double")
     )
