@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness — the engine's feedback loop.
+
+Measures, on ``local[$SPARK_GRAFT_CPUS]`` (default 32) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+
+1. headline analytical queries from ``__spark_entry__.queries()`` — each
+   executed end-to-end to the noop sink (full plan runs, nothing collected);
+2. the flagship north-rule pipeline: synthetic ``transcripts`` corpus →
+   salted compressed inverted-index build (turns/sec) → BM25 top-k over the
+   reference query set (mean + p95 latency);
+3. scaling evidence (sandbox proxy for the N → 4N executor rule): the SAME
+   index-build job + input at ``local[8]`` and ``local[32]``; reports
+   throughput at both plus efficiency = (T8_elapsed / T32_elapsed) / 4.
+   Skip with SPARK_GRAFT_SKIP_SCALING=1 when iterating.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "build": {...}, "query_latency": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# corpus size for the flagship build/query/scaling measurements
+N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+
+HEADLINE = [
+    "bm25_topk",
+    "pricing_summary",
+    "top_failing_users",
+    "anti_join_customers",
+    "cost_by_segment",
+    "top_revenue_orders",
+    "flakiness_users",
+    "dedup_keep_first",
+    "trends_weekly",
+    "time_range_filter",
+    "conjunctive_match",
+    "exact_dedup",
+    "minhash_candidates",
+    "token_counts",
+    "quality",
+    "language_id",
+    "similarity_topk",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run_to_sink(df) -> None:
+    """Execute the full plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _session(cores: int, shuffle_partitions: int | None = None):
+    from prow_jobs_scraper_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local[{cores}]",
+        cores=cores,
+        shuffle_partitions=shuffle_partitions or cores,
+    )
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.time()
+        _run_to_sink(fn(spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def _materialize_corpus(spark, path: str) -> None:
+    from prow_jobs_scraper_spark.synth import synth_transcripts
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_transcripts(spark, N_TURNS, seed=42, n_partitions=32).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
+def bench_flagship(spark, corpus_path: str) -> tuple[dict, dict]:
+    """Index build throughput + BM25 query latency on the built index."""
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.compressed import search_topk
+    from prow_jobs_scraper_spark.synth import reference_query_set
+
+    transcripts = spark.read.parquet(corpus_path)
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.time()
+        metrics = build_index(
+            spark, transcripts, idx_dir, BuildConfig(n_ranges=32, n_buckets=16)
+        )
+        build_sec = time.time() - t0
+        build = {
+            "n_turns": metrics["n_docs"],
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(metrics["n_docs"] / build_sec, 1),
+            "postings_per_sec": round(metrics.get("postings_per_sec", 0.0), 1),
+            "skew_ratio_max": round(metrics.get("skew_ratio_max", 1.0), 3),
+        }
+
+        lat: list[float] = []
+        for q in reference_query_set():
+            t0 = time.time()
+            search_topk(spark, idx_dir, q["query_text"], q["k"]).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
+        query_latency = {
+            "n_queries": len(lat),
+            "mean_sec": round(sum(lat) / len(lat), 4),
+            "p95_sec": round(p95, 4),
+            "max_sec": round(lat[-1], 4),
+        }
+        return build, query_latency
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def bench_scaling(corpus_path: str) -> dict:
+    """Same build job + same input at local[8] vs local[32] (N vs 4N proxy)."""
+    from pyspark.sql import SparkSession
+
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+
+    results = {}
+    for cores in (8, 32):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = _session(cores, shuffle_partitions=cores)
+        try:
+            transcripts = spark.read.parquet(corpus_path)
+            idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{cores}_")
+            try:
+                t0 = time.time()
+                m = build_index(
+                    spark, transcripts, idx_dir,
+                    BuildConfig(n_ranges=32, n_buckets=16),
+                )
+                elapsed = time.time() - t0
+                results[cores] = {
+                    "elapsed_sec": round(elapsed, 3),
+                    "turns_per_sec": round(m["n_docs"] / elapsed, 1),
+                }
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+        finally:
+            spark.stop()
+    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    return {
+        "local8": results[8],
+        "local32": results[32],
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "efficiency": round((t32 / t8) / 4.0, 3),
+    }
+
+
+def main() -> None:
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"bench_transcripts_{N_TURNS}"
+    )
+
+    spark = _session(CPUS)
+    _materialize_corpus(spark, corpus_path)
+    queries = bench_queries(spark)
+    build, query_latency = bench_flagship(spark, corpus_path)
+    spark.stop()
+
+    scaling: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        scaling = bench_scaling(corpus_path)
+
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "build": build,
+        "query_latency": query_latency,
+        "scaling": scaling,
+    }))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
 from prow_jobs_scraper_spark.index import codec
@@ -65,7 +66,7 @@ INT64_MIN = -(1 << 63)
 BLOCKS_SCHEMA = (
     "tb int, term string, salt int, block_id int, n_docs int, "
     "first_doc_id long, last_doc_id long, doc_gaps binary, tf_bytes binary, "
-    "dl_bytes binary, block_max_tf_norm double"
+    "dl_bytes binary, block_max_tf_norm double, sum_tf long, n_bytes int"
 )
 
 
@@ -149,15 +150,25 @@ def term_bucket_expr(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
-def _flat_postings(transcripts: DataFrame, cfg: BuildConfig) -> DataFrame:
-    """transcripts -> (tb, term, salt, doc_id, tf, dl).
+def tokenized_docs(transcripts: DataFrame) -> DataFrame:
+    """The single tokenize pass: (conv_id, turn_idx, doc_id, tokens).
 
     Tokenization is a Catalyst regexp (JVM codegen — UDFs are the slow
-    path); dl rides along the explode so no doc_stats join is needed.
+    path). Both ``doc_stats`` and the flat postings stream derive from
+    this frame, so the corpus text is scanned and tokenized exactly once
+    per build (persist it across the two consumers).
     """
-    docs = with_doc_ids(transcripts).select(
-        "doc_id", tokenize_column(F.col("text")).alias("tokens")
+    return with_doc_ids(transcripts).select(
+        "conv_id", "turn_idx", "doc_id",
+        tokenize_column(F.col("text")).alias("tokens"),
     )
+
+
+def _flat_postings(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """tokenized docs -> (tb, term, salt, doc_id, tf, dl).
+
+    dl rides along the explode so no doc_stats join is needed.
+    """
     return (
         docs.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
         .groupBy("term", "doc_id", "dl")
@@ -209,13 +220,16 @@ def build_index(
     t0 = time.time()
     persist_flat = cfg.persist_flat if cfg.persist_flat is not None else cfg.n_chunks > 1
 
-    # ---- stage 1: doc_stats (also the (conv_id,turn_idx) <-> doc_id map)
+    # ---- stage 1: tokenize ONCE; doc_stats + flat postings both derive
+    # from this frame (persisted so the corpus text is scanned once)
+    docs = tokenized_docs(transcripts)
+    docs_persisted = False
     if not os.path.exists(os.path.join(paths.doc_stats, "_SUCCESS")):
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        docs_persisted = True
         (
-            with_doc_ids(transcripts)
-            .select(
-                "doc_id", "conv_id", "turn_idx",
-                F.size(tokenize_column(F.col("text"))).alias("dl"),
+            docs.select(
+                "doc_id", "conv_id", "turn_idx", F.size("tokens").alias("dl")
             )
             .write.mode("overwrite").parquet(paths.doc_stats)
         )
@@ -251,11 +265,13 @@ def build_index(
             committed = set()
     todo = [tb for tb in range(cfg.n_buckets) if tb not in committed]
     if not todo:
+        if docs_persisted:
+            docs.unpersist()
         return {**meta, "resumed": True, "n_new_buckets": 0,
                 "elapsed_sec": time.time() - t0}
 
     # ---- stage 2: flat postings stream (optionally persisted, tb-pruned)
-    flat = _flat_postings(transcripts, cfg)
+    flat = _flat_postings(docs, cfg)
     if persist_flat:
         if not os.path.exists(os.path.join(paths.flat, "_SUCCESS")):
             flat.write.mode("overwrite").partitionBy("tb").parquet(paths.flat)
@@ -276,13 +292,6 @@ def build_index(
         tc0 = time.time()
         part = flat.where(F.col("tb").isin(chunk))
 
-        # term_stats for the chunk (df = postings count per term, cf = Σtf)
-        (
-            part.groupBy("tb", "term")
-            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-            .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
-        )
-
         # encoded posting blocks — the one heavy shuffle, salted by design
         (
             part.groupBy("tb", "term", "salt")
@@ -290,21 +299,36 @@ def build_index(
             .write.mode("overwrite").partitionBy("tb").parquet(paths.postings)
         )
 
+        # term_stats + lineage metrics derive from the committed blocks'
+        # METADATA columns only (Parquet prunes the binary payloads):
+        # df = Σ n_docs over a term's blocks, cf = Σ sum_tf.
+        written = (
+            spark.read.parquet(paths.postings)
+            .where(F.col("tb").isin(chunk))
+            .select("tb", "term", "salt", "n_docs", "sum_tf", "n_bytes")
+        )
+        (
+            written.groupBy("tb", "term")
+            .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+            .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
+        )
         elapsed = time.time() - tc0
-        # lineage + metrics from the committed output itself
-        written = spark.read.parquet(paths.postings).where(F.col("tb").isin(chunk))
-        stats = written.groupBy("tb").agg(
-            F.sum("n_docs").alias("n_postings"),
-            F.count(F.lit(1)).alias("n_blocks"),
+
+        per_group = written.groupBy("tb", "term", "salt").agg(
+            F.sum("n_docs").alias("g"),
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("n_bytes").alias("by"),
+        )
+        stats = per_group.groupBy("tb").agg(
+            F.sum("g").alias("n_postings"),
+            F.sum("nb").alias("n_blocks"),
             F.countDistinct("term").alias("n_terms"),
-            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tf_bytes"))
-             + F.sum(F.length("dl_bytes"))).alias("bytes_encoded"),
+            F.sum("by").alias("bytes_encoded"),
+            F.max("g").alias("max_g"),
+            F.avg("g").alias("avg_g"),
         ).collect()
-        group_sizes = written.groupBy("tb", "term", "salt").agg(
-            F.sum("n_docs").alias("g")
-        ).groupBy("tb").agg(F.max("g").alias("max_g"), F.avg("g").alias("avg_g")).collect()
         skew_by_tb = {int(r["tb"]): float(r["max_g"]) / max(float(r["avg_g"]), 1e-9)
-                      for r in group_sizes}
+                      for r in stats}
         for r in stats:
             tb = int(r["tb"])
             metrics_rows.append({
@@ -326,6 +350,8 @@ def build_index(
             "append"
         ).parquet(paths.manifest)
 
+    if docs_persisted:
+        docs.unpersist()
     total = time.time() - t0
     n_postings = sum(m["n_postings"] for m in metrics_rows)
     return {

@@ -146,15 +146,21 @@ def encode_blocks(
         dl = dls[start:end]
         first, gap_bytes = delta_encode(ids)
         scores = bm25_term_scores(tf, dl, idf, avgdl, k1, b)
+        tf_bytes = varint_encode(tf.astype(np.uint64))
+        dl_bytes = varint_encode(dl.astype(np.uint64))
         yield {
             "block_id": blk,
             "n_docs": int(end - start),
             "first_doc_id": first,
             "last_doc_id": int(ids[-1]),
             "doc_gaps": gap_bytes,
-            "tf_bytes": varint_encode(tf.astype(np.uint64)),
-            "dl_bytes": varint_encode(dl.astype(np.uint64)),
+            "tf_bytes": tf_bytes,
+            "dl_bytes": dl_bytes,
             "block_max_score": float(scores.max()),
+            # block-level rollups so term_stats/metrics never re-read the
+            # binary payloads (df = Σ n_docs, cf = Σ sum_tf over blocks)
+            "sum_tf": int(tf.sum()),
+            "n_bytes": len(gap_bytes) + len(tf_bytes) + len(dl_bytes),
         }
 
 
