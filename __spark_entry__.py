@@ -279,6 +279,136 @@ def _similarity_topk(spark, sf_dir):
                        F.round("cosine", 4).alias("cosine"))
 
 
+def _enrich_orders(spark, sf_dir):
+    # J3: enrichment left-outer join (metadata attach), broadcast dim
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", "c_name", "c_mktsegment",
+                F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def _first_match_enrich(spark, sf_dir):
+    # J6: self-join first-match — each error event borrows the value of its
+    # user's earliest purchase (the bandwidth-usage interval fix-up shape,
+    # reference equinix_usages.py:119-176), as min_by agg + broadcast join
+    ev = _t(spark, sf_dir, "events")
+    first_buy = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("fp"))
+        .select("user_id", F.col("fp.value").alias("first_purchase_value"))
+    )
+    return (
+        ev.where(F.col("event_type") == "error")
+        .join(F.broadcast(first_buy), "user_id", "left")
+        .select("event_id", "user_id",
+                F.round(F.coalesce("first_purchase_value", F.lit(0.0)), 2)
+                 .alias("first_purchase_value"))
+    )
+
+
+def _order_lineitems_denorm(spark, sf_dir):
+    # J7: denormalization join — embed the parent order's fields in each
+    # line item (the StepEvent-embeds-JobDetails shape, event.py:119-129)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    o = _t(spark, sf_dir, "orders")
+    nested = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber",
+        F.struct(
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("totalprice"),
+        ).alias("order"),
+    )
+    return nested.select(
+        "l_orderkey", "l_linenumber", F.col("order.order_date").alias("order_date"),
+        F.round("order.totalprice", 2).alias("totalprice"),
+    )
+
+
+def _global_revenue(spark, sf_dir):
+    # A6: global scalar aggregate
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+         .alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _event_state_counts(spark, sf_dir):
+    # A8: grouped counts by state
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _customer_ids_derived(spark, sf_dir):
+    # F1/F2: prefix strip + startswith (the job-name → context derivation
+    # shape, reference prowjob.py:87-149)
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "^Customer#", "").cast("long").alias("cust_num"),
+        F.col("c_name").startswith("Customer#").alias("name_ok"),
+    )
+
+
+def _priority_labels(spark, sf_dir):
+    # F3/F6: split+last-element + replace (build_id-from-name shape,
+    # reference equinix_usages.py:46-48)
+    o = _t(spark, sf_dir, "orders")
+    label = F.element_at(F.split("o_orderpriority", "-"), -1)
+    return o.select(
+        "o_orderkey", label.alias("label"),
+        F.regexp_replace(label, " ", "_").alias("label_norm"),
+    )
+
+
+def _brand_share_others(spark, sf_dir):
+    # F18: threshold bucketing — brands under 2% revenue share fold into
+    # 'Others' (the pie-chart tail agg, reference slack_report.py:264-293)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    )
+    total = Window.partitionBy()
+    bucket = F.when(F.col("r") / F.sum("r").over(total) > 0.02, F.col("p_brand")) \
+              .otherwise(F.lit("Others"))
+    return (
+        rev.select(bucket.alias("bucket"), "r")
+        .groupBy("bucket").agg(F.round(F.sum("r"), 2).alias("revenue"))
+    )
+
+
+def _order_ship_overlap(spark, sf_dir):
+    # P10/P12: interval-overlap filter — order interval [orderdate,
+    # last shipdate] overlaps 1996 (usage-window shape, query.py:76-99)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    spans = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    return (
+        o.join(spans, o.o_orderkey == spans.l_orderkey)
+        .where((F.col("o_orderdate") <= "1996-12-31")
+               & (F.col("last_ship") >= "1996-01-01"))
+        .select("o_orderkey", "o_orderdate", "last_ship")
+    )
+
+
+def _union_event_streams(spark, sf_dir):
+    # U2/U3: tagged union-all of two filtered streams + distinct users
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.lit("err").alias("tag"))
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("buy").alias("tag"))
+    return a.unionByName(b)
+
+
 # ---- rows-only entries (non-SQL-expressible; weaker check acknowledged) --
 
 def _minhash_candidates(spark, sf_dir):
@@ -351,6 +481,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _quality,
         "language_id": _language_id,
         "similarity_topk": _similarity_topk,
+        "enrich_orders": _enrich_orders,
+        "first_match_enrich": _first_match_enrich,
+        "order_lineitems_denorm": _order_lineitems_denorm,
+        "global_revenue": _global_revenue,
+        "event_state_counts": _event_state_counts,
+        "customer_ids_derived": _customer_ids_derived,
+        "priority_labels": _priority_labels,
+        "brand_share_others": _brand_share_others,
+        "order_ship_overlap": _order_ship_overlap,
+        "union_event_streams": _union_event_streams,
         # rows-only (no SQL-expressible oracle):
         "minhash_candidates": _minhash_candidates,
         "simhash_pairs": _simhash_pairs,
@@ -570,6 +710,80 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
                      AS lang_pred
             FROM sc
+        """,
+        "enrich_orders": """
+            SELECT o_orderkey, c_name, c_mktsegment,
+                   round(o_totalprice, 2) AS totalprice
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "first_match_enrich": """
+            WITH fb AS (
+              SELECT user_id, value AS first_purchase_value
+              FROM (SELECT user_id, value,
+                           row_number() OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id, value
+                           ) AS rn
+                    FROM events WHERE event_type = 'purchase')
+              WHERE rn = 1)
+            SELECT event_id, e.user_id,
+                   round(coalesce(fb.first_purchase_value, 0.0), 2)
+                     AS first_purchase_value
+            FROM events e LEFT JOIN fb ON e.user_id = fb.user_id
+            WHERE e.event_type = 'error'
+        """,
+        "order_lineitems_denorm": """
+            SELECT l_orderkey, l_linenumber, o_orderdate AS order_date,
+                   round(o_totalprice, 2) AS totalprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_quantity > 45
+        """,
+        "global_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+        """,
+        "event_state_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "customer_ids_derived": """
+            SELECT c_custkey,
+                   CAST(regexp_replace(c_name, '^Customer#', '') AS BIGINT)
+                     AS cust_num,
+                   starts_with(c_name, 'Customer#') AS name_ok
+            FROM customer
+        """,
+        "priority_labels": """
+            SELECT o_orderkey,
+                   list_extract(string_split(o_orderpriority, '-'), -1) AS label,
+                   replace(list_extract(string_split(o_orderpriority, '-'), -1),
+                           ' ', '_') AS label_norm
+            FROM orders
+        """,
+        "brand_share_others": """
+            WITH rev AS (
+              SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS r
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand),
+            b AS (
+              SELECT CASE WHEN r / sum(r) OVER () > 0.02
+                          THEN p_brand ELSE 'Others' END AS bucket, r
+              FROM rev)
+            SELECT bucket, round(sum(r), 2) AS revenue FROM b GROUP BY bucket
+        """,
+        "order_ship_overlap": """
+            WITH spans AS (
+              SELECT l_orderkey, max(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT o_orderkey, o_orderdate, last_ship
+            FROM orders JOIN spans ON o_orderkey = l_orderkey
+            WHERE o_orderdate <= TIMESTAMP '1996-12-31'
+              AND last_ship >= TIMESTAMP '1996-01-01'
+        """,
+        "union_event_streams": """
+            SELECT event_id, 'err' AS tag FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT event_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
