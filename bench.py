@@ -140,36 +140,43 @@ def bench_flagship(spark, corpus_path: str) -> tuple[dict, dict]:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
-def bench_scaling(corpus_path: str) -> dict:
-    """Same build job + same input at local[8] vs local[32] (N vs 4N proxy)."""
-    from pyspark.sql import SparkSession
-
+def _scale_worker(cores: int, corpus_path: str) -> None:
+    """Subprocess entry: one build at local[cores], JSON on stdout."""
     from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+
+    spark = _session(cores, shuffle_partitions=cores)
+    transcripts = spark.read.parquet(corpus_path)
+    idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{cores}_")
+    try:
+        t0 = time.time()
+        m = build_index(
+            spark, transcripts, idx_dir, BuildConfig(n_ranges=32, n_buckets=16)
+        )
+        elapsed = time.time() - t0
+        print(json.dumps({
+            "elapsed_sec": round(elapsed, 3),
+            "turns_per_sec": round(m["n_docs"] / elapsed, 1),
+        }))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
+def bench_scaling(corpus_path: str) -> dict:
+    """Same build job + same input at local[8] vs local[32] (N vs 4N
+    proxy). Each level runs in its own subprocess so neither inherits the
+    other's JVM heap or page-cache state."""
+    import subprocess
 
     results = {}
     for cores in (8, 32):
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
-        spark = _session(cores, shuffle_partitions=cores)
-        try:
-            transcripts = spark.read.parquet(corpus_path)
-            idx_dir = tempfile.mkdtemp(prefix=f"bench_scale_{cores}_")
-            try:
-                t0 = time.time()
-                m = build_index(
-                    spark, transcripts, idx_dir,
-                    BuildConfig(n_ranges=32, n_buckets=16),
-                )
-                elapsed = time.time() - t0
-                results[cores] = {
-                    "elapsed_sec": round(elapsed, 3),
-                    "turns_per_sec": round(m["n_docs"] / elapsed, 1),
-                }
-            finally:
-                shutil.rmtree(idx_dir, ignore_errors=True)
-        finally:
-            spark.stop()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scale-worker", str(cores), corpus_path],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
     t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
     return {
         "local8": results[8],
@@ -180,12 +187,22 @@ def bench_scaling(corpus_path: str) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"bench_transcripts_{N_TURNS}"
     )
 
     spark = _session(CPUS)
     _materialize_corpus(spark, corpus_path)
+    # warm up the JVM + Python workers so the first timed query doesn't
+    # absorb session startup (worker spawn, codegen, broadcast machinery)
+    _run_to_sink(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+        .selectExpr("doc_id", "lower(text) t")
+    )
     queries = bench_queries(spark)
     build, query_latency = bench_flagship(spark, corpus_path)
     spark.stop()

@@ -1,0 +1,107 @@
+"""spark-submit entrypoints (BASELINE.json north_rule: "runs via
+spark-submit --py-files on a multi-executor cluster").
+
+Usage (local sandbox / real cluster — same commands, the master comes
+from spark-submit on a cluster):
+
+    spark-submit --py-files pjs_spark.zip -m prow_jobs_scraper_spark.cli \
+        build --input /path/transcripts_parquet --output /path/index \
+        [--n-ranges 32] [--n-buckets 16] [--n-chunks 1]
+
+    ... search --index /path/index --query "spark agent" --k 10
+
+    ... synth --output /path/transcripts_parquet --n-turns 1000000
+
+Each subcommand prints one JSON result line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from prow_jobs_scraper_spark.session import get_spark
+
+    return get_spark("pjs-cli", cores=args.cores)
+
+
+def cmd_build(args) -> dict:
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+
+    spark = _spark(args)
+    transcripts = spark.read.parquet(args.input)
+    metrics = build_index(
+        spark, transcripts, args.output,
+        BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets,
+                    n_chunks=args.n_chunks),
+        build_id=args.build_id,
+    )
+    return metrics
+
+
+def cmd_search(args) -> dict:
+    from prow_jobs_scraper_spark.search.compressed import search_topk
+
+    spark = _spark(args)
+    t0 = time.time()
+    rows = search_topk(spark, args.index, args.query, args.k).collect()
+    return {
+        "query": args.query,
+        "k": args.k,
+        "latency_sec": round(time.time() - t0, 4),
+        "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+    }
+
+
+def cmd_synth(args) -> dict:
+    from prow_jobs_scraper_spark.synth import synth_transcripts
+
+    spark = _spark(args)
+    t0 = time.time()
+    synth_transcripts(
+        spark, args.n_turns, seed=args.seed, n_partitions=args.n_partitions
+    ).write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    return {"output": args.output, "n_turns": n,
+            "elapsed_sec": round(time.time() - t0, 3)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="prow_jobs_scraper_spark")
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] when no master is configured")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--n-ranges", type=int, default=32)
+    b.add_argument("--n-buckets", type=int, default=16)
+    b.add_argument("--n-chunks", type=int, default=1)
+    b.add_argument("--build-id", default="build-0")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k over a built index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=cmd_search)
+
+    g = sub.add_parser("synth", help="generate a synthetic transcript corpus")
+    g.add_argument("--output", required=True)
+    g.add_argument("--n-turns", type=int, default=100000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--n-partitions", type=int, default=32)
+    g.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    print(json.dumps(args.fn(args), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

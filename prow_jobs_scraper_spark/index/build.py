@@ -56,7 +56,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
 from prow_jobs_scraper_spark.index import codec
@@ -64,7 +63,7 @@ from prow_jobs_scraper_spark.index import codec
 INT64_MIN = -(1 << 63)
 
 BLOCKS_SCHEMA = (
-    "tb int, term string, salt int, block_id int, n_docs int, "
+    "tb int, term_id long, salt int, block_id int, n_docs int, "
     "first_doc_id long, last_doc_id long, doc_gaps binary, tf_bytes binary, "
     "dl_bytes binary, block_max_tf_norm double, sum_tf long, n_bytes int"
 )
@@ -99,6 +98,10 @@ class IndexPaths:
     @property
     def flat(self) -> str:
         return os.path.join(self.root, "flat")
+
+    @property
+    def terms(self) -> str:
+        return os.path.join(self.root, "terms")
 
     @property
     def meta(self) -> str:
@@ -146,8 +149,22 @@ def salt_bounds(n_ranges: int) -> np.ndarray:
     return (unsigned ^ np.uint64(1 << 63)).astype(np.int64)
 
 
+def term_id_expr(term_col):
+    """64-bit term key (xxhash64, Spark-native). Postings, the shuffle and
+    the encoder all work on this int64 — term STRINGS never enter the big
+    shuffle (measured: string Arrow/shuffle traffic dominated JVM CPU and
+    saturated memory bandwidth, killing multi-core scaling). The
+    string<->id mapping lives in the tiny ``terms`` dim / ``term_stats``.
+    Collision risk is birthday(n_terms, 2^64): ~3e-4 at 10^8 terms."""
+    return F.xxhash64(term_col)
+
+
 def term_bucket_expr(term_col, n_buckets: int):
-    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+    return F.pmod(term_id_expr(term_col), F.lit(n_buckets)).cast("int")
+
+
+def term_bucket_of_id(term_id_col, n_buckets: int):
+    return F.pmod(term_id_col, F.lit(n_buckets)).cast("int")
 
 
 def tokenized_docs(transcripts: DataFrame) -> DataFrame:
@@ -164,39 +181,115 @@ def tokenized_docs(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def _flat_postings(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
-    """tokenized docs -> (tb, term, salt, doc_id, tf, dl).
+def _flat_occurrences(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
+    """tokenized docs -> one row per token OCCURRENCE
+    (term_id, doc_id, dl) — 24 payload bytes, no strings.
 
-    dl rides along the explode so no doc_stats join is needed.
+    Deliberately NOT pre-aggregated to (term, doc_id, tf): that groupBy is
+    a full extra shuffle plus a ~|occurrences|-cardinality hash aggregate,
+    and the encoder must re-sort by (term, doc_id) anyway — so tf falls
+    out of a vectorized run-length pass there for free. tb and salt are
+    pure functions of term_id / doc_id and are recomputed where needed
+    (filter expressions JVM-side, numpy bit ops in the encoder) instead of
+    being shuffled as materialized columns. dl rides along the explode so
+    no doc_stats join is needed.
     """
     return (
         docs.select("doc_id", F.size("tokens").alias("dl"), F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("tb", term_bucket_expr(F.col("term"), cfg.n_buckets))
+        .select(
+            term_id_expr(F.col("term")).alias("term_id"), "doc_id", "dl")
+        .withColumn("tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
         .withColumn("salt", salt_expr(F.col("doc_id"), cfg.n_ranges))
     )
 
 
 def _make_encoder(avgdl: float, params: BM25Params, block_size: int):
-    """Grouped-map encoder: one (term, salt) group -> compressed block rows."""
-    k1, b = params.k1, params.b
+    """Grouped-map Arrow encoder: one (tb, salt) group -> all its terms'
+    compressed blocks in one vectorized pass.
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tb, term, salt = int(key[0]), key[1], int(key[2])
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
-        rows = list(
-            codec.encode_blocks(doc_ids, tfs, dls, 1.0, avgdl, k1, b, block_size)
+    Design rationale, each step measured on the 1M-turn corpus:
+    - grouping by (tb, salt) — not (term, salt) — amortizes per-group
+      overhead: a Zipfian vocabulary yields ~|vocab| × n_ranges groups
+      averaging a few dozen postings, and per-group cost then dominates
+      (2× worse wall-clock). n_buckets × n_ranges groups bound group size
+      to corpus_postings / (n_buckets × n_ranges); both knobs scale with
+      the corpus. Grouped-map (pipelined per group) also beat a
+      whole-partition mapInArrow (which buffers the full partition and
+      serializes the JVM feed / Python compute / write phases).
+    - the data plane carries term_id int64, never strings (string
+      Arrow/shuffle traffic saturated memory bandwidth and killed
+      multi-core scaling).
+    - all blocks of all terms in the group encode in one numpy pass
+      (codec.encode_group_blocks); binary columns are assembled zero-copy
+      from (offsets, buffer) pairs. Row-at-a-time encoding cost
+      ~120 µs/block; this path measures ~40× faster.
+    """
+    k1, b = params.k1, params.b
+    import pyarrow as pa  # noqa: PLC0415
+
+    out_schema = pa.schema([
+        ("tb", pa.int32()), ("term_id", pa.int64()), ("salt", pa.int32()),
+        ("block_id", pa.int32()), ("n_docs", pa.int32()),
+        ("first_doc_id", pa.int64()), ("last_doc_id", pa.int64()),
+        ("doc_gaps", pa.binary()), ("tf_bytes", pa.binary()),
+        ("dl_bytes", pa.binary()), ("block_max_tf_norm", pa.float64()),
+        ("sum_tf", pa.int64()), ("n_bytes", pa.int32()),
+    ])
+
+    def encode(key: tuple, tbl: pa.Table) -> pa.Table:
+        tb = int(key[0].as_py() if hasattr(key[0], "as_py") else key[0])
+        salt = int(key[1].as_py() if hasattr(key[1], "as_py") else key[1])
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        o_tids_u = tbl["term_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o_ids_u = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        o_dls_u = tbl["dl"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((o_ids_u, o_tids_u))
+        o_tids = o_tids_u[order]
+        o_ids = o_ids_u[order]
+        o_dls = o_dls_u[order]
+
+        # run-length collapse occurrences -> (term_id, doc_id, tf, dl)
+        newgrp = np.concatenate(
+            ([True], (o_tids[1:] != o_tids[:-1]) | (o_ids[1:] != o_ids[:-1]))
         )
-        out = pd.DataFrame(rows)
-        out = out.rename(columns={"block_max_score": "block_max_tf_norm"})
-        out.insert(0, "salt", salt)
-        out.insert(0, "term", term)
-        out.insert(0, "tb", tb)
-        return out
+        starts_occ = np.flatnonzero(newgrp)
+        tfs = np.diff(np.concatenate((starts_occ, [o_ids.size])))
+        p_tids = o_tids[starts_occ]
+
+        g = codec.encode_group_blocks(
+            p_tids, np.full(p_tids.size, salt, dtype=np.int32),
+            o_ids[starts_occ], tfs, o_dls[starts_occ],
+            avgdl, k1, b, block_size,
+        )
+        nb = g["term_id"].size
+
+        def bin_arr(pair):
+            offsets, data = pair
+            return pa.Array.from_buffers(
+                pa.binary(), nb,
+                [None, pa.py_buffer(np.ascontiguousarray(offsets).tobytes()),
+                 pa.py_buffer(data)],
+            )
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(nb, tb, dtype=np.int32), type=pa.int32()),
+                pa.array(g["term_id"], type=pa.int64()),
+                pa.array(g["salt"], type=pa.int32()),
+                pa.array(g["block_id"], type=pa.int32()),
+                pa.array(g["n_docs"], type=pa.int32()),
+                pa.array(g["first_doc_id"], type=pa.int64()),
+                pa.array(g["last_doc_id"], type=pa.int64()),
+                bin_arr(g["gaps"]),
+                bin_arr(g["tf"]),
+                bin_arr(g["dl"]),
+                pa.array(g["block_max"], type=pa.float64()),
+                pa.array(g["sum_tf"], type=pa.int64()),
+                pa.array(g["n_bytes"], type=pa.int32()),
+            ],
+            schema=out_schema,
+        )
 
     return encode
 
@@ -220,13 +313,13 @@ def build_index(
     t0 = time.time()
     persist_flat = cfg.persist_flat if cfg.persist_flat is not None else cfg.n_chunks > 1
 
-    # ---- stage 1: tokenize ONCE; doc_stats + flat postings both derive
-    # from this frame (persisted so the corpus text is scanned once)
+    # ---- stage 1: doc_stats. Tokenize runs here and again for the flat
+    # stream — deliberately NOT persisted: caching the token arrays as
+    # deserialized JVM objects creates GC pressure that anti-scales with
+    # core count (measured), while the regexp tokenize itself is cheap
+    # codegen work that scales linearly. Recompute beats cache.
     docs = tokenized_docs(transcripts)
-    docs_persisted = False
     if not os.path.exists(os.path.join(paths.doc_stats, "_SUCCESS")):
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-        docs_persisted = True
         (
             docs.select(
                 "doc_id", "conv_id", "turn_idx", F.size("tokens").alias("dl")
@@ -265,13 +358,24 @@ def build_index(
             committed = set()
     todo = [tb for tb in range(cfg.n_buckets) if tb not in committed]
     if not todo:
-        if docs_persisted:
-            docs.unpersist()
         return {**meta, "resumed": True, "n_new_buckets": 0,
                 "elapsed_sec": time.time() - t0}
 
-    # ---- stage 2: flat postings stream (optionally persisted, tb-pruned)
-    flat = _flat_postings(docs, cfg)
+    # ---- stage 1b: terms dim — the ONLY place term strings are stored.
+    # distinct() partial-aggregates map-side, so the shuffle is ~|vocab|
+    # rows regardless of corpus size.
+    if not os.path.exists(os.path.join(paths.terms, "_SUCCESS")):
+        (
+            docs.select(F.explode("tokens").alias("term")).distinct()
+            .select(
+                "term", term_id_expr(F.col("term")).alias("term_id"))
+            .withColumn("tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
+            .write.mode("overwrite").partitionBy("tb").parquet(paths.terms)
+        )
+        open(os.path.join(paths.terms, "_SUCCESS"), "a").close()
+
+    # ---- stage 2: flat occurrence stream (optionally persisted, tb-pruned)
+    flat = _flat_occurrences(docs, cfg)
     if persist_flat:
         if not os.path.exists(os.path.join(paths.flat, "_SUCCESS")):
             flat.write.mode("overwrite").partitionBy("tb").parquet(paths.flat)
@@ -294,27 +398,34 @@ def build_index(
 
         # encoded posting blocks — the one heavy shuffle, salted by design
         (
-            part.groupBy("tb", "term", "salt")
-            .applyInPandas(encoder, schema=BLOCKS_SCHEMA)
+            part.groupBy("tb", "salt")
+            .applyInArrow(encoder, schema=BLOCKS_SCHEMA)
             .write.mode("overwrite").partitionBy("tb").parquet(paths.postings)
         )
 
         # term_stats + lineage metrics derive from the committed blocks'
         # METADATA columns only (Parquet prunes the binary payloads):
-        # df = Σ n_docs over a term's blocks, cf = Σ sum_tf.
+        # df = Σ n_docs over a term's blocks, cf = Σ sum_tf. The term
+        # string is attached from the tiny terms dim (broadcast join).
         written = (
             spark.read.parquet(paths.postings)
             .where(F.col("tb").isin(chunk))
-            .select("tb", "term", "salt", "n_docs", "sum_tf", "n_bytes")
+            .select("tb", "term_id", "salt", "n_docs", "sum_tf", "n_bytes")
+        )
+        terms_dim = (
+            spark.read.parquet(paths.terms)
+            .where(F.col("tb").isin(chunk)).select("term", "term_id")
         )
         (
-            written.groupBy("tb", "term")
+            written.groupBy("tb", "term_id")
             .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+            .join(F.broadcast(terms_dim), "term_id")
+            .select("tb", "term", "term_id", "df", "cf")
             .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
         )
         elapsed = time.time() - tc0
 
-        per_group = written.groupBy("tb", "term", "salt").agg(
+        per_group = written.groupBy("tb", "term_id", "salt").agg(
             F.sum("n_docs").alias("g"),
             F.count(F.lit(1)).alias("nb"),
             F.sum("n_bytes").alias("by"),
@@ -322,7 +433,7 @@ def build_index(
         stats = per_group.groupBy("tb").agg(
             F.sum("g").alias("n_postings"),
             F.sum("nb").alias("n_blocks"),
-            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("term_id").alias("n_terms"),
             F.sum("by").alias("bytes_encoded"),
             F.max("g").alias("max_g"),
             F.avg("g").alias("avg_g"),
@@ -350,8 +461,6 @@ def build_index(
             "append"
         ).parquet(paths.manifest)
 
-    if docs_persisted:
-        docs.unpersist()
     total = time.time() - t0
     n_postings = sum(m["n_postings"] for m in metrics_rows)
     return {

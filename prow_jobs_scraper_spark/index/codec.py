@@ -27,18 +27,23 @@ BLOCK_SIZE = 128
 _VARINT_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array into bytes (vectorized)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + (#thresholds <= value)
+def varint_sizes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts for a uint64 array."""
     nbytes = np.ones(v.size, dtype=np.int64)
     for t in _VARINT_THRESHOLDS:
         more = v >= t
         if not more.any():
             break
         nbytes += more
+    return nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array into bytes (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = varint_sizes(v)
     total = int(nbytes.sum())
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
@@ -162,6 +167,106 @@ def encode_blocks(
             "sum_tf": int(tf.sum()),
             "n_bytes": len(gap_bytes) + len(tf_bytes) + len(dl_bytes),
         }
+
+
+def encode_group_blocks(
+    term_ids: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode ALL (term, salt) posting groups of one partition at once.
+
+    Input: postings sorted by (term_id, doc_id) — salts are doc-range
+    prefixes of doc_id, so they are automatically contiguous and ascending
+    within each term. Output: column arrays for every block of every
+    (term, salt) group, with the three varint streams returned as (int32
+    offsets, flat bytes) pairs ready for zero-copy Arrow binary arrays.
+
+    No per-block Python: the per-block cost of the row-at-a-time path
+    (~120 µs/block, dominating the whole index build on Zipfian
+    vocabularies where most blocks hold <10 postings) collapses into a
+    handful of whole-array numpy passes. Semantics identical to
+    :func:`encode_blocks` per (term, salt) (tested equal).
+    """
+    m = doc_ids.size
+    out: dict = {}
+    if m == 0:
+        z32 = np.empty(0, dtype=np.int32)
+        z64 = np.empty(0, dtype=np.int64)
+        empty_off = np.zeros(1, dtype=np.int32)
+        for k in ("gaps", "tf", "dl"):
+            out[k] = (empty_off, b"")
+        out.update(term_id=z64, salt=z32, block_id=z32, n_docs=z32,
+                   first_doc_id=z64, last_doc_id=z64,
+                   block_max=np.empty(0), sum_tf=z64, n_bytes=z32)
+        return out
+
+    t_ids = np.ascontiguousarray(term_ids, dtype=np.int64)
+    slt = np.ascontiguousarray(salts, dtype=np.int32)
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dl = np.ascontiguousarray(dls, dtype=np.uint64)
+
+    # (term, salt) group bounds -> within-group position -> block index
+    grp_change = np.concatenate(
+        ([True], (t_ids[1:] != t_ids[:-1]) | (slt[1:] != slt[:-1])))
+    grp_starts = np.flatnonzero(grp_change)
+    grp_start_rep = np.repeat(grp_starts, np.diff(
+        np.concatenate((grp_starts, [m]))))
+    pos_in_grp = np.arange(m, dtype=np.int64) - grp_start_rep
+    blk_of_post = pos_in_grp // block_size
+    blk_change = np.concatenate(
+        ([True], grp_change[1:] | (blk_of_post[1:] != blk_of_post[:-1])))
+    bs = np.flatnonzero(blk_change)          # block start positions
+    be = np.concatenate((bs[1:], [m]))       # block end positions
+    nb = bs.size
+
+    out["term_id"] = t_ids[bs]
+    out["salt"] = slt[bs]
+    out["block_id"] = blk_of_post[bs].astype(np.int32)
+    out["n_docs"] = (be - bs).astype(np.int32)
+    out["first_doc_id"] = ids[bs]
+    out["last_doc_id"] = ids[be - 1]
+
+    # ---- gaps: uint64 wraparound diffs, dropping each block's first pos
+    u = ids.view(np.uint64)
+    d = np.empty(m, dtype=np.uint64)
+    d[0] = 0
+    d[1:] = u[1:] - u[:-1]
+    keep = ~blk_change
+    gaps = d[keep]
+    if gaps.size and (gaps == 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a block")
+    g_sizes = varint_sizes(gaps) if gaps.size else np.empty(0, dtype=np.int64)
+    g_cum = np.concatenate(([0], np.cumsum(g_sizes)))
+    # kept-index of block b's first gap = bs[b] - b  (one drop per block)
+    g_offsets = np.concatenate(
+        (g_cum[bs - np.arange(nb)], [g_cum[-1]])).astype(np.int32)
+    out["gaps"] = (g_offsets, varint_encode(gaps))
+
+    # ---- tf / dl: all positions kept, offsets at block bounds
+    def stream(vals: np.ndarray) -> tuple[np.ndarray, bytes]:
+        sizes = varint_sizes(vals)
+        cum = np.concatenate(([0], np.cumsum(sizes)))
+        offsets = np.concatenate((cum[bs], [cum[-1]])).astype(np.int32)
+        return offsets, varint_encode(vals)
+
+    out["tf"] = stream(tf)
+    out["dl"] = stream(dl)
+
+    scores = bm25_term_scores(tf, dl, 1.0, avgdl, k1, b)
+    out["block_max"] = np.maximum.reduceat(scores, bs)
+    out["sum_tf"] = np.add.reduceat(tf.astype(np.int64), bs)
+    out["n_bytes"] = (
+        np.diff(out["gaps"][0]) + np.diff(out["tf"][0]) + np.diff(out["dl"][0])
+    ).astype(np.int32)
+    return out
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

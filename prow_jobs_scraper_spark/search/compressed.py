@@ -107,24 +107,31 @@ def search_topk(
             term_bucket_expr(F.col("term"), n_buckets).alias("tb")
         ).distinct().collect()
     ]
+    # term_stats holds the (term -> term_id, df) mapping; the postings
+    # table is keyed by term_id only (no strings in the data plane)
     stats = (
         spark.read.parquet(paths.term_stats)
         .where(F.col("tb").isin(buckets) & F.col("term").isin(q_terms))
-        .select("term", "df")
+        .select("term", "term_id", "df")
         .collect()
     )
     dfs = {r["term"]: int(r["df"]) for r in stats}
+    tid_of = {r["term"]: int(r["term_id"]) for r in stats}
     if any(t not in dfs for t in q_terms):
         return empty  # conjunctive AND: a missing term kills the query
     idfs = {
-        t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in q_terms
+        tid_of[t]: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in q_terms
     }
-    terms_by_rarity = sorted(q_terms, key=lambda t: (dfs[t], t))
+    terms_by_rarity = [
+        tid_of[t] for t in sorted(q_terms, key=lambda t: (dfs[t], t))
+    ]
+    q_term_ids = list(tid_of.values())
 
     blocks = (
         spark.read.parquet(paths.postings)
-        .where(F.col("tb").isin(buckets) & F.col("term").isin(q_terms))
-        .select("term", "salt", "block_id", "n_docs", "first_doc_id",
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
                 "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
                 "block_max_tf_norm")
     )
@@ -136,7 +143,7 @@ def search_topk(
             "doc_id": pd.Series([], dtype="int64"),
             "score": pd.Series([], dtype="float64"),
         })
-        by_term = {t: g for t, g in pdf.groupby("term")}
+        by_term = {t: g for t, g in pdf.groupby("term_id")}
         if len(by_term) < n_q:
             return out_empty  # some term has no postings in this doc range
 

@@ -19,14 +19,22 @@ from prow_jobs_scraper_spark.index.build import (
 )
 
 
+def _term_names(spark, d: str) -> dict[int, str]:
+    """term_id -> term string (postings are keyed by term_id only)."""
+    return {int(r["term_id"]): r["term"]
+            for r in spark.read.parquet(f"{d}/term_stats").collect()}
+
+
 def _decode_all_postings(spark, d: str) -> pd.DataFrame:
     """Decode the whole postings table -> flat (term, doc_id, tf, dl)."""
+    names = _term_names(spark, d)
     rows = spark.read.parquet(f"{d}/postings").collect()
     recs = []
     for r in rows:
         ids, tfs, dls = codec.decode_block(r)
         for i in range(len(ids)):
-            recs.append((r["term"], int(ids[i]), int(tfs[i]), int(dls[i])))
+            recs.append((names[int(r["term_id"])], int(ids[i]),
+                         int(tfs[i]), int(dls[i])))
     return (
         pd.DataFrame(recs, columns=["term", "doc_id", "tf", "dl"])
         .sort_values(["term", "doc_id"])
@@ -90,7 +98,7 @@ def test_salt_ranges_are_disjoint_and_ordered(spark, transcripts, tmp_path):
     d = str(tmp_path / "sr")
     build_index(spark, transcripts, d, BuildConfig(n_ranges=8, n_buckets=2))
     blocks = spark.read.parquet(f"{d}/postings").select(
-        "term", "salt", "first_doc_id", "last_doc_id"
+        "term_id", "salt", "first_doc_id", "last_doc_id"
     ).toPandas()
     bounds = salt_bounds(8)
     for _, r in blocks.iterrows():
@@ -99,7 +107,7 @@ def test_salt_ranges_are_disjoint_and_ordered(spark, transcripts, tmp_path):
         hi = bounds[s + 1] - 1 if s + 1 < 8 else np.iinfo(np.int64).max
         assert lo <= r["first_doc_id"] <= r["last_doc_id"] <= hi
     # within (term, salt) blocks are non-overlapping and ordered
-    for (_t, _s), g in blocks.groupby(["term", "salt"]):
+    for (_t, _s), g in blocks.groupby(["term_id", "salt"]):
         g = g.sort_values("first_doc_id")
         assert (g["last_doc_id"].to_numpy()[:-1]
                 < g["first_doc_id"].to_numpy()[1:]).all()
@@ -108,9 +116,11 @@ def test_salt_ranges_are_disjoint_and_ordered(spark, transcripts, tmp_path):
 def test_hot_term_is_split_across_salts(spark, transcripts, tmp_path):
     d = str(tmp_path / "hot")
     build_index(spark, transcripts, d, BuildConfig(n_ranges=8, n_buckets=2))
+    hot_id = [tid for tid, t in _term_names(spark, d).items()
+              if t == "the_hot_term"][0]
     salts = (
         spark.read.parquet(f"{d}/postings")
-        .where(F.col("term") == "the_hot_term")
+        .where(F.col("term_id") == hot_id)
         .select("salt").distinct().count()
     )
     assert salts == 8  # a >30%-df term must hit every doc range
