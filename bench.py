@@ -32,7 +32,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus size for the flagship build/query/scaling measurements
-N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "200000"))
+N_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "1000000"))
 
 HEADLINE = [
     "bm25_topk",
@@ -162,28 +162,50 @@ def _scale_worker(cores: int, corpus_path: str) -> None:
         spark.stop()
 
 
+SCALE_LEVELS = (2, 8, 32)
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+
+
 def bench_scaling(corpus_path: str) -> dict:
-    """Same build job + same input at local[8] vs local[32] (N vs 4N
-    proxy). Each level runs in its own subprocess so neither inherits the
-    other's JVM heap or page-cache state."""
+    """Same build job + same input at three parallelism levels (N vs 4N
+    proxy pairs: 2->8 and 8->32).
+
+    Each run executes in its own subprocess so no JVM heap or allocator
+    state leaks between levels. Levels are interleaved across SCALE_REPS
+    repetitions and the per-level MINIMUM elapsed is reported: the
+    sandbox host shows bursty external CPU steal (same-command reruns
+    vary up to 2x), and min-of-N is the standard noise-robust estimator
+    under one-sided interference. All raw samples are reported too.
+    """
     import subprocess
 
-    results = {}
-    for cores in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--scale-worker", str(cores), corpus_path],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
-    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
-    return {
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_8_to_32": round(t32 / t8, 3),
-        "efficiency": round((t32 / t8) / 4.0, 3),
+    samples: dict[int, list] = {c: [] for c in SCALE_LEVELS}
+    for _ in range(SCALE_REPS):
+        for cores in SCALE_LEVELS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scale-worker", str(cores), corpus_path],
+                capture_output=True, text=True, timeout=1800,
+            )
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")]
+            if lines:
+                samples[cores].append(json.loads(lines[-1]))
+    best = {
+        c: min(samples[c], key=lambda r: r["elapsed_sec"])
+        for c in SCALE_LEVELS if samples[c]
     }
+    out: dict = {
+        f"local{c}": {**best[c],
+                      "all_elapsed_sec": [r["elapsed_sec"] for r in samples[c]]}
+        for c in best
+    }
+    for lo, hi in ((2, 8), (8, 32)):
+        if lo in best and hi in best:
+            sp = best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]
+            out[f"speedup_{lo}_to_{hi}"] = round(sp, 3)
+            out[f"efficiency_{lo}_to_{hi}"] = round(sp / (hi // lo), 3)
+    return out
 
 
 def main() -> None:

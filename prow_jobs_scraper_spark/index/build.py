@@ -14,10 +14,11 @@ partition-granular and idempotent, so swapping the I/O layer for
 ``df.writeTo(...)`` on a real catalog is mechanical):
 
     <root>/doc_stats/            doc_id, conv_id, turn_idx, dl
-    <root>/term_stats/tb=*/      term, df, cf
-    <root>/postings/tb=*/        term, salt, block rows (codec.py format)
+    <root>/term_stats/tb=*/      term, term_id, df, cf
+    <root>/postings/tb=*/        term_id, salt, block rows (codec.py format)
     <root>/manifest/             per-bucket lineage + build metrics
-    <root>/flat/tb=*/            optional persisted (term,doc,tf,dl) stream
+    <root>/terms/tb=*/           term <-> term_id dim (the only strings)
+    <root>/flat/tb=*/            optional persisted occurrence stream
     <root>/meta.json             corpus constants (n_docs, avgdl, params)
 
 Key design points (vs BASELINE.json north_rule):
@@ -171,9 +172,10 @@ def tokenized_docs(transcripts: DataFrame) -> DataFrame:
     """The single tokenize pass: (conv_id, turn_idx, doc_id, tokens).
 
     Tokenization is a Catalyst regexp (JVM codegen — UDFs are the slow
-    path). Both ``doc_stats`` and the flat postings stream derive from
-    this frame, so the corpus text is scanned and tokenized exactly once
-    per build (persist it across the two consumers).
+    path). doc_stats, the terms dim and the flat occurrence stream all
+    derive from this frame. It is deliberately NOT persisted: caching the
+    token arrays measured worse than recomputing (cache memory traffic
+    anti-scales with cores; the regexp is linear-scaling CPU work).
     """
     return with_doc_ids(transcripts).select(
         "conv_id", "turn_idx", "doc_id",

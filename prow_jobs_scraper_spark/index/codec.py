@@ -269,6 +269,49 @@ def encode_group_blocks(
     return out
 
 
+def decode_blocks_bulk(
+    n_docs: np.ndarray,
+    first_ids: np.ndarray,
+    gap_bytes: list[bytes],
+    tf_bytes: list[bytes],
+    dl_bytes: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks in three vectorized passes.
+
+    Per-block decode (one varint_decode call per stream per block) costs
+    ~ms-scale Python overhead per block and dominated single-hot-term
+    query latency (measured 17 s for a 2000-block term). Here the byte
+    streams are joined and decoded once each; doc_ids are rebuilt with a
+    segmented cumsum (cumsum of [first_id, gaps...] per block, offset
+    subtracted at block starts). Blocks must be passed in doc-id order
+    per term for the output to be posting order.
+
+    Returns (doc_ids int64, tfs uint64, dls uint64) concatenated across
+    blocks.
+    """
+    nd = np.ascontiguousarray(n_docs, dtype=np.int64)
+    m = int(nd.sum())
+    if m == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.uint64))
+    first_u = np.ascontiguousarray(first_ids, dtype=np.int64).view(np.uint64)
+    starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+
+    gaps_flat = varint_decode(b"".join(gap_bytes), int((nd - 1).sum()))
+    tfs = varint_decode(b"".join(tf_bytes), m)
+    dls = varint_decode(b"".join(dl_bytes), m)
+
+    vals = np.empty(m, dtype=np.uint64)
+    is_start = np.zeros(m, dtype=bool)
+    is_start[starts] = True
+    vals[is_start] = first_u
+    vals[~is_start] = gaps_flat
+    cs = np.cumsum(vals, dtype=np.uint64)
+    prev_total = cs[starts] - first_u  # running sum before each block
+    ids_u = cs - np.repeat(prev_total, nd)
+    return ids_u.view(np.int64), tfs, dls
+
+
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one postings-table row -> (doc_ids int64, tfs u64, dls u64)."""
     n = int(row["n_docs"])

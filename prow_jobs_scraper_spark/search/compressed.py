@@ -34,8 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_text
+from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
 from prow_jobs_scraper_spark.index import codec
-from prow_jobs_scraper_spark.index.build import IndexPaths, term_bucket_expr
+from prow_jobs_scraper_spark.index.build import IndexPaths
 
 
 def _tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float):
@@ -46,38 +47,53 @@ def _tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
 
 def _decode_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode all of one term's blocks in a salt group (already doc-ordered
-    across blocks: salts are disjoint ranges, blocks disjoint within)."""
-    ids_l, tf_l, dl_l = [], [], []
-    for row in pdf.sort_values("first_doc_id").itertuples(index=False):
-        n = int(row.n_docs)
-        ids_l.append(codec.delta_decode(int(row.first_doc_id), row.doc_gaps, n))
-        tf_l.append(codec.varint_decode(row.tf_bytes, n))
-        dl_l.append(codec.varint_decode(row.dl_bytes, n))
-    return (np.concatenate(ids_l), np.concatenate(tf_l), np.concatenate(dl_l))
+    across blocks: salts are disjoint ranges, blocks disjoint within).
+    One vectorized pass over all blocks — per-block decode overhead
+    dominated hot-term latency (codec.decode_blocks_bulk docstring)."""
+    pdf = pdf.sort_values("first_doc_id")
+    return codec.decode_blocks_bulk(
+        pdf["n_docs"].to_numpy(), pdf["first_doc_id"].to_numpy(),
+        list(pdf["doc_gaps"]), list(pdf["tf_bytes"]), list(pdf["dl_bytes"]),
+    )
+
+
+_PRUNE_CHUNK = 64
 
 
 def _single_term_topk(
     pdf: pd.DataFrame, idf: float, k: int, avgdl: float, k1: float, b: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max pruned scan of one term inside one salt group."""
+    """Block-max pruned scan of one term inside one salt group.
+
+    Blocks are visited in descending block-max order in CHUNKS of
+    ``_PRUNE_CHUNK``: each chunk bulk-decodes (vectorized), merges into
+    the running top-k, and the scan stops when the next chunk's best
+    upper bound cannot beat the current k-th score. Chunking amortizes
+    per-block Python overhead ~64x while keeping the early-exit property
+    (at most one chunk of over-decode vs block-at-a-time WAND).
+    """
     blocks = pdf.sort_values("block_max_tf_norm", ascending=False)
     best_ids = np.empty(0, dtype=np.int64)
     best_scores = np.empty(0, dtype=np.float64)
     kth = -math.inf
-    for row in blocks.itertuples(index=False):
-        ub = idf * float(row.block_max_tf_norm)
-        if len(best_ids) >= k and ub < kth:
+    ubs = idf * blocks["block_max_tf_norm"].to_numpy(dtype=np.float64)
+    for lo in range(0, len(blocks), _PRUNE_CHUNK):
+        if best_ids.size >= k and ubs[lo] < kth:
             break  # no remaining block can beat the current k-th score
-        n = int(row.n_docs)
-        ids = codec.delta_decode(int(row.first_doc_id), row.doc_gaps, n)
-        tfs = codec.varint_decode(row.tf_bytes, n)
-        dls = codec.varint_decode(row.dl_bytes, n)
+        chunk = blocks.iloc[lo:lo + _PRUNE_CHUNK]
+        # bulk decode needs doc-id order; score order is irrelevant here
+        chunk = chunk.sort_values("first_doc_id")
+        ids, tfs, dls = codec.decode_blocks_bulk(
+            chunk["n_docs"].to_numpy(), chunk["first_doc_id"].to_numpy(),
+            list(chunk["doc_gaps"]), list(chunk["tf_bytes"]),
+            list(chunk["dl_bytes"]),
+        )
         scores = idf * _tf_norm(tfs, dls, avgdl, k1, b)
         all_ids = np.concatenate([best_ids, ids])
         all_scores = np.concatenate([best_scores, scores])
         order = np.lexsort((all_ids, -all_scores))[:k]
         best_ids, best_scores = all_ids[order], all_scores[order]
-        if len(best_ids) >= k:
+        if best_ids.size >= k:
             kth = best_scores[-1]
     return best_ids, best_scores
 
@@ -100,25 +116,23 @@ def search_topk(
     if not q_terms or n_docs == 0:
         return empty
 
-    terms_dim = spark.createDataFrame([(t,) for t in q_terms], "term string")
-    buckets = [
-        int(r["tb"])
-        for r in terms_dim.select(
-            term_bucket_expr(F.col("term"), n_buckets).alias("tb")
-        ).distinct().collect()
-    ]
-    # term_stats holds the (term -> term_id, df) mapping; the postings
-    # table is keyed by term_id only (no strings in the data plane)
+    # term_id = xxhash64(term) computed CLIENT-side (bit-identity with
+    # Spark's xxhash64 is tested) — no cluster round-trip just to learn
+    # which term buckets to prune. One Spark job fetches df stats,
+    # pruned to the terms' tb directories + term_id row groups.
+    tid_of = {t: term_id_py(t) for t in q_terms}
+    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
+    q_term_ids = list(tid_of.values())
     stats = (
         spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term").isin(q_terms))
-        .select("term", "term_id", "df")
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "df")
         .collect()
     )
-    dfs = {r["term"]: int(r["df"]) for r in stats}
-    tid_of = {r["term"]: int(r["term_id"]) for r in stats}
-    if any(t not in dfs for t in q_terms):
+    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    if any(tid not in df_of_tid for tid in q_term_ids):
         return empty  # conjunctive AND: a missing term kills the query
+    dfs = {t: df_of_tid[tid_of[t]] for t in q_terms}
     idfs = {
         tid_of[t]: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
         for t in q_terms
@@ -126,7 +140,6 @@ def search_topk(
     terms_by_rarity = [
         tid_of[t] for t in sorted(q_terms, key=lambda t: (dfs[t], t))
     ]
-    q_term_ids = list(tid_of.values())
 
     blocks = (
         spark.read.parquet(paths.postings)
