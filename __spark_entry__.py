@@ -409,7 +409,70 @@ def _union_event_streams(spark, sf_dir):
     return a.unionByName(b)
 
 
+def _composite_anti_join(spark, sf_dir):
+    # J2: anti-join on a composite key — (user_id, event_type) combos in
+    # week 2+ never seen in week 1 (the (name, plan) usage dedup shape,
+    # reference scraper.py:41-47,59-64)
+    ev = _t(spark, sf_dir, "events")
+    wk1 = ev.where(F.col("ts") < "2024-01-08").select(
+        "user_id", "event_type").distinct()
+    later = ev.where(F.col("ts") >= "2024-01-08").select(
+        "user_id", "event_type").distinct()
+    return later.join(wk1, ["user_id", "event_type"], "left_anti")
+
+
+def _url_paths(spark, sf_dir):
+    # F4: URL path suffix — '/'.join(path.split('/')[4:]) (the GCS
+    # artifact-path derivation, reference utils.py:8-15)
+    from prow_jobs_scraper_spark.functions.scalars import url_path_suffix
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    url = F.concat_ws(
+        "/", F.lit("https://storage.example.com/v1/b"),
+        F.col("event_type"), F.col("user_id").cast("string"),
+        F.lit("artifacts"), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id", url_path_suffix(url, skip=4).alias("artifact_path"))
+
+
+def _distinct_users(spark, sf_dir):
+    # A2/U3: distinct key-set construction
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id").distinct()
+
+
+def _embedding_dedup_pairs(spark, sf_dir):
+    # embedding-cosine near-dup, exact all-pairs baseline (the
+    # verification-grade path; the LSH-bucketed scale path is exercised
+    # by the rows-only lsh_ann_topk entry). Threshold 0.45 sits just
+    # under the synthetic corpus's max pairwise cosine so the check has
+    # actual rows to compare.
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 # ---- rows-only entries (non-SQL-expressible; weaker check acknowledged) --
+
+
+def _doc_fingerprints(spark, sf_dir):
+    # rolling-hash winnowing fingerprint (hash-based; rows-only check)
+    from prow_jobs_scraper_spark.operators.textqc import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint")
 
 def _minhash_candidates(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.dedup import minhash_lsh_pairs
@@ -491,11 +554,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_share_others": _brand_share_others,
         "order_ship_overlap": _order_ship_overlap,
         "union_event_streams": _union_event_streams,
+        "composite_anti_join": _composite_anti_join,
+        "url_paths": _url_paths,
+        "distinct_users": _distinct_users,
+        "embedding_dedup_pairs": _embedding_dedup_pairs,
         # rows-only (no SQL-expressible oracle):
         "minhash_candidates": _minhash_candidates,
         "simhash_pairs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann_topk,
         "media_features": _media_features,
+        "doc_fingerprints": _doc_fingerprints,
         "transcripts_bm25_compressed": _transcripts_bm25_compressed,
     }
 
@@ -784,6 +852,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'err' AS tag FROM events WHERE event_type = 'error'
             UNION ALL
             SELECT event_id, 'buy' AS tag FROM events WHERE event_type = 'purchase'
+        """,
+        "composite_anti_join": """
+            WITH wk1 AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE ts < TIMESTAMP '2024-01-08'),
+            later AS (
+              SELECT DISTINCT user_id, event_type FROM events
+              WHERE ts >= TIMESTAMP '2024-01-08')
+            SELECT user_id, event_type FROM later
+            WHERE NOT EXISTS (
+              SELECT 1 FROM wk1
+              WHERE wk1.user_id = later.user_id
+                AND wk1.event_type = later.event_type)
+        """,
+        "url_paths": """
+            SELECT event_id,
+                   array_to_string(
+                     list_slice(string_split(
+                       '/v1/b/' || event_type || '/' || user_id
+                         || '/artifacts/' || event_id, '/'),
+                       5, 100000), '/') AS artifact_path
+            FROM events WHERE event_type = 'error'
+        """,
+        "distinct_users": """
+            SELECT DISTINCT user_id FROM events
+        """,
+        "embedding_dedup_pairs": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.45
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,71 @@
+"""Physical-plan quality gates: the optimizations SURVEY.md §4 claims as
+"built-in via Catalyst" must actually appear in the executed plans —
+pushdown reaching the parquet scan, broadcast joins for dims, JVM-side
+(non-UDF) tokenization, whole-stage codegen on the hot relational path.
+A plan regression (e.g. a filter silently trapped above a UDF) fails
+here even while result-correctness tests still pass.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def test_time_range_filter_pushes_to_scan(spark):
+    plan = _plan(E.queries()["time_range_filter"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the ts range and event_type membership must reach the reader
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan, plan
+    assert "In(event_type" in plan, plan
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(E.queries()["regex_filter"](spark, SF_DIR))
+    # only the needed columns reach the scan (P1: column pruning)
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "n_chars" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(E.queries()["cost_by_segment"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = _plan(E.queries()["anti_join_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_naive_bm25_stays_jvm_side(spark):
+    # tokenize must be a Catalyst regexp (codegen), not a Python UDF:
+    # UDF stages show as BatchEvalPython / ArrowEvalPython in the plan
+    plan = _plan(E.queries()["conjunctive_match"](spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "codegen id" in plan or "WholeStageCodegen" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(naive_bm25_topk(docs, "key agg", 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_dedup_shuffles_on_hash_not_text(spark):
+    plan = _plan(E.queries()["exact_dedup"](spark, SF_DIR))
+    # the shuffle key is the 64-bit digest column, never raw text
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln
+                 or "hashpartitioning" in ln]
+    assert exchanges, plan
+    assert not any("text" in ln for ln in exchanges), exchanges
