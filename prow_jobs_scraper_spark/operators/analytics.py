@@ -70,31 +70,38 @@ def flakiness(jobs: DataFrame, order_cols: list[str] | None = None) -> DataFrame
     linspace(0.1, 1)/Σ — recent transitions weigh more. Returns 0.0 for a
     single run, no row for names with no timed runs.
 
-    Implemented with applyInPandas: the numpy formula is the reference's
-    own vectorized code re-expressed per group (SURVEY.md §2.10)."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
+    Pure window-function plan (whole-stage codegen, no Python): the
+    linspace weight of the j-th of m transitions is 0.1 + 0.9·j/(m−1),
+    i.e. per ordered row rn of n runs, w = 0.1 + 0.9·(rn−2)/(n−2) when
+    n > 2 (single-transition groups normalize to weight 1), so the score
+    is Σ t·w / Σ w — one window pass + one hash aggregate. The earlier
+    applyInPandas form re-used the reference's numpy verbatim but paid
+    per-group Python for an expression Catalyst handles directly.
+    """
     order_cols = order_cols or ["start_time"]
-
-    def per_name(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.dropna(subset=["start_time"]).sort_values(order_cols)
-        name = pdf["name"].iloc[0] if len(pdf) else None
-        if len(pdf) == 0:
-            return pd.DataFrame({"name": [], "flakiness": []})
-        vals = (pdf["state"] == SUCCESS).to_numpy(dtype=np.float64)
-        if vals.size < 2:
-            return pd.DataFrame({"name": [name], "flakiness": [0.0]})
-        trans = np.abs(np.diff(vals))
-        w = np.linspace(0.1, 1.0, num=trans.size)
-        score = float(np.sum(trans * (w / w.sum())))
-        return pd.DataFrame({"name": [name], "flakiness": [score]})
-
-    return (
-        jobs.select("name", "state", "start_time",
-                    *[c for c in order_cols if c != "start_time"])
-        .groupBy("name")
-        .applyInPandas(per_name, schema="name string, flakiness double")
+    w_ord = Window.partitionBy("name").orderBy(*order_cols)
+    w_all = Window.partitionBy("name")
+    base = (
+        jobs.where(F.col("start_time").isNotNull())
+        .select("name",
+                (F.col("state") == SUCCESS).cast("double").alias("s"),
+                *order_cols)
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("t", F.abs(F.col("s") - F.lag("s").over(w_ord)))
+        .withColumn(
+            "w",
+            F.when(F.col("n") > 2,
+                   0.1 + 0.9 * (F.col("rn") - 2) / (F.col("n") - 2))
+            .otherwise(F.lit(1.0)),
+        )
+    )
+    return base.groupBy("name").agg(
+        F.coalesce(
+            F.sum(F.col("t") * F.col("w"))
+            / F.sum(F.when(F.col("rn") > 1, F.col("w"))),
+            F.lit(0.0),
+        ).alias("flakiness")
     )
 
 
