@@ -19,21 +19,25 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
 
-# deterministic MinHash parameters (public textbook construction)
-_MERSENNE = (1 << 61) - 1
 
 
 def _hash_params(n_hashes: int, seed: int = 42):
+    """Multiply-shift universal-hash parameters: odd multipliers + offsets.
+
+    h_i(x) = (a_i * x + b_i) in uint64 two's-complement wraparound — the
+    standard multiply-shift family. No modulo: the Mersenne-prime variant
+    measured ~8 s of pure uint64 ``%`` per 260k-shingle batch."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE - 1, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE - 1, size=n_hashes, dtype=np.int64)
-    return a.astype(np.uint64), b.astype(np.uint64)
+    a = rng.integers(1, 1 << 62, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)  # odd multipliers
+    b = rng.integers(0, 1 << 62, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -47,15 +51,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return keyed.join(keep, ["__h", id_col], "left_semi").drop("__h")
 
 
-def shingles_column(text_col: str, n: int = 3):
-    """Token n-gram shingles as an array<string> column (Catalyst-only):
-    tokenize → slide a window via transform over token indexes."""
-    toks = tokenize_column(F.col(text_col))
+def shingles_of(toks, n: int = 3):
+    """Token n-gram shingles from a MATERIALIZED tokens column.
+
+    ``toks`` must be a plain column reference (not the tokenize
+    expression itself): Catalyst does not CSE a regexp inside a
+    higher-order ``transform``, so passing the raw tokenize expression
+    re-ran the regexp once per shingle position — quadratic in document
+    length (measured 10 s JVM time for 260k shingles)."""
     return F.when(F.size(toks) >= n,
                   F.transform(
                       F.sequence(F.lit(0), F.size(toks) - n),
                       lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                   )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles_column(text_col: str, n: int = 3):
+    """Back-compat wrapper; prefer materializing tokens and calling
+    :func:`shingles_of` (see its docstring for why)."""
+    return shingles_of(tokenize_column(F.col(text_col)), n)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -72,22 +86,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append([0] * n_hashes)
-                continue
-            base = np.asarray(arr, dtype=np.int64).astype(np.uint64) \
-                   & np.uint64(0x7FFFFFFFFFFFFFFF)
-            # (n_shingles, n_hashes) permuted hashes -> column mins
-            perm = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            out.append(perm.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        # one vectorized pass over the whole Arrow batch: flatten every
+        # doc's shingle hashes, permute as a (total_shingles, n_hashes)
+        # matrix, then per-doc column minima via minimum.reduceat — no
+        # per-row Python (a per-doc loop here measured as the slowest
+        # headline operator)
+        lens = hashes.map(lambda x: 0 if x is None else len(x)).to_numpy(
+            dtype=np.int64)
+        n_rows = lens.size
+        out_arr = np.zeros((n_rows, n_hashes), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            perm = flat[:, None] * a[None, :] + b[None, :]  # u64 wraparound
+            out_arr[nz] = (np.minimum.reduceat(perm, starts, axis=0)
+                           >> np.uint64(1)).astype(np.int64)
+        return pd.Series(list(out_arr))
 
+    with_toks = df.withColumn("__toks", tokenize_column(F.col(text_col)))
     shingle_hashes = F.transform(
-        shingles_column(text_col, shingle_n), lambda s: F.xxhash64(s)
+        shingles_of(F.col("__toks"), shingle_n), lambda s: F.xxhash64(s)
     )
-    return df.select(
+    return with_toks.select(
         id_col, F.col(text_col), sig(shingle_hashes).alias("signature")
     )
 
@@ -149,19 +172,25 @@ def simhash(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def fp(token_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(token_hashes), dtype=np.int64)
-        for i, ts in enumerate(token_hashes):
-            if ts is None or len(ts) == 0:
-                continue
-            hs = np.asarray(ts, dtype=np.int64).astype(np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = np.where(bits > 0, 1, -1).sum(axis=0)
-            out[i] = int(
-                np.bitwise_or.reduce(
-                    (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                ).astype(np.int64)
-            )
+        # batch-vectorized: flatten all docs' token hashes, expand to a
+        # (total_tokens, 64) ±1 bit matrix, per-doc column sums via
+        # add.reduceat, sign -> bit (no per-row Python)
+        lens = token_hashes.map(
+            lambda x: 0 if x is None else len(x)).to_numpy(dtype=np.int64)
+        out = np.zeros(lens.size, dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            flat = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+            pm = bits.astype(np.int64) * 2 - 1          # {0,1} -> {-1,+1}
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            v = np.add.reduceat(pm, starts, axis=0)     # (n_docs, 64)
+            words = np.bitwise_or.reduce(
+                (v > 0).astype(np.uint64) << shifts[None, :], axis=1)
+            out[nz] = words.astype(np.int64)
         return pd.Series(out)
 
     token_hashes = F.transform(
@@ -205,23 +234,63 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (the verification-grade path;
-    quadratic within shared-shingle buckets only).
+    """Exact n-gram Jaccard near-dup pairs (the verification-grade path).
 
-    Plan: explode distinct shingles → self-join on shingle (co-occurrence)
-    → count shared → Jaccard = shared / (|A| + |B| - shared). The shuffle
-    key is xxhash64(shingle), never raw text."""
-    sh = df.select(
+    Two exact strategies, dispatched on the threshold:
+
+    - ``threshold ≥ 0.7`` → **prefix filtering** (AllPairs/PPJoin family,
+      public algorithm): sort each doc's distinct shingles by global
+      rarity (ascending df); a pair with Jaccard ≥ t must share at least
+      one shingle among each side's first ``⌊(1−t)·|A|⌋ + 1`` rarest
+      shingles, so the candidate self-join runs only on those short
+      prefixes before exact verification.
+    - lower thresholds → plain co-occurrence join + count (the prefix is
+      no longer short, and on dup-heavy corpora the candidate set
+      approaches the result set anyway, so the extra verify join only
+      adds traffic).
+
+    All join keys are xxhash64 digests of shingles, never raw text.
+    """
+    toks = df.withColumn("__toks", tokenize_column(F.col(text_col)))
+    sh = toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_column(text_col, shingle_n))).alias("s"),
+        F.explode(
+            F.array_distinct(shingles_of(F.col("__toks"), shingle_n))
+        ).alias("s"),
     ).withColumn("sh", F.xxhash64("s")).drop("s")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    shared = (
-        a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
-    )
+
+    if threshold >= 0.7:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            sh.join(dfreq, "sh")
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "sh")))
+            .join(sizes, id_col)
+        )
+        prefix = ranked.where(
+            F.col("rn") <= F.floor((1.0 - threshold) * F.col("n_sh")) + 1
+        ).select(id_col, "sh")
+        a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+        b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+        cand = (
+            a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+        )
+        sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+        sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+        shared = (
+            cand.join(sh_a, "id_a").join(sh_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        a = sh.select(F.col(id_col).alias("id_a"), "sh")
+        b = sh.select(F.col(id_col).alias("id_b"), "sh")
+        shared = (
+            a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+        )
+
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return (
