@@ -72,3 +72,32 @@ def test_incremental_ingest_exactly_once(spark, transcripts, tmp_path):
     dedup = spark.read.parquet(staging).dropDuplicates(
         ["conv_id", "turn_idx"]).count()
     assert total >= 250 and dedup <= 250
+
+
+def test_windowed_turn_counts_matches_batch(spark, transcripts, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.streaming.incremental import (
+        windowed_turn_counts,
+    )
+
+    src = str(tmp_path / "wsrc")
+    transcripts.write.parquet(src)
+
+    q = (
+        windowed_turn_counts(spark, src, window="1 week")
+        .writeStream.format("memory").queryName("wtc")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["role"]): r["n_turns"]
+           for r in spark.sql("SELECT * FROM wtc").collect()}
+
+    want = {
+        (r["ws"], r["role"]): r["n"]
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 week").alias("w"), "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n").collect()
+    }
+    assert got == want and len(got) > 0
