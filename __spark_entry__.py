@@ -488,6 +488,14 @@ def _simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def _ivf_ann_topk(spark, sf_dir):
+    from prow_jobs_scraper_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(e, [float(x) for x in q], 10, n_lists=16, n_probe=4)
+
+
 def _lsh_ann_topk(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.similarity import lsh_bucketed_topk
 
@@ -562,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": _minhash_candidates,
         "simhash_pairs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann_topk,
+        "ivf_ann_topk": _ivf_ann_topk,
         "media_features": _media_features,
         "doc_fingerprints": _doc_fingerprints,
         "transcripts_bm25_compressed": _transcripts_bm25_compressed,

@@ -131,3 +131,55 @@ def pairwise_cosine_dedup(embeddings: DataFrame, threshold: float = 0.95,
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: deterministic seeded centroid sample + one
+    assignment pass.
+
+    Centroids are a seeded hash-pick of corpus vectors (xxhash64-ordered
+    — shuffle-free and stable across runs/partitionings), normalized;
+    each row is assigned to its max-dot-product centroid by a vectorized
+    pandas UDF (one (batch × dim) @ (dim × n_lists) matmul per Arrow
+    batch). At scale the assignment is written out partitioned by
+    ``ivf_list`` so probes read only matching files — the same layout
+    trick as the term-bucketed postings shards.
+    """
+    cents = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_lists).collect()
+    )
+    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cents])
+    C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((m @ C.T).argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("ivf_list", assign(F.col(vec_col))), C
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
+             n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: score the query against the centroids client-side,
+    scan only the ``n_probe`` nearest inverted lists, exact cosine
+    rescoring inside (recall tunable via n_probe; n_probe = n_lists is
+    exact)."""
+    assigned, C = ivf_assignments(embeddings, n_lists, seed, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-12)
+    probes = np.argsort(-(C @ q))[:n_probe].tolist()
+    return (
+        assigned.where(F.col("ivf_list").isin(probes))
+        .select(id_col, cosine_expr(F.col(vec_col), query_vec).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -92,3 +92,28 @@ def test_pairwise_cosine_dedup(embeddings):
     pairs = S.pairwise_cosine_dedup(embeddings, threshold=0.999).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (3, 7) in got
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in e.where(F.col("vec_id") == 3).first()["embedding"]]
+    exact = brute_force_topk(e, q, 10).collect()
+    # full-probe IVF must equal brute force (it scans everything)
+    full = ivf_topk(e, q, 10, n_lists=8, n_probe=8).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    np.testing.assert_allclose([r["cosine"] for r in full],
+                               [r["cosine"] for r in exact], rtol=1e-12)
+    # partial probe: the query's own vector (cosine 1.0) must be found
+    part = ivf_topk(e, q, 10, n_lists=8, n_probe=2).collect()
+    assert part and part[0]["vec_id"] == 3
+    got = {r["vec_id"] for r in part}
+    want = {r["vec_id"] for r in exact}
+    assert len(got & want) >= 5  # recall@10 >= 0.5 with 2/8 probes
