@@ -129,11 +129,17 @@ def bench_flagship(spark, corpus_path: str) -> tuple[dict, dict]:
             lat.append(time.time() - t0)
         lat.sort()
         p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
+        from prow_jobs_scraper_spark.search.compressed import search_topk_many
+
+        t0 = time.time()
+        search_topk_many(spark, idx_dir, reference_query_set()).collect()
+        batch_sec = time.time() - t0
         query_latency = {
             "n_queries": len(lat),
             "mean_sec": round(sum(lat) / len(lat), 4),
             "p95_sec": round(p95, 4),
             "max_sec": round(lat[-1], 4),
+            "batch_all_queries_sec": round(batch_sec, 4),
         }
         return build, query_latency
     finally:

@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_text
@@ -201,3 +201,141 @@ def search_topk(
         score_salt, schema="doc_id long, score double"
     )
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_topk_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[dict],
+) -> DataFrame:
+    """Batch top-k for a whole query set in ONE distributed pass.
+
+    ``queries``: ``[{"query_id": str, "query_text": str, "k": int}, ...]``.
+    Returns ``(query_id, doc_id, score)`` — per query the same rows (and
+    tie order) :func:`search_topk` returns one at a time (tested equal).
+
+    Per-query execution pays ~2 Spark jobs of fixed overhead; a batch
+    amortizes that to 2 jobs TOTAL: one stats fetch for the union of all
+    query terms, one scoring pass over the union of matching posting
+    blocks. Inside a salt group every term is bulk-decoded at most once
+    (cached) no matter how many queries reference it; queries then run
+    numpy searchsorted intersections over the shared decoded arrays.
+    """
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b, n_buckets = float(meta["k1"]), float(meta["b"]), int(meta["n_buckets"])
+
+    empty = spark.createDataFrame([], "query_id string, doc_id long, score double")
+    if n_docs == 0 or not queries:
+        return empty
+
+    terms_of = {
+        q["query_id"]: sorted(set(tokenize_text(q["query_text"])))
+        for q in queries
+    }
+    k_of = {q["query_id"]: int(q["k"]) for q in queries}
+    tid_of = {t: term_id_py(t)
+              for ts in terms_of.values() for t in ts}
+    union_tids = sorted(set(tid_of.values()))
+    if not union_tids:
+        return empty
+    buckets = sorted({tid % n_buckets for tid in union_tids})
+    stats = (
+        spark.read.parquet(paths.term_stats)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(union_tids))
+        .select("term_id", "df")
+        .collect()
+    )
+    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+
+    # per-query plan; conjunctive AND drops queries with any missing term
+    plans = []  # (query_id, [tid by rarity], {tid: idf}, k)
+    needed_tids: set[int] = set()
+    for qid, ts in terms_of.items():
+        tids = [tid_of[t] for t in ts]
+        if not tids or any(tid not in df_of_tid for tid in tids):
+            continue
+        idfs = {
+            tid_of[t]: math.log(
+                1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
+                / (df_of_tid[tid_of[t]] + 0.5))
+            for t in ts
+        }
+        order = [tid_of[t]
+                 for t in sorted(ts, key=lambda t: (df_of_tid[tid_of[t]], t))]
+        plans.append((qid, order, idfs, k_of[qid]))
+        needed_tids.update(order)
+    if not plans:
+        return empty
+
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(F.col("tb").isin(buckets)
+               & F.col("term_id").isin(sorted(needed_tids)))
+        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
+                "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
+                "block_max_tf_norm")
+    )
+
+    def score_salt(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g for t, g in pdf.groupby("term_id")}
+        cache: dict[int, tuple] = {}
+
+        def decoded(tid: int):
+            if tid not in cache:
+                cache[tid] = _decode_term(by_term[tid])
+            return cache[tid]
+
+        out_q, out_i, out_s = [], [], []
+        for qid, order, idfs, k in plans:
+            if any(t not in by_term for t in order):
+                continue  # some term absent from this doc range
+            t0 = order[0]
+            cand_ids, cand_tfs, cand_dls = decoded(t0)
+            scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
+            dead = False
+            for t in order[1:]:
+                if cand_ids.size == 0:
+                    dead = True
+                    break
+                ids_t, tfs_t, _ = decoded(t)
+                pos = np.searchsorted(ids_t, cand_ids)
+                pos_c = np.minimum(pos, ids_t.size - 1)
+                found = ids_t[pos_c] == cand_ids
+                if not found.any():
+                    dead = True
+                    break
+                scores = scores[found] + idfs[t] * _tf_norm(
+                    tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
+                cand_ids, cand_dls = cand_ids[found], cand_dls[found]
+            if dead or cand_ids.size == 0:
+                continue
+            sel = np.lexsort((cand_ids, -scores))[:k]
+            out_q.extend([qid] * sel.size)
+            out_i.append(cand_ids[sel])
+            out_s.append(scores[sel])
+        if not out_q:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        return pd.DataFrame({
+            "query_id": out_q,
+            "doc_id": np.concatenate(out_i),
+            "score": np.concatenate(out_s),
+        })
+
+    local = blocks.groupBy("salt").applyInPandas(
+        score_salt, schema="query_id string, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    k_dim = spark.createDataFrame(list(k_of.items()), "query_id string, k int")
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(k_dim), "query_id")
+        .where(F.col("rn") <= F.col("k"))
+        .select("query_id", "doc_id", "score")
+    )

@@ -86,3 +86,24 @@ def test_topk_is_truncation_of_larger_k(spark, index_dir):
     small = search_topk(spark, index_dir, "spark", 5).toPandas()
     big = search_topk(spark, index_dir, "spark", 10).toPandas()
     assert small["doc_id"].tolist() == big["doc_id"].tolist()[:5]
+
+
+def test_batch_search_matches_single(spark, transcripts, tmp_path):
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk,
+        search_topk_many,
+    )
+    from prow_jobs_scraper_spark.synth import reference_query_set
+
+    d = str(tmp_path / "batch_idx")
+    build_index(spark, transcripts, d, BuildConfig(n_ranges=8, n_buckets=4))
+    qs = reference_query_set()
+    batch = search_topk_many(spark, d, qs).toPandas()
+    for q in qs:
+        single = search_topk(spark, d, q["query_text"], q["k"]).toPandas()
+        got = (batch[batch["query_id"] == q["query_id"]]
+               .sort_values(["score", "doc_id"], ascending=[False, True])
+               .reset_index(drop=True))
+        assert got["doc_id"].tolist() == single["doc_id"].tolist(), q
+        assert got["score"].tolist() == single["score"].tolist(), q
