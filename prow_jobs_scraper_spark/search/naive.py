@@ -42,13 +42,20 @@ def naive_bm25_topk(
     if "doc_id" not in docs_df.columns:
         docs_df = with_doc_ids(docs_df)
     docs = docs_df.select("doc_id", tokenize_column(F.col("text")).alias("tokens"))
-    # two tiny scalar aggregates; the corpus-wide scan they trigger is the
-    # same scan the scoring pass needs (no extra shuffle)
+    # ONE stats job: corpus size, avgdl AND every query term's df come
+    # from a single scan (df_t = Σ array_contains(tokens, t)) instead of
+    # a scalar agg plus a separate df agg over the exploded stream
     row = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.size("tokens")).alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("tokens")).alias("avgdl"),
+        *[F.sum(F.array_contains("tokens", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(q_terms)],
     ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     if n_docs == 0:
+        return empty
+    dfs = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(q_terms)}
+    if any(dfs[t] == 0 for t in q_terms):
         return empty
 
     flat = (
@@ -58,10 +65,6 @@ def naive_bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
-    dfs = {r["term"]: int(r["n"]) for r in
-           flat.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
-    if any(t not in dfs for t in q_terms):
-        return empty
 
     import math  # noqa: PLC0415
 

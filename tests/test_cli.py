@@ -1,0 +1,46 @@
+"""spark-submit CLI entrypoints driven in-process: synth -> build ->
+search round-trip, each subcommand's JSON output parsed and checked."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from prow_jobs_scraper_spark import cli
+
+
+def _run(capsys, argv: list[str]) -> dict:
+    assert cli.main(argv) == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_cli_round_trip(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+
+    r = _run(capsys, ["synth", "--output", corpus, "--n-turns", "500",
+                      "--n-partitions", "2"])
+    assert r["n_turns"] == 500
+
+    r = _run(capsys, ["build", "--input", corpus, "--output", idx,
+                      "--n-ranges", "4", "--n-buckets", "2"])
+    assert r["n_docs"] == 500 and r["n_postings"] > 0
+
+    r = _run(capsys, ["search", "--index", idx, "--query", "spark agent",
+                      "--k", "5"])
+    assert len(r["hits"]) <= 5 and r["latency_sec"] > 0
+    scores = [h["score"] for h in r["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+    # resume: second build over the same dir is a no-op
+    r = _run(capsys, ["build", "--input", corpus, "--output", idx,
+                      "--n-ranges", "4", "--n-buckets", "2"])
+    assert r["resumed"] is True and r["n_new_buckets"] == 0
+
+
+def test_cli_requires_subcommand():
+    with pytest.raises(SystemExit):
+        cli.main([])
