@@ -69,3 +69,21 @@ def test_exact_dedup_shuffles_on_hash_not_text(spark):
                  or "hashpartitioning" in ln]
     assert exchanges, plan
     assert not any("text" in ln for ln in exchanges), exchanges
+
+
+def test_time_partitioned_layout_prunes(spark, transcripts, tmp_path):
+    # the reference's weekly-index scoping (event.py:184-202,221-227) as
+    # partition layout + pruning: writing day-partitioned and filtering a
+    # day range must show PartitionFilters (directories skipped, not rows)
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t_by_day")
+    (
+        transcripts.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day").parquet(p)
+    )
+    df = spark.read.parquet(p).where(
+        F.col("day").between("2025-06-02", "2025-06-08"))
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day" in pf[0], plan
