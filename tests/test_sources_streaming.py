@@ -101,3 +101,33 @@ def test_windowed_turn_counts_matches_batch(spark, transcripts, tmp_path):
         .select(F.col("w.start").alias("ws"), "role", "n").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ingest_build_search_pipeline(spark, transcripts, tmp_path):
+    """Full-pipeline: stream-ingest into staging, build the index from
+    the staged table, and the search results must be rank-identical to
+    the brute-force oracle over exactly the staged rows."""
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        build_index,
+        with_doc_ids,
+    )
+    from prow_jobs_scraper_spark.oracle import bm25_oracle_topk
+    from prow_jobs_scraper_spark.search.compressed import search_topk
+
+    src = str(tmp_path / "psrc")
+    staging = str(tmp_path / "pstaging")
+    ckpt = str(tmp_path / "pckpt")
+    transcripts.write.parquet(src)
+    q = incremental_ingest(spark, src, staging, ckpt)
+    q.awaitTermination(120)
+
+    staged = spark.read.parquet(staging).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    idx = str(tmp_path / "pidx")
+    build_index(spark, staged, idx, BuildConfig(n_ranges=4, n_buckets=2))
+
+    docs = with_doc_ids(staged).select("doc_id", "text").toPandas()
+    got = search_topk(spark, idx, "spark agent", 10).toPandas()
+    want = bm25_oracle_topk(docs, "spark agent", 10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
