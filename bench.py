@@ -169,7 +169,7 @@ def _scale_worker(cores: int, corpus_path: str) -> None:
 
 
 SCALE_LEVELS = (2, 8, 32)
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
 
 
 def bench_scaling(corpus_path: str) -> dict:
@@ -188,15 +188,18 @@ def bench_scaling(corpus_path: str) -> dict:
     samples: dict[int, list] = {c: [] for c in SCALE_LEVELS}
     for _ in range(SCALE_REPS):
         for cores in SCALE_LEVELS:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scale-worker", str(cores), corpus_path],
-                capture_output=True, text=True, timeout=1800,
-            )
-            lines = [ln for ln in proc.stdout.splitlines()
-                     if ln.startswith("{")]
-            if lines:
-                samples[cores].append(json.loads(lines[-1]))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scale-worker", str(cores), corpus_path],
+                    capture_output=True, text=True, timeout=900,
+                )
+                lines = [ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")]
+                if lines:
+                    samples[cores].append(json.loads(lines[-1]))
+            except Exception:
+                continue  # a lost sample must never lose the bench line
     best = {
         c: min(samples[c], key=lambda r: r["elapsed_sec"])
         for c in SCALE_LEVELS if samples[c]
@@ -237,7 +240,10 @@ def main() -> None:
 
     scaling: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        scaling = bench_scaling(corpus_path)
+        try:
+            scaling = bench_scaling(corpus_path)
+        except Exception as exc:  # noqa: BLE001
+            scaling = {"error": str(exc)[:200]}
 
     total = round(sum(queries.values()), 3)
     print(json.dumps({
