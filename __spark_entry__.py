@@ -76,18 +76,27 @@ def _pricing_summary(spark, sf_dir):
 
 
 def _top_failing_users(spark, sf_dir):
-    # T2: top-N by composite key (failure_rate, failures, key)
+    # T2: top-N by composite key (failure_rate, failures, key).
+    # Sorts on the UNROUNDED rate — same key as the oracle; the rounded
+    # column is display-only. orderBy().limit() compiles to
+    # TakeOrderedAndProject (a partial top-N per partition, no global
+    # single-partition window sort); rank is then assigned on the
+    # already-limited 10-row frame.
     ev = _t(spark, sf_dir, "events")
     m = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
         F.count(F.lit(1)).alias("total"),
-    ).withColumn("error_rate", F.round(F.col("errors") / F.col("total"), 6))
-    w = Window.orderBy(F.desc("error_rate"), F.desc("errors"), F.desc("user_id"))
-    return (
+    ).withColumn("rate_raw", F.col("errors") / F.col("total"))
+    top = (
         m.where(F.col("errors") > 0)
-        .select("user_id", "errors", "total", "error_rate")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
+        .orderBy(F.desc("rate_raw"), F.desc("errors"), F.desc("user_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("rate_raw"), F.desc("errors"), F.desc("user_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("user_id", "errors", "total",
+                F.round("rate_raw", 6).alias("error_rate"), "rank")
     )
 
 
@@ -115,10 +124,11 @@ def _top_revenue_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r"))
+    # top-N via TakeOrderedAndProject, then rank over the 5-row result
+    top = rev.orderBy(F.desc("r"), F.asc("l_orderkey")).limit(5)
     w = Window.orderBy(F.desc("r"), F.asc("l_orderkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("l_orderkey").alias("orderkey"), "rank",
                 F.round("r", 2).alias("revenue"))
     )

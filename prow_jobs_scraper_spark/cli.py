@@ -4,9 +4,14 @@ spark-submit --py-files on a multi-executor cluster").
 Usage (local sandbox / real cluster — same commands, the master comes
 from spark-submit on a cluster):
 
-    spark-submit --py-files pjs_spark.zip -m prow_jobs_scraper_spark.cli \
+    spark-submit --py-files pjs_spark.zip \
+        /path/to/prow_jobs_scraper_spark/cli.py \
         build --input /path/transcripts_parquet --output /path/index \
         [--n-ranges 32] [--n-buckets 16] [--n-chunks 1]
+
+(spark-submit takes an application FILE, not ``-m`` — this module has an
+``if __name__ == "__main__"`` guard precisely so its file path is the
+application; the zip on --py-files provides the package to executors.)
 
     ... search --index /path/index --query "spark agent" --k 10
 

@@ -245,6 +245,10 @@ def encode_group_blocks(
         raise ValueError("doc_ids must be strictly increasing within a block")
     g_sizes = varint_sizes(gaps) if gaps.size else np.empty(0, dtype=np.int64)
     g_cum = np.concatenate(([0], np.cumsum(g_sizes)))
+    if g_cum[-1] >= 2**31:  # int32 offsets below would silently wrap
+        raise ValueError(
+            f"encode group varint stream {g_cum[-1]} B exceeds int32 "
+            "offsets — raise n_buckets/n_ranges so (tb, salt) groups shrink")
     # kept-index of block b's first gap = bs[b] - b  (one drop per block)
     g_offsets = np.concatenate(
         (g_cum[bs - np.arange(nb)], [g_cum[-1]])).astype(np.int32)
@@ -254,6 +258,10 @@ def encode_group_blocks(
     def stream(vals: np.ndarray) -> tuple[np.ndarray, bytes]:
         sizes = varint_sizes(vals)
         cum = np.concatenate(([0], np.cumsum(sizes)))
+        if cum[-1] >= 2**31:
+            raise ValueError(
+                f"encode group varint stream {cum[-1]} B exceeds int32 "
+                "offsets — raise n_buckets/n_ranges so groups shrink")
         offsets = np.concatenate((cum[bs], [cum[-1]])).astype(np.int32)
         return offsets, varint_encode(vals)
 

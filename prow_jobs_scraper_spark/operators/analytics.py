@@ -77,6 +77,12 @@ def flakiness(jobs: DataFrame, order_cols: list[str] | None = None) -> DataFrame
     is Σ t·w / Σ w — one window pass + one hash aggregate. The earlier
     applyInPandas form re-used the reference's numpy verbatim but paid
     per-group Python for an expression Catalyst handles directly.
+
+    Determinism: ``row_number`` over ``order_cols`` is ambiguous when the
+    ordering ties within a name (the reference's numpy path has the same
+    ambiguity, just frozen by its in-memory order). Pass a stable unique
+    tiebreaker as the last order col (e.g. ``["start_time", "build_id"]``)
+    whenever start_time can tie — the entry contract does.
     """
     order_cols = order_cols or ["start_time"]
     w_ord = Window.partitionBy("name").orderBy(*order_cols)

@@ -338,4 +338,7 @@ def search_topk_many(
         .join(F.broadcast(k_dim), "query_id")
         .where(F.col("rn") <= F.col("k"))
         .select("query_id", "doc_id", "score")
+        # the docstring promises search_topk's row ORDER too, not just the
+        # row set — the window filter + join above don't guarantee it
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )

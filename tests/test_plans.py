@@ -62,6 +62,20 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_entry_topns_use_take_ordered(spark):
+    # the entry top-Ns must be partial top-N per partition
+    # (TakeOrderedAndProject), never a global single-partition window
+    # sort over the full aggregate — the one scale-killer-shaped plan
+    # flagged in round 1
+    for name in ("top_failing_users", "top_revenue_orders"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        # the only allowed single-partition exchange is the one under the
+        # rank-window over the already-limited ≤10-row frame
+        pre_limit = plan.split("TakeOrderedAndProject")[0]
+        assert "Exchange SinglePartition" not in pre_limit, (name, plan)
+
+
 def test_exact_dedup_shuffles_on_hash_not_text(spark):
     plan = _plan(E.queries()["exact_dedup"](spark, SF_DIR))
     # the shuffle key is the 64-bit digest column, never raw text
