@@ -233,7 +233,8 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verification-grade path).
 
     Two exact strategies, dispatched on the threshold:
@@ -248,6 +249,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
       no longer short, and on dup-heavy corpora the candidate set
       approaches the result set anyway, so the extra verify join only
       adds traffic).
+
+    ``max_df`` (hot-shingle cap, low-threshold path only): a shingle
+    appearing in d documents contributes d·(d−1)/2 candidate pairs, so
+    one boilerplate shingle in 10⁶ docs is 10¹² pairs — quadratic
+    blowup. With ``max_df`` set, shingles with document frequency
+    > max_df are excluded from CANDIDATE GENERATION only (standard
+    AllPairs practice); surviving candidates are then exact-verified
+    against the FULL shingle sets, so reported jaccard values are exact
+    and no false positives are introduced. The only approximation: a
+    pair every one of whose shared shingles is hotter than max_df is
+    missed. Default ``None`` = exact (no cap) — at 100 TB set it (or use
+    :func:`minhash_lsh_pairs`, the honest scale path below t≈0.7).
 
     All join keys are xxhash64 digests of shingles, never raw text.
     """
@@ -284,12 +297,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
         )
     else:
-        a = sh.select(F.col(id_col).alias("id_a"), "sh")
-        b = sh.select(F.col(id_col).alias("id_b"), "sh")
-        shared = (
-            a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
-        )
+        cand_sh = sh
+        if max_df is not None:
+            dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            cand_sh = (
+                sh.join(dfreq.where(F.col("df") <= max_df), "sh",
+                        "left_semi")
+            )
+        a = cand_sh.select(F.col(id_col).alias("id_a"), "sh")
+        b = cand_sh.select(F.col(id_col).alias("id_b"), "sh")
+        if max_df is None:
+            shared = (
+                a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+            )
+        else:
+            # capped candidates, then EXACT shared counts over the full
+            # (uncapped) shingle sets — jaccard values stay exact
+            cand = (
+                a.join(b, "sh").where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+            )
+            sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+            sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+            shared = (
+                cand.join(sh_a, "id_a").join(sh_b, ["id_b", "sh"])
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("shared"))
+            )
 
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))

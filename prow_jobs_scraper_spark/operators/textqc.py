@@ -105,23 +105,53 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def fp(token_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(token_hashes), dtype=np.int64)
+        # batch-vectorized (no per-row Python, same reduceat pattern as
+        # simhash/minhash): flatten every doc's token hashes, compute all
+        # rolling-window polynomial hashes in one pass, then per-doc
+        # minima via minimum.reduceat. The polynomial hash of a window is
+        # Σ h[j]·base^(w−1−j) in uint64 wraparound; docs shorter than the
+        # window use one window of their full length (same formula).
         base = np.uint64(1099511628211)
-        for i, ts in enumerate(token_hashes):
-            if ts is None or len(ts) == 0:
-                continue
-            h = np.asarray(ts, dtype=np.int64).astype(np.uint64)
-            if len(h) < w:
-                acc = np.uint64(0)
-                for v in h:
-                    acc = acc * base + v
-                out[i] = int(acc.astype(np.int64))
-                continue
-            # rolling windows via stride trick, vectorized polynomial hash
+        lens = token_hashes.map(
+            lambda x: 0 if x is None else len(x)).to_numpy(dtype=np.int64)
+        out = np.zeros(lens.size, dtype=np.int64)
+
+        # ---- docs with >= w tokens: shared sliding_window_view pass
+        long_rows = np.flatnonzero(lens >= w)
+        if long_rows.size:
+            llens = lens[long_rows]
+            flat = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64)
+                 for i in long_rows]).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(llens)[:-1]))
             powers = base ** np.arange(w - 1, -1, -1, dtype=np.uint64)
-            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            wins = np.lib.stride_tricks.sliding_window_view(flat, w)
             hashes = (wins * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            out[i] = int(hashes.min().astype(np.int64))
+            # windows that straddle a doc boundary must never win the
+            # min: doc i's windows are [starts[i], starts[i]+len−w], the
+            # trailing w−1 window slots before each next doc are invalid
+            ends = starts + llens
+            bad = (ends[:-1, None] - w + 1
+                   + np.arange(w - 1, dtype=np.int64)[None, :]).ravel()
+            hashes[bad[(bad >= 0) & (bad < hashes.size)]] = np.uint64(
+                0xFFFFFFFFFFFFFFFF)
+            out[long_rows] = np.minimum.reduceat(
+                hashes, starts).astype(np.int64)
+
+        # ---- short docs (0 < len < w): one window of the full doc
+        short_rows = np.flatnonzero((lens > 0) & (lens < w))
+        if short_rows.size:
+            slens = lens[short_rows]
+            flat = np.concatenate(
+                [np.asarray(token_hashes.iloc[i], dtype=np.int64)
+                 for i in short_rows]).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(slens)[:-1]))
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                starts, slens)
+            exp = np.repeat(slens, slens) - 1 - pos  # base^(len−1−j)
+            powlut = base ** np.arange(w, dtype=np.uint64)
+            out[short_rows] = np.add.reduceat(
+                flat * powlut[exp], starts).astype(np.int64)
         return pd.Series(out)
 
     token_hashes = F.transform(

@@ -108,13 +108,105 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def delete_where(spark: SparkSession, path: str, condition: str) -> None:
-    """S8: bulk delete as an anti-filter rewrite of the affected
-    partitions (row-level delete stand-in; Iceberg would do this as
-    DELETE FROM with positional deletes)."""
-    df = spark.read.parquet(path)
-    df.where(f"NOT ({condition})").write.mode("overwrite").parquet(path + ".new")
+def _partition_columns(path: str) -> list[str]:
+    """Discover hive-style partition columns from the directory layout."""
+    import os  # noqa: PLC0415
+
+    cols: list[str] = []
+    p = path
+    while True:
+        try:
+            subs = sorted(
+                d for d in os.listdir(p)
+                if "=" in d and os.path.isdir(os.path.join(p, d)))
+        except OSError:
+            return cols
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        p = os.path.join(p, subs[0])
+
+
+def recover_table(path: str) -> bool:
+    """Heal an unpartitioned table whose staged swap crashed mid-way:
+    if ``path`` is missing but ``path + ".old"`` exists, the data is
+    intact under .old — restore it. Returns True if a recovery ran."""
+    import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
-    shutil.rmtree(path)
-    shutil.move(path + ".new", path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        shutil.move(path + ".old", path)
+        return True
+    return False
+
+
+def delete_where(spark: SparkSession, path: str, condition: str) -> None:
+    """S8: bulk delete (reference src/elasticsearch_cleanup/main.py:30-51)
+    as a partition-scoped anti-filter rewrite — the Iceberg
+    ``DELETE FROM`` analog with no table-format jars in this sandbox.
+
+    Partitioned tables: only partitions that actually contain matching
+    rows are rewritten. Kept rows are staged to a scratch dir first
+    (breaking the read-from/write-to-same-path cycle), then committed via
+    dynamic partition overwrite — Spark's commit protocol swaps each
+    partition's contents only after its staged files are complete, so a
+    crash leaves every partition with either its old or its new rows,
+    never neither, and untouched partitions are never rewritten (their
+    files stay byte-identical). Partitions the delete empties entirely
+    produce no staged rows, so they are removed explicitly afterwards.
+    The whole operation is an idempotent anti-filter: rerunning after any
+    crash completes the delete.
+
+    Unpartitioned tables: staged swap (write .staging → move live table
+    aside to .old → move .staging in → drop .old). Live data is deleted
+    only after the replacement is fully in place; a crash between the two
+    renames is healed by :func:`recover_table` (called on entry).
+    """
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    recover_table(path)
+    part_cols = _partition_columns(path)
+    df = spark.read.parquet(path)
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        if part_cols:
+            affected = (
+                df.where(condition).select(*part_cols).distinct().collect())
+            if not affected:
+                return
+            aff_df = spark.createDataFrame(
+                affected, df.select(*part_cols).schema)
+            keep = (
+                df.join(F.broadcast(aff_df), part_cols, "left_semi")
+                .where(f"NOT ({condition})")
+            )
+            keep.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                staging)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # explicit schema: a delete that empties every affected
+            # partition stages zero files, which breaks schema inference
+            staged = spark.read.schema(keep.schema).parquet(staging)
+            staged.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                path)
+            # partitions the delete emptied entirely: in `affected`, not
+            # in staging — their old files still exist; remove them (on a
+            # rerun after a crash here they are re-affected and re-empty)
+            kept = {tuple(r) for r in
+                    staged.select(*part_cols).distinct().collect()}
+            import os  # noqa: PLC0415
+
+            for row in affected:
+                if tuple(row) not in kept:
+                    sub = os.path.join(
+                        path, *(f"{c}={v}" for c, v in zip(part_cols, row)))
+                    shutil.rmtree(sub, ignore_errors=True)
+        else:
+            df.where(f"NOT ({condition})").write.mode("overwrite").parquet(
+                staging)
+            shutil.move(path, path + ".old")
+            shutil.move(staging, path)
+            shutil.rmtree(path + ".old")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -57,6 +57,35 @@ def test_ngram_jaccard_pairs(docs):
     assert near is not None and 0.5 <= near < 1.0
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    # one ubiquitous shingle ("corpus") appears in EVERY doc: uncapped,
+    # the low-threshold co-occurrence join emits all n·(n−1)/2 candidate
+    # pairs off that single shingle; with max_df it contributes none,
+    # while true near-dups sharing RARE shingles still come out with
+    # their EXACT jaccard (verification runs on full shingle sets)
+    n = 40
+    rows = [(i, f"corpus doc {i} topic_{i} alpha_{i} beta_{i}")
+            for i in range(n)]
+    rows.append((900, "corpus special rare pair gamma delta"))
+    rows.append((901, "corpus special rare pair gamma epsilon"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.4,
+                                   max_df=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (900, 901) in got
+    # exact jaccard: 5 shared of 7 distinct unigrams -> 5/7
+    assert got[(900, 901)] == pytest.approx(5 / 7)
+    # the hot shingle must not manufacture pairs between unrelated docs
+    assert not any(a < 900 and b < 900 for a, b in got)
+
+    # and the candidate count is bounded: the internal capped join emits
+    # pairs only via rare shingles (df<=5), not the n^2 hot-shingle pairs
+    uncapped = D.ngram_jaccard_pairs(df, shingle_n=1, threshold=0.0001)
+    assert uncapped.count() >= n * (n - 1) / 2  # blowup without the cap
+    assert capped.count() == 1
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     rng = np.random.default_rng(7)

@@ -1,0 +1,115 @@
+"""S8 bulk-delete semantics: partition-scoped rewrite, no data loss
+(SURVEY.md §2.1 S8; reference src/elasticsearch_cleanup/main.py:30-51).
+
+Round-1 verdict flagged the old implementation as a non-atomic
+whole-table rewrite — these tests pin the fixed contract:
+- only partitions containing matching rows are rewritten (untouched
+  partitions' files stay byte-identical, same filenames);
+- partitions emptied by the delete are removed;
+- a crash between the staged write and the swap never loses the table
+  (kill-and-rerun heals, like the index build's resume test);
+- the operation is idempotent under rerun.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.sources.readers import (
+    delete_where,
+    recover_table,
+)
+
+
+def _files_of(path: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = os.path.getmtime(p)
+    return out
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    p = str(tmp_path / "events_by_kind")
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("kind"),
+        (F.col("id") * 7 % 100).alias("v"),
+    )
+    df.write.partitionBy("kind").parquet(p)
+    return p
+
+
+def test_delete_rewrites_only_affected_partitions(spark, part_table):
+    before = _files_of(part_table)
+    # condition only ever matches rows in kind=1
+    delete_where(spark, part_table, "kind = 1 AND v < 50")
+    after = _files_of(part_table)
+
+    got = spark.read.parquet(part_table)
+    assert got.where("kind = 1 AND v < 50").count() == 0
+    assert got.where("kind != 1").count() == 200  # untouched rows intact
+
+    # kind=0 and kind=2 files are the SAME files (names + mtimes)
+    for rel, mtime in before.items():
+        if "kind=0" in rel or "kind=2" in rel:
+            assert rel in after and after[rel] == mtime, rel
+    # kind=1 was rewritten
+    assert any("kind=1" in rel for rel in after)
+
+
+def test_delete_removes_emptied_partitions(spark, part_table):
+    delete_where(spark, part_table, "kind = 2")
+    assert not os.path.exists(os.path.join(part_table, "kind=2"))
+    got = spark.read.parquet(part_table)
+    assert got.count() == 200
+    assert got.where("kind = 2").count() == 0
+
+
+def test_delete_noop_when_nothing_matches(spark, part_table):
+    before = _files_of(part_table)
+    delete_where(spark, part_table, "v > 1000000")
+    assert _files_of(part_table) == before  # zero files rewritten
+
+
+def test_delete_idempotent_rerun(spark, part_table):
+    delete_where(spark, part_table, "v < 30")
+    first = sorted(r["id"] for r in spark.read.parquet(part_table).collect())
+    delete_where(spark, part_table, "v < 30")
+    second = sorted(r["id"] for r in spark.read.parquet(part_table).collect())
+    assert first == second
+
+
+def test_stale_staging_dir_is_ignored(spark, part_table):
+    # crash state: a previous delete died after its staged write —
+    # the live table is untouched and a rerun must just work
+    os.makedirs(part_table + ".staging-deadbeef/kind=9", exist_ok=True)
+    delete_where(spark, part_table, "kind = 1")
+    got = spark.read.parquet(part_table)
+    assert got.count() == 200 and got.where("kind = 1").count() == 0
+
+
+def test_unpartitioned_delete_and_crash_recovery(spark, tmp_path):
+    p = str(tmp_path / "flat")
+    spark.range(100).select("id", (F.col("id") % 10).alias("m")).write.parquet(p)
+
+    delete_where(spark, p, "m = 0")
+    assert spark.read.parquet(p).count() == 90
+
+    # crash state: swap died between "move live aside" and "move staged
+    # in" — the table dir is gone but .old holds every byte
+    shutil.move(p, p + ".old")
+    assert recover_table(p)
+    assert spark.read.parquet(p).count() == 90
+
+    # and delete_where itself heals that state on entry
+    shutil.move(p, p + ".old")
+    delete_where(spark, p, "m = 1")
+    assert spark.read.parquet(p).count() == 80
