@@ -499,19 +499,53 @@ def _simhash_pairs(spark, sf_dir):
 
 
 def _ivf_ann_topk(spark, sf_dir):
-    from prow_jobs_scraper_spark.operators.similarity import ivf_topk
+    """IVF ANN over the PERSISTED index layout: one build pass writes the
+    corpus partitioned by inverted list (+ centroids sidecar); the probe
+    is a partition-pruned read of the n_probe nearest lists with exact
+    cosine rescoring. centroids="head" (lowest ids) so the DuckDB oracle
+    can replicate the full IVF semantics — centroid pick, assignment,
+    probe selection, rescoring — in plain SQL (oracle-checked, not
+    rows-only)."""
+    import tempfile  # noqa: PLC0415
+
+    from prow_jobs_scraper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf_topk(e, [float(x) for x in q], 10, n_lists=16, n_probe=4)
+    d = tempfile.mkdtemp(prefix="entry_ivf_")
+    build_ivf_index(e, d, n_lists=16, centroids="head")
+    topk = ivf_probe_topk(spark, d, [float(x) for x in q], 10, n_probe=4)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rank"),
+                       F.round("cosine", 4).alias("cosine"))
 
 
 def _lsh_ann_topk(spark, sf_dir):
-    from prow_jobs_scraper_spark.operators.similarity import lsh_bucketed_topk
+    """LSH ANN over the PERSISTED index layout: signatures written
+    bucket-partitioned once; the probe reads only buckets within Hamming
+    ≤ multi_probe of the query signature (partition-pruned), then exact
+    cosine rescoring. The oracle recomputes the same signatures in SQL
+    from the seeded hyperplane literals, so the driver verifies the full
+    ANN semantics — bucketing + pruning + rescoring."""
+    import tempfile  # noqa: PLC0415
+
+    from prow_jobs_scraper_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_probe_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return lsh_bucketed_topk(e, [float(x) for x in q], 10, multi_probe=2)
+    d = tempfile.mkdtemp(prefix="entry_lsh_")
+    build_lsh_index(e, d, n_planes=10, seed=42)
+    topk = lsh_probe_topk(spark, d, [float(x) for x in q], 10,
+                          multi_probe=2)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return topk.select("vec_id", F.row_number().over(w).alias("rank"),
+                       F.round("cosine", 4).alias("cosine"))
 
 
 def _media_features(spark, sf_dir):
@@ -632,6 +666,71 @@ SELECT user_id,
        round(coalesce(sum(t*w) FILTER (rn > 1) / sum(w) FILTER (rn > 1), 0.0),
              6) AS flakiness
 FROM d GROUP BY user_id
+"""
+
+
+def _lsh_ann_sql(n_planes: int = 10, seed: int = 42, multi_probe: int = 2,
+                 dim: int = 64, k: int = 10) -> str:
+    """DuckDB replica of the FULL persisted-LSH ANN path: recompute each
+    row's signature from the same seeded hyperplanes (embedded as SQL
+    literals — deterministic given (dim, n_planes, seed)), keep rows
+    within Hamming ≤ multi_probe of the query's signature (exactly the
+    probe set lsh_probe_topk prunes to), exact cosine top-k inside."""
+    from prow_jobs_scraper_spark.operators.similarity import hyperplanes
+
+    pl = hyperplanes(dim, n_planes, seed)
+    bits = " + ".join(
+        "(CASE WHEN list_inner_product(e, ["
+        + ", ".join(repr(float(x)) for x in pl[i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sigs AS (SELECT vec_id, e, {bits} AS sig FROM base),
+        q AS (SELECT e AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, list_cosine_similarity(e, (SELECT qv FROM q)) AS c
+          FROM sigs
+          WHERE bit_count(xor(sig, (SELECT qsig FROM q))) <= {multi_probe}),
+        rk AS (SELECT vec_id, c,
+                      row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+               FROM cand)
+        SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= {k}
+    """
+
+
+# DuckDB replica of the persisted-IVF ANN path with centroids="head":
+# centroid pick (lowest 16 ids), per-row argmax-dot assignment, top-4
+# probe lists for the query, exact cosine rescoring inside those lists.
+_IVF_ANN_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS list_id, e AS ce,
+                 sqrt(list_inner_product(e, e)) AS cn
+          FROM base WHERE vec_id < 16),
+q AS (SELECT e AS qv FROM base WHERE vec_id = 0),
+probes AS (
+  SELECT list_id FROM cents, q
+  ORDER BY list_inner_product(ce, qv) / cn DESC, list_id
+  LIMIT 4),
+scored AS (
+  SELECT b.vec_id, c.list_id,
+         list_inner_product(b.e, c.ce)
+           / (sqrt(list_inner_product(b.e, b.e)) * c.cn) AS d
+  FROM base b CROSS JOIN cents c),
+asn AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d DESC, list_id) AS rn
+    FROM scored) WHERE rn = 1),
+cand AS (
+  SELECT a.vec_id, list_cosine_similarity(b.e, (SELECT qv FROM q)) AS c
+  FROM asn a JOIN base b USING (vec_id)
+  WHERE a.list_id IN (SELECT list_id FROM probes)),
+rk AS (SELECT vec_id, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+       FROM cand)
+SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
 """
 
 
@@ -918,4 +1017,6 @@ def oracle_sql() -> dict[str, str]:
                    FROM sims)
             SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
         """,
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _IVF_ANN_SQL,
     }

@@ -146,6 +146,72 @@ def bench_flagship(spark, corpus_path: str) -> tuple[dict, dict]:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def bench_ann(spark) -> dict:
+    """Persisted-ANN payoff: index build once, then repeated queries are
+    partition-pruned probes; versus the one-shot path that recomputes
+    signatures over the full corpus per query (the round-1 defect)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        ivf_topk,
+        load_ivf_centroids,
+    )
+
+    # the sf embeddings table is tiny (500 rows) — synthesize a corpus
+    # big enough that probe-vs-full-scan is data-bound, not job-overhead
+    n_vecs = int(os.environ.get("SPARK_GRAFT_BENCH_VECS", "100000"))
+    dim, n_lists, n_probe = 64, 64, 8
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(int(ids[0]) if len(ids) else 0)
+            m = rng.standard_normal((len(ids), dim)).astype(np.float32)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+    emb = (
+        spark.range(n_vecs).repartition(CPUS)
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+    )
+    qs = [[float(x) for x in r["embedding"]]
+          for r in emb.where(F.col("vec_id") < 8).collect()]
+    d = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        t0 = time.time()
+        build_ivf_index(emb, d, n_lists=n_lists)
+        build_sec = time.time() - t0
+        C = load_ivf_centroids(spark, d)
+        # warm one probe (plan/codegen), then time the rest
+        ivf_probe_topk(spark, d, qs[0], 10, n_probe=n_probe,
+                       centroids=C).collect()
+        t0 = time.time()
+        for q in qs:
+            ivf_probe_topk(spark, d, q, 10, n_probe=n_probe,
+                           centroids=C).collect()
+        probe_sec = (time.time() - t0) / len(qs)
+        t0 = time.time()
+        for q in qs[:2]:
+            ivf_topk(emb, q, 10, n_lists=n_lists, n_probe=n_probe).collect()
+        oneshot_sec = (time.time() - t0) / 2
+        return {
+            "n_vecs": n_vecs,
+            "build_sec": round(build_sec, 3),
+            "probe_mean_sec": round(probe_sec, 4),
+            "oneshot_mean_sec": round(oneshot_sec, 4),
+            "n_queries": len(qs),
+            "speedup_vs_oneshot": round(
+                oneshot_sec / max(probe_sec, 1e-9), 2),
+        }
+    except Exception as exc:  # noqa: BLE001
+        return {"error": str(exc)[:200]}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _scale_worker(cores: int, corpus_path: str) -> None:
     """Subprocess entry: one build at local[cores], JSON on stdout."""
     from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
@@ -169,7 +235,10 @@ def _scale_worker(cores: int, corpus_path: str) -> None:
 
 
 SCALE_LEVELS = (2, 8, 32)
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+# >=3 interleaved reps by default: the host shows bursty CPU steal, so
+# single-sample scaling numbers are noise (round-1 verdict asked that the
+# bench artifact itself carry the multi-sample evidence, min-of-N)
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
 def bench_scaling(corpus_path: str) -> dict:
@@ -236,6 +305,7 @@ def main() -> None:
     )
     queries = bench_queries(spark)
     build, query_latency = bench_flagship(spark, corpus_path)
+    ann = bench_ann(spark)
     spark.stop()
 
     scaling: dict = {}
@@ -255,6 +325,7 @@ def main() -> None:
         "cpus": CPUS,
         "build": build,
         "query_latency": query_latency,
+        "ann": ann,
         "scaling": scaling,
     }))
     sys.stdout.flush()

@@ -146,3 +146,38 @@ def test_ivf_topk_recall_and_exactness(spark):
     got = {r["vec_id"] for r in part}
     want = {r["vec_id"] for r in exact}
     assert len(got & want) >= 5  # recall@10 >= 0.5 with 2/8 probes
+
+
+def test_persisted_lsh_index_matches_oneshot(embeddings, tmp_path):
+    # build/probe split must return exactly what the one-shot bucketed
+    # path computes (same planes, same probe set, same rescoring)
+    pdf = embeddings.toPandas()
+    q = [float(x) for x in pdf.loc[pdf.vec_id == 3, "embedding"].iloc[0]]
+    d = str(tmp_path / "lsh")
+    meta = S.build_lsh_index(embeddings, d, n_planes=8)
+    assert meta["n_planes"] == 8 and meta["dim"] == 16
+    spark = embeddings.sparkSession
+    got = S.lsh_probe_topk(spark, d, q, 5, multi_probe=2).collect()
+    want = S.lsh_bucketed_topk(embeddings, q, 5,
+                               n_planes=8, multi_probe=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+           [(r["vec_id"], r["cosine"]) for r in want]
+
+
+def test_persisted_ivf_index_matches_oneshot(embeddings, tmp_path):
+    pdf = embeddings.toPandas()
+    q = [float(x) for x in pdf.loc[pdf.vec_id == 3, "embedding"].iloc[0]]
+    d = str(tmp_path / "ivf")
+    meta = S.build_ivf_index(embeddings, d, n_lists=8)
+    assert meta["n_lists"] == 8
+    spark = embeddings.sparkSession
+    got = S.ivf_probe_topk(spark, d, q, 5, n_probe=3).collect()
+    want = S.ivf_topk(embeddings, q, 5, n_lists=8, n_probe=3).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+           [(r["vec_id"], r["cosine"]) for r in want]
+    # head-rule centroids (the SQL-oracle-friendly pick) also round-trip
+    d2 = str(tmp_path / "ivf_head")
+    S.build_ivf_index(embeddings, d2, n_lists=8, centroids="head")
+    got2 = S.ivf_probe_topk(spark, d2, q, 5, n_probe=8).collect()
+    exact = S.brute_force_topk(embeddings, q, 5).collect()
+    assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in exact]
