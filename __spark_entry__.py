@@ -485,17 +485,43 @@ def _doc_fingerprints(spark, sf_dir):
     return fingerprint(d).select("doc_id", "fingerprint")
 
 def _minhash_candidates(spark, sf_dir):
-    from prow_jobs_scraper_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidates, exact-verified: banded signatures generate
+    candidate pairs (64 hashes × 32 bands, banding threshold ≈ 0.17 —
+    far below the verify bar), then each candidate's TRUE unigram jaccard
+    is computed and pairs ≥ 0.8 emitted. The oracle is the exact
+    all-pairs jaccard at the same threshold, so the driver check is a
+    100%-recall gate on the LSH candidate generator (a missed true pair
+    would show as a missing row)."""
+    from prow_jobs_scraper_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_lsh_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    cands = minhash_lsh_pairs(d, n_hashes=64, bands=32, shingle_n=1,
+                              threshold=0.5)
+    out = exact_jaccard_for_pairs(d, cands, shingle_n=1)
+    return (
+        out.where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def _simhash_pairs(spark, sf_dir):
-    from prow_jobs_scraper_spark.operators.dedup import simhash_near_dup_pairs
+    """SimHash near-dup pairs over an md5-derived 60-bit token hash —
+    byte-identical in DuckDB, so the oracle replicates the FULL pipeline
+    in SQL (tf-weighted ±1 bit votes → sign → fingerprint → Hamming ≤ 3
+    self-join): fingerprinting, banding recall, and the hamming verify
+    are all value-checked, not rows-only. The default engine path keeps
+    xxhash64 (faster; tested in tests/test_dedup_similarity.py)."""
+    from prow_jobs_scraper_spark.operators.dedup import (
+        md5_token_hash,
+        simhash_near_dup_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, max_hamming=3)
+    return simhash_near_dup_pairs(d, max_hamming=3,
+                                  hash_expr=md5_token_hash, n_bits=60)
 
 
 def _ivf_ann_topk(spark, sf_dir):
@@ -549,12 +575,18 @@ def _lsh_ann_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked: media rows derived from the
+    documents table (payload = UTF-8 text bytes) run through the real
+    binary-column mapInPandas decode/feature path; the emitted byte
+    counts and kinds are reproducible in SQL (octet_length(encode(..)))
+    so the driver value-checks the Arrow batch path end to end."""
     from prow_jobs_scraper_spark.operators.multimodal import (
         extract_features,
-        synth_media,
+        media_from_docs,
     )
 
-    return extract_features(synth_media(spark, n=48)).select(
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(media_from_docs(d)).select(
         "media_id", "kind", "n_bytes")
 
 
@@ -666,6 +698,56 @@ SELECT user_id,
        round(coalesce(sum(t*w) FILTER (rn > 1) / sum(w) FILTER (rn > 1), 0.0),
              6) AS flakiness
 FROM d GROUP BY user_id
+"""
+
+
+def _jaccard_sql(threshold: float) -> str:
+    """Exact all-pairs distinct-unigram Jaccard at a threshold — the
+    ground truth both for the exact AllPairs entry (0.5) and as the
+    100%-recall gate on the MinHash candidate generator (0.8)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+        sz AS (SELECT doc_id, len(t) AS n FROM toks),
+        flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+          FROM flat a JOIN flat b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(sh::DOUBLE / (sa.n + sb.n - sh), 6) AS jaccard
+        FROM shared
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+        WHERE sh::DOUBLE / (sa.n + sb.n - sh) >= {threshold}
+    """
+
+
+# DuckDB replica of the FULL simhash pipeline over the md5-derived
+# 60-bit token hash (byte-identical to the Spark expression, see
+# dedup.md5_token_hash): tf-weighted ±1 votes per bit, sign → bit,
+# fingerprint, then the Hamming ≤ 3 pair set the banded Spark path must
+# reproduce exactly (banding is pure pruning — pigeonhole-lossless).
+_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS th
+      FROM flat),
+votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(60) r(i) GROUP BY doc_id, i),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT
+           AS f
+  FROM votes GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.f, b.f))::INT AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 
@@ -838,21 +920,15 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
-        "unigram_jaccard": f"""
-            WITH toks AS (
-              SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
-            sz AS (SELECT doc_id, len(t) AS n FROM toks),
-            flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-            shared AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
-              FROM flat a JOIN flat b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(sh::DOUBLE / (sa.n + sb.n - sh), 6) AS jaccard
-            FROM shared
-            JOIN sz sa ON sa.doc_id = id_a
-            JOIN sz sb ON sb.doc_id = id_b
-            WHERE sh::DOUBLE / (sa.n + sb.n - sh) >= 0.5
+        "unigram_jaccard": _jaccard_sql(0.5),
+        "minhash_candidates": _jaccard_sql(0.8),
+        "simhash_pairs": _SIMHASH_SQL,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -164,16 +164,62 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            shingle_n: int = 1) -> DataFrame:
+    """Exact distinct-shingle Jaccard for a GIVEN candidate-pair set —
+    the verify stage after any approximate candidate generator (MinHash
+    bands, SimHash buckets, capped AllPairs). Cost is proportional to the
+    candidate set, not n²: candidates join to their two shingle lists
+    only. ``pairs`` needs (id_a, id_b) columns; pairs sharing no shingle
+    drop out (their jaccard is 0)."""
+    toks = df.withColumn("__toks", tokenize_column(F.col(text_col)))
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of(F.col("__toks"), shingle_n))
+        ).alias("s"),
+    ).withColumn("sh", F.xxhash64("s")).drop("s")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a").join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def md5_token_hash(tok):
+    """60-bit token hash from the first 15 hex chars of md5. Slower than
+    xxhash64 but byte-identical in DuckDB
+    (``('0x' || substr(md5(tok), 1, 15))::UBIGINT``), which lets the
+    driver oracle replicate the FULL simhash pipeline in SQL."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash fingerprint per doc: token hashes JVM-side
-    (xxhash64 in ``transform`` — deterministic), then a numeric pandas
-    UDF sums ±1 per bit (tf-weighted via hash multiplicity), sign → bit."""
+            id_col: str = "doc_id", hash_expr=None,
+            n_bits: int = 64) -> DataFrame:
+    """``n_bits``-wide SimHash fingerprint per doc: token hashes JVM-side
+    (``hash_expr``: token column → long column; default xxhash64 in
+    ``transform`` — deterministic), then a numeric pandas UDF sums ±1 per
+    bit (tf-weighted via hash multiplicity), sign → bit."""
+    nb = n_bits
 
     @F.pandas_udf(T.LongType())
     def fp(token_hashes: pd.Series) -> pd.Series:
         # batch-vectorized: flatten all docs' token hashes, expand to a
-        # (total_tokens, 64) ±1 bit matrix, per-doc column sums via
+        # (total_tokens, n_bits) ±1 bit matrix, per-doc column sums via
         # add.reduceat, sign -> bit (no per-row Python)
         lens = token_hashes.map(
             lambda x: 0 if x is None else len(x)).to_numpy(dtype=np.int64)
@@ -183,33 +229,36 @@ def simhash(df: DataFrame, text_col: str = "text",
             flat = np.concatenate(
                 [np.asarray(token_hashes.iloc[i], dtype=np.int64) for i in nz]
             ).astype(np.uint64)
-            shifts = np.arange(64, dtype=np.uint64)
+            shifts = np.arange(nb, dtype=np.uint64)
             bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
             pm = bits.astype(np.int64) * 2 - 1          # {0,1} -> {-1,+1}
             starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-            v = np.add.reduceat(pm, starts, axis=0)     # (n_docs, 64)
+            v = np.add.reduceat(pm, starts, axis=0)     # (n_docs, n_bits)
             words = np.bitwise_or.reduce(
                 (v > 0).astype(np.uint64) << shifts[None, :], axis=1)
             out[nz] = words.astype(np.int64)
         return pd.Series(out)
 
-    token_hashes = F.transform(
-        tokenize_column(F.col(text_col)), lambda t: F.xxhash64(t)
-    )
+    hash_expr = hash_expr or (lambda t: F.xxhash64(t))
+    token_hashes = F.transform(tokenize_column(F.col(text_col)), hash_expr)
     return df.select(id_col, fp(token_hashes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
-                           max_hamming: int = 3) -> DataFrame:
+                           max_hamming: int = 3, hash_expr=None,
+                           n_bits: int = 64) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: 4 bands of 16 bits — any pair within Hamming ≤ 3
-    agrees exactly on ≥1 band; candidate pairs come from band-equality
-    groupBys, verified with bit_count(xor)."""
-    fps = simhash(df, text_col, id_col)
+    Pigeonhole banding: 4 bands of n_bits/4 bits — any pair within
+    Hamming ≤ 3 agrees exactly on ≥1 band; candidate pairs come from
+    band-equality groupBys, verified with bit_count(xor)."""
+    fps = simhash(df, text_col, id_col, hash_expr, n_bits)
+    bw = n_bits // 4
+    mask = (1 << bw) - 1
     bands = [
-        F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        F.shiftrightunsigned("simhash", bw * i).bitwiseAND(F.lit(mask))
+        .alias(f"b{i}")
         for i in range(4)
     ]
     banded = fps.select(id_col, "simhash", *bands)

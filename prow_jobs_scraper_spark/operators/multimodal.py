@@ -135,6 +135,30 @@ def sample_frames(media: DataFrame, every_n: int = 2,
         op, schema="media_id long, frame_idx int, mean_intensity double")
 
 
+def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Derive a deterministic media table from a text corpus, entirely in
+    Catalyst: payload = UTF-8 bytes of the text, kind/meta keyed off the
+    id. Exists so the media pipeline's driver entry has a DuckDB oracle —
+    the payload byte length is ``octet_length(encode(text))`` in SQL —
+    while still exercising the real binary-column + mapInPandas path."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (F.col(id_col) % 3 + 1).cast("int"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col(id_col) % 13 + 4).cast("int").alias("width"),
+            (F.col(id_col) * 7 % 13 + 4).cast("int").alias("height"),
+            F.when(kind == "audio", 16000).otherwise(0)
+             .cast("int").alias("sample_rate"),
+            F.when(kind == "video", (F.col(id_col) % 7 + 2))
+             .otherwise(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic fake media table for tests/benches."""
     rng = np.random.default_rng(seed)
