@@ -59,6 +59,24 @@ def _bm25_topk(spark, sf_dir):
     )
 
 
+def _bm25_topk_or(spark, sf_dir):
+    """P11 disjunctive variant — ES ``match`` DEFAULT semantics (the
+    reference pins operator:and, query.py:47-74; the engine supports
+    both): docs containing ANY query term score, sum over terms present.
+    The compressed path answers this with MaxScore/block-max pruning
+    (search/compressed.py::_wand_or_topk, rank-identity pytest-gated);
+    this oracle-checked entry runs the naive DataFrame plan."""
+    from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = naive_bm25_topk(docs, "key agg", 10, operator="or")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -609,6 +627,7 @@ def _transcripts_bm25_compressed(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
+        "bm25_topk_or": _bm25_topk_or,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -681,6 +700,10 @@ SELECT doc_id,
 FROM sc WHERE nt = 2
 ORDER BY sc.score DESC, doc_id LIMIT 10
 """
+
+# disjunctive twin of _BM25_SQL: any doc containing >=1 query term
+# qualifies (no nt filter) — ES `match` default semantics
+_BM25_OR_SQL = _BM25_SQL.replace("FROM sc WHERE nt = 2", "FROM sc")
 
 _FLAKINESS_SQL = """
 WITH e AS (
@@ -819,6 +842,7 @@ SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "bm25_topk_or": _BM25_OR_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -98,13 +98,133 @@ def _single_term_topk(
     return best_ids, best_scores
 
 
+def _wand_or_topk(
+    by_term: dict, idfs: dict, k: int, avgdl: float, k1: float, b: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunctive (operator: or) top-k inside one salt group — the
+    block-max pruning family's vectorizable member (the SURVEY §7 P3
+    promise): MaxScore candidate generation over block-max upper bounds
+    with block-skipped scoring.
+
+    Classic WAND pivots doc-at-a-time — per-row Python, this repo's
+    forbidden shape — and its interval form degrades when a sparse rare
+    block SPANS most of the doc range (its block-max then inflates every
+    interval's bound; measured 65% decode on the hot+rare shape).
+    MaxScore prunes by TERM instead, which vectorizes cleanly:
+
+    1. terms descend by upper bound ub_t = idf_t·max(block_max); suffix
+       sums give the best score reachable WITHOUT the first i terms;
+    2. visit terms in that order; each contributes its not-yet-seen
+       posting docs as candidates, fully scored in one numpy pass —
+       other terms' contributions come from block-skipped decodes
+       (only blocks containing candidate ids, per-block cache);
+    3. STOP when suffix_ub[i] < current k-th score — docs containing
+       none of the visited terms are bounded by exactly that suffix,
+       so the cut is exact. Hot+rare: the rare term seeds few
+       candidates, θ jumps above the hot term's ub, and the hot list's
+       untouched blocks are never decoded.
+    """
+    frames: dict[int, pd.DataFrame] = {
+        tid: g.sort_values("first_doc_id").reset_index(drop=True)
+        for tid, g in by_term.items()
+    }
+    block_cache: dict[tuple[int, int], tuple] = {}
+
+    def blocks_of(tid: int, idx: np.ndarray):
+        """Decode (cached) the given block rows of a term, concatenated
+        in doc order (rows are span-sorted and spans are disjoint)."""
+        outs = []
+        g = frames[tid]
+        for bi in idx:
+            key = (tid, int(bi))
+            if key not in block_cache:
+                row = g.iloc[int(bi)]
+                block_cache[key] = codec.decode_blocks_bulk(
+                    np.array([row["n_docs"]]),
+                    np.array([row["first_doc_id"]]),
+                    [row["doc_gaps"]], [row["tf_bytes"]], [row["dl_bytes"]],
+                )
+            outs.append(block_cache[key])
+        if not outs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+    def contrib(tid: int, cand_ids: np.ndarray) -> np.ndarray:
+        """idf·tf_norm of ``tid`` at cand_ids (0 where absent), decoding
+        only blocks whose span contains a candidate."""
+        g = frames[tid]
+        firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+        lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+        lo = np.searchsorted(cand_ids, firsts, side="left")
+        hi = np.searchsorted(cand_ids, lasts, side="right")
+        out = np.zeros(cand_ids.size, dtype=np.float64)
+        touched = np.flatnonzero(hi > lo)
+        if touched.size == 0:
+            return out
+        ids_t, tfs_t, dls_t = blocks_of(tid, touched)
+        pos = np.searchsorted(ids_t, cand_ids)
+        pos_c = np.minimum(pos, ids_t.size - 1)
+        found = ids_t[pos_c] == cand_ids
+        if found.any():
+            out[found] = idfs[tid] * _tf_norm(
+                tfs_t[pos_c[found]], dls_t[pos_c[found]], avgdl, k1, b)
+        return out
+
+    ubs = {
+        tid: idfs[tid] * float(g["block_max_tf_norm"].max())
+        for tid, g in frames.items()
+    }
+    order = sorted(frames, key=lambda t: (-ubs[t], t))
+    # tail[i] = Σ_{j>=i} ub_j — the best score any doc lacking every term
+    # in order[:i] can reach
+    tail = np.cumsum([ubs[t] for t in order][::-1])[::-1]
+
+    best_ids = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    kth = -math.inf
+    seen = np.empty(0, dtype=np.int64)  # sorted, already-scored doc ids
+    for i, tid in enumerate(order):
+        if best_ids.size >= k and tail[i] < kth:
+            break  # unseen docs lack every visited term: bound < θ
+        g = frames[tid]
+        ids_t, tfs_t, dls_t = blocks_of(tid, np.arange(len(g)))
+        if seen.size:
+            pos = np.searchsorted(seen, ids_t)
+            pos_c = np.minimum(pos, seen.size - 1)
+            new = seen[pos_c] != ids_t
+        else:
+            new = np.ones(ids_t.size, dtype=bool)
+        cand = ids_t[new]
+        if cand.size:
+            scores = idfs[tid] * _tf_norm(
+                tfs_t[new], dls_t[new], avgdl, k1, b)
+            for other in order:
+                if other != tid:
+                    scores = scores + contrib(other, cand)
+            all_ids = np.concatenate([best_ids, cand])
+            all_scores = np.concatenate([best_scores, scores])
+            sel = np.lexsort((all_ids, -all_scores))[:k]
+            best_ids, best_scores = all_ids[sel], all_scores[sel]
+            if best_ids.size >= k:
+                kth = best_scores[-1]
+        seen = np.union1d(seen, ids_t)
+    return best_ids, best_scores
+
+
 def search_topk(
     spark: SparkSession,
     index_dir: str,
     query_text: str,
     k: int,
+    operator: str = "and",
 ) -> DataFrame:
-    """Top-k ``(doc_id, score)`` from the compressed index at ``index_dir``."""
+    """Top-k ``(doc_id, score)`` from the compressed index at ``index_dir``.
+
+    ``operator="and"`` — the reference's conjunctive match (ES ``match``
+    + ``operator: and``); ``operator="or"`` — the ES ``match`` default:
+    disjunctive BM25 with block-max WAND pruning (:func:`_wand_or_topk`),
+    rank-identical to the naive path and the numpy oracle (tested)."""
     paths = IndexPaths(index_dir)
     with open(paths.meta) as f:
         meta = json.load(f)
@@ -130,8 +250,14 @@ def search_topk(
         .collect()
     )
     df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
-    if any(tid not in df_of_tid for tid in q_term_ids):
-        return empty  # conjunctive AND: a missing term kills the query
+    if operator == "and":
+        if any(tid not in df_of_tid for tid in q_term_ids):
+            return empty  # conjunctive AND: a missing term kills the query
+    else:
+        q_terms = [t for t in q_terms if tid_of[t] in df_of_tid]
+        if not q_terms:
+            return empty  # OR: only a fully-absent query is empty
+        q_term_ids = [tid_of[t] for t in q_terms]
     dfs = {t: df_of_tid[tid_of[t]] for t in q_terms}
     idfs = {
         tid_of[t]: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
@@ -150,6 +276,7 @@ def search_topk(
     )
 
     n_q = len(q_terms)
+    disjunctive = operator == "or"
 
     def score_salt(pdf: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({
@@ -157,11 +284,14 @@ def search_topk(
             "score": pd.Series([], dtype="float64"),
         })
         by_term = {t: g for t, g in pdf.groupby("term_id")}
-        if len(by_term) < n_q:
+        if disjunctive and len(by_term) > 1:
+            ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+        if not disjunctive and len(by_term) < n_q:
             return out_empty  # some term has no postings in this doc range
 
-        if n_q == 1:
-            t = terms_by_rarity[0]
+        if len(by_term) == 1:
+            t = next(iter(by_term))
             ids, scores = _single_term_topk(by_term[t], idfs[t], k, avgdl, k1, b)
             return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -210,7 +340,9 @@ def search_topk_many(
 ) -> DataFrame:
     """Batch top-k for a whole query set in ONE distributed pass.
 
-    ``queries``: ``[{"query_id": str, "query_text": str, "k": int}, ...]``.
+    ``queries``: ``[{"query_id": str, "query_text": str, "k": int,
+    "operator": "and"|"or"}, ...]`` (operator optional, default "and";
+    "or" queries run the MaxScore kernel per salt group).
     Returns ``(query_id, doc_id, score)`` — per query the same rows (and
     tie order) :func:`search_topk` returns one at a time (tested equal).
 
@@ -250,10 +382,16 @@ def search_topk_many(
     )
     df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
 
-    # per-query plan; conjunctive AND drops queries with any missing term
-    plans = []  # (query_id, [tid by rarity], {tid: idf}, k)
+    op_of = {q["query_id"]: q.get("operator", "and") for q in queries}
+
+    # per-query plan; conjunctive AND drops queries with any missing
+    # term, disjunctive OR just drops the missing terms
+    plans = []  # (query_id, [tid by rarity], {tid: idf}, k, disjunctive)
     needed_tids: set[int] = set()
     for qid, ts in terms_of.items():
+        if op_of[qid] == "or":
+            ts = [t for t in ts if tid_of[t] in df_of_tid]
+            terms_of[qid] = ts
         tids = [tid_of[t] for t in ts]
         if not tids or any(tid not in df_of_tid for tid in tids):
             continue
@@ -265,7 +403,7 @@ def search_topk_many(
         }
         order = [tid_of[t]
                  for t in sorted(ts, key=lambda t: (df_of_tid[tid_of[t]], t))]
-        plans.append((qid, order, idfs, k_of[qid]))
+        plans.append((qid, order, idfs, k_of[qid], op_of[qid] == "or"))
         needed_tids.update(order)
     if not plans:
         return empty
@@ -289,7 +427,24 @@ def search_topk_many(
             return cache[tid]
 
         out_q, out_i, out_s = [], [], []
-        for qid, order, idfs, k in plans:
+        for qid, order, idfs, k, disjunctive in plans:
+            if disjunctive:
+                present = [t for t in order if t in by_term]
+                if not present:
+                    continue
+                if len(present) > 1:
+                    ids, scores = _wand_or_topk(
+                        {t: by_term[t] for t in present}, idfs, k,
+                        avgdl, k1, b)
+                else:
+                    ids, scores = _single_term_topk(
+                        by_term[present[0]], idfs[present[0]], k,
+                        avgdl, k1, b)
+                if ids.size:
+                    out_q.extend([qid] * ids.size)
+                    out_i.append(ids)
+                    out_s.append(scores)
+                continue
             if any(t not in by_term for t in order):
                 continue  # some term absent from this doc range
             t0 = order[0]

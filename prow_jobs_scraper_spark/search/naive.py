@@ -23,14 +23,18 @@ def naive_bm25_topk(
     query_text: str,
     k: int,
     params: BM25Params | None = None,
+    operator: str = "and",
 ) -> DataFrame:
     """Top-k ``(doc_id, score)`` over a corpus frame.
 
     ``docs_df`` either already carries ``(doc_id, text)`` (any table with
     an int64 key — e.g. a ``documents`` table) or is a raw transcripts
     frame, in which case the engine key xxhash64(conv_id, turn_idx) is
-    attached. Returns an empty 2-column frame when the query has no terms
-    or any term is missing from the corpus (conjunctive AND).
+    attached. ``operator="and"`` (the reference's ES ``match`` with
+    ``operator: and``): empty 2-column frame when the query has no terms
+    or any term is missing from the corpus. ``operator="or"`` (the ES
+    ``match`` default): corpus-absent terms are dropped and any doc
+    containing at least one surviving term qualifies.
     """
     params = params or BM25Params()
     spark = docs_df.sparkSession
@@ -55,8 +59,13 @@ def naive_bm25_topk(
     if n_docs == 0:
         return empty
     dfs = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(q_terms)}
-    if any(dfs[t] == 0 for t in q_terms):
-        return empty
+    if operator == "and":
+        if any(dfs[t] == 0 for t in q_terms):
+            return empty
+    else:
+        q_terms = [t for t in q_terms if dfs[t] > 0]  # OR: drop absent
+        if not q_terms:
+            return empty
 
     flat = (
         docs.select("doc_id", F.size("tokens").alias("dl"),
@@ -79,12 +88,13 @@ def naive_bm25_topk(
         F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
         / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))),
     )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("part_score").alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"))
+    if operator == "and":  # disjunctive: any term hit qualifies
+        agg = agg.where(F.col("n_terms_hit") == len(q_terms))
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("part_score").alias("score"),
-             F.count(F.lit(1)).alias("n_terms_hit"))
-        .where(F.col("n_terms_hit") == len(q_terms))
-        .select("doc_id", "score")
+        agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -140,6 +140,64 @@ def recover_table(path: str) -> bool:
     return False
 
 
+def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
+                  key_cols: list[str]) -> None:
+    """S7: MERGE INTO stand-in — the reference's idempotent
+    deterministic-id upsert (src/prowjobsscraper/event.py:204-214, where
+    re-indexing a doc under the same _id replaces it) as a
+    partition-scoped rewrite.
+
+    Rows in ``updates`` replace existing rows with the same key and are
+    inserted otherwise. Only partitions receiving updates are rewritten
+    (dynamic partition overwrite of a staged merge); every other
+    partition's files are untouched. Idempotent: replaying the same
+    updates yields the same table, so a crashed run is completed by
+    rerunning — the same recovery contract as :func:`delete_where`.
+    Unpartitioned tables use the same staged swap as delete_where.
+
+    ``updates`` must carry the table's full schema (including partition
+    columns — an updated row that moves partitions lands in its new
+    partition; its old copy is replaced only if the old partition also
+    receives updates, the standard dynamic-overwrite caveat, so keep
+    partition keys stable under update, as the reference's weekly
+    indices do).
+    """
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    recover_table(path)
+    part_cols = _partition_columns(path)
+    df = spark.read.parquet(path)
+    cols = df.columns
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        if part_cols:
+            affected = updates.select(*part_cols).distinct()
+            existing = df.join(F.broadcast(affected), part_cols, "left_semi")
+            keep = existing.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_anti")
+            merged = keep.select(*cols).unionByName(updates.select(*cols))
+            merged.write.mode("overwrite").partitionBy(*part_cols).parquet(
+                staging)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            (spark.read.schema(merged.schema).parquet(staging)
+                 .write.mode("overwrite").partitionBy(*part_cols)
+                 .parquet(path))
+        else:
+            merged = (
+                df.join(updates.select(*key_cols).distinct(), key_cols,
+                        "left_anti")
+                .select(*cols).unionByName(updates.select(*cols))
+            )
+            merged.write.mode("overwrite").parquet(staging)
+            shutil.move(path, path + ".old")
+            shutil.move(staging, path)
+            shutil.rmtree(path + ".old")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def delete_where(spark: SparkSession, path: str, condition: str) -> None:
     """S8: bulk delete (reference src/elasticsearch_cleanup/main.py:30-51)
     as a partition-scoped anti-filter rewrite — the Iceberg

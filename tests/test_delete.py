@@ -113,3 +113,50 @@ def test_unpartitioned_delete_and_crash_recovery(spark, tmp_path):
     shutil.move(p, p + ".old")
     delete_where(spark, p, "m = 1")
     assert spark.read.parquet(p).count() == 80
+
+
+def test_upsert_replaces_and_inserts(spark, part_table):
+    from prow_jobs_scraper_spark.sources.readers import upsert_by_key
+
+    before = _files_of(part_table)
+    # update two existing rows in kind=1 and insert one new row
+    ups = spark.createDataFrame(
+        [(1, 1, 999), (4, 1, 998), (1000, 1, 997)],
+        "id long, kind int, v long")
+    upsert_by_key(spark, part_table, ups, ["id"])
+
+    got = {r["id"]: r["v"] for r in spark.read.parquet(part_table).collect()}
+    assert got[1] == 999 and got[4] == 998        # replaced
+    assert got[1000] == 997                        # inserted
+    assert len(got) == 301                         # 300 + 1 new
+    assert got[7] == 7 * 7 % 100                   # untouched row intact
+
+    # only kind=1 was rewritten — kind=0/kind=2 files byte-identical
+    after = _files_of(part_table)
+    for rel, mtime in before.items():
+        if "kind=0" in rel or "kind=2" in rel:
+            assert rel in after and after[rel] == mtime, rel
+
+
+def test_upsert_idempotent_replay(spark, part_table):
+    from prow_jobs_scraper_spark.sources.readers import upsert_by_key
+
+    ups = spark.createDataFrame([(2, 2, 555)], "id long, kind int, v long")
+    upsert_by_key(spark, part_table, ups, ["id"])
+    first = sorted(map(tuple, spark.read.parquet(part_table).collect()))
+    upsert_by_key(spark, part_table, ups, ["id"])   # replay = crash rerun
+    second = sorted(map(tuple, spark.read.parquet(part_table).collect()))
+    assert first == second
+
+
+def test_upsert_unpartitioned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.sources.readers import upsert_by_key
+
+    p = str(tmp_path / "flat_up")
+    spark.range(50).select("id", (F.col("id") * 2).alias("v")).write.parquet(p)
+    ups = spark.createDataFrame([(3, 777), (99, 888)], "id long, v long")
+    upsert_by_key(spark, p, ups, ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got[3] == 777 and got[99] == 888 and len(got) == 51

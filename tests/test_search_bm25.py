@@ -107,3 +107,110 @@ def test_batch_search_matches_single(spark, transcripts, tmp_path):
                .reset_index(drop=True))
         assert got["doc_id"].tolist() == single["doc_id"].tolist(), q
         assert got["score"].tolist() == single["score"].tolist(), q
+
+
+@pytest.mark.parametrize("q", reference_query_set(), ids=lambda q: q["query_id"])
+def test_three_way_agreement_disjunctive(spark, transcripts, oracle_docs,
+                                         index_dir, q):
+    # operator: or (the ES `match` default) — same three-way
+    # rank-identity contract as the conjunctive suite, now including the
+    # hot+rare and partially-missing-term shapes where WAND pruning and
+    # absent-term dropping actually engage
+    want = bm25_oracle_topk(oracle_docs, q["query_text"], q["k"],
+                            operator="or")
+    naive = naive_bm25_topk(transcripts, q["query_text"], q["k"],
+                            operator="or").toPandas()
+    _assert_rank_identical(naive, want, f"naive-or:{q['query_id']}")
+    comp = search_topk(spark, index_dir, q["query_text"], q["k"],
+                       operator="or").toPandas()
+    _assert_rank_identical(comp, want, f"compressed-or:{q['query_id']}")
+
+
+def test_disjunctive_partially_missing_term(spark, transcripts, oracle_docs,
+                                            index_dir):
+    # one real term + one corpus-absent term: AND -> empty, OR -> the
+    # real term's results
+    q = "the_hot_term zzz_never_appears"
+    assert search_topk(spark, index_dir, q, 10).count() == 0
+    got = search_topk(spark, index_dir, q, 10, operator="or").toPandas()
+    want = bm25_oracle_topk(oracle_docs, q, 10, operator="or")
+    _assert_rank_identical(got, want, "or-partial-missing")
+    assert len(got) == 10
+
+
+def test_wand_prunes_block_decodes(spark, transcripts, tmp_path,
+                                   monkeypatch):
+    # WAND must NOT decode every posting block for a hot+rare OR query:
+    # the rare term's high-idf intervals fill the top-k first and the
+    # hot-only intervals bound below the k-th score. Build a SINGLE-salt
+    # index with small blocks so the hot term has many blocks, then count
+    # bulk-decode calls through the kernel directly (applyInPandas runs
+    # in workers, so exercise the kernel driver-side on collected blocks).
+    import json as _json
+    import math as _math
+
+    import prow_jobs_scraper_spark.search.compressed as C
+    from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
+
+    d = str(tmp_path / "wand_idx")
+    build_index(spark, transcripts, d,
+                BuildConfig(n_ranges=1, n_buckets=2, block_size=16))
+    paths = C.IndexPaths(d)
+    with open(paths.meta) as f:
+        meta = _json.load(f)
+    # the_hot_term: df ~1766/2000 (idf ~0.13); w01000: df 4 (idf ~6.1)
+    # -> after the rare term seeds candidates, the k-th score exceeds
+    # the hot term's entire upper bound and its list is never walked
+    tids = {t: term_id_py(t) for t in ("the_hot_term", "w01000")}
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(C.F.col("term_id").isin(list(tids.values())))
+        .toPandas()
+    )
+    total_blocks = len(blocks)
+    assert total_blocks > 20, "fixture too small to demonstrate pruning"
+    stats = spark.read.parquet(paths.term_stats).where(
+        C.F.col("term_id").isin(list(tids.values()))).collect()
+    dfs = {int(r["term_id"]): int(r["df"]) for r in stats}
+    n = meta["n_docs"]
+    idfs = {tid: _math.log(1.0 + (n - dfs[tid] + 0.5) / (dfs[tid] + 0.5))
+            for tid in dfs}
+
+    calls = {"n_blocks": 0}
+    real = C.codec.decode_blocks_bulk
+
+    def counting(n_docs, *a, **kw):
+        calls["n_blocks"] += len(n_docs)
+        return real(n_docs, *a, **kw)
+
+    monkeypatch.setattr(C.codec, "decode_blocks_bulk", counting)
+    by_term = {t: g for t, g in blocks.groupby("term_id")}
+    ids, scores = C._wand_or_topk(by_term, idfs, 3, meta["avgdl"],
+                                  meta["k1"], meta["b"])
+    assert ids.size == 3
+    assert calls["n_blocks"] < total_blocks * 0.6, (
+        f"WAND pruning ineffective ({calls['n_blocks']}/{total_blocks})")
+
+
+def test_batch_search_or_matches_single(spark, transcripts, tmp_path):
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk,
+        search_topk_many,
+    )
+
+    d = str(tmp_path / "batch_or_idx")
+    build_index(spark, transcripts, d, BuildConfig(n_ranges=8, n_buckets=4))
+    qs = [
+        {"query_id": "or-1", "query_text": "the_hot_term w01000", "k": 10,
+         "operator": "or"},
+        {"query_id": "or-2", "query_text": "spark zzz_never_appears",
+         "k": 5, "operator": "or"},
+        {"query_id": "and-1", "query_text": "spark agent", "k": 10},
+    ]
+    batch = search_topk_many(spark, d, qs).toPandas()
+    for q in qs:
+        single = search_topk(spark, d, q["query_text"], q["k"],
+                             operator=q.get("operator", "and")).toPandas()
+        got = batch[batch["query_id"] == q["query_id"]].reset_index(drop=True)
+        assert got["doc_id"].tolist() == single["doc_id"].tolist(), q
+        assert got["score"].tolist() == single["score"].tolist(), q
