@@ -53,10 +53,12 @@ def cmd_search(args) -> dict:
 
     spark = _spark(args)
     t0 = time.time()
-    rows = search_topk(spark, args.index, args.query, args.k).collect()
+    rows = search_topk(spark, args.index, args.query, args.k,
+                       operator=args.operator).collect()
     return {
         "query": args.query,
         "k": args.k,
+        "operator": args.operator,
         "latency_sec": round(time.time() - t0, 4),
         "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
     }
@@ -94,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--operator", choices=("and", "or"), default="and",
+                   help="conjunctive (reference semantics) or disjunctive "
+                        "(ES match default, MaxScore-pruned)")
     s.set_defaults(fn=cmd_search)
 
     g = sub.add_parser("synth", help="generate a synthetic transcript corpus")
