@@ -503,24 +503,30 @@ def _doc_fingerprints(spark, sf_dir):
     return fingerprint(d).select("doc_id", "fingerprint")
 
 def _minhash_candidates(spark, sf_dir):
-    """MinHash-LSH candidates, exact-verified: banded signatures generate
-    candidate pairs (64 hashes × 32 bands, banding threshold ≈ 0.17 —
-    far below the verify bar), then each candidate's TRUE unigram jaccard
-    is computed and pairs ≥ 0.8 emitted. The oracle is the exact
-    all-pairs jaccard at the same threshold, so the driver check is a
-    100%-recall gate on the LSH candidate generator (a missed true pair
-    would show as a missing row)."""
+    """MinHash-LSH candidates, exact-verified: banded signatures over
+    3-gram shingles generate candidate pairs (64 hashes × 32 bands,
+    banding s-curve threshold ≈ 0.17 — far below the verify bar), then
+    each candidate's TRUE 3-gram jaccard is computed
+    (exact_jaccard_for_pairs) and pairs ≥ 0.5 emitted. The oracle is the
+    exact all-pairs 3-gram jaccard at the same threshold, so the driver
+    check is a 100%-recall gate on the LSH candidate generator (a missed
+    true pair would show as a missing row). Candidates come from
+    minhash_band_candidates — (id_a, id_b) only, signatures never enter
+    the pair shuffle."""
     from prow_jobs_scraper_spark.operators.dedup import (
         exact_jaccard_for_pairs,
-        minhash_lsh_pairs,
+        minhash_band_candidates,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(d, n_hashes=64, bands=32, shingle_n=1,
-                              threshold=0.5)
-    out = exact_jaccard_for_pairs(d, cands, shingle_n=1)
+    # the sf documents table is ONE parquet file -> a single input split;
+    # spread rows so the signature UDF uses every core (at real scale the
+    # source arrives already multi-partition and this is a no-op cost)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    cands = minhash_band_candidates(d, n_hashes=64, bands=32, shingle_n=3)
+    out = exact_jaccard_for_pairs(d, cands, shingle_n=3)
     return (
-        out.where(F.col("jaccard") >= 0.8)
+        out.where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
@@ -537,7 +543,8 @@ def _simhash_pairs(spark, sf_dir):
         simhash_near_dup_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)  # single-file source
     return simhash_near_dup_pairs(d, max_hamming=3,
                                   hash_expr=md5_token_hash, n_bits=60)
 
@@ -724,13 +731,24 @@ FROM d GROUP BY user_id
 """
 
 
-def _jaccard_sql(threshold: float) -> str:
-    """Exact all-pairs distinct-unigram Jaccard at a threshold — the
-    ground truth both for the exact AllPairs entry (0.5) and as the
-    100%-recall gate on the MinHash candidate generator (0.8)."""
+# DuckDB replica of dedup.shingles_of for n=3: token 3-grams, or one
+# whole-doc shingle when the doc has fewer than 3 tokens
+_SH3 = ("CASE WHEN len(t) >= 3 THEN "
+        "list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+        "ELSE [concat_ws(' ', t)] END")
+
+
+def _jaccard_sql(threshold: float, shingle_n: int = 1) -> str:
+    """Exact all-pairs distinct-shingle Jaccard at a threshold — the
+    ground truth both for the exact AllPairs entry (unigrams, 0.5) and
+    as the 100%-recall gate on the MinHash candidate generator
+    (3-gram shingles, 0.5)."""
+    shingles = "t" if shingle_n == 1 else _SH3
     return f"""
-        WITH toks AS (
-          SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+        WITH toks0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        toks AS (
+          SELECT doc_id, list_distinct({shingles}) AS t FROM toks0),
         sz AS (SELECT doc_id, len(t) AS n FROM toks),
         flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         shared AS (
@@ -945,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "unigram_jaccard": _jaccard_sql(0.5),
-        "minhash_candidates": _jaccard_sql(0.8),
+        "minhash_candidates": _jaccard_sql(0.5, shingle_n=3),
         "simhash_pairs": _SIMHASH_SQL,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -207,6 +207,47 @@ def md5_token_hash(tok):
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
+def minhash_band_candidates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 64,
+                            bands: int = 16, shingle_n: int = 3,
+                            seed: int = 42) -> DataFrame:
+    """Candidate pairs from MinHash banding ONLY — distinct
+    ``(id_a, id_b)``, no signatures carried through the pair shuffle.
+
+    Use when candidates feed an exact verifier
+    (:func:`exact_jaccard_for_pairs`): the signature-agreement estimate
+    is redundant there, and dropping the two length-``n_hashes`` arrays
+    from the self-join output shrinks the shuffled candidate rows from
+    ~1 KB to 16 bytes — the difference between a bench-killing stage and
+    a cheap one on dup-heavy corpora where candidates are quadratic in
+    cluster size."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice("signature",
+                                     bnd * rows_per_band + 1, rows_per_band)
+                    ),
+                    bnd,
+                ),
+            )
+        ).alias("band_key"),
+    )
+    left = banded.select("band_key", F.col(id_col).alias("id_a"))
+    right = banded.select("band_key", F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", hash_expr=None,
             n_bits: int = 64) -> DataFrame:
