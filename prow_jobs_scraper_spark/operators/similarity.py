@@ -236,16 +236,8 @@ def ivf_assignments(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
     )
     C = np.stack([np.asarray(r[0], dtype=np.float64) for r in cents])
     C = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
-
-    @F.pandas_udf(T.IntegerType())
-    def assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
-        return pd.Series((m @ C.T).argmax(axis=1).astype(np.int32))
-
-    return embeddings.withColumn("ivf_list", assign(F.col(vec_col))), C
+    return embeddings.withColumn(
+        "ivf_list", _assign_udf(C)(F.col(vec_col))), C
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
@@ -267,10 +259,63 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
     )
 
 
+def _assign_udf(C: np.ndarray):
+    """Pandas UDF assigning each row to its max-dot-product centroid
+    (rows and centroids normalized — spherical k-means assignment)."""
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+        return pd.Series((m @ C.T).argmax(axis=1).astype(np.int32))
+    return assign
+
+
+def kmeans_refine(embeddings: DataFrame, C: np.ndarray, iters: int = 2,
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) refinement of IVF centroids.
+
+    Each iteration is one hash aggregation: rows are normalized and
+    assigned to their nearest centroid in a vectorized pandas UDF, then
+    the new centroid is the normalized mean of its members, computed
+    JVM-side via ``posexplode`` + ``groupBy(list, dim)`` — the driver
+    collects only n_lists × dim partial means (KBs), never vectors.
+    Empty lists keep their previous centroid. At 100 TB this is the
+    standard scalable k-means shape: narrow map + one shuffle on
+    (list, dim) keys per iteration.
+    """
+    dim = C.shape[1]
+    norm = _norm_expr(F.col(vec_col)) + F.lit(1e-12)
+    unit = F.transform(F.col(vec_col),
+                       lambda x: x.cast("double") / norm).alias("u")
+    for _ in range(iters):
+        assigned = embeddings.withColumn("ivf_list",
+                                         _assign_udf(C)(F.col(vec_col)))
+        rows = (
+            assigned.select("ivf_list", F.posexplode(unit))
+            .groupBy("ivf_list", "pos").agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        C_new = C.copy()
+        seen = set()
+        for r in rows:
+            C_new[int(r["ivf_list"]), int(r["pos"])] = float(r["m"])
+            seen.add(int(r["ivf_list"]))
+        for j in range(C.shape[0]):
+            if j in seen:
+                n = np.linalg.norm(C_new[j]) + 1e-12
+                C_new[j] = C_new[j] / n
+        C = C_new
+    assert C.shape[1] == dim
+    return C
+
+
 def build_ivf_index(embeddings: DataFrame, path: str, n_lists: int = 16,
                     seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    centroids: str = "hash") -> dict:
+                    centroids: str = "hash",
+                    kmeans_iters: int = 0) -> dict:
     """Persist the IVF layout :func:`ivf_assignments` describes: one
     centroid-sample + assignment pass, written PARTITIONED BY inverted
     list, centroids stored beside it. A probe then reads only its
@@ -279,6 +324,12 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_lists: int = 16,
     spark = embeddings.sparkSession
     assigned, C = ivf_assignments(embeddings, n_lists, seed, id_col, vec_col,
                                   centroids)
+    if kmeans_iters > 0:
+        # sampled seeds are a coarse quantizer; Lloyd iterations tighten
+        # the lists so a fixed n_probe captures more true neighbors
+        C = kmeans_refine(embeddings, C, kmeans_iters, vec_col)
+        assigned = embeddings.withColumn(
+            "ivf_list", _assign_udf(C)(F.col(vec_col)))
     (assigned.select(id_col, vec_col, "ivf_list")
              .write.mode("overwrite").partitionBy("ivf_list")
              .parquet(f"{path}/table"))
