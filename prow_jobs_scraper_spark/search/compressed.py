@@ -99,7 +99,8 @@ def _single_term_topk(
 
 
 def _wand_or_topk(
-    by_term: dict, idfs: dict, k: int, avgdl: float, k1: float, b: float
+    by_term: dict, idfs: dict, k: int, avgdl: float, k1: float, b: float,
+    block_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Disjunctive (operator: or) top-k inside one salt group — the
     block-max pruning family's vectorizable member (the SURVEY §7 P3
@@ -128,7 +129,10 @@ def _wand_or_topk(
         tid: g.sort_values("first_doc_id").reset_index(drop=True)
         for tid, g in by_term.items()
     }
-    block_cache: dict[tuple[int, int], tuple] = {}
+    # batch callers pass a shared cache so a block decoded for one query
+    # is reused by every other query referencing the term in this group
+    if block_cache is None:
+        block_cache = {}
 
     def blocks_of(tid: int, idx: np.ndarray):
         """Decode (cached) the given block rows of a term, concatenated
@@ -420,6 +424,7 @@ def search_topk_many(
     def score_salt(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term_id")}
         cache: dict[int, tuple] = {}
+        or_block_cache: dict = {}  # shared across this group's OR queries
 
         def decoded(tid: int):
             if tid not in cache:
@@ -435,7 +440,7 @@ def search_topk_many(
                 if len(present) > 1:
                     ids, scores = _wand_or_topk(
                         {t: by_term[t] for t in present}, idfs, k,
-                        avgdl, k1, b)
+                        avgdl, k1, b, block_cache=or_block_cache)
                 else:
                     ids, scores = _single_term_topk(
                         by_term[present[0]], idfs[present[0]], k,

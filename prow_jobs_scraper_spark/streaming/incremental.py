@@ -70,3 +70,94 @@ def windowed_turn_counts(spark: SparkSession, source_dir: str,
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.col("w.start").alias("window_start"), "role", "n_turns")
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, n_turns long, n_tool_turns long, last_turn_idx int, "
+    "first_ts timestamp, last_ts timestamp, closed boolean"
+)
+# state carries epoch-ms longs (state schemas are happiest with plain
+# numerics; the output converts back to timestamps)
+_SESSION_STATE_SCHEMA = (
+    "n_turns long, n_tool_turns long, last_turn_idx int, "
+    "first_ms long, last_ms long"
+)
+
+
+def conversation_sessions(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation session accumulation with event-time timeout.
+
+    The reference tracks a conversation's jobs by re-querying the index
+    per report; here the running (n_turns, n_tool_turns, bounds) per
+    ``conv_id`` lives in Spark's state store, updated per micro-batch
+    with Arrow-batched pandas, and a conversation quiet for ``gap`` past
+    the watermark is emitted once more with ``closed=true`` and its
+    state dropped — bounded state, the applyInPandasWithState analog of
+    the reference's bounded two-week dedup window.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupStateTimeout,
+    )
+
+    gap_ms = _duration_ms(gap)
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            n, nt, lti, fms, lms = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n, "n_tool_turns": nt,
+                "last_turn_idx": lti,
+                "first_ts": pd.Timestamp(fms, unit="ms"),
+                "last_ts": pd.Timestamp(lms, unit="ms"),
+                "closed": True,
+            }])
+            return
+        if state.exists:
+            n, nt, lti, fms, lms = state.get
+        else:
+            n, nt, lti, fms, lms = 0, 0, -1, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            nt += int((pdf["tool"].notna() & (pdf["tool"] != "")).sum())
+            lti = max(lti, int(pdf["turn_idx"].max()))
+            ms = (pdf["ts"].astype("int64") // 1_000_000)
+            fms = int(ms.min()) if fms is None else min(fms, int(ms.min()))
+            lms = int(ms.max()) if lms is None else max(lms, int(ms.max()))
+        state.update((n, nt, lti, fms, lms))
+        # close the session once the watermark passes last event + gap;
+        # a timeout must sit beyond the current watermark (late data can
+        # put last_ts + gap behind it — fire at the next tick then)
+        state.setTimeoutTimestamp(
+            max(lms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame([{
+            "conv_id": conv_id, "n_turns": n, "n_tool_turns": nt,
+            "last_turn_idx": lti,
+            "first_ts": pd.Timestamp(fms, unit="ms"),
+            "last_ts": pd.Timestamp(lms, unit="ms"),
+            "closed": False,
+        }])
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUTPUT_SCHEMA, _SESSION_STATE_SCHEMA,
+            "update", GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000}[unit]
+    return int(n) * mult

@@ -131,3 +131,77 @@ def test_ingest_build_search_pipeline(spark, transcripts, tmp_path):
     got = search_topk(spark, idx, "spark agent", 10).toPandas()
     want = bm25_oracle_topk(docs, "spark agent", 10)
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_conversation_sessions_stateful(spark, tmp_path):
+    # applyInPandasWithState sessionization: batch 1 opens sessions with
+    # running counts; batch 2's much-later events advance the watermark
+    # past conv A's last_ts + gap, so the restarted stream (same
+    # checkpoint = same state store) emits A once more as closed=true
+    # and drops its state
+    import pandas as pd
+
+    from prow_jobs_scraper_spark.streaming.incremental import (
+        TRANSCRIPTS_SCHEMA,
+        conversation_sessions,
+    )
+
+    src = str(tmp_path / "conv_src")
+    ckpt = str(tmp_path / "conv_ckpt")
+    t0 = pd.Timestamp("2025-06-01 10:00:00")
+
+    def write(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool",
+                           "ts"])
+        df = spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run(qname):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        got = []
+
+        def sink(batch, _bid):
+            got.append(batch.toPandas())
+
+        stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(src)
+        q = (
+            conversation_sessions(stream, gap="30 minutes",
+                                  watermark="10 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        import pandas as pd
+        return pd.concat(got, ignore_index=True) if got else pd.DataFrame(
+            columns=["conv_id", "n_turns", "n_tool_turns",
+                     "last_turn_idx", "first_ts", "last_ts", "closed"])
+
+    write([
+        ("A", 0, "user", "hello", None, t0),
+        ("A", 1, "assistant", "hi", "", t0 + pd.Timedelta("1 minute")),
+        ("A", 2, "assistant", "ran it", "bash",
+         t0 + pd.Timedelta("2 minutes")),
+        ("B", 0, "user", "hey", None, t0 + pd.Timedelta("3 minutes")),
+    ], "b1")
+    out1 = run("sess1").set_index("conv_id")
+    assert out1.loc["A", "n_turns"] == 3
+    assert out1.loc["A", "n_tool_turns"] == 1          # only 'bash' counts
+    assert out1.loc["A", "last_turn_idx"] == 2
+    assert not bool(out1.loc["A", "closed"])
+    assert out1.loc["B", "n_turns"] == 1
+
+    # B continues 3 hours later -> watermark (max_ts - 10min) passes
+    # A's last_ts + 30min gap -> A times out closed; B stays open
+    write([
+        ("B", 1, "assistant", "back", None, t0 + pd.Timedelta("3 hours")),
+    ], "b2")
+    out2 = run("sess2")
+    a_rows = out2[out2.conv_id == "A"]
+    assert len(a_rows) == 1 and bool(a_rows.iloc[0]["closed"])
+    assert a_rows.iloc[0]["n_turns"] == 3              # final state intact
+    b_rows = out2[out2.conv_id == "B"]
+    assert len(b_rows) == 1 and not bool(b_rows.iloc[0]["closed"])
+    assert b_rows.iloc[0]["n_turns"] == 2              # state carried over
