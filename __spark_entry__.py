@@ -215,6 +215,17 @@ def _time_range_filter(spark, sf_dir):
     )
 
 
+def _boolean_flag_filter(spark, sf_dir):
+    """P5: boolean-flag predicate — the reference's is_bandwidth_usage
+    flag shape (equinix_usages.py:53-54): the flag is materialized as a
+    real boolean column and the filter is on the COLUMN, not the
+    underlying expression."""
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn("is_error", F.col("event_type") == "error")
+    return flagged.where(F.col("is_error")).select(
+        "event_id", "user_id", "is_error")
+
+
 def _regex_filter(spark, sf_dir):
     # P2: regex predicate pushed into the scan
     d = _t(spark, sf_dir, "documents")
@@ -645,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_weekly": _trends_weekly,
         "weekly_partition_names": _weekly_partition_names,
         "time_range_filter": _time_range_filter,
+        "boolean_flag_filter": _boolean_flag_filter,
         "regex_filter": _regex_filter,
         "classifier": _classifier,
         "conjunctive_match": _conjunctive_match,
@@ -937,6 +949,10 @@ def oracle_sql() -> dict[str, str]:
                          AND TIMESTAMP '2024-01-21 23:59:59'
               AND event_type IN ('error', 'purchase')
               AND contains(props, '7')
+        """,
+        "boolean_flag_filter": """
+            SELECT event_id, user_id, (event_type = 'error') AS is_error
+            FROM events WHERE event_type = 'error'
         """,
         "regex_filter": """
             SELECT doc_id, n_chars FROM documents

@@ -41,6 +41,40 @@ JOB_EVENT_SCHEMA = T.StructType([
 ])
 
 
+# S4 — the Equinix usages REST scan's fixed schema (reference
+# src/prowjobsscraper/equinix_usages.py:30-44, EquinixUsage model)
+USAGE_SCHEMA = T.StructType([
+    T.StructField("description", T.StringType()),
+    T.StructField("facility", T.StringType(), False),
+    T.StructField("metro", T.StringType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("plan", T.StringType(), False),
+    T.StructField("plan_version", T.StringType(), False),
+    T.StructField("price", T.DoubleType(), False),
+    T.StructField("quantity", T.DoubleType(), False),
+    T.StructField("total", T.DoubleType(), False),
+    T.StructField("type", T.StringType(), False),
+    T.StructField("instance", T.StringType()),
+    T.StructField("unit", T.StringType(), False),
+    T.StructField("start_date", T.TimestampType(), False),
+    T.StructField("end_date", T.TimestampType()),
+])
+
+
+def read_usages_json(spark: SparkSession, path: str) -> DataFrame:
+    """S4: the usages REST scan as a schema-enforced JSON read, with the
+    reference's derived fields materialized as columns (equinix_usages.py:
+    46-54): ``job_build_id`` = last '-' segment of name, ``is_bandwidth``
+    = plan contains 'Bandwidth'. Month-scoped fetch windows become a
+    plain ts-range filter that Catalyst pushes to the scan."""
+    df = spark.read.schema(USAGE_SCHEMA).json(path)
+    return df.withColumn(
+        "job_build_id", F.element_at(F.split(F.col("name"), "-"), -1)
+    ).withColumn(
+        "is_bandwidth", F.col("plan").contains("Bandwidth")
+    )
+
+
 def read_job_events_json(spark: SparkSession, path: str) -> DataFrame:
     """S1: schema-enforced JSON scan (no inference — the pydantic-parse
     equivalent, reference prowjob.py:160-168)."""

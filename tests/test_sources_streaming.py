@@ -205,3 +205,34 @@ def test_conversation_sessions_stateful(spark, tmp_path):
     b_rows = out2[out2.conv_id == "B"]
     assert len(b_rows) == 1 and not bool(b_rows.iloc[0]["closed"])
     assert b_rows.iloc[0]["n_turns"] == 2              # state carried over
+
+
+def test_read_usages_json(spark, tmp_path):
+    # S4: schema-enforced usages scan + the reference's derived fields
+    # (job_build_id = last '-' segment, is_bandwidth = plan contains
+    # 'Bandwidth' — equinix_usages.py:46-54)
+    import json
+
+    p = str(tmp_path / "usages.json")
+    rows = [
+        {"facility": "dc13", "metro": "dc", "name": "ipi-ci-op-abc-123",
+         "plan": "c3.medium.x86", "plan_version": "v1", "price": 0.5,
+         "quantity": 2.0, "total": 1.0, "type": "Instance",
+         "unit": "GB", "start_date": "2024-05-01T00:00:00Z"},
+        {"facility": "sv15", "metro": "sv", "name": "ipi-ci-op-def-456",
+         "plan": "Outbound Bandwidth", "plan_version": "v1",
+         "price": 0.05, "quantity": 10.0, "total": 0.5,
+         "type": "Usage", "unit": "GB",
+         "start_date": "2024-05-02T00:00:00Z"},
+    ]
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    from prow_jobs_scraper_spark.sources.readers import read_usages_json
+
+    got = {r["name"]: r for r in read_usages_json(spark, p).collect()}
+    assert got["ipi-ci-op-abc-123"]["job_build_id"] == "123"
+    assert got["ipi-ci-op-abc-123"]["is_bandwidth"] is False
+    assert got["ipi-ci-op-def-456"]["is_bandwidth"] is True
+    assert got["ipi-ci-op-def-456"]["total"] == 0.5
+    assert got["ipi-ci-op-abc-123"]["end_date"] is None  # optional field
