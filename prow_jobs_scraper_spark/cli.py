@@ -49,12 +49,20 @@ def cmd_build(args) -> dict:
 
 
 def cmd_search(args) -> dict:
-    from prow_jobs_scraper_spark.search.compressed import search_topk
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk,
+        search_topk_multi,
+    )
 
     spark = _spark(args)
     t0 = time.time()
-    rows = search_topk(spark, args.index, args.query, args.k,
-                       operator=args.operator).collect()
+    dirs = args.index.split(",")
+    if len(dirs) > 1:  # incremental segments: base,delta1,delta2,...
+        rows = search_topk_multi(spark, dirs, args.query, args.k,
+                                 operator=args.operator).collect()
+    else:
+        rows = search_topk(spark, args.index, args.query, args.k,
+                           operator=args.operator).collect()
     return {
         "query": args.query,
         "k": args.k,
@@ -93,7 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
-    s.add_argument("--index", required=True)
+    s.add_argument("--index", required=True,
+                   help="index dir, or comma-separated segment dirs "
+                        "(incremental maintenance: base,delta,...)")
     s.add_argument("--query", required=True)
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--operator", choices=("and", "or"), default="and",

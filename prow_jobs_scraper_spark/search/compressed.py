@@ -337,6 +337,159 @@ def search_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_topk_multi(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query_text: str,
+    k: int,
+    operator: str = "and",
+) -> DataFrame:
+    """Top-k BM25 across SEVERAL independently-built index segments with
+    EXACT global statistics — the incremental-maintenance path for a
+    10¹²-turn corpus: index the daily delta as its own segment
+    (:func:`..index.build.build_index` unchanged) and query the union;
+    no rebuild, no segment merge job.
+
+    Exactness: global ``n_docs``/``avgdl`` come from the summed segment
+    metas, global ``df`` per term is the sum of per-segment dfs, so idf
+    and length normalization equal a single index built over the whole
+    corpus (tested rank- AND score-identical). Per-posting ``dl`` is
+    stored exact. Each doc lives in exactly one segment (the ingest
+    dedup guarantee), so conjunctive intersection within (segment, salt)
+    groups is complete.
+
+    Pruning stays safe: stored ``block_max_tf_norm`` was computed with
+    the SEGMENT's avgdl; since the tf-norm denominator scales by at most
+    avgdl_seg/avgdl_global, multiplying the stored bound by
+    ``max(1, avgdl_global/avgdl_seg)`` upper-bounds the true global
+    value (proof in-line below), so block-max/MaxScore skipping never
+    drops a true top-k doc.
+    """
+    metas = []
+    for d in index_dirs:
+        with open(IndexPaths(d).meta) as f:
+            metas.append(json.load(f))
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if n_docs == 0:
+        return empty
+    avgdl = sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas) / n_docs
+    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
+    if any((float(m["k1"]), float(m["b"])) != (k1, b) for m in metas):
+        raise ValueError("segments disagree on BM25 params")
+
+    q_terms = sorted(set(tokenize_text(query_text)))
+    if not q_terms:
+        return empty
+    tid_of = {t: term_id_py(t) for t in q_terms}
+    q_term_ids = list(tid_of.values())
+
+    # global df = sum of per-segment dfs (bucket counts differ per
+    # segment, so prune each segment's stats fetch with its own layout)
+    df_of_tid: dict[int, int] = {}
+    for d, m in zip(index_dirs, metas):
+        buckets = sorted({tid % int(m["n_buckets"]) for tid in q_term_ids})
+        for r in (
+            spark.read.parquet(IndexPaths(d).term_stats)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(q_term_ids))
+            .select("term_id", "df").collect()
+        ):
+            tid = int(r["term_id"])
+            df_of_tid[tid] = df_of_tid.get(tid, 0) + int(r["df"])
+    if operator == "and":
+        if any(tid not in df_of_tid for tid in q_term_ids):
+            return empty
+    else:
+        q_terms = [t for t in q_terms if tid_of[t] in df_of_tid]
+        if not q_terms:
+            return empty
+        q_term_ids = [tid_of[t] for t in q_terms]
+    idfs = {
+        tid_of[t]: math.log(
+            1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
+            / (df_of_tid[tid_of[t]] + 0.5))
+        for t in q_terms
+    }
+
+    # union the segments' matching blocks; bound-correct block maxes
+    # (f(avgdl_g) <= f(avgdl_seg) * avgdl_g/avgdl_seg when avgdl_g >
+    # avgdl_seg because every denominator term shrinks by at most that
+    # ratio; <= unchanged bound otherwise)
+    blocks = None
+    for si, (d, m) in enumerate(zip(index_dirs, metas)):
+        buckets = sorted({tid % int(m["n_buckets"]) for tid in q_term_ids})
+        scale = max(1.0, avgdl / max(float(m["avgdl"]), 1e-12))
+        part = (
+            spark.read.parquet(IndexPaths(d).postings)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(q_term_ids))
+            .select("term_id", "salt", "block_id", "n_docs",
+                    "first_doc_id", "last_doc_id", "doc_gaps", "tf_bytes",
+                    "dl_bytes",
+                    (F.col("block_max_tf_norm") * F.lit(scale))
+                    .alias("block_max_tf_norm"))
+            .withColumn("seg", F.lit(si))
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+
+    n_q = len(q_terms)
+    disjunctive = operator == "or"
+    terms_by_rarity = [
+        tid_of[t]
+        for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
+    ]
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        })
+        by_term = {t: g for t, g in pdf.groupby("term_id")}
+        if disjunctive and len(by_term) > 1:
+            ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+        if not disjunctive and len(by_term) < n_q:
+            return out_empty
+        if len(by_term) == 1:
+            t = next(iter(by_term))
+            ids, scores = _single_term_topk(
+                by_term[t], idfs[t], k, avgdl, k1, b)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+        t0 = terms_by_rarity[0]
+        cand_ids, cand_tfs, cand_dls = _decode_term(by_term[t0])
+        scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
+        for t in terms_by_rarity[1:]:
+            if cand_ids.size == 0:
+                return out_empty
+            g = by_term[t].sort_values("first_doc_id")
+            firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+            lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+            # block skipping: decode only blocks holding candidates
+            lo = np.searchsorted(cand_ids, firsts, side="left")
+            hi = np.searchsorted(cand_ids, lasts, side="right")
+            touched = np.flatnonzero(hi > lo)
+            if touched.size == 0:
+                return out_empty
+            ids_t, tfs_t, _ = _decode_term(g.iloc[touched])
+            pos = np.searchsorted(ids_t, cand_ids)
+            pos_c = np.minimum(pos, ids_t.size - 1)
+            found = ids_t[pos_c] == cand_ids
+            if not found.any():
+                return out_empty
+            scores = scores[found] + idfs[t] * _tf_norm(
+                tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
+            cand_ids, cand_dls = cand_ids[found], cand_dls[found]
+        order = np.lexsort((cand_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": cand_ids[order],
+                             "score": scores[order]})
+
+    local = blocks.groupBy("seg", "salt").applyInPandas(
+        score_group, schema="doc_id long, score double"
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_topk_many(
     spark: SparkSession,
     index_dir: str,

@@ -214,3 +214,40 @@ def test_batch_search_or_matches_single(spark, transcripts, tmp_path):
         got = batch[batch["query_id"] == q["query_id"]].reset_index(drop=True)
         assert got["doc_id"].tolist() == single["doc_id"].tolist(), q
         assert got["score"].tolist() == single["score"].tolist(), q
+
+
+def test_multi_segment_search_matches_single_index(
+        spark, transcripts, oracle_docs, index_dir, tmp_path):
+    # incremental maintenance: corpus split into two independently-built
+    # segments must answer rank- AND score-identical to the one-segment
+    # index (global n_docs/avgdl/df reconstructed exactly), under both
+    # operators, including a query whose terms live in both halves
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk,
+        search_topk_multi,
+    )
+
+    # pmod: Spark's % is signed, a plain %2==1 would drop negative hashes
+    half_a = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    assert half_a.count() + half_b.count() == transcripts.count()
+    da, db = str(tmp_path / "seg_a"), str(tmp_path / "seg_b")
+    build_index(spark, half_a, da, BuildConfig(n_ranges=8, n_buckets=4))
+    # different layout on purpose: segments need not agree on buckets
+    build_index(spark, half_b, db, BuildConfig(n_ranges=4, n_buckets=2))
+
+    for q in reference_query_set()[:6]:
+        single = search_topk(spark, index_dir, q["query_text"],
+                             q["k"]).toPandas()
+        multi = search_topk_multi(spark, [da, db], q["query_text"],
+                                  q["k"]).toPandas()
+        _assert_rank_identical(multi, single,
+                               f"multi-and:{q['query_id']}")
+    # disjunctive across segments, vs the numpy oracle directly
+    q = "the_hot_term w01000"
+    want = bm25_oracle_topk(oracle_docs, q, 10, operator="or")
+    multi = search_topk_multi(spark, [da, db], q, 10,
+                              operator="or").toPandas()
+    _assert_rank_identical(multi, want, "multi-or")
