@@ -251,3 +251,45 @@ def test_multi_segment_search_matches_single_index(
     multi = search_topk_multi(spark, [da, db], q, 10,
                               operator="or").toPandas()
     _assert_rank_identical(multi, want, "multi-or")
+
+
+def test_or_agreement_on_second_corpus_with_edge_docs(spark, tmp_path):
+    # different corpus seed + adversarial rows (empty text, single-token
+    # doc, doc repeating one term many times) — OR path must stay
+    # rank-identical to the numpy oracle on mixed hot/rare/missing
+    # queries; guards MaxScore edge shapes the reference query set
+    # doesn't hit (term present in only one salt, candidate list of 1)
+    import pandas as pd
+
+    from prow_jobs_scraper_spark.synth import synth_transcripts_pandas
+
+    pdf = synth_transcripts_pandas(1500, seed=7)
+    extra = pd.DataFrame([
+        {"conv_id": "edge", "turn_idx": 0, "role": "user", "text": "",
+         "tool": None, "ts": pdf["ts"].iloc[0]},
+        {"conv_id": "edge", "turn_idx": 1, "role": "user",
+         "text": "solitary", "tool": None, "ts": pdf["ts"].iloc[1]},
+        {"conv_id": "edge", "turn_idx": 2, "role": "user",
+         "text": ("repeated " * 40).strip(), "tool": None,
+         "ts": pdf["ts"].iloc[2]},
+    ])
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    t = spark.createDataFrame(pdf)
+    t = t.withColumn("ts", t["ts"].cast("timestamp"))
+
+    d = str(tmp_path / "edge_idx")
+    build_index(spark, t, d, BuildConfig(n_ranges=4, n_buckets=2))
+    docs = with_doc_ids(t).select("doc_id", "text").toPandas()
+
+    queries = [
+        "solitary",                      # df=1 term
+        "repeated spark",                # single-doc term + hot term
+        "solitary zzz_nope",             # OR keeps the present term
+        "spark agent tool_call",         # three hot terms
+        "repeated solitary",             # two singleton-ish terms
+    ]
+    for qt in queries:
+        for op in ("and", "or"):
+            want = bm25_oracle_topk(docs, qt, 10, operator=op)
+            got = search_topk(spark, d, qt, 10, operator=op).toPandas()
+            _assert_rank_identical(got, want, f"{op}:{qt}")
