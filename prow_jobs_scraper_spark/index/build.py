@@ -177,9 +177,12 @@ def tokenized_docs(transcripts: DataFrame) -> DataFrame:
     token arrays measured worse than recomputing (cache memory traffic
     anti-scales with cores; the regexp is linear-scaling CPU work).
     """
+    # ts/role ride along when present: doc_stats persists them as the
+    # filterable doc attributes behind search_topk_filtered
+    attrs = [c for c in ("ts", "role") if c in transcripts.columns]
     return with_doc_ids(transcripts).select(
         "conv_id", "turn_idx", "doc_id",
-        tokenize_column(F.col("text")).alias("tokens"),
+        tokenize_column(F.col("text")).alias("tokens"), *attrs,
     )
 
 
@@ -322,9 +325,15 @@ def build_index(
     # codegen work that scales linearly. Recompute beats cache.
     docs = tokenized_docs(transcripts)
     if not os.path.exists(os.path.join(paths.doc_stats, "_SUCCESS")):
+        # carry filterable doc attributes when the input has them — the
+        # reference's bool queries pair a match with ts/role filters
+        # (query.py:28-99); search_topk_filtered reads these with the
+        # predicate pushed to this parquet scan
+        attrs = [c for c in ("ts", "role") if c in docs.columns]
         (
             docs.select(
-                "doc_id", "conv_id", "turn_idx", F.size("tokens").alias("dl")
+                "doc_id", "conv_id", "turn_idx",
+                F.size("tokens").alias("dl"), *attrs
             )
             .write.mode("overwrite").parquet(paths.doc_stats)
         )

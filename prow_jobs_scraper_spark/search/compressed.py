@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_text
 from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
 from prow_jobs_scraper_spark.index import codec
-from prow_jobs_scraper_spark.index.build import IndexPaths
+from prow_jobs_scraper_spark.index.build import IndexPaths, salt_expr
 
 
 def _tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float):
@@ -60,8 +60,17 @@ def _decode_term(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]
 _PRUNE_CHUNK = 64
 
 
+def _in_sorted(ids: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in the SORTED array ``allowed``."""
+    if allowed.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(allowed, ids), allowed.size - 1)
+    return allowed[pos] == ids
+
+
 def _single_term_topk(
-    pdf: pd.DataFrame, idf: float, k: int, avgdl: float, k1: float, b: float
+    pdf: pd.DataFrame, idf: float, k: int, avgdl: float, k1: float, b: float,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned scan of one term inside one salt group.
 
@@ -89,6 +98,11 @@ def _single_term_topk(
             list(chunk["dl_bytes"]),
         )
         scores = idf * _tf_norm(tfs, dls, avgdl, k1, b)
+        if allowed is not None:
+            # filtered retrieval: the unfiltered block max still upper-
+            # bounds any allowed doc's score, so early exit stays exact
+            keep = _in_sorted(ids, allowed)
+            ids, scores = ids[keep], scores[keep]
         all_ids = np.concatenate([best_ids, ids])
         all_scores = np.concatenate([best_scores, scores])
         order = np.lexsort((all_ids, -all_scores))[:k]
@@ -101,6 +115,7 @@ def _single_term_topk(
 def _wand_or_topk(
     by_term: dict, idfs: dict, k: int, avgdl: float, k1: float, b: float,
     block_cache: dict | None = None,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Disjunctive (operator: or) top-k inside one salt group — the
     block-max pruning family's vectorizable member (the SURVEY §7 P3
@@ -199,6 +214,8 @@ def _wand_or_topk(
             new = seen[pos_c] != ids_t
         else:
             new = np.ones(ids_t.size, dtype=bool)
+        if allowed is not None:  # filtered retrieval restricts seeds
+            new &= _in_sorted(ids_t, allowed)
         cand = ids_t[new]
         if cand.size:
             scores = idfs[tid] * _tf_norm(
@@ -334,6 +351,142 @@ def search_topk(
     local = blocks.groupBy("salt").applyInPandas(
         score_salt, schema="doc_id long, score double"
     )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_topk_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    k: int,
+    doc_filter: str,
+    operator: str = "and",
+) -> DataFrame:
+    """ES bool-query parity: full-text match + metadata filter in ONE
+    top-k (the reference's actual query shape — ``match`` on the text
+    plus ts-range/term filters, src/jobsautoreport/query.py:28-99).
+
+    ES semantics are preserved exactly: the filter restricts WHICH docs
+    may enter the top-k, but scoring statistics (idf, avgdl, n_docs)
+    stay corpus-global — filter context does not affect scores. The
+    filter is a SQL predicate over ``doc_stats`` columns (``ts``,
+    ``role``, ``conv_id``, ``turn_idx``, ``dl``); Catalyst pushes it to
+    the doc_stats parquet scan, the allowed ids are co-grouped with the
+    posting blocks per doc-range salt (both sides carry the same salt,
+    so the cogroup is a co-partitioned merge), and the scoring kernels
+    intersect candidates against the allowed set. Block-max/MaxScore
+    pruning stays exact: an unfiltered bound upper-bounds every allowed
+    doc's score.
+    """
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b = float(meta["k1"]), float(meta["b"])
+    n_buckets, n_ranges = int(meta["n_buckets"]), int(meta["n_ranges"])
+
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    q_terms = sorted(set(tokenize_text(query_text)))
+    if not q_terms or n_docs == 0:
+        return empty
+    tid_of = {t: term_id_py(t) for t in q_terms}
+    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
+    q_term_ids = list(tid_of.values())
+    stats = (
+        spark.read.parquet(paths.term_stats)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "df").collect()
+    )
+    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    if operator == "and":
+        if any(tid not in df_of_tid for tid in q_term_ids):
+            return empty
+    else:
+        q_terms = [t for t in q_terms if tid_of[t] in df_of_tid]
+        if not q_terms:
+            return empty
+        q_term_ids = [tid_of[t] for t in q_terms]
+    idfs = {
+        tid_of[t]: math.log(
+            1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
+            / (df_of_tid[tid_of[t]] + 0.5))
+        for t in q_terms
+    }
+    terms_by_rarity = [
+        tid_of[t]
+        for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
+    ]
+
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
+                "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
+                "block_max_tf_norm")
+    )
+    allowed_df = (
+        spark.read.parquet(paths.doc_stats)
+        .where(doc_filter)
+        .select("doc_id", salt_expr(F.col("doc_id"), n_ranges).alias("salt"))
+    )
+
+    n_q = len(q_terms)
+    disjunctive = operator == "or"
+
+    def score_salt(blocks_pdf: pd.DataFrame,
+                   allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        })
+        allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+        if allowed.size == 0 or not len(blocks_pdf):
+            return out_empty
+        by_term = {t: g for t, g in blocks_pdf.groupby("term_id")}
+        if disjunctive and len(by_term) > 1:
+            ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b,
+                                        allowed=allowed)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+        if not disjunctive and len(by_term) < n_q:
+            return out_empty
+        if len(by_term) == 1:
+            t = next(iter(by_term))
+            ids, scores = _single_term_topk(by_term[t], idfs[t], k,
+                                            avgdl, k1, b, allowed=allowed)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+        t0 = terms_by_rarity[0]
+        cand_ids, cand_tfs, cand_dls = _decode_term(by_term[t0])
+        keep = _in_sorted(cand_ids, allowed)
+        cand_ids, cand_tfs, cand_dls = (
+            cand_ids[keep], cand_tfs[keep], cand_dls[keep])
+        scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
+        for t in terms_by_rarity[1:]:
+            if cand_ids.size == 0:
+                return out_empty
+            g = by_term[t].sort_values("first_doc_id")
+            firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+            lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(cand_ids, firsts, side="left")
+            hi = np.searchsorted(cand_ids, lasts, side="right")
+            touched = np.flatnonzero(hi > lo)
+            if touched.size == 0:
+                return out_empty
+            ids_t, tfs_t, _ = _decode_term(g.iloc[touched])
+            pos = np.searchsorted(ids_t, cand_ids)
+            pos_c = np.minimum(pos, ids_t.size - 1)
+            found = ids_t[pos_c] == cand_ids
+            if not found.any():
+                return out_empty
+            scores = scores[found] + idfs[t] * _tf_norm(
+                tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
+            cand_ids, cand_dls = cand_ids[found], cand_dls[found]
+        order = np.lexsort((cand_ids, -scores))[:k]
+        return pd.DataFrame({"doc_id": cand_ids[order],
+                             "score": scores[order]})
+
+    local = blocks.groupBy("salt").cogroup(
+        allowed_df.groupBy("salt")
+    ).applyInPandas(score_salt, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -136,3 +136,23 @@ def test_time_partitioned_layout_prunes(spark, transcripts, tmp_path):
     plan = _plan(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "day" in pf[0], plan
+
+
+def test_filtered_search_pushes_doc_filter_to_scan(spark, transcripts,
+                                                   tmp_path):
+    # the metadata filter of a filtered search must reach the doc_stats
+    # parquet scan as PushedFilters (not evaluated above the cogroup)
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk_filtered,
+    )
+
+    d = str(tmp_path / "filt_idx")
+    build_index(spark, transcripts, d, BuildConfig(n_ranges=4, n_buckets=2))
+    df = search_topk_filtered(
+        spark, d, "spark", 5,
+        "role = 'assistant' AND ts >= timestamp'2025-06-01'")
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("role" in ln for ln in pushed), plan
+    assert any("ts" in ln or "Ts" in ln for ln in pushed), plan

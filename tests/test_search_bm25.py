@@ -293,3 +293,43 @@ def test_or_agreement_on_second_corpus_with_edge_docs(spark, tmp_path):
             want = bm25_oracle_topk(docs, qt, 10, operator=op)
             got = search_topk(spark, d, qt, 10, operator=op).toPandas()
             _assert_rank_identical(got, want, f"{op}:{qt}")
+
+
+def test_filtered_search_matches_filtered_oracle(spark, transcripts,
+                                                 index_dir):
+    # ES bool-query parity: match + metadata filter in one top-k.
+    # Scoring stats stay corpus-global (ES filter context), the filter
+    # only restricts which docs may enter the top-k — so the oracle is
+    # "score the FULL corpus, then keep allowed docs, then head(k)".
+    import pandas as pd
+
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk_filtered,
+    )
+
+    full = with_doc_ids(transcripts).select(
+        "doc_id", "text", "ts", "role").toPandas()
+    t_lo = full["ts"].quantile(0.25)
+    t_hi = full["ts"].quantile(0.75)
+    doc_filter = (
+        f"role = 'assistant' AND ts >= timestamp'{t_lo}' "
+        f"AND ts < timestamp'{t_hi}'"
+    )
+    allowed = set(full[(full.role == "assistant")
+                       & (full.ts >= t_lo) & (full.ts < t_hi)]["doc_id"])
+    assert 0 < len(allowed) < len(full)
+
+    for qt, op in [("spark agent", "and"), ("the_hot_term", "and"),
+                   ("the_hot_term w01000", "or")]:
+        scored = bm25_oracle_topk(full[["doc_id", "text"]], qt,
+                                  len(full), operator=op)
+        want = scored[scored["doc_id"].isin(allowed)].head(10).reset_index(
+            drop=True)
+        got = search_topk_filtered(spark, index_dir, qt, 10, doc_filter,
+                                   operator=op).toPandas()
+        _assert_rank_identical(got, want, f"filtered-{op}:{qt}")
+
+    # filter that excludes everything -> empty, not an error
+    none = search_topk_filtered(spark, index_dir, "spark", 5,
+                                "role = 'no_such_role'")
+    assert none.count() == 0
