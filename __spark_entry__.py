@@ -77,6 +77,26 @@ def _bm25_topk_or(spark, sf_dir):
     )
 
 
+def _bm25_filtered_topk(spark, sf_dir):
+    """The reference's REAL query shape — ES bool: full-text match +
+    filter clause (query.py:28-99 pairs every match with time/term
+    filters). ES semantics exactly: idf/avgdl/n_docs stay corpus-global
+    (filter context never affects scores); the filter restricts which
+    docs may enter the top-k. The compressed-index equivalent is
+    search_topk_filtered (pytest-gated vs the numpy oracle); this
+    oracle-checked entry runs the naive plan."""
+    from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = naive_bm25_topk(docs, "key agg", 10, operator="or",
+                           post_filter="lang = 'en'")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -646,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
         "bm25_topk_or": _bm25_topk_or,
+        "bm25_filtered_topk": _bm25_filtered_topk,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -723,6 +744,13 @@ ORDER BY sc.score DESC, doc_id LIMIT 10
 # disjunctive twin of _BM25_SQL: any doc containing >=1 query term
 # qualifies (no nt filter) — ES `match` default semantics
 _BM25_OR_SQL = _BM25_SQL.replace("FROM sc WHERE nt = 2", "FROM sc")
+
+# ES bool twin: scoring CTEs identical (stats corpus-global), the filter
+# applies between scoring and the top-k — exactly ES filter context
+_BM25_FILTERED_SQL = _BM25_SQL.replace(
+    "FROM sc WHERE nt = 2",
+    "FROM sc WHERE doc_id IN (SELECT doc_id FROM documents "
+    "WHERE lang = 'en')")
 
 _FLAKINESS_SQL = """
 WITH e AS (
@@ -873,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_or": _BM25_OR_SQL,
+        "bm25_filtered_topk": _BM25_FILTERED_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -24,6 +24,7 @@ def naive_bm25_topk(
     k: int,
     params: BM25Params | None = None,
     operator: str = "and",
+    post_filter: str | None = None,
 ) -> DataFrame:
     """Top-k ``(doc_id, score)`` over a corpus frame.
 
@@ -35,6 +36,11 @@ def naive_bm25_topk(
     or any term is missing from the corpus. ``operator="or"`` (the ES
     ``match`` default): corpus-absent terms are dropped and any doc
     containing at least one surviving term qualifies.
+
+    ``post_filter``: ES bool-query filter context — a SQL predicate over
+    ``docs_df``'s columns restricting which docs may enter the top-k;
+    scoring statistics (idf/avgdl/n_docs) stay corpus-global, exactly as
+    an ES ``filter`` clause never affects ``match`` scores.
     """
     params = params or BM25Params()
     spark = docs_df.sparkSession
@@ -93,6 +99,9 @@ def naive_bm25_topk(
         F.count(F.lit(1)).alias("n_terms_hit"))
     if operator == "and":  # disjunctive: any term hit qualifies
         agg = agg.where(F.col("n_terms_hit") == len(q_terms))
+    if post_filter:  # filter BEFORE the top-k, never the scores
+        agg = agg.join(docs_df.where(post_filter).select("doc_id"),
+                       "doc_id", "left_semi")
     return (
         agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
