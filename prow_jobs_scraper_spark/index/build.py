@@ -208,7 +208,8 @@ def _flat_occurrences(docs: DataFrame, cfg: BuildConfig) -> DataFrame:
     )
 
 
-def _make_encoder(avgdl: float, params: BM25Params, block_size: int):
+def _make_encoder(avgdl: float, params: BM25Params, block_size: int,
+                  pre_aggregated: bool = False):
     """Grouped-map Arrow encoder: one (tb, salt) group -> all its terms'
     compressed blocks in one vectorized pass.
 
@@ -254,17 +255,27 @@ def _make_encoder(avgdl: float, params: BM25Params, block_size: int):
         o_ids = o_ids_u[order]
         o_dls = o_dls_u[order]
 
-        # run-length collapse occurrences -> (term_id, doc_id, tf, dl)
-        newgrp = np.concatenate(
-            ([True], (o_tids[1:] != o_tids[:-1]) | (o_ids[1:] != o_ids[:-1]))
-        )
-        starts_occ = np.flatnonzero(newgrp)
-        tfs = np.diff(np.concatenate((starts_occ, [o_ids.size])))
-        p_tids = o_tids[starts_occ]
+        if pre_aggregated:
+            # compaction path: input rows are already (term_id, doc_id,
+            # tf, dl) postings decoded from segments — no collapse
+            tfs = tbl["tf"].combine_chunks().to_numpy(
+                zero_copy_only=False)[order]
+            p_tids, p_ids, p_dls = o_tids, o_ids, o_dls
+        else:
+            # run-length collapse occurrences -> (term_id, doc_id, tf, dl)
+            newgrp = np.concatenate(
+                ([True],
+                 (o_tids[1:] != o_tids[:-1]) | (o_ids[1:] != o_ids[:-1]))
+            )
+            starts_occ = np.flatnonzero(newgrp)
+            tfs = np.diff(np.concatenate((starts_occ, [o_ids.size])))
+            p_tids = o_tids[starts_occ]
+            p_ids = o_ids[starts_occ]
+            p_dls = o_dls[starts_occ]
 
         g = codec.encode_group_blocks(
             p_tids, np.full(p_tids.size, salt, dtype=np.int32),
-            o_ids[starts_occ], tfs, o_dls[starts_occ],
+            p_ids, tfs, p_dls,
             avgdl, k1, b, block_size,
         )
         nb = g["term_id"].size
@@ -483,4 +494,155 @@ def build_index(
         "turns_per_sec": n_docs / max(total, 1e-9),
         "postings_per_sec": n_postings / max(total, 1e-9),
         "skew_ratio_max": max((m["skew_ratio"] for m in metrics_rows), default=1.0),
+    }
+
+
+def compact_segments(
+    spark: SparkSession,
+    segment_dirs: list[str],
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    build_id: str = "compact-0",
+) -> dict:
+    """Lucene-style SEGMENT MERGE: fold independently-built index
+    segments into one index WITHOUT re-tokenizing any text.
+
+    Postings are decoded back to (term_id, doc_id, tf, dl) rows
+    (vectorized bulk block decode inside ``mapInPandas``) and re-encoded
+    under the target layout through the same grouped Arrow encoder the
+    build uses (``pre_aggregated`` mode skips the occurrence collapse —
+    tf survives the round trip). doc_stats and the terms dim are plain
+    unions; term_stats/df/cf and the global n_docs/avgdl are recomputed,
+    so the output equals an index built from the concatenated corpus
+    (search rank+score identity is tested). Doc sets must be disjoint
+    across segments — the ingest dedup guarantee.
+
+    Why it matters at 10¹²-turn scale: daily deltas accumulate as small
+    segments (query cost grows with segment count in
+    :func:`..search.compressed.search_topk_multi`); this folds N of them
+    back into one in a single shuffle over the already-compressed
+    postings — no tokenize pass over the raw corpus.
+    """
+    cfg = cfg or BuildConfig()
+    paths = IndexPaths(out_dir)
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    metas = []
+    for d in segment_dirs:
+        with open(IndexPaths(d).meta) as f:
+            metas.append(json.load(f))
+    if any((float(m["k1"]), float(m["b"]))
+           != (cfg.params.k1, cfg.params.b) for m in metas):
+        raise ValueError("segments disagree with target BM25 params")
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    avgdl = (sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas)
+             / max(n_docs, 1))
+    fingerprint = sum(int(m.get("fingerprint", 0)) for m in metas)
+
+    # doc_stats: plain union (segments may differ in attribute columns)
+    ds = None
+    for d in segment_dirs:
+        part = spark.read.parquet(IndexPaths(d).doc_stats)
+        ds = part if ds is None else ds.unionByName(
+            part, allowMissingColumns=True)
+    ds.write.mode("overwrite").parquet(paths.doc_stats)
+
+    # terms dim: union-distinct, re-bucketed for the target layout
+    td = None
+    for d in segment_dirs:
+        part = spark.read.parquet(IndexPaths(d).terms).select(
+            "term", "term_id")
+        td = part if td is None else td.unionByName(part)
+    (
+        td.distinct()
+        .withColumn("tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
+        .write.mode("overwrite").partitionBy("tb").parquet(paths.terms)
+    )
+    open(os.path.join(paths.terms, "_SUCCESS"), "a").close()
+
+    meta = {
+        "build_id": build_id,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "k1": cfg.params.k1,
+        "b": cfg.params.b,
+        "n_ranges": cfg.n_ranges,
+        "n_buckets": cfg.n_buckets,
+        "block_size": cfg.block_size,
+        "fingerprint": fingerprint,
+    }
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f, indent=1)
+
+    # decoded postings stream: one row per (term, doc) posting
+    def decode(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            tid_l, id_l, tf_l, dl_l = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                ids, tfs, dls = codec.decode_blocks_bulk(
+                    np.array([r.n_docs]), np.array([r.first_doc_id]),
+                    [r.doc_gaps], [r.tf_bytes], [r.dl_bytes],
+                )
+                tid_l.append(np.full(ids.size, r.term_id, dtype=np.int64))
+                id_l.append(ids)
+                tf_l.append(tfs.astype(np.int64))
+                dl_l.append(dls.astype(np.int64))
+            if not tid_l:
+                yield pd.DataFrame({
+                    "term_id": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "dl": pd.Series([], dtype="int64"),
+                })
+                continue
+            yield pd.DataFrame({
+                "term_id": np.concatenate(tid_l),
+                "doc_id": np.concatenate(id_l),
+                "tf": np.concatenate(tf_l),
+                "dl": np.concatenate(dl_l),
+            })
+
+    posts = None
+    for d in segment_dirs:
+        blk = spark.read.parquet(IndexPaths(d).postings).select(
+            "term_id", "n_docs", "first_doc_id",
+            "doc_gaps", "tf_bytes", "dl_bytes")
+        p = blk.mapInPandas(
+            decode, schema="term_id long, doc_id long, tf long, dl long")
+        posts = p if posts is None else posts.unionByName(p)
+    flat = (
+        posts
+        .withColumn("tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
+        .withColumn("salt", salt_expr(F.col("doc_id"), cfg.n_ranges))
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    encoder = _make_encoder(avgdl, cfg.params, cfg.block_size,
+                            pre_aggregated=True)
+    (
+        flat.groupBy("tb", "salt")
+        .applyInArrow(encoder, schema=BLOCKS_SCHEMA)
+        .write.mode("overwrite").partitionBy("tb").parquet(paths.postings)
+    )
+
+    written = spark.read.parquet(paths.postings).select(
+        "tb", "term_id", "n_docs", "sum_tf")
+    terms_dim = spark.read.parquet(paths.terms).select("term", "term_id")
+    (
+        written.groupBy("tb", "term_id")
+        .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
+        .join(F.broadcast(terms_dim), "term_id")
+        .select("tb", "term", "term_id", "df", "cf")
+        .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
+    )
+    n_postings = written.agg(F.sum("n_docs")).collect()[0][0] or 0
+    total = time.time() - t0
+    return {
+        **meta,
+        "n_segments": len(segment_dirs),
+        "n_postings": int(n_postings),
+        "elapsed_sec": total,
+        "postings_per_sec": int(n_postings) / max(total, 1e-9),
     }

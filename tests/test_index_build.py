@@ -163,3 +163,58 @@ def test_noop_rerun(spark, transcripts, tmp_path):
     build_index(spark, transcripts, d, cfg)
     m = build_index(spark, transcripts, d, cfg)
     assert m["resumed"] is True and m["n_new_buckets"] == 0
+
+
+def test_compact_segments_equals_monolithic_build(spark, transcripts,
+                                                  tmp_path):
+    # Lucene-style segment merge: two independently-built segments
+    # compacted WITHOUT re-tokenizing must equal an index built from the
+    # whole corpus — same meta stats, same per-(term,salt) posting
+    # counts, and rank+score-identical search results
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        build_index,
+        compact_segments,
+    )
+    from prow_jobs_scraper_spark.search.compressed import search_topk
+    from prow_jobs_scraper_spark.synth import reference_query_set
+
+    cfg = BuildConfig(n_ranges=8, n_buckets=4)
+    mono = str(tmp_path / "mono")
+    build_index(spark, transcripts, mono, cfg)
+
+    half_a = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    da, db = str(tmp_path / "ca"), str(tmp_path / "cb")
+    # segments deliberately use a DIFFERENT layout than the target
+    build_index(spark, half_a, da, BuildConfig(n_ranges=4, n_buckets=2))
+    build_index(spark, half_b, db, BuildConfig(n_ranges=2, n_buckets=2))
+
+    out = str(tmp_path / "compacted")
+    m = compact_segments(spark, [da, db], out, cfg)
+
+    mono_meta = json.load(open(os.path.join(mono, "meta.json")))
+    assert m["n_docs"] == mono_meta["n_docs"]
+    assert abs(m["avgdl"] - mono_meta["avgdl"]) < 1e-9
+    assert m["fingerprint"] == mono_meta["fingerprint"]
+
+    # identical physical postings: same (term_id, salt, block_id) rows
+    # with the same doc counts and spans
+    cols = ["term_id", "salt", "block_id", "n_docs",
+            "first_doc_id", "last_doc_id"]
+    pm = (spark.read.parquet(os.path.join(mono, "postings"))
+          .select(cols).toPandas().sort_values(cols).reset_index(drop=True))
+    pc = (spark.read.parquet(os.path.join(out, "postings"))
+          .select(cols).toPandas().sort_values(cols).reset_index(drop=True))
+    assert pm.equals(pc)
+
+    for q in reference_query_set()[:5]:
+        want = search_topk(spark, mono, q["query_text"], q["k"]).toPandas()
+        got = search_topk(spark, out, q["query_text"], q["k"]).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert got["score"].tolist() == want["score"].tolist(), q
