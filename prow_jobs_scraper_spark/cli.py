@@ -72,6 +72,20 @@ def cmd_search(args) -> dict:
     }
 
 
+def cmd_compact(args) -> dict:
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        compact_segments,
+    )
+
+    spark = _spark(args)
+    return compact_segments(
+        spark, args.segments.split(","), args.output,
+        BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets),
+        build_id=args.build_id,
+    )
+
+
 def cmd_synth(args) -> dict:
     from prow_jobs_scraper_spark.synth import synth_transcripts
 
@@ -110,6 +124,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="conjunctive (reference semantics) or disjunctive "
                         "(ES match default, MaxScore-pruned)")
     s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser(
+        "compact", help="merge index segments into one (no re-tokenize)")
+    c.add_argument("--segments", required=True,
+                   help="comma-separated segment index dirs")
+    c.add_argument("--output", required=True)
+    c.add_argument("--n-ranges", type=int, default=32)
+    c.add_argument("--n-buckets", type=int, default=16)
+    c.add_argument("--build-id", default="compact-0")
+    c.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("synth", help="generate a synthetic transcript corpus")
     g.add_argument("--output", required=True)
