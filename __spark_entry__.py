@@ -527,11 +527,18 @@ def _embedding_dedup_pairs(spark, sf_dir):
 
 
 def _doc_fingerprints(spark, sf_dir):
-    # rolling-hash winnowing fingerprint (hash-based; rows-only check)
+    """Winnowing fingerprint, ORACLE-checked: min rolling polynomial
+    hash (base 1099511628211, uint64 wraparound) over 4-token windows of
+    the md5-derived 60-bit token hash (dedup.md5_token_hash —
+    byte-identical in DuckDB), so the full vectorized pipeline
+    (sliding_window_view + reduceat in the UDF) is replicated in SQL
+    with HUGEINT mod-2^64 arithmetic."""
+    from prow_jobs_scraper_spark.operators.dedup import md5_token_hash
     from prow_jobs_scraper_spark.operators.textqc import fingerprint
 
     d = _t(spark, sf_dir, "documents")
-    return fingerprint(d).select("doc_id", "fingerprint")
+    return fingerprint(d, hash_expr=md5_token_hash).select(
+        "doc_id", "fingerprint")
 
 def _minhash_candidates(spark, sf_dir):
     """MinHash-LSH candidates, exact-verified: banded signatures over
@@ -646,20 +653,30 @@ def _media_features(spark, sf_dir):
         "media_id", "kind", "n_bytes")
 
 
-def _transcripts_bm25_compressed(spark, sf_dir):
-    """North-rule path end-to-end: synth transcripts → salted compressed
-    index build → block-max BM25 top-k (rank-identity vs the numpy oracle
-    is enforced in tests; here the driver gets the rows-only check)."""
+def _bm25_compressed_topk(spark, sf_dir):
+    """North-rule core, ORACLE-checked end-to-end: salted compressed
+    index build → delta/varint codec → block-max conjunctive top-k, over
+    the driver's documents table (pre-assigned doc_ids pass through
+    build_index, so results carry the caller's ids). Same query and
+    oracle as `bm25_topk` — the DuckDB SQL value-checks the ENTIRE
+    compressed engine, not just the naive DataFrame plan. Rank+score
+    equality between this entry and `bm25_topk` falls out of the two
+    green rows. (Reference query shape: src/jobsautoreport/query.py:47-74.)"""
     import tempfile  # noqa: PLC0415
 
     from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
     from prow_jobs_scraper_spark.search.compressed import search_topk
-    from prow_jobs_scraper_spark.synth import synth_transcripts_pandas
 
-    t = spark.createDataFrame(synth_transcripts_pandas(2000, seed=42))
-    d = tempfile.mkdtemp(prefix="entry_idx_")
-    build_index(spark, t, d, BuildConfig(n_ranges=8, n_buckets=4))
-    return search_topk(spark, d, "spark agent", 10)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), "text")
+    d = tempfile.mkdtemp(prefix="entry_cidx_")
+    build_index(spark, docs, d, BuildConfig(n_ranges=8, n_buckets=4))
+    topk = search_topk(spark, d, "key agg", 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select("doc_id", F.row_number().over(w).alias("rank"),
+                       F.round("score", 4).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -701,14 +718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_paths": _url_paths,
         "distinct_users": _distinct_users,
         "embedding_dedup_pairs": _embedding_dedup_pairs,
-        # rows-only (no SQL-expressible oracle):
         "minhash_candidates": _minhash_candidates,
         "simhash_pairs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
         "media_features": _media_features,
         "doc_fingerprints": _doc_fingerprints,
-        "transcripts_bm25_compressed": _transcripts_bm25_compressed,
+        "bm25_compressed_topk": _bm25_compressed_topk,
     }
 
 
@@ -832,6 +848,50 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 
+# DuckDB replica of the FULL winnowing-fingerprint pipeline over the
+# md5-derived 60-bit token hash: per-doc rolling polynomial hashes of
+# 4-token windows, Σ h[j]·base^(3−j) in uint64 wraparound (HUGEINT
+# products reduced mod 2^64 term-by-term — th < 2^60 and pow < 2^64, so
+# each product < 2^124 fits HUGEINT), min over windows, then the uint64
+# min reinterpreted as signed int64 exactly as numpy's astype does.
+# Docs shorter than the window use one window of their full length with
+# powers base^(len−1−j); empty docs fingerprint to 0.
+_FP_P1 = 1099511628211          # base^1 mod 2^64
+_FP_P2 = 956575116354345        # base^2 mod 2^64
+_FP_P3 = 624165263380053675     # base^3 mod 2^64
+_FP_M = "18446744073709551616"  # 2^64 (parses as HUGEINT)
+
+_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({_TOKS},
+           tok -> ('0x' || substr(md5(tok), 1, 15))::UBIGINT::HUGEINT)
+           AS th
+  FROM documents),
+fpu AS (
+  SELECT doc_id,
+    CASE
+      WHEN len(th) = 0 THEN 0::HUGEINT
+      WHEN len(th) = 1 THEN th[1]
+      WHEN len(th) = 2 THEN
+        ((th[1] * {_FP_P1}) % {_FP_M} + th[2]) % {_FP_M}
+      WHEN len(th) = 3 THEN
+        ((th[1] * {_FP_P2}) % {_FP_M} + (th[2] * {_FP_P1}) % {_FP_M}
+         + th[3]) % {_FP_M}
+      ELSE list_min(list_transform(range(1, len(th) - 2),
+        i -> ((th[i] * {_FP_P3}) % {_FP_M}
+              + (th[i+1] * {_FP_P2}) % {_FP_M}
+              + (th[i+2] * {_FP_P1}) % {_FP_M}
+              + th[i+3]) % {_FP_M}))
+    END AS v
+  FROM toks)
+SELECT doc_id,
+       (CASE WHEN v >= 9223372036854775808::HUGEINT
+             THEN v - {_FP_M} ELSE v END)::BIGINT AS fingerprint
+FROM fpu
+"""
+
+
 def _lsh_ann_sql(n_planes: int = 10, seed: int = 42, multi_probe: int = 2,
                  dim: int = 64, k: int = 10) -> str:
     """DuckDB replica of the FULL persisted-LSH ANN path: recompute each
@@ -902,6 +962,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "bm25_topk_or": _BM25_OR_SQL,
         "bm25_filtered_topk": _BM25_FILTERED_SQL,
+        # same oracle as bm25_topk: the compressed entry must reproduce
+        # the naive plan's rows exactly (build→codec→block-max scoring)
+        "bm25_compressed_topk": _BM25_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -914,7 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "top_failing_users": """
             WITH m AS (
               SELECT user_id,
-                     sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS errors,
+                     sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END)::BIGINT
+                       AS errors,
                      count(*) AS total
               FROM events GROUP BY user_id),
             r AS (
@@ -1010,9 +1074,11 @@ def oracle_sql() -> dict[str, str]:
         "unigram_jaccard": _jaccard_sql(0.5),
         "minhash_candidates": _jaccard_sql(0.5, shingle_n=3),
         "simhash_pairs": _SIMHASH_SQL,
+        "doc_fingerprints": _FINGERPRINT_SQL,
         "media_features": """
             SELECT doc_id AS media_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   CASE ((doc_id % 3) + 3) % 3
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                         ELSE 'video' END AS kind,
                    octet_length(encode(text)) AS n_bytes
             FROM documents

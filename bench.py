@@ -78,17 +78,27 @@ def _session(cores: int, shuffle_partitions: int | None = None):
     )
 
 
-def bench_queries(spark) -> dict[str, float]:
+# headline + warm-latency sets run >=2 interleaved passes and report the
+# per-entry MINIMUM (same protocol the scaling block already uses): the
+# host's bursty CPU steal made round-2's single-sample headline read as a
+# uniform 1.5x regression on unchanged queries. Interleaving (pass 1 all
+# queries, pass 2 all queries, ...) decorrelates a steal burst from any
+# single entry; min-of-N is the noise-robust estimator under one-sided
+# interference. Raw samples ride along so the artifact shows the spread.
+HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap[name]
-        t0 = time.time()
-        _run_to_sink(fn(spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-    return out
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(max(1, HEADLINE_REPS)):
+        for name in HEADLINE:
+            t0 = time.time()
+            _run_to_sink(qmap[name](spark, SF_DIR))
+            samples[name].append(round(time.time() - t0, 3))
+    return {name: min(v) for name, v in samples.items()}, samples
 
 
 def _materialize_corpus(spark, path: str) -> None:
@@ -122,24 +132,32 @@ def bench_flagship(spark, corpus_path: str) -> tuple[dict, dict]:
             "skew_ratio_max": round(metrics.get("skew_ratio_max", 1.0), 3),
         }
 
-        lat: list[float] = []
-        for q in reference_query_set():
-            t0 = time.time()
-            search_topk(spark, idx_dir, q["query_text"], q["k"]).collect()
-            lat.append(time.time() - t0)
-        lat.sort()
+        # warm latency: interleaved min-of-N per query (see HEADLINE_REPS)
+        qset = reference_query_set()
+        lat_samples: dict[str, list[float]] = {q["query_id"]: [] for q in qset}
+        for _ in range(max(1, HEADLINE_REPS)):
+            for q in qset:
+                t0 = time.time()
+                search_topk(spark, idx_dir, q["query_text"], q["k"]).collect()
+                lat_samples[q["query_id"]].append(
+                    round(time.time() - t0, 4))
+        lat = sorted(min(v) for v in lat_samples.values())
         p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) - 1)]
         from prow_jobs_scraper_spark.search.compressed import search_topk_many
 
-        t0 = time.time()
-        search_topk_many(spark, idx_dir, reference_query_set()).collect()
-        batch_sec = time.time() - t0
+        batch_samples = []
+        for _ in range(max(1, HEADLINE_REPS)):
+            t0 = time.time()
+            search_topk_many(spark, idx_dir, qset).collect()
+            batch_samples.append(round(time.time() - t0, 4))
         query_latency = {
             "n_queries": len(lat),
             "mean_sec": round(sum(lat) / len(lat), 4),
             "p95_sec": round(p95, 4),
             "max_sec": round(lat[-1], 4),
-            "batch_all_queries_sec": round(batch_sec, 4),
+            "batch_all_queries_sec": min(batch_samples),
+            "batch_samples_sec": batch_samples,
+            "per_query_samples_sec": lat_samples,
         }
         return build, query_latency
     finally:
@@ -303,7 +321,7 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
         .selectExpr("doc_id", "lower(text) t")
     )
-    queries = bench_queries(spark)
+    queries, query_samples = bench_queries(spark)
     build, query_latency = bench_flagship(spark, corpus_path)
     ann = bench_ann(spark)
     spark.stop()
@@ -321,6 +339,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_samples": query_samples,
+        "headline_reps": max(1, HEADLINE_REPS),
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "build": build,

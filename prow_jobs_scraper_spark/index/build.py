@@ -120,7 +120,16 @@ class BuildConfig:
 
 
 def with_doc_ids(transcripts: DataFrame) -> DataFrame:
-    """Attach the deterministic doc key: doc_id = xxhash64(conv_id, turn_idx)."""
+    """Attach the deterministic doc key: doc_id = xxhash64(conv_id, turn_idx).
+
+    A pre-assigned ``doc_id`` column passes through untouched — corpora
+    that already carry a stable int64 key (e.g. the documents table) keep
+    it, so query results join back to the caller's ids directly. Every
+    downstream stage (salting, block sort, tie-breaks) works on any int64
+    distribution; only salt balance assumes rough uniformity, which a
+    hash-derived caller id preserves."""
+    if "doc_id" in transcripts.columns:
+        return transcripts
     return transcripts.withColumn("doc_id", F.xxhash64("conv_id", "turn_idx"))
 
 
@@ -428,7 +437,11 @@ def build_index(
         # term_stats + lineage metrics derive from the committed blocks'
         # METADATA columns only (Parquet prunes the binary payloads):
         # df = Σ n_docs over a term's blocks, cf = Σ sum_tf. The term
-        # string is attached from the tiny terms dim (broadcast join).
+        # string is attached from the terms dim by a PLAIN join on
+        # (tb, term_id) — the dim is |vocab|-cardinality, so a broadcast
+        # hint would pin a vocabulary ceiling (hundreds of MB per chunk
+        # at a 10^8-term vocab); the shuffle join scales with vocab and
+        # AQE still picks broadcast when the dim is actually small.
         written = (
             spark.read.parquet(paths.postings)
             .where(F.col("tb").isin(chunk))
@@ -436,12 +449,12 @@ def build_index(
         )
         terms_dim = (
             spark.read.parquet(paths.terms)
-            .where(F.col("tb").isin(chunk)).select("term", "term_id")
+            .where(F.col("tb").isin(chunk)).select("tb", "term", "term_id")
         )
         (
             written.groupBy("tb", "term_id")
             .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
-            .join(F.broadcast(terms_dim), "term_id")
+            .join(terms_dim, ["tb", "term_id"])
             .select("tb", "term", "term_id", "df", "cf")
             .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
         )
@@ -574,22 +587,15 @@ def compact_segments(
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=1)
 
-    # decoded postings stream: one row per (term, doc) posting
+    # decoded postings stream: one row per (term, doc) posting.
+    # ONE decode_blocks_bulk call per Arrow batch — the bulk API's
+    # amortization exists precisely so no per-block Python loop is paid
+    # (same pattern as search/compressed._decode_term).
     def decode(batches):
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            tid_l, id_l, tf_l, dl_l = [], [], [], []
-            for r in pdf.itertuples(index=False):
-                ids, tfs, dls = codec.decode_blocks_bulk(
-                    np.array([r.n_docs]), np.array([r.first_doc_id]),
-                    [r.doc_gaps], [r.tf_bytes], [r.dl_bytes],
-                )
-                tid_l.append(np.full(ids.size, r.term_id, dtype=np.int64))
-                id_l.append(ids)
-                tf_l.append(tfs.astype(np.int64))
-                dl_l.append(dls.astype(np.int64))
-            if not tid_l:
+            if not len(pdf):
                 yield pd.DataFrame({
                     "term_id": pd.Series([], dtype="int64"),
                     "doc_id": pd.Series([], dtype="int64"),
@@ -597,11 +603,18 @@ def compact_segments(
                     "dl": pd.Series([], dtype="int64"),
                 })
                 continue
+            n_docs = pdf["n_docs"].to_numpy()
+            ids, tfs, dls = codec.decode_blocks_bulk(
+                n_docs, pdf["first_doc_id"].to_numpy(),
+                list(pdf["doc_gaps"]), list(pdf["tf_bytes"]),
+                list(pdf["dl_bytes"]),
+            )
             yield pd.DataFrame({
-                "term_id": np.concatenate(tid_l),
-                "doc_id": np.concatenate(id_l),
-                "tf": np.concatenate(tf_l),
-                "dl": np.concatenate(dl_l),
+                "term_id": np.repeat(
+                    pdf["term_id"].to_numpy(np.int64), n_docs),
+                "doc_id": ids,
+                "tf": tfs.astype(np.int64),
+                "dl": dls.astype(np.int64),
             })
 
     posts = None
@@ -629,11 +642,14 @@ def compact_segments(
 
     written = spark.read.parquet(paths.postings).select(
         "tb", "term_id", "n_docs", "sum_tf")
-    terms_dim = spark.read.parquet(paths.terms).select("term", "term_id")
+    # plain (tb, term_id) join — terms dim is |vocab|-cardinality, never
+    # broadcast it (see build_index term_stats rationale)
+    terms_dim = spark.read.parquet(paths.terms).select(
+        "tb", "term", "term_id")
     (
         written.groupBy("tb", "term_id")
         .agg(F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf"))
-        .join(F.broadcast(terms_dim), "term_id")
+        .join(terms_dim, ["tb", "term_id"])
         .select("tb", "term", "term_id", "df", "cf")
         .write.mode("overwrite").partitionBy("tb").parquet(paths.term_stats)
     )

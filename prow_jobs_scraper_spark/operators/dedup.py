@@ -188,10 +188,14 @@ def exact_jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
         .join(sh_a, "id_a").join(sh_b, ["id_b", "sh"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is corpus-cardinality (one row per doc) — never broadcast it
+    # (a 10^9-doc corpus would be a multi-GB broadcast). Plain shuffle
+    # joins keyed on the candidate ids; AQE may still choose broadcast
+    # when the corpus is actually small.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
@@ -416,10 +420,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .agg(F.count(F.lit(1)).alias("shared"))
             )
 
+    # per-doc sizes: plain joins, not broadcast — see exact_jaccard_for_pairs
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     return (
-        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard",
                     F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .where(F.col("jaccard") >= threshold)

@@ -142,18 +142,24 @@ def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
     id. Exists so the media pipeline's driver entry has a DuckDB oracle —
     the payload byte length is ``octet_length(encode(text))`` in SQL —
     while still exercising the real binary-column + mapInPandas path."""
+    # pmod, not % — Spark's % is signed, and engine doc ids (xxhash64)
+    # are negative ~half the time: element_at(kinds, -1%3 + 1) would be
+    # index 0 (runtime error) and the meta dims would go negative. pmod
+    # keeps the mapping total over all int64 ids and matches the DuckDB
+    # oracle's ((doc_id % 3) + 3) % 3.
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
-    kind = F.element_at(kinds, (F.col(id_col) % 3 + 1).cast("int"))
+    kind = F.element_at(kinds, (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"))
     return docs.select(
         F.col(id_col).cast("long").alias("media_id"),
         kind.alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(
-            (F.col(id_col) % 13 + 4).cast("int").alias("width"),
-            (F.col(id_col) * 7 % 13 + 4).cast("int").alias("height"),
+            (F.pmod(F.col(id_col), F.lit(13)) + 4).cast("int").alias("width"),
+            (F.pmod(F.col(id_col) * 7, F.lit(13)) + 4)
+             .cast("int").alias("height"),
             F.when(kind == "audio", 16000).otherwise(0)
              .cast("int").alias("sample_rate"),
-            F.when(kind == "video", (F.col(id_col) % 7 + 2))
+            F.when(kind == "video", (F.pmod(F.col(id_col), F.lit(7)) + 2))
              .otherwise(1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )

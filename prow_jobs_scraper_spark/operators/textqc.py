@@ -97,10 +97,15 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
-                window: int = 4) -> DataFrame:
+                window: int = 4, hash_expr=None) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style): min rolling
-    polynomial hash over token-hash windows. Token hashes come from
-    Catalyst xxhash64; the pandas UDF is numeric numpy only."""
+    polynomial hash over token-hash windows. Token hashes come from a
+    Catalyst expression; the pandas UDF is numeric numpy only.
+
+    ``hash_expr``: token Column -> int64 hash Column; defaults to
+    xxhash64 (fastest). Pass ``dedup.md5_token_hash`` to make the whole
+    pipeline replicable in DuckDB SQL (the driver oracle) — the
+    polynomial min-hash itself is hash-agnostic."""
     w = window
 
     @F.pandas_udf(T.LongType())
@@ -154,7 +159,8 @@ def fingerprint(df: DataFrame, text_col: str = "text",
                 flat * powlut[exp], starts).astype(np.int64)
         return pd.Series(out)
 
+    hf = hash_expr if hash_expr is not None else F.xxhash64
     token_hashes = F.transform(
-        tokenize_column(F.col(text_col)), lambda t: F.xxhash64(t)
+        tokenize_column(F.col(text_col)), lambda t: hf(t)
     )
     return df.withColumn("fingerprint", fp(token_hashes))

@@ -435,59 +435,90 @@ def search_topk_filtered(
 
     def score_salt(blocks_pdf: pd.DataFrame,
                    allowed_pdf: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame({
-            "doc_id": pd.Series([], dtype="int64"),
-            "score": pd.Series([], dtype="float64"),
-        })
         allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
-        if allowed.size == 0 or not len(blocks_pdf):
-            return out_empty
-        by_term = {t: g for t, g in blocks_pdf.groupby("term_id")}
-        if disjunctive and len(by_term) > 1:
-            ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b,
-                                        allowed=allowed)
-            return pd.DataFrame({"doc_id": ids, "score": scores})
-        if not disjunctive and len(by_term) < n_q:
-            return out_empty
-        if len(by_term) == 1:
-            t = next(iter(by_term))
-            ids, scores = _single_term_topk(by_term[t], idfs[t], k,
-                                            avgdl, k1, b, allowed=allowed)
-            return pd.DataFrame({"doc_id": ids, "score": scores})
-        t0 = terms_by_rarity[0]
-        cand_ids, cand_tfs, cand_dls = _decode_term(by_term[t0])
-        keep = _in_sorted(cand_ids, allowed)
-        cand_ids, cand_tfs, cand_dls = (
-            cand_ids[keep], cand_tfs[keep], cand_dls[keep])
-        scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
-        for t in terms_by_rarity[1:]:
-            if cand_ids.size == 0:
-                return out_empty
-            g = by_term[t].sort_values("first_doc_id")
-            firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
-            lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
-            lo = np.searchsorted(cand_ids, firsts, side="left")
-            hi = np.searchsorted(cand_ids, lasts, side="right")
-            touched = np.flatnonzero(hi > lo)
-            if touched.size == 0:
-                return out_empty
-            ids_t, tfs_t, _ = _decode_term(g.iloc[touched])
-            pos = np.searchsorted(ids_t, cand_ids)
-            pos_c = np.minimum(pos, ids_t.size - 1)
-            found = ids_t[pos_c] == cand_ids
-            if not found.any():
-                return out_empty
-            scores = scores[found] + idfs[t] * _tf_norm(
-                tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
-            cand_ids, cand_dls = cand_ids[found], cand_dls[found]
-        order = np.lexsort((cand_ids, -scores))[:k]
-        return pd.DataFrame({"doc_id": cand_ids[order],
-                             "score": scores[order]})
+        return _score_match_group(blocks_pdf, idfs, k, avgdl, k1, b, n_q,
+                                  disjunctive, terms_by_rarity,
+                                  allowed=allowed)
 
     local = blocks.groupBy("salt").cogroup(
         allowed_df.groupBy("salt")
     ).applyInPandas(score_salt, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _score_match_group(
+    blocks_pdf: pd.DataFrame,
+    idfs: dict[int, float],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    n_q: int,
+    disjunctive: bool,
+    terms_by_rarity: list[int],
+    allowed: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Per-(segment, salt) scoring kernel shared by the filtered,
+    multi-segment and filtered-multi-segment paths: one salt group's
+    posting blocks for all query terms -> local top-k (doc_id, score).
+
+    ``allowed``: SORTED array of doc ids permitted into the top-k
+    (ES filter context — scores already carry corpus-global stats), or
+    None for unfiltered. Conjunctive: rarest-first intersection with
+    block skipping (only blocks whose [first,last] range can hold a
+    surviving candidate are decoded); disjunctive: MaxScore
+    (:func:`_wand_or_topk`); single-term: block-max pruned scan."""
+    out_empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64"),
+    })
+    if not len(blocks_pdf):
+        return out_empty
+    if allowed is not None and allowed.size == 0:
+        return out_empty
+    by_term = {t: g for t, g in blocks_pdf.groupby("term_id")}
+    if disjunctive and len(by_term) > 1:
+        ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b,
+                                    allowed=allowed)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+    if not disjunctive and len(by_term) < n_q:
+        return out_empty
+    if len(by_term) == 1:
+        t = next(iter(by_term))
+        ids, scores = _single_term_topk(by_term[t], idfs[t], k,
+                                        avgdl, k1, b, allowed=allowed)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+    t0 = terms_by_rarity[0]
+    cand_ids, cand_tfs, cand_dls = _decode_term(by_term[t0])
+    if allowed is not None:
+        keep = _in_sorted(cand_ids, allowed)
+        cand_ids, cand_tfs, cand_dls = (
+            cand_ids[keep], cand_tfs[keep], cand_dls[keep])
+    scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
+    for t in terms_by_rarity[1:]:
+        if cand_ids.size == 0:
+            return out_empty
+        g = by_term[t].sort_values("first_doc_id")
+        firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+        lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+        # block skipping: decode only blocks holding candidates
+        lo = np.searchsorted(cand_ids, firsts, side="left")
+        hi = np.searchsorted(cand_ids, lasts, side="right")
+        touched = np.flatnonzero(hi > lo)
+        if touched.size == 0:
+            return out_empty
+        ids_t, tfs_t, _ = _decode_term(g.iloc[touched])
+        pos = np.searchsorted(ids_t, cand_ids)
+        pos_c = np.minimum(pos, ids_t.size - 1)
+        found = ids_t[pos_c] == cand_ids
+        if not found.any():
+            return out_empty
+        scores = scores[found] + idfs[t] * _tf_norm(
+            tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
+        cand_ids, cand_dls = cand_ids[found], cand_dls[found]
+    order = np.lexsort((cand_ids, -scores))[:k]
+    return pd.DataFrame({"doc_id": cand_ids[order],
+                         "score": scores[order]})
 
 
 def search_topk_multi(
@@ -496,6 +527,7 @@ def search_topk_multi(
     query_text: str,
     k: int,
     operator: str = "and",
+    doc_filter: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 across SEVERAL independently-built index segments with
     EXACT global statistics — the incremental-maintenance path for a
@@ -517,6 +549,14 @@ def search_topk_multi(
     ``max(1, avgdl_global/avgdl_seg)`` upper-bounds the true global
     value (proof in-line below), so block-max/MaxScore skipping never
     drops a true top-k doc.
+
+    ``doc_filter``: optional SQL predicate over doc_stats columns —
+    match + filter fanned out over segments is the reference's actual
+    production query (weekly ``prefix-*`` indices with a ts-range
+    filter, src/jobsautoreport/main.py:70-72 + query.py:28-99). ES
+    filter-context semantics as in :func:`search_topk_filtered`:
+    corpus-global stats, per-segment doc_stats scan with the predicate
+    pushed down, allowed ids cogrouped with blocks per (segment, salt).
     """
     metas = []
     for d in index_dirs:
@@ -593,49 +633,40 @@ def search_topk_multi(
         for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
     ]
 
+    if doc_filter is not None:
+        # per-segment doc_stats scan (predicate pushed down), salted with
+        # THAT segment's n_ranges so allowed ids land in the same group
+        # as their posting blocks
+        allowed_df = None
+        for si, (d, m) in enumerate(zip(index_dirs, metas)):
+            part = (
+                spark.read.parquet(IndexPaths(d).doc_stats)
+                .where(doc_filter)
+                .select(
+                    "doc_id",
+                    salt_expr(F.col("doc_id"), int(m["n_ranges"]))
+                    .alias("salt"))
+                .withColumn("seg", F.lit(si))
+            )
+            allowed_df = (part if allowed_df is None
+                          else allowed_df.unionByName(part))
+
+        def score_group_f(blocks_pdf: pd.DataFrame,
+                          allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+            allowed = np.sort(
+                allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+            return _score_match_group(blocks_pdf, idfs, k, avgdl, k1, b,
+                                      n_q, disjunctive, terms_by_rarity,
+                                      allowed=allowed)
+
+        local = blocks.groupBy("seg", "salt").cogroup(
+            allowed_df.groupBy("seg", "salt")
+        ).applyInPandas(score_group_f, schema="doc_id long, score double")
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame({
-            "doc_id": pd.Series([], dtype="int64"),
-            "score": pd.Series([], dtype="float64"),
-        })
-        by_term = {t: g for t, g in pdf.groupby("term_id")}
-        if disjunctive and len(by_term) > 1:
-            ids, scores = _wand_or_topk(by_term, idfs, k, avgdl, k1, b)
-            return pd.DataFrame({"doc_id": ids, "score": scores})
-        if not disjunctive and len(by_term) < n_q:
-            return out_empty
-        if len(by_term) == 1:
-            t = next(iter(by_term))
-            ids, scores = _single_term_topk(
-                by_term[t], idfs[t], k, avgdl, k1, b)
-            return pd.DataFrame({"doc_id": ids, "score": scores})
-        t0 = terms_by_rarity[0]
-        cand_ids, cand_tfs, cand_dls = _decode_term(by_term[t0])
-        scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
-        for t in terms_by_rarity[1:]:
-            if cand_ids.size == 0:
-                return out_empty
-            g = by_term[t].sort_values("first_doc_id")
-            firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
-            lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
-            # block skipping: decode only blocks holding candidates
-            lo = np.searchsorted(cand_ids, firsts, side="left")
-            hi = np.searchsorted(cand_ids, lasts, side="right")
-            touched = np.flatnonzero(hi > lo)
-            if touched.size == 0:
-                return out_empty
-            ids_t, tfs_t, _ = _decode_term(g.iloc[touched])
-            pos = np.searchsorted(ids_t, cand_ids)
-            pos_c = np.minimum(pos, ids_t.size - 1)
-            found = ids_t[pos_c] == cand_ids
-            if not found.any():
-                return out_empty
-            scores = scores[found] + idfs[t] * _tf_norm(
-                tfs_t[pos_c[found]], cand_dls[found], avgdl, k1, b)
-            cand_ids, cand_dls = cand_ids[found], cand_dls[found]
-        order = np.lexsort((cand_ids, -scores))[:k]
-        return pd.DataFrame({"doc_id": cand_ids[order],
-                             "score": scores[order]})
+        return _score_match_group(pdf, idfs, k, avgdl, k1, b, n_q,
+                                  disjunctive, terms_by_rarity)
 
     local = blocks.groupBy("seg", "salt").applyInPandas(
         score_group, schema="doc_id long, score double"

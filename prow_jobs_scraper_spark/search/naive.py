@@ -97,8 +97,9 @@ def naive_bm25_topk(
     agg = scored.groupBy("doc_id").agg(
         F.sum("part_score").alias("score"),
         F.count(F.lit(1)).alias("n_terms_hit"))
-    if operator == "and":  # disjunctive: any term hit qualifies
+    if operator == "and":  # AND: keep only docs hitting every term
         agg = agg.where(F.col("n_terms_hit") == len(q_terms))
+    # (implicit else — OR: any term hit qualifies, no filter)
     if post_filter:  # filter BEFORE the top-k, never the scores
         agg = agg.join(docs_df.where(post_filter).select("doc_id"),
                        "doc_id", "left_semi")

@@ -162,16 +162,52 @@ def _partition_columns(path: str) -> list[str]:
 
 
 def recover_table(path: str) -> bool:
-    """Heal an unpartitioned table whose staged swap crashed mid-way:
-    if ``path`` is missing but ``path + ".old"`` exists, the data is
-    intact under .old — restore it. Returns True if a recovery ran."""
+    """Heal an unpartitioned table whose staged swap crashed mid-way.
+
+    Two crash states exist:
+    - ``path`` missing, ``path + ".old"`` present — the crash hit between
+      the two renames; the data is intact under .old: restore it.
+    - BOTH present — the swap completed but the final ``rmtree(.old)``
+      didn't; the live table is authoritative: drop the stale .old (if it
+      survived, a later swap's ``move(path, path + ".old")`` would nest
+      the live table INSIDE it, wedging recovery).
+    Returns True if a recovery ran."""
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     if not os.path.exists(path) and os.path.exists(path + ".old"):
         shutil.move(path + ".old", path)
         return True
+    if os.path.exists(path) and os.path.exists(path + ".old"):
+        shutil.rmtree(path + ".old")
+        return True
     return False
+
+
+def _locate_partition_dir(path: str, part_cols: list[str],
+                          values: tuple) -> str:
+    """Resolve a partition tuple's on-disk directory by LISTING and
+    unescaping real names, never by reconstructing ``col=value`` —
+    Spark's partition layer Hive-escapes special chars (':', '%', '#',
+    …) as %XX (e.g. a timestamp partition lands as
+    ``ts=2024-05-01 00%3A00%3A00``), so a naive f-string path silently
+    misses those dirs. Raises if the partition is not found."""
+    import os  # noqa: PLC0415
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    p = path
+    for c, v in zip(part_cols, values):
+        want = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        match = None
+        for d in os.listdir(p):
+            if d.startswith(c + "=") and unquote(d[len(c) + 1:]) == want:
+                match = d
+                break
+        if match is None:
+            raise FileNotFoundError(
+                f"partition dir for {c}={want!r} not found under {p}")
+        p = os.path.join(p, match)
+    return p
 
 
 def upsert_by_key(spark: SparkSession, path: str, updates: DataFrame,
@@ -287,13 +323,13 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> None:
             # rerun after a crash here they are re-affected and re-empty)
             kept = {tuple(r) for r in
                     staged.select(*part_cols).distinct().collect()}
-            import os  # noqa: PLC0415
-
             for row in affected:
                 if tuple(row) not in kept:
-                    sub = os.path.join(
-                        path, *(f"{c}={v}" for c, v in zip(part_cols, row)))
-                    shutil.rmtree(sub, ignore_errors=True)
+                    # located via listdir + unescape, and rmtree fails
+                    # loudly — a silently-missed dir would resurrect the
+                    # deleted rows
+                    shutil.rmtree(
+                        _locate_partition_dir(path, part_cols, tuple(row)))
         else:
             df.where(f"NOT ({condition})").write.mode("overwrite").parquet(
                 staging)

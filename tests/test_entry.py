@@ -62,18 +62,21 @@ def test_query_matches_oracle(spark, duck, name):
             assert g.tolist() == w.tolist(), f"{name}.{c} values differ"
 
 
-def test_rows_only_queries_run(spark):
-    for name, fn in E.queries().items():
-        if name in E.oracle_sql() or name == "transcripts_bm25_compressed":
-            continue
-        df = fn(spark, SF_DIR)
-        assert df.count() >= 0, name
+def test_every_query_has_an_oracle(spark):
+    # round-3 goal: zero rows-only entries — every queries() key must
+    # carry a DuckDB oracle (the driver's strong check)
+    missing = [n for n in E.queries() if n not in E.oracle_sql()]
+    assert missing == [], missing
 
 
-def test_transcripts_bm25_compressed_entry(spark):
-    df = E.queries()["transcripts_bm25_compressed"](spark, SF_DIR)
-    pdf = df.toPandas()
-    assert len(pdf) > 0 and list(pdf.columns) == ["doc_id", "score"]
+def test_bm25_compressed_entry_matches_naive_entry(spark):
+    # the compressed entry answers the SAME query as bm25_topk from the
+    # built index — rank and rounded score must agree exactly
+    want = E.queries()["bm25_topk"](spark, SF_DIR).toPandas()
+    got = E.queries()["bm25_compressed_topk"](spark, SF_DIR).toPandas()
+    assert list(got.columns) == ["doc_id", "rank", "score"]
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
 
 
 def test_entry_smoke(spark):

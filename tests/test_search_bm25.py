@@ -333,3 +333,42 @@ def test_filtered_search_matches_filtered_oracle(spark, transcripts,
     none = search_topk_filtered(spark, index_dir, "spark", 5,
                                 "role = 'no_such_role'")
     assert none.count() == 0
+
+
+def test_filtered_multi_segment_matches_filtered_single(
+        spark, transcripts, index_dir, tmp_path):
+    # the reference's REAL production query: match + filter fanned out
+    # over weekly indices (src/jobsautoreport/main.py:70-72 +
+    # query.py:28-99) — filtered retrieval ACROSS segments must be
+    # rank- and score-identical to filtered search on the one-segment
+    # index (corpus-global stats, per-segment allowed-id cogroups)
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk_filtered,
+        search_topk_multi,
+    )
+
+    half_a = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    da, db = str(tmp_path / "fseg_a"), str(tmp_path / "fseg_b")
+    build_index(spark, half_a, da, BuildConfig(n_ranges=8, n_buckets=4))
+    # segments deliberately disagree on layout (buckets AND salts)
+    build_index(spark, half_b, db, BuildConfig(n_ranges=4, n_buckets=2))
+
+    full = with_doc_ids(transcripts).select("ts").toPandas()
+    t_lo, t_hi = full["ts"].quantile(0.25), full["ts"].quantile(0.75)
+    doc_filter = (
+        f"role = 'assistant' AND ts >= timestamp'{t_lo}' "
+        f"AND ts < timestamp'{t_hi}'"
+    )
+    for qt, op in [("spark agent", "and"), ("the_hot_term", "and"),
+                   ("the_hot_term w01000", "or")]:
+        want = search_topk_filtered(spark, index_dir, qt, 10, doc_filter,
+                                    operator=op).toPandas()
+        got = search_topk_multi(spark, [da, db], qt, 10, operator=op,
+                                doc_filter=doc_filter).toPandas()
+        _assert_rank_identical(got, want, f"filtered-multi-{op}:{qt}")
+
+    # all-excluding filter across segments -> empty, not an error
+    none = search_topk_multi(spark, [da, db], "spark", 5,
+                             doc_filter="role = 'no_such_role'")
+    assert none.count() == 0
