@@ -155,7 +155,9 @@ def media_from_docs(docs: DataFrame, id_col: str = "doc_id",
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.struct(
             (F.pmod(F.col(id_col), F.lit(13)) + 4).cast("int").alias("width"),
-            (F.pmod(F.col(id_col) * 7, F.lit(13)) + 4)
+            # reduce mod 13 BEFORE the ×7: id*7 overflows int64 (ANSI
+            # error) near the extremes; pmod(pmod(id,13)*7,13) is equal
+            (F.pmod(F.pmod(F.col(id_col), F.lit(13)) * 7, F.lit(13)) + 4)
              .cast("int").alias("height"),
             F.when(kind == "audio", 16000).otherwise(0)
              .cast("int").alias("sample_rate"),

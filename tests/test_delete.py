@@ -160,3 +160,50 @@ def test_upsert_unpartitioned(spark, tmp_path):
     upsert_by_key(spark, p, ups, ["id"])
     got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
     assert got[3] == 777 and got[99] == 888 and len(got) == 51
+
+
+def test_delete_removes_emptied_partition_with_escaped_value(spark,
+                                                             tmp_path):
+    # Hive-escapes special chars in partition values on disk (':' →
+    # %3A, so a timestamp partition dir is 'ts=2024-05-01 00%3A00%3A00').
+    # Emptied-partition cleanup must locate the REAL dir by listing +
+    # unescaping, not by reconstructing 'col=value' naively — the old
+    # f-string path silently missed these and the rows survived.
+    p = str(tmp_path / "by_ts")
+    df = spark.createDataFrame(
+        [(1, "2024-05-01 00:00:00"), (2, "2024-05-01 00:00:00"),
+         (3, "2024-06-01 00:00:00")],
+        "id long, ts_s string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"))
+    df.write.partitionBy("ts").parquet(p)
+    # the escaped dir really is on disk
+    assert any("%3A" in d for d in os.listdir(p)), os.listdir(p)
+
+    delete_where(spark, p, "ts = timestamp'2024-05-01 00:00:00'")
+    got = spark.read.parquet(p)
+    assert got.count() == 1 and got.where("id = 3").count() == 1
+    # the emptied escaped partition dir is GONE (not silently missed)
+    assert not any("2024-05-01" in d for d in os.listdir(p)), os.listdir(p)
+
+
+def test_recover_table_drops_stale_old_after_completed_swap(spark,
+                                                            tmp_path):
+    # crash state: swap completed (live table in place) but the final
+    # rmtree(.old) didn't run. recover_table must drop the stale .old —
+    # otherwise the NEXT swap's move(path, path+'.old') nests the live
+    # table inside it and a crash there wedges recovery.
+    p = str(tmp_path / "flat_stale")
+    spark.range(20).select("id", (F.col("id") % 4).alias("m")).write.parquet(p)
+    os.makedirs(p + ".old", exist_ok=True)
+    with open(p + ".old/junk.parquet", "w") as f:
+        f.write("stale")
+
+    assert recover_table(p)          # heals: stale .old removed
+    assert not os.path.exists(p + ".old")
+    assert spark.read.parquet(p).count() == 20
+
+    # and the healing happens on entry of a delete too
+    os.makedirs(p + ".old", exist_ok=True)
+    delete_where(spark, p, "m = 0")
+    assert not os.path.exists(p + ".old")
+    assert spark.read.parquet(p).count() == 15

@@ -85,3 +85,23 @@ def test_frame_sampling(spark):
     want = sum(len(range(0, r["n_frames"], 2)) for r in vids)
     assert len(pdf) == want
     assert (pdf["frame_idx"] % 2 == 0).all()
+
+
+def test_media_from_docs_total_over_negative_ids(spark):
+    # engine doc ids are xxhash64 — negative about half the time. The
+    # kind/meta mapping must be total (pmod, not signed %): every id
+    # maps, no 'array index 0' runtime error, meta dims stay positive.
+    from prow_jobs_scraper_spark.operators.multimodal import media_from_docs
+
+    docs = spark.createDataFrame(
+        [(-1, "a"), (-2, "b"), (-3, "c"), (0, "d"), (5, "e"),
+         (-(1 << 62), "f")],
+        "doc_id long, text string")
+    out = media_from_docs(docs).collect()
+    assert len(out) == 6
+    kinds = {r["media_id"]: r["kind"] for r in out}
+    assert kinds[-1] == "video" and kinds[-2] == "audio"  # pmod(-1,3)=2
+    for r in out:
+        assert r["kind"] in ("image", "audio", "video")
+        assert r["meta"]["width"] >= 4 and r["meta"]["height"] >= 4
+        assert r["meta"]["n_frames"] >= 1
