@@ -27,6 +27,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a small single-file scan out across the cluster before
+    per-doc-heavy stages (signatures, pandas UDFs): the sf documents
+    table is ONE unsplittable parquet file, so every downstream map
+    stage would otherwise run serially in 1 task (measured 2x on the
+    minhash entry). No-op when the scan already has enough splits —
+    i.e. never fires on a real at-scale corpus, where a repartition
+    would be a full-corpus shuffle."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def _toks(col):
     from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
 
@@ -285,10 +299,12 @@ def _exact_dedup(spark, sf_dir):
 
 
 def _unigram_jaccard(spark, sf_dir):
-    # token-set Jaccard near-dup pairs (exact verification path)
+    # token-set Jaccard near-dup pairs (exact verification path).
+    # _spread: 17x measured at sf0.1 — the tokenize/explode stages were
+    # serial on the single-file scan
     from prow_jobs_scraper_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     out = ngram_jaccard_pairs(d, shingle_n=1, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -536,7 +552,7 @@ def _doc_fingerprints(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.dedup import md5_token_hash
     from prow_jobs_scraper_spark.operators.textqc import fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return fingerprint(d, hash_expr=md5_token_hash).select(
         "doc_id", "fingerprint")
 
@@ -556,11 +572,7 @@ def _minhash_candidates(spark, sf_dir):
         minhash_band_candidates,
     )
 
-    # the sf documents table is ONE parquet file -> a single input split;
-    # spread rows so the signature UDF uses every core (at real scale the
-    # source arrives already multi-partition and this is a no-op cost)
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     cands = minhash_band_candidates(d, n_hashes=64, bands=32, shingle_n=3)
     out = exact_jaccard_for_pairs(d, cands, shingle_n=3)
     return (
@@ -581,8 +593,7 @@ def _simhash_pairs(spark, sf_dir):
         simhash_near_dup_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)  # single-file source
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(d, max_hamming=3,
                                   hash_expr=md5_token_hash, n_bits=60)
 
@@ -648,7 +659,7 @@ def _media_features(spark, sf_dir):
         media_from_docs,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return extract_features(media_from_docs(d)).select(
         "media_id", "kind", "n_bytes")
 

