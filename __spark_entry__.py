@@ -111,6 +111,26 @@ def _bm25_filtered_topk(spark, sf_dir):
     )
 
 
+def _phrase_match(spark, sf_dir):
+    """ES ``match_phrase`` shape, oracle-checked: docs containing the
+    phrase tokens ADJACENT and IN ORDER, scored by BM25 over the
+    phrase's distinct terms (corpus-global stats). Adjacency = substring
+    containment over the space-joined token array — replicated exactly
+    in the DuckDB oracle via array_to_string + position(). The
+    index-accelerated twin (search_phrase: conjunctive candidates from
+    the compressed index -> corpus adjacency re-check) is pytest-gated
+    rank-identical to this plan."""
+    from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = naive_phrase_topk(docs, "table hash", 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -695,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25_topk,
         "bm25_topk_or": _bm25_topk_or,
         "bm25_filtered_topk": _bm25_filtered_topk,
+        "phrase_match": _phrase_match,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -778,6 +799,35 @@ _BM25_FILTERED_SQL = _BM25_SQL.replace(
     "FROM sc WHERE nt = 2",
     "FROM sc WHERE doc_id IN (SELECT doc_id FROM documents "
     "WHERE lang = 'en')")
+
+# match_phrase twin: BM25 scoring over the phrase's distinct terms
+# (identical CTE shape), gated on the exact adjacency-in-order check —
+# the same space-joined-tokens substring predicate the engine uses
+_PHRASE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('table','hash') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+ph AS (
+  SELECT doc_id FROM toks
+  WHERE position(' table hash ' IN
+                 ' ' || array_to_string(t, ' ') || ' ') > 0),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score
+FROM sc WHERE doc_id IN (SELECT doc_id FROM ph)
+ORDER BY sc.score DESC, doc_id LIMIT 10
+"""
 
 _FLAKINESS_SQL = """
 WITH e AS (
@@ -976,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         # same oracle as bm25_topk: the compressed entry must reproduce
         # the naive plan's rows exactly (build→codec→block-max scoring)
         "bm25_compressed_topk": _BM25_SQL,
+        "phrase_match": _PHRASE_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

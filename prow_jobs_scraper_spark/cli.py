@@ -59,7 +59,20 @@ def cmd_search(args) -> dict:
     t0 = time.time()
     dirs = args.index.split(",")
     flt = getattr(args, "filter", None)
-    if len(dirs) > 1:  # incremental segments: base,delta1,delta2,...
+    if getattr(args, "phrase", False):
+        from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+            search_phrase,
+        )
+
+        if not args.corpus:
+            raise SystemExit(
+                "--phrase needs --corpus (adjacency re-check source)")
+        if len(dirs) > 1 or flt:
+            raise SystemExit("--phrase supports one index, no --filter")
+        rows = search_phrase(spark, dirs[0],
+                             spark.read.parquet(args.corpus),
+                             args.query, args.k).collect()
+    elif len(dirs) > 1:  # incremental segments: base,delta1,delta2,...
         rows = search_topk_multi(spark, dirs, args.query, args.k,
                                  operator=args.operator,
                                  doc_filter=flt).collect()
@@ -134,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="SQL predicate over doc_stats columns (ts, role, "
                         "conv_id, turn_idx, dl) — the reference's ES bool "
                         "shape: match + filter, single- or multi-segment")
+    s.add_argument("--phrase", action="store_true",
+                   help="treat --query as an exact phrase (match_phrase): "
+                        "index candidates + adjacency re-check")
+    s.add_argument("--corpus", default=None,
+                   help="source corpus parquet for the --phrase "
+                        "adjacency re-check")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(

@@ -839,3 +839,109 @@ def search_topk_many(
         # row set — the window filter + join above don't guarantee it
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    docs_df: DataFrame,
+    phrase_text: str,
+    k: int,
+) -> DataFrame:
+    """Phrase top-k (ES ``match_phrase`` shape) from the compressed
+    index + adjacency verification against the source corpus.
+
+    Two stages, both exact:
+    1. the index prunes to CONJUNCTIVE candidates — every doc containing
+       all phrase terms, scored, with NO top-k cut (a phrase doc may sit
+       arbitrarily deep in the match ranking, so cutting early would be
+       wrong);
+    2. candidates semi-join back to ``docs_df`` where a Catalyst
+       substring predicate over the space-joined token array verifies
+       adjacency-in-order (exact: tokens never contain spaces), then the
+       global top-k.
+
+    Candidate cardinality — not corpus size — bounds the text re-check;
+    at scale the join-back is where an Iceberg bloom filter / z-order on
+    doc_id would prune the corpus read. Positions are deliberately NOT
+    stored in the index: position lists multiply posting bytes for one
+    query shape (ES itself makes them optional via ``index_options``),
+    and candidate re-check against the store is the standard trade.
+    Scoring = BM25 over the phrase's distinct terms with corpus-global
+    stats (same formula as ``match``; rank-identical to
+    :func:`..naive.naive_phrase_topk`, tested).
+    """
+    from prow_jobs_scraper_spark.functions.tokenize import (  # noqa: PLC0415
+        tokenize_column,
+    )
+    from prow_jobs_scraper_spark.index.build import (  # noqa: PLC0415
+        with_doc_ids,
+    )
+
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b, n_buckets = (float(meta["k1"]), float(meta["b"]),
+                        int(meta["n_buckets"]))
+
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    phrase_terms = tokenize_text(phrase_text)  # ordered, duplicates kept
+    if not phrase_terms or n_docs == 0 or k <= 0:
+        return empty
+
+    q_terms = sorted(set(phrase_terms))
+    tid_of = {t: term_id_py(t) for t in q_terms}
+    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
+    q_term_ids = list(tid_of.values())
+    stats = (
+        spark.read.parquet(paths.term_stats)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "df").collect()
+    )
+    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    if any(tid not in df_of_tid for tid in q_term_ids):
+        return empty  # phrase implies conjunctive
+    idfs = {
+        tid_of[t]: math.log(
+            1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
+            / (df_of_tid[tid_of[t]] + 0.5))
+        for t in q_terms
+    }
+    terms_by_rarity = [
+        tid_of[t]
+        for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
+    ]
+
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
+                "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
+                "block_max_tf_norm")
+    )
+    n_q = len(q_terms)
+    k_all = 1 << 62  # no cut — every conjunctive candidate survives
+
+    def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_match_group(pdf, idfs, k_all, avgdl, k1, b, n_q,
+                                  False, terms_by_rarity)
+
+    cand = blocks.groupBy("salt").applyInPandas(
+        score_all, schema="doc_id long, score double")
+
+    if "doc_id" not in docs_df.columns:
+        docs_df = with_doc_ids(docs_df)
+    joined = F.concat(
+        F.lit(" "),
+        F.array_join(tokenize_column(F.col("text")), " "), F.lit(" "))
+    needle = " " + " ".join(phrase_terms) + " "
+    verified = (
+        docs_df.join(cand.select("doc_id"), "doc_id", "left_semi")
+        .where(F.instr(joined, needle) > 0)
+        .select("doc_id")
+    )
+    return (
+        cand.join(verified, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -115,3 +115,69 @@ def naive_bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def naive_phrase_topk(
+    docs_df: DataFrame,
+    phrase_text: str,
+    k: int,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Phrase match (ES ``match_phrase`` shape): top-k docs containing
+    the query tokens ADJACENT and IN ORDER, scored by BM25 over the
+    phrase's distinct terms (corpus-global stats, same formula as
+    ``match`` — the engine's documented phrase-scoring semantics; it
+    does not reproduce ES's position-based phrase frequency).
+
+    Adjacency is a pure Catalyst predicate: tokens joined on single
+    spaces and wrapped in sentinels, then a substring containment —
+    exact because tokens never contain spaces. Like the match path,
+    scoring is map-side; the only exchange is the top-k merge.
+    """
+    params = params or BM25Params()
+    spark = docs_df.sparkSession
+    phrase_terms = tokenize_text(phrase_text)  # ordered, duplicates kept
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if not phrase_terms:
+        return empty
+
+    if "doc_id" not in docs_df.columns:
+        docs_df = with_doc_ids(docs_df)
+    q_terms = sorted(set(phrase_terms))
+    docs = docs_df.select(
+        "doc_id", tokenize_column(F.col("text")).alias("tokens"))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("tokens")).alias("avgdl"),
+        *[F.sum(F.array_contains("tokens", t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(q_terms)],
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    if n_docs == 0:
+        return empty
+    dfs = {t: int(row[f"df_{i}"] or 0) for i, t in enumerate(q_terms)}
+    if any(dfs[t] == 0 for t in q_terms):
+        return empty  # phrase implies conjunctive
+
+    import math  # noqa: PLC0415
+
+    k1, b = params.k1, params.b
+    base = docs_df.withColumn("tokens", tokenize_column(F.col("text")))
+    joined = F.concat(F.lit(" "), F.array_join("tokens", " "), F.lit(" "))
+    needle = " " + " ".join(phrase_terms) + " "
+    dl = F.size("tokens").cast("double")
+    denom = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = F.lit(0.0)
+    for t in q_terms:
+        idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.size(
+            F.filter(F.col("tokens"),
+                     (lambda tt: (lambda x: x == F.lit(tt)))(t))
+        ).cast("double")
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
+    return (
+        base.where(F.instr(joined, needle) > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -59,6 +59,14 @@ def test_cli_round_trip(spark, tmp_path, capsys):
     scores = [h["score"] for h in r2["hits"]]
     assert scores == sorted(scores, reverse=True)
 
+    # phrase search: index candidates + adjacency re-check vs --corpus
+    r3 = _run(capsys, ["search", "--index", idx, "--query",
+                       "the_hot_term spark", "--k", "5",
+                       "--phrase", "--corpus", corpus])
+    assert len(r3["hits"]) == 5  # the synth corpus contains this bigram
+    scores3 = [h["score"] for h in r3["hits"]]
+    assert scores3 == sorted(scores3, reverse=True)
+
 
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):

@@ -372,3 +372,37 @@ def test_filtered_multi_segment_matches_filtered_single(
     none = search_topk_multi(spark, [da, db], "spark", 5,
                              doc_filter="role = 'no_such_role'")
     assert none.count() == 0
+
+
+def test_phrase_search_naive_vs_compressed(spark, transcripts, oracle_docs,
+                                           index_dir):
+    # ES match_phrase shape: adjacency-in-order gating, BM25-over-terms
+    # scoring. Compressed path (index candidates -> corpus adjacency
+    # re-check) must be rank- and score-identical to the naive
+    # DataFrame plan, including the duplicate-token phrase (one unique
+    # term, adjacency still binding) and a never-adjacent pair.
+    import re
+
+    from prow_jobs_scraper_spark.search.compressed import search_phrase
+    from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
+
+    for phrase in ("the_hot_term spark", "w04999 w04999", "spark agent",
+                   "zzz_missing spark"):
+        want = naive_phrase_topk(transcripts, phrase, 10).toPandas()
+        got = search_phrase(spark, index_dir, transcripts, phrase,
+                            10).toPandas()
+        _assert_rank_identical(got, want, f"phrase:{phrase}")
+
+    # ground-truth adjacency check against raw python tokenization
+    got = search_phrase(spark, index_dir, transcripts,
+                        "the_hot_term spark", 10).toPandas()
+    assert len(got) == 10
+    texts = dict(oracle_docs[["doc_id", "text"]].itertuples(index=False))
+    for did in got["doc_id"]:
+        toks = re.findall(r"[a-z0-9_]+", texts[did].lower())
+        assert ("the_hot_term", "spark") in set(zip(toks, toks[1:])), did
+
+    # phrase matches are a subset of the conjunctive match candidates
+    full_match = search_topk(spark, index_dir, "the_hot_term spark",
+                             10_000).toPandas()
+    assert set(got["doc_id"]) <= set(full_match["doc_id"])
