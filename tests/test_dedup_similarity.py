@@ -213,3 +213,46 @@ def test_ivf_kmeans_refinement_improves_quantization(spark, tmp_path):
     q = [float(x) for x in vecs[10]]
     got = S.ivf_probe_topk(spark, d, q, 5, n_probe=1).collect()
     assert got[0]["vec_id"] == 10  # own vector found probing ONE list
+
+
+def test_ivfpq_probe_recall_and_exactness(spark, tmp_path):
+    # IVF-PQ: ADC candidates + exact rescore. On a clustered corpus the
+    # probe must (a) find the query's own vector probing one list,
+    # (b) reach high recall@10 vs brute force at modest n_probe/refine,
+    # (c) return EXACT cosines for whatever it returns (rescore stage).
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs = np.concatenate([
+        c + rng.standard_normal((80, 32)) * 0.25 for c in centers
+    ]).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    d = str(tmp_path / "ivfpq")
+    meta = S.build_ivfpq_index(emb, d, n_lists=8, m=8, seed=3,
+                               sample_n=640)
+    assert meta["m"] == 8 and meta["dsub"] == 4
+
+    q = [float(x) for x in vecs[17]]
+    got = S.ivfpq_probe_topk(spark, d, q, 10, n_probe=2,
+                             refine=8).toPandas()
+    assert got["vec_id"].iloc[0] == 17  # own vector, exact cosine ~1
+    assert got["cosine"].iloc[0] > 0.999
+
+    want = S.brute_force_topk(emb, q, 10).toPandas()
+    recall = len(set(got["vec_id"]) & set(want["vec_id"])) / 10
+    assert recall >= 0.8, (recall, got, want)
+
+    # rescored cosines are EXACT: every returned (id, cosine) matches
+    # the brute-force value bit-for-bit (same Catalyst expression)
+    bf = dict(zip(want["vec_id"], want["cosine"]))
+    for vid, cos in zip(got["vec_id"], got["cosine"]):
+        if vid in bf:
+            assert abs(cos - bf[vid]) < 1e-12
+
+    # codebook sidecar roundtrip feeds repeated probes client-side
+    books = S.load_pq_codebooks(spark, d)
+    C = S.load_ivf_centroids(spark, d)
+    again = S.ivfpq_probe_topk(spark, d, q, 10, n_probe=2, refine=8,
+                               centroids=C, codebooks=books).toPandas()
+    assert again["vec_id"].tolist() == got["vec_id"].tolist()
