@@ -682,10 +682,15 @@ def search_topk_many(
     """Batch top-k for a whole query set in ONE distributed pass.
 
     ``queries``: ``[{"query_id": str, "query_text": str, "k": int,
-    "operator": "and"|"or"}, ...]`` (operator optional, default "and";
-    "or" queries run the MaxScore kernel per salt group).
-    Returns ``(query_id, doc_id, score)`` — per query the same rows (and
-    tie order) :func:`search_topk` returns one at a time (tested equal).
+    "operator": "and"|"or", "doc_filter": str}, ...]`` (operator
+    optional, default "and"; "or" queries run the MaxScore kernel per
+    salt group; ``doc_filter`` optional — ES bool filter context per
+    query, same semantics as :func:`search_topk_filtered`; distinct
+    filters each get ONE pushed-down doc_stats scan shared by every
+    query using them, and the allowed ids cogroup with the blocks per
+    salt). Returns ``(query_id, doc_id, score)`` — per query the same
+    rows (and tie order) :func:`search_topk` /
+    :func:`search_topk_filtered` return one at a time (tested equal).
 
     Per-query execution pays ~2 Spark jobs of fixed overhead; a batch
     amortizes that to 2 jobs TOTAL: one stats fetch for the union of all
@@ -724,10 +729,16 @@ def search_topk_many(
     df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
 
     op_of = {q["query_id"]: q.get("operator", "and") for q in queries}
+    # distinct filter strings -> small int fid; queries share scans
+    flt_of = {q["query_id"]: q.get("doc_filter") for q in queries}
+    fid_of_str: dict[str, int] = {}
+    for f_ in flt_of.values():
+        if f_ is not None and f_ not in fid_of_str:
+            fid_of_str[f_] = len(fid_of_str)
 
     # per-query plan; conjunctive AND drops queries with any missing
     # term, disjunctive OR just drops the missing terms
-    plans = []  # (query_id, [tid by rarity], {tid: idf}, k, disjunctive)
+    plans = []  # (query_id, [tid by rarity], {tid: idf}, k, disj, fid)
     needed_tids: set[int] = set()
     for qid, ts in terms_of.items():
         if op_of[qid] == "or":
@@ -744,7 +755,9 @@ def search_topk_many(
         }
         order = [tid_of[t]
                  for t in sorted(ts, key=lambda t: (df_of_tid[tid_of[t]], t))]
-        plans.append((qid, order, idfs, k_of[qid], op_of[qid] == "or"))
+        fid = (fid_of_str[flt_of[qid]]
+               if flt_of[qid] is not None else None)
+        plans.append((qid, order, idfs, k_of[qid], op_of[qid] == "or", fid))
         needed_tids.update(order)
     if not plans:
         return empty
@@ -758,10 +771,18 @@ def search_topk_many(
                 "block_max_tf_norm")
     )
 
-    def score_salt(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_salt(pdf: pd.DataFrame,
+                   allowed_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term_id")}
         cache: dict[int, tuple] = {}
-        or_block_cache: dict = {}  # shared across this group's OR queries
+        # shared across this group's OR queries; stores RAW block
+        # decodes, so sharing stays correct across per-query filters
+        or_block_cache: dict = {}
+        fid_arrays: dict[int, np.ndarray] = {}
+        if allowed_pdf is not None and len(allowed_pdf):
+            for f_, g in allowed_pdf.groupby("fid"):
+                fid_arrays[int(f_)] = np.sort(
+                    g["doc_id"].to_numpy(dtype=np.int64))
 
         def decoded(tid: int):
             if tid not in cache:
@@ -769,7 +790,13 @@ def search_topk_many(
             return cache[tid]
 
         out_q, out_i, out_s = [], [], []
-        for qid, order, idfs, k, disjunctive in plans:
+        for qid, order, idfs, k, disjunctive, fid in plans:
+            allowed = None
+            if fid is not None:
+                allowed = fid_arrays.get(
+                    fid, np.empty(0, dtype=np.int64))
+                if allowed.size == 0:
+                    continue  # nothing allowed in this doc range
             if disjunctive:
                 present = [t for t in order if t in by_term]
                 if not present:
@@ -777,11 +804,12 @@ def search_topk_many(
                 if len(present) > 1:
                     ids, scores = _wand_or_topk(
                         {t: by_term[t] for t in present}, idfs, k,
-                        avgdl, k1, b, block_cache=or_block_cache)
+                        avgdl, k1, b, block_cache=or_block_cache,
+                        allowed=allowed)
                 else:
                     ids, scores = _single_term_topk(
                         by_term[present[0]], idfs[present[0]], k,
-                        avgdl, k1, b)
+                        avgdl, k1, b, allowed=allowed)
                 if ids.size:
                     out_q.extend([qid] * ids.size)
                     out_i.append(ids)
@@ -791,6 +819,12 @@ def search_topk_many(
                 continue  # some term absent from this doc range
             t0 = order[0]
             cand_ids, cand_tfs, cand_dls = decoded(t0)
+            if allowed is not None:
+                keep = _in_sorted(cand_ids, allowed)
+                cand_ids, cand_tfs, cand_dls = (
+                    cand_ids[keep], cand_tfs[keep], cand_dls[keep])
+                if cand_ids.size == 0:
+                    continue
             scores = idfs[t0] * _tf_norm(cand_tfs, cand_dls, avgdl, k1, b)
             dead = False
             for t in order[1:]:
@@ -825,9 +859,32 @@ def search_topk_many(
             "score": np.concatenate(out_s),
         })
 
-    local = blocks.groupBy("salt").applyInPandas(
-        score_salt, schema="query_id string, doc_id long, score double"
-    )
+    if fid_of_str:
+        # ONE pushed-down doc_stats scan per DISTINCT filter, salted to
+        # cogroup with the blocks (same shape as search_topk_filtered)
+        n_ranges = int(meta["n_ranges"])
+        allowed_df = None
+        for fstr, fid in fid_of_str.items():
+            part = (
+                spark.read.parquet(paths.doc_stats)
+                .where(fstr)
+                .select(F.lit(fid).alias("fid"), "doc_id",
+                        salt_expr(F.col("doc_id"), n_ranges).alias("salt"))
+            )
+            allowed_df = (part if allowed_df is None
+                          else allowed_df.unionByName(part))
+
+        local = blocks.groupBy("salt").cogroup(
+            allowed_df.groupBy("salt")
+        ).applyInPandas(
+            score_salt, schema="query_id string, doc_id long, score double")
+    else:
+        def score_salt_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+            return score_salt(pdf, None)
+
+        local = blocks.groupBy("salt").applyInPandas(
+            score_salt_plain,
+            schema="query_id string, doc_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     k_dim = spark.createDataFrame(list(k_of.items()), "query_id string, k int")
     return (

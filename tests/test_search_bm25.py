@@ -406,3 +406,45 @@ def test_phrase_search_naive_vs_compressed(spark, transcripts, oracle_docs,
     full_match = search_topk(spark, index_dir, "the_hot_term spark",
                              10_000).toPandas()
     assert set(got["doc_id"]) <= set(full_match["doc_id"])
+
+
+def test_batch_search_with_per_query_filters(spark, transcripts, index_dir):
+    # the reference's report issues MANY match+filter queries per run
+    # (main.py:70-72 loops query.py's bool shapes) — the batch path must
+    # answer each (query, filter) pair identically to the one-at-a-time
+    # filtered search, with distinct filters sharing one doc_stats scan
+    from prow_jobs_scraper_spark.search.compressed import (
+        search_topk,
+        search_topk_filtered,
+        search_topk_many,
+    )
+
+    f1 = "role = 'assistant'"
+    f2 = "role = 'user'"
+    qs = [
+        {"query_id": "a", "query_text": "spark agent", "k": 5,
+         "doc_filter": f1},
+        {"query_id": "b", "query_text": "the_hot_term", "k": 7,
+         "operator": "or", "doc_filter": f2},
+        {"query_id": "c", "query_text": "spark agent", "k": 5},  # no filter
+        {"query_id": "d", "query_text": "the_hot_term w01000", "k": 5,
+         "operator": "or", "doc_filter": f1},
+        {"query_id": "e", "query_text": "spark", "k": 4,
+         "doc_filter": "role = 'no_such_role'"},  # excludes all docs
+    ]
+    batch = search_topk_many(spark, index_dir, qs).toPandas()
+
+    singles = {
+        "a": search_topk_filtered(spark, index_dir, "spark agent", 5, f1),
+        "b": search_topk_filtered(spark, index_dir, "the_hot_term", 7, f2,
+                                  operator="or"),
+        "c": search_topk(spark, index_dir, "spark agent", 5),
+        "d": search_topk_filtered(spark, index_dir, "the_hot_term w01000",
+                                  5, f1, operator="or"),
+    }
+    for qid, df in singles.items():
+        want = df.toPandas()
+        got = batch[batch["query_id"] == qid].reset_index(drop=True)
+        _assert_rank_identical(got, want, f"batch-filtered:{qid}")
+        assert len(got) > 0, qid
+    assert (batch["query_id"] == "e").sum() == 0  # all-excluding filter
