@@ -131,6 +131,35 @@ def _phrase_match(spark, sf_dir):
     )
 
 
+_BOOL_DSL_QUERY = {"query": {"bool": {
+    "must": [{"match": {"text": {"query": "key agg", "operator": "or"}}}],
+    "should": [{"match": {"text": "hash"}}],
+    "must_not": [{"match_phrase": {"text": "table hash"}}],
+    "filter": [{"term": {"lang": "en"}},
+               {"range": {"n_chars": {"gte": 100}}}],
+}}}
+
+
+def _bool_dsl_topk(spark, sf_dir):
+    """Full ES bool-query DSL, oracle-checked: the reference's raw query
+    JSON shape (src/jobsautoreport/query.py:28-99 pairs match clauses
+    with term/range filters) executed VERBATIM by the engine's DSL
+    compiler (search/dsl.py) — must (scored, operator:or) + should
+    (score boost when matched) + must_not (phrase exclusion) + filter
+    (term + range, never affects scores) in ONE map-side scoring pass.
+    The index-accelerated twin (search_dsl_indexed) is pytest-gated
+    rank-identical to this plan (tests/test_dsl.py)."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = search_dsl(docs, _BOOL_DSL_QUERY, 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -716,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or": _bm25_topk_or,
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_match": _phrase_match,
+        "bool_dsl_topk": _bool_dsl_topk,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -799,6 +829,47 @@ _BM25_FILTERED_SQL = _BM25_SQL.replace(
     "FROM sc WHERE nt = 2",
     "FROM sc WHERE doc_id IN (SELECT doc_id FROM documents "
     "WHERE lang = 'en')")
+
+# full bool-DSL twin of _BOOL_DSL_QUERY: must (or over key/agg, scored)
+# + should (hash score added when present) + must_not (adjacency-exact
+# phrase exclusion) + filter (term + range, score-neutral). Same BM25
+# CTE shape; per-context contributions split with CASE so the filter
+# context provably never touches the scores.
+_BOOL_DSL_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg','hash') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+ph AS (
+  SELECT doc_id FROM toks
+  WHERE position(' table hash ' IN
+                 ' ' || array_to_string(t, ' ') || ' ') > 0),
+sc AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN term IN ('key','agg') THEN
+               ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+               * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))
+             ELSE 0 END) AS must_score,
+         sum(CASE WHEN term = 'hash' THEN
+               ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+               * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))
+             ELSE 0 END) AS should_score,
+         sum(CASE WHEN term IN ('key','agg') THEN 1 ELSE 0 END) AS must_nt
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1)
+SELECT sc.doc_id,
+       row_number() OVER (
+         ORDER BY must_score + should_score DESC, sc.doc_id) AS rank,
+       round(must_score + should_score, 4) AS score
+FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+WHERE must_nt >= 1 AND d.lang = 'en' AND d.n_chars >= 100
+  AND sc.doc_id NOT IN (SELECT doc_id FROM ph)
+ORDER BY must_score + should_score DESC, sc.doc_id LIMIT 10
+""".replace("{toks}", _TOKS)
 
 # match_phrase twin: BM25 scoring over the phrase's distinct terms
 # (identical CTE shape), gated on the exact adjacency-in-order check —
@@ -1027,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         # the naive plan's rows exactly (build→codec→block-max scoring)
         "bm25_compressed_topk": _BM25_SQL,
         "phrase_match": _PHRASE_SQL,
+        "bool_dsl_topk": _BOOL_DSL_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -186,9 +186,12 @@ def tokenized_docs(transcripts: DataFrame) -> DataFrame:
     token arrays measured worse than recomputing (cache memory traffic
     anti-scales with cores; the regexp is linear-scaling CPU work).
     """
-    # ts/role ride along when present: doc_stats persists them as the
-    # filterable doc attributes behind search_topk_filtered
-    attrs = [c for c in ("ts", "role") if c in transcripts.columns]
+    # every non-text column rides along: doc_stats persists them as the
+    # filterable doc attributes behind search_topk_filtered and the ES
+    # bool-DSL metadata clauses (search/dsl.py) — the analogue of ES doc
+    # values, so a term/terms/range/exists filter never rescans the corpus
+    attrs = [c for c in transcripts.columns
+             if c not in ("text", "conv_id", "turn_idx", "doc_id")]
     return with_doc_ids(transcripts).select(
         "conv_id", "turn_idx", "doc_id",
         tokenize_column(F.col("text")).alias("tokens"), *attrs,
@@ -345,11 +348,12 @@ def build_index(
     # codegen work that scales linearly. Recompute beats cache.
     docs = tokenized_docs(transcripts)
     if not os.path.exists(os.path.join(paths.doc_stats, "_SUCCESS")):
-        # carry filterable doc attributes when the input has them — the
+        # carry every filterable doc attribute the input has — the
         # reference's bool queries pair a match with ts/role filters
-        # (query.py:28-99); search_topk_filtered reads these with the
-        # predicate pushed to this parquet scan
-        attrs = [c for c in ("ts", "role") if c in docs.columns]
+        # (query.py:28-99); search_topk_filtered and the DSL metadata
+        # clauses read these with the predicate pushed to this parquet scan
+        attrs = [c for c in docs.columns
+                 if c not in ("conv_id", "turn_idx", "doc_id", "tokens")]
         (
             docs.select(
                 "doc_id", "conv_id", "turn_idx",

@@ -1,0 +1,627 @@
+"""ES bool-query DSL compiler: the reference's query JSON, executed on Spark.
+
+The reference talks to OpenSearch in raw query DSL (reference
+src/jobsautoreport/query.py:28-99 — ``bool`` queries pairing a ``match``
+with ``range`` filters; src/prowjobsscraper/event.py:171 and
+src/elasticsearch_cleanup/consts.py:4 — ``match_all``). This module accepts
+those dicts VERBATIM and compiles them onto the engine's Spark plans, so a
+reference user can hand over the exact queries they send today.
+
+Grammar (ES subset = the reference's surface + the engine's search shapes)::
+
+    query        := {"query": clause} | clause
+    clause       := {"match_all": {}} | match | match_phrase | bool | meta
+    match        := {"match": {field: text | {"query": text,
+                                              "operator": "and"|"or"}}}
+    match_phrase := {"match_phrase": {field: text | {"query": text}}}
+    bool         := {"bool": {"must": clause|[clause...],
+                              "filter": clause|[clause...],
+                              "should": clause|[clause...],
+                              "must_not": clause|[clause...],
+                              "minimum_should_match": int}}
+    meta         := {"term": {field: value}} | {"terms": {field: [value...]}}
+                 |  {"range": {field: {"gte"|"gt"|"lte"|"lt": value, ...}}}
+                 |  {"exists": {"field": field}}
+
+Semantics (ES-faithful; deviations called out):
+
+- score = Σ must-clause scores + Σ MATCHED should-clause scores. Every
+  ``match`` scores BM25 with CORPUS-GLOBAL stats — filter context never
+  affects scores (same rule as :func:`..naive.naive_bm25_topk`).
+- ``match`` sums the contributions of terms PRESENT in the doc (a tf=0
+  term adds 0); ``operator`` gates qualification only: ``"and"`` = every
+  term, ``"or"`` (the ES default) = at least one.
+- ``match_phrase`` qualifies on adjacency-in-order and scores BM25 over
+  the phrase's distinct terms — the engine's documented phrase scoring
+  (:func:`..compressed.search_phrase`).
+- metadata clauses (term/terms/range/exists/match_all) qualify but score
+  0 wherever they appear. (ES gives a ``term`` inside ``must`` a small
+  constant score; the reference only ever uses them in filter context,
+  so the engine pins score-0 — a documented deviation.)
+- ``minimum_should_match`` defaults to 1 when the bool has no ``must``
+  and no ``filter``, else 0 — the ES rule.
+- ``bool``-in-``bool`` nesting is rejected (the reference never nests).
+
+Execution: :func:`search_dsl` compiles the WHOLE bool query into ONE
+map-side scoring pass — a single stats agg (corpus size, per-field avgdl,
+every clause term's df in one scan), then per-clause tf/score/hit row
+expressions folded into a single filter + TakeOrderedAndProject. No
+per-clause scans, no joins, one exchange (the top-k merge) — at 10^12
+turns the scoring stage stays embarrassingly parallel regardless of how
+many clauses the bool carries.
+
+:func:`search_dsl_indexed` answers the same query from the compressed
+index: per-clause score-all frames (salt-cogrouped block decode), combined
+with doc_id joins, metadata predicates resolved against ``doc_stats``.
+Rank-identity with the naive pass is pytest-gated (tests/test_dsl.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+from dataclasses import dataclass, field as _field
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prow_jobs_scraper_spark.functions.tokenize import (
+    tokenize_column,
+    tokenize_text,
+)
+from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
+from prow_jobs_scraper_spark.index.build import (
+    BM25Params,
+    IndexPaths,
+    with_doc_ids,
+)
+
+
+# --------------------------------------------------------------------------
+# parsed form
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TextClause:
+    """One scoring/matching full-text clause (match or match_phrase)."""
+
+    field: str
+    text: str
+    operator: str = "or"  # ES `match` default
+    phrase: bool = False
+
+
+@dataclass
+class QuerySpec:
+    """Normalized bool query: text clauses by context + SQL predicates."""
+
+    must: list[TextClause] = _field(default_factory=list)
+    should: list[TextClause] = _field(default_factory=list)
+    must_not: list[TextClause] = _field(default_factory=list)
+    filter_text: list[TextClause] = _field(default_factory=list)
+    filter_sql: list[str] = _field(default_factory=list)
+    must_not_sql: list[str] = _field(default_factory=list)
+    msm: int | None = None  # None -> ES default rule
+    match_all: bool = False
+
+    def minimum_should_match(self) -> int:
+        if self.msm is not None:
+            return self.msm
+        has_anchor = bool(self.must or self.filter_text or self.filter_sql
+                          or self.match_all)
+        return 0 if has_anchor else (1 if self.should else 0)
+
+
+class DslError(ValueError):
+    """Malformed or out-of-grammar ES query DSL."""
+
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+def _sql_lit(v) -> str:
+    """Render a JSON scalar as a SQL literal (DuckDB- and Spark-readable)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        esc = v.replace("'", "''")
+        return f"'{esc}'"
+    raise DslError(f"unsupported literal {v!r}")
+
+
+def _ident(field: str) -> str:
+    """Field name -> SQL identifier (dotted struct access passes through)."""
+    if not field or any(ch in field for ch in " ;'\""):
+        raise DslError(f"bad field name {field!r}")
+    return field
+
+
+_RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+
+
+def _compile_meta(kind: str, body: dict) -> str:
+    """term/terms/range/exists -> one SQL predicate string."""
+    if kind == "term":
+        (fld, v), = body.items()
+        if isinstance(v, dict):  # ES long form {"value": v}
+            v = v["value"]
+        return f"{_ident(fld)} = {_sql_lit(v)}"
+    if kind == "terms":
+        (fld, vals), = body.items()
+        if not isinstance(vals, (list, tuple)) or not vals:
+            raise DslError("terms clause needs a non-empty value list")
+        inner = ", ".join(_sql_lit(v) for v in vals)
+        return f"{_ident(fld)} IN ({inner})"
+    if kind == "range":
+        (fld, ops), = body.items()
+        parts = []
+        for op, v in ops.items():
+            if op in ("format", "time_zone"):  # ES formatting hints
+                continue
+            if op not in _RANGE_OPS:
+                raise DslError(f"range operator {op!r} not supported")
+            parts.append(f"{_ident(fld)} {_RANGE_OPS[op]} {_sql_lit(v)}")
+        if not parts:
+            raise DslError("range clause has no bounds")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "exists":
+        return f"{_ident(body['field'])} IS NOT NULL"
+    raise DslError(f"unsupported clause {kind!r}")
+
+
+def _parse_text(kind: str, body: dict) -> TextClause:
+    (fld, spec), = body.items()
+    if isinstance(spec, str):
+        text, operator = spec, "or"
+    elif isinstance(spec, dict):
+        text = spec["query"]
+        operator = spec.get("operator", "or")
+    else:
+        raise DslError(f"bad {kind} body {spec!r}")
+    if operator not in ("and", "or"):
+        raise DslError(f"match operator {operator!r} not supported")
+    return TextClause(field=fld, text=text, operator=operator,
+                      phrase=(kind == "match_phrase"))
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def parse_query(q: dict) -> QuerySpec:
+    """ES query JSON (with or without the ``{"query": ...}`` envelope)
+    -> :class:`QuerySpec`. Raises :class:`DslError` out-of-grammar."""
+    if not isinstance(q, dict) or not q:
+        raise DslError("query must be a non-empty dict")
+    if "query" in q:
+        q = q["query"]
+    if not isinstance(q, dict) or len(q) != 1:
+        raise DslError("query must hold exactly one top-level clause")
+    (kind, body), = q.items()
+
+    spec = QuerySpec()
+    if kind == "match_all":
+        spec.match_all = True
+        return spec
+    if kind in ("match", "match_phrase"):
+        spec.must.append(_parse_text(kind, body))
+        return spec
+    if kind in ("term", "terms", "range", "exists"):
+        spec.filter_sql.append(_compile_meta(kind, body))
+        return spec
+    if kind != "bool":
+        raise DslError(f"unsupported top-level clause {kind!r}")
+
+    known = {"must", "filter", "should", "must_not", "minimum_should_match"}
+    if set(body) - known:
+        raise DslError(f"unsupported bool keys {sorted(set(body) - known)}")
+    spec.msm = body.get("minimum_should_match")
+
+    for ctx in ("must", "filter", "should", "must_not"):
+        for c in _as_list(body.get(ctx, [])):
+            if not isinstance(c, dict) or len(c) != 1:
+                raise DslError(f"bad clause in {ctx}: {c!r}")
+            (ck, cb), = c.items()
+            if ck == "bool":
+                raise DslError("nested bool is not supported")
+            if ck == "match_all":
+                if ctx == "must_not":
+                    raise DslError("must_not match_all matches nothing")
+                spec.match_all = True
+                continue
+            if ck in ("match", "match_phrase"):
+                tc = _parse_text(ck, cb)
+                if ctx == "must":
+                    spec.must.append(tc)
+                elif ctx == "filter":
+                    spec.filter_text.append(tc)
+                elif ctx == "should":
+                    spec.should.append(tc)
+                else:
+                    spec.must_not.append(tc)
+            elif ck in ("term", "terms", "range", "exists"):
+                pred = _compile_meta(ck, cb)
+                if ctx in ("must", "filter"):
+                    spec.filter_sql.append(pred)
+                elif ctx == "must_not":
+                    spec.must_not_sql.append(pred)
+                else:  # should with meta clause: counts toward msm
+                    raise DslError(
+                        "metadata clauses inside should are not supported")
+            else:
+                raise DslError(f"unsupported clause {ck!r} in {ctx}")
+    return spec
+
+
+# --------------------------------------------------------------------------
+# naive executor: ONE scoring pass for the whole bool query
+# --------------------------------------------------------------------------
+
+def _clause_terms(c: TextClause) -> list[str]:
+    """Distinct sorted scoring terms of a clause."""
+    return sorted(set(tokenize_text(c.text)))
+
+
+def search_dsl(
+    docs_df: DataFrame,
+    query: dict,
+    k: int,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Execute an ES query dict over a corpus frame -> top-k
+    ``(doc_id, score)``.
+
+    One stats agg (corpus size + per-field avgdl + every clause term's
+    df in a single scan), then one map-side pass where each clause is a
+    row expression — the full bool query costs the same two Spark jobs
+    as a single match (see module docstring). Ties break on doc_id
+    ascending; pure-filter queries (no scoring clause) return score 0.0
+    for every qualifying doc, ordered by doc_id — ES's filter-context
+    score, with a deterministic order where ES would use internal doc
+    order.
+    """
+    params = params or BM25Params()
+    spark = docs_df.sparkSession
+    spec = parse_query(query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if k <= 0:
+        return empty
+    if "doc_id" not in docs_df.columns:
+        docs_df = with_doc_ids(docs_df)
+
+    text_clauses = (spec.must + spec.should + spec.filter_text
+                    + spec.must_not)
+    for c in text_clauses:
+        if not _clause_terms(c):
+            if c in spec.must or c in spec.filter_text:
+                return empty  # unsatisfiable anchor
+    fields = sorted({c.field for c in text_clauses})
+
+    base = docs_df
+    tok_of: dict[str, str] = {}
+    for i, fld in enumerate(fields):
+        tok_of[fld] = f"__toks_{i}"
+        base = base.withColumn(tok_of[fld], tokenize_column(F.col(fld)))
+
+    # ---- one stats job: n_docs, per-field avgdl, per-(field, term) df
+    terms_by_field: dict[str, list[str]] = {
+        fld: sorted({t for c in text_clauses if c.field == fld
+                     for t in _clause_terms(c)})
+        for fld in fields
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for fld in fields:
+        aggs.append(F.avg(F.size(tok_of[fld])).alias(f"avgdl__{fld}"))
+        for j, t in enumerate(terms_by_field[fld]):
+            aggs.append(
+                F.sum(F.array_contains(tok_of[fld], t).cast("long"))
+                .alias(f"df__{fld}__{j}"))
+    if fields:
+        row = base.agg(*aggs).collect()[0]
+        n_docs = int(row["n"])
+        if n_docs == 0:
+            return empty
+        avgdl = {f: float(row[f"avgdl__{f}"] or 0.0) for f in fields}
+        dfs = {(f, t): int(row[f"df__{f}__{j}"] or 0)
+               for f in fields for j, t in enumerate(terms_by_field[f])}
+    else:
+        n_docs, avgdl, dfs = 0, {}, {}
+
+    k1, b = params.k1, params.b
+
+    def clause_exprs(c: TextClause):
+        """-> (satisfiable, score_expr, matched_expr)."""
+        terms = _clause_terms(c)
+        if not terms:
+            return False, None, None  # no analyzed terms: never matches
+        if c.operator == "and" or c.phrase:
+            if any(dfs[(c.field, t)] == 0 for t in terms):
+                return False, None, None
+            live = terms
+        else:
+            live = [t for t in terms if dfs[(c.field, t)] > 0]
+            if not live:
+                return False, None, None
+        toks = F.col(tok_of[c.field])
+        dl = F.size(toks).cast("double")
+        denom = F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * dl / F.lit(avgdl[c.field]))
+        score = F.lit(0.0)
+        hits = F.lit(0)
+        for t in live:
+            idf = math.log(1.0 + (n_docs - dfs[(c.field, t)] + 0.5)
+                           / (dfs[(c.field, t)] + 0.5))
+            tf = F.size(
+                F.filter(toks, (lambda tt: (lambda x: x == F.lit(tt)))(t))
+            ).cast("double")
+            score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
+            hits = hits + (tf > 0).cast("int")
+        if c.phrase:
+            ordered = tokenize_text(c.text)  # adjacency keeps duplicates
+            needle = " " + " ".join(ordered) + " "
+            hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+            matched = F.instr(hay, needle) > 0
+        elif c.operator == "and":
+            matched = hits == len(live)
+        else:
+            matched = hits > 0
+        return True, score, matched
+
+    qual = F.lit(True)
+    score_total = F.lit(0.0)
+    n_should_live = 0
+    should_cnt = F.lit(0)
+    for c in spec.must:
+        ok, sc, m = clause_exprs(c)
+        if not ok:
+            return empty
+        qual = qual & m
+        score_total = score_total + sc
+    for c in spec.filter_text:
+        ok, _, m = clause_exprs(c)
+        if not ok:
+            return empty
+        qual = qual & m
+    for c in spec.should:
+        ok, sc, m = clause_exprs(c)
+        if not ok:
+            continue  # an unsatisfiable should simply never matches
+        n_should_live += 1
+        score_total = score_total + F.when(m, sc).otherwise(F.lit(0.0))
+        should_cnt = should_cnt + m.cast("int")
+    for c in spec.must_not:
+        ok, _, m = clause_exprs(c)
+        if ok:
+            qual = qual & ~m
+    msm = spec.minimum_should_match()
+    if msm > 0:
+        if n_should_live < msm:
+            return empty
+        qual = qual & (should_cnt >= msm)
+    for pred in spec.filter_sql:
+        qual = qual & F.expr(pred)
+    for pred in spec.must_not_sql:
+        qual = qual & ~F.expr(pred)
+
+    scored = base.where(qual).select(
+        "doc_id", score_total.alias("score"))
+    order = ([F.desc("score"), F.asc("doc_id")]
+             if (spec.must or n_should_live) else [F.asc("doc_id")])
+    return scored.orderBy(*order).limit(k)
+
+
+# --------------------------------------------------------------------------
+# indexed executor: per-clause score frames from the compressed index
+# --------------------------------------------------------------------------
+
+_K_ALL = 1 << 62  # no per-salt cut: clause combination needs every match
+
+
+def _clause_frame_indexed(
+    spark: SparkSession,
+    paths: IndexPaths,
+    meta: dict,
+    c: TextClause,
+    docs_df: DataFrame | None,
+) -> DataFrame | None:
+    """Score-all ``(doc_id, score)`` for one text clause from the
+    compressed index, or None when the clause is unsatisfiable. Same
+    block-pruned per-salt kernel as the top-k paths, minus the cut
+    (clauses combine downstream, so every matching doc must surface)."""
+    from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+        _score_match_group,
+    )
+
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    k1, b, n_buckets = (float(meta["k1"]), float(meta["b"]),
+                        int(meta["n_buckets"]))
+    terms = _clause_terms(c)
+    if not terms or n_docs == 0:
+        return None
+    tid_of = {t: term_id_py(t) for t in terms}
+    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
+    q_term_ids = list(tid_of.values())
+    stats = (
+        spark.read.parquet(paths.term_stats)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "df").collect()
+    )
+    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    conj = c.operator == "and" or c.phrase
+    if conj:
+        if any(tid not in df_of_tid for tid in q_term_ids):
+            return None
+        live = terms
+    else:
+        live = [t for t in terms if tid_of[t] in df_of_tid]
+        if not live:
+            return None
+        q_term_ids = [tid_of[t] for t in live]
+        buckets = sorted({tid % n_buckets for tid in q_term_ids})
+    idfs = {
+        tid_of[t]: math.log(
+            1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
+            / (df_of_tid[tid_of[t]] + 0.5))
+        for t in live
+    }
+    rarity = [tid_of[t]
+              for t in sorted(live, key=lambda t: (df_of_tid[tid_of[t]], t))]
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
+        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
+                "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
+                "block_max_tf_norm")
+    )
+    n_q, disj = len(live), not conj
+
+    def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_match_group(pdf, idfs, _K_ALL, avgdl, k1, b, n_q,
+                                  disj, rarity)
+
+    frame = blocks.groupBy("salt").applyInPandas(
+        score_all, schema="doc_id long, score double")
+
+    if c.phrase:
+        if docs_df is None:
+            raise DslError("match_phrase needs docs_df for adjacency verify")
+        if "doc_id" not in docs_df.columns:
+            docs_df = with_doc_ids(docs_df)
+        ordered = tokenize_text(c.text)
+        needle = " " + " ".join(ordered) + " "
+        hay = F.concat(F.lit(" "),
+                       F.array_join(tokenize_column(F.col(c.field)), " "),
+                       F.lit(" "))
+        verified = (
+            docs_df.join(frame.select("doc_id"), "doc_id", "left_semi")
+            .where(F.instr(hay, needle) > 0)
+            .select("doc_id")
+        )
+        frame = frame.join(verified, "doc_id")
+    return frame
+
+
+def search_dsl_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query: dict,
+    k: int,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """Execute an ES query dict against a compressed index -> top-k
+    ``(doc_id, score)``, rank-identical to :func:`search_dsl` on the
+    same corpus (pytest-gated).
+
+    Metadata predicates (term/terms/range/exists) resolve against the
+    index's ``doc_stats`` columns (``conv_id``, ``turn_idx``, ``dl``,
+    plus any ride-along metadata persisted at build time);
+    ``match_phrase`` additionally needs ``docs_df`` for the adjacency
+    re-check (the index stores no positions — see
+    :func:`..compressed.search_phrase`). All text clauses must target
+    the single indexed text field.
+    """
+    spec = parse_query(query)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if k <= 0:
+        return empty
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+
+    text_fields = {c.field for c in (spec.must + spec.should
+                                     + spec.filter_text + spec.must_not)}
+    if len(text_fields) > 1:
+        raise DslError(
+            f"index holds one text field; query targets {sorted(text_fields)}")
+
+    # ---- anchor frame: must + filter_text (inner-combined, must scores)
+    anchor: DataFrame | None = None
+    for c in spec.must:
+        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        if fr is None:
+            return empty
+        fr = fr.withColumnRenamed("score", "s_")
+        if anchor is None:
+            anchor = fr.withColumnRenamed("s_", "score")
+        else:
+            anchor = (anchor.join(fr, "doc_id")
+                      .select("doc_id",
+                              (F.col("score") + F.col("s_")).alias("score")))
+    for c in spec.filter_text:
+        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        if fr is None:
+            return empty
+        if anchor is None:
+            anchor = fr.select("doc_id", F.lit(0.0).alias("score"))
+        else:
+            anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_semi")
+
+    msm = spec.minimum_should_match()
+
+    # ---- should frames: union -> per-doc (sum, matched-count)
+    should_frames = []
+    for c in spec.should:
+        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        if fr is not None:
+            should_frames.append(fr)
+    if msm > 0 and len(should_frames) < msm:
+        return empty
+    if should_frames:
+        su = reduce(DataFrame.unionByName, should_frames)
+        sagg = su.groupBy("doc_id").agg(
+            F.sum("score").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt"))
+        if anchor is None:
+            anchor = sagg.select(
+                "doc_id", F.col("s_sum").alias("score"), "s_cnt")
+            if msm > 0:
+                anchor = anchor.where(F.col("s_cnt") >= msm)
+            anchor = anchor.drop("s_cnt")
+        else:
+            anchor = (anchor.join(sagg, "doc_id", "left")
+                      .select("doc_id",
+                              (F.col("score")
+                               + F.coalesce(F.col("s_sum"), F.lit(0.0))
+                               ).alias("score"),
+                              F.coalesce(F.col("s_cnt"), F.lit(0))
+                              .alias("s_cnt")))
+            if msm > 0:
+                anchor = anchor.where(F.col("s_cnt") >= msm)
+            anchor = anchor.drop("s_cnt")
+
+    scored = bool(spec.must or should_frames)
+    if anchor is None:
+        # pure filter / match_all: every doc qualifies at score 0
+        if not (spec.match_all or spec.filter_sql or spec.must_not
+                or spec.must_not_sql):
+            return empty
+        anchor = (spark.read.parquet(paths.doc_stats)
+                  .select("doc_id", F.lit(0.0).alias("score")))
+
+    # ---- metadata predicates against doc_stats
+    if spec.filter_sql or spec.must_not_sql:
+        ds = spark.read.parquet(paths.doc_stats)
+        pred = " AND ".join(
+            [f"({p})" for p in spec.filter_sql]
+            + [f"NOT ({p})" for p in spec.must_not_sql])
+        allowed = ds.where(pred).select("doc_id")
+        anchor = anchor.join(allowed, "doc_id", "left_semi")
+
+    # ---- must_not text clauses: anti-join the matching ids
+    for c in spec.must_not:
+        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        if fr is not None:
+            anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
+
+    order = ([F.desc("score"), F.asc("doc_id")] if scored
+             else [F.asc("doc_id")])
+    return anchor.orderBy(*order).limit(k)

@@ -1,0 +1,317 @@
+"""ES bool-DSL compiler tests.
+
+Three layers:
+1. parse: the reference's EXACT query dicts (src/jobsautoreport/
+   query.py:28-99, src/elasticsearch_cleanup/consts.py:4) compile.
+2. semantics: search_dsl (one-pass naive executor) vs an independent
+   brute-force oracle (pandas BM25 per clause + duckdb for metadata
+   predicates) on the synthetic transcript corpus.
+3. engine identity: search_dsl_indexed (compressed index) rank-identical
+   to search_dsl for every tested query shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from prow_jobs_scraper_spark.functions.tokenize import tokenize_pandas, tokenize_text
+from prow_jobs_scraper_spark.index.build import (
+    BuildConfig,
+    build_index,
+    with_doc_ids,
+)
+from prow_jobs_scraper_spark.search.dsl import (
+    DslError,
+    parse_query,
+    search_dsl,
+    search_dsl_indexed,
+)
+from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark, transcripts):
+    return with_doc_ids(transcripts).cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs) -> pd.DataFrame:
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def dsl_index(spark, docs, tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("dsl_idx"))
+    build_index(spark, docs, d, BuildConfig(n_ranges=8, n_buckets=4))
+    return d
+
+
+# --------------------------------------------------------------------------
+# brute-force oracle (independent of the engine's Spark plans)
+# --------------------------------------------------------------------------
+
+def _clause_eval(pdf, toks, n, avgdl, clause):
+    """-> (score: np.ndarray, matched: np.ndarray[bool]) for a text clause."""
+    terms = sorted(set(tokenize_text(clause.text)))
+    tf = {t: np.array([lst.count(t) for lst in toks], dtype=np.float64)
+          for t in terms}
+    dfs = {t: int((tf[t] > 0).sum()) for t in terms}
+    conj = clause.operator == "and" or clause.phrase
+    if conj:
+        if any(dfs[t] == 0 for t in terms):
+            return None, None
+        live = terms
+    else:
+        live = [t for t in terms if dfs[t] > 0]
+        if not live:
+            return None, None
+    dl = np.array([len(lst) for lst in toks], dtype=np.float64)
+    denom = K1 * (1 - B + B * dl / avgdl)
+    score = np.zeros(len(pdf))
+    hits = np.zeros(len(pdf), dtype=np.int64)
+    for t in live:
+        idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        score += idf * tf[t] * (K1 + 1.0) / (tf[t] + denom)
+        hits += (tf[t] > 0).astype(np.int64)
+    if clause.phrase:
+        needle = " " + " ".join(tokenize_text(clause.text)) + " "
+        hay = (" " + pd.Series([" ".join(x) for x in toks]) + " ")
+        matched = hay.str.contains(needle, regex=False).to_numpy()
+    elif clause.operator == "and":
+        matched = hits == len(live)
+    else:
+        matched = hits > 0
+    return score, matched
+
+
+def dsl_oracle(pdf: pd.DataFrame, query: dict, k: int) -> pd.DataFrame:
+    spec = parse_query(query)
+    toks = tokenize_pandas(pdf["text"]).tolist()
+    n, avgdl = len(pdf), float(np.mean([len(x) for x in toks]))
+    total = np.zeros(n)
+    qual = np.ones(n, dtype=bool)
+    scored = False
+
+    for c in spec.must:
+        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        if s is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        total, qual, scored = total + s, qual & m, True
+    for c in spec.filter_text:
+        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        if s is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        qual = qual & m
+    n_live_should, should_cnt = 0, np.zeros(n, dtype=np.int64)
+    for c in spec.should:
+        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        if s is None:
+            continue
+        n_live_should += 1
+        scored = True
+        total = total + np.where(m, s, 0.0)
+        should_cnt += m.astype(np.int64)
+    msm = spec.minimum_should_match()
+    if msm > 0:
+        if n_live_should < msm:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        qual = qual & (should_cnt >= msm)
+    for c in spec.must_not:
+        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        if s is not None:
+            qual = qual & ~m
+    preds = [f"({p})" for p in spec.filter_sql] + [
+        f"NOT ({p})" for p in spec.must_not_sql]
+    if preds:
+        con = duckdb.connect()
+        con.register("t", pdf)
+        ok_ids = set(
+            con.sql(f"SELECT doc_id FROM t WHERE {' AND '.join(preds)}")
+            .df()["doc_id"].tolist())
+        qual = qual & pdf["doc_id"].isin(ok_ids).to_numpy()
+
+    out = pd.DataFrame({
+        "doc_id": pdf["doc_id"].to_numpy()[qual],
+        "score": total[qual],
+    })
+    if scored:
+        out = out.sort_values(["score", "doc_id"],
+                              ascending=[False, True], kind="mergesort")
+    else:
+        out = out.sort_values("doc_id", kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+def _assert_rank_identical(got: pd.DataFrame, want: pd.DataFrame, label: str):
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"{label}: order"
+    np.testing.assert_allclose(
+        got["score"].to_numpy(dtype=np.float64),
+        want["score"].to_numpy(dtype=np.float64),
+        rtol=1e-9, atol=1e-12, err_msg=f"{label}: scores")
+
+
+# --------------------------------------------------------------------------
+# 1. parsing the reference's exact query dicts
+# --------------------------------------------------------------------------
+
+def test_parse_reference_all_jobs_query():
+    # reference src/jobsautoreport/query.py:28-45 (datetimes -> ISO strings)
+    q = {"query": {"bool": {"filter": [
+        {"range": {"ts": {"gte": "2025-06-02", "lte": "2025-06-30"}}}]}}}
+    spec = parse_query(q)
+    assert spec.filter_sql == ["(ts >= '2025-06-02' AND ts <= '2025-06-30')"]
+    assert not spec.must and spec.minimum_should_match() == 0
+
+
+def test_parse_reference_steps_by_name_query():
+    # reference src/jobsautoreport/query.py:47-74: match + range in filter
+    q = {"query": {"bool": {"filter": [
+        {"match": {"text": {"query": "baremetalds packet setup",
+                            "operator": "and"}}},
+        {"range": {"ts": {"gte": "2025-06-02", "lte": "2025-06-30"}}},
+    ]}}}
+    spec = parse_query(q)
+    assert len(spec.filter_text) == 1
+    assert spec.filter_text[0].operator == "and"
+    assert len(spec.filter_sql) == 1
+
+
+def test_parse_match_all():
+    # reference src/elasticsearch_cleanup/consts.py:4
+    spec = parse_query({"query": {"match_all": {}}})
+    assert spec.match_all
+
+
+def test_parse_rejects_nested_bool_and_unknown():
+    with pytest.raises(DslError):
+        parse_query({"bool": {"must": [{"bool": {"must": []}}]}})
+    with pytest.raises(DslError):
+        parse_query({"fuzzy": {"text": "x"}})
+    with pytest.raises(DslError):
+        parse_query({"bool": {"must": [{"match": {"text": {
+            "query": "x", "operator": "xor"}}}]}})
+
+
+# --------------------------------------------------------------------------
+# 2. naive executor vs existing engine paths + brute-force oracle
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("operator", ["and", "or"])
+def test_dsl_single_match_equals_naive(spark, docs, operator):
+    q = {"query": {"match": {"text": {"query": "the_hot_term w01000",
+                                      "operator": operator}}}}
+    got = search_dsl(docs, q, 10).toPandas()
+    want = naive_bm25_topk(docs, "the_hot_term w01000", 10,
+                           operator=operator).toPandas()
+    _assert_rank_identical(got, want, f"single-match:{operator}")
+
+
+DSL_QUERIES = [
+    ("ref-filter-shape", {"query": {"bool": {"filter": [
+        {"match": {"text": {"query": "the_hot_term", "operator": "and"}}},
+        {"range": {"ts": {"gte": "2025-06-05", "lte": "2025-06-20"}}},
+    ]}}}),
+    ("must-or", {"query": {"bool": {"must": [
+        {"match": {"text": {"query": "spark agent", "operator": "or"}}}]}}}),
+    ("must-and-two-term", {"query": {"bool": {"must": [
+        {"match": {"text": {"query": "w00042 w00099",
+                            "operator": "and"}}}]}}}),
+    ("full-bool", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "the_hot_term",
+                                     "operator": "or"}}}],
+        "should": [{"match": {"text": "w00005"}}],
+        "must_not": [{"match": {"text": {"query": "w00042",
+                                         "operator": "or"}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}),
+    ("should-only-msm-default", {"query": {"bool": {"should": [
+        {"match": {"text": "w00042"}},
+        {"match": {"text": "w00099"}},
+    ]}}}),
+    ("msm-2", {"query": {"bool": {"should": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "agent"}},
+        {"match": {"text": "w00005"}},
+    ], "minimum_should_match": 2}}}),
+    ("terms-filter", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "and"}}}],
+        "filter": [{"terms": {"role": ["user", "assistant"]}}],
+    }}}),
+    ("must-not-meta", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "and"}}}],
+        "must_not": [{"range": {"turn_idx": {"gte": 50}}}],
+    }}}),
+    ("phrase-in-must", {"query": {"bool": {
+        "must": [{"match_phrase": {"text": "the_hot_term"}}],
+        "filter": [{"exists": {"field": "tool"}}],
+    }}}),
+    ("unsatisfiable-should-dropped", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "and"}}}],
+        "should": [{"match": {"text": "zzz_never_appears"}}],
+    }}}),
+]
+
+
+@pytest.mark.parametrize("label,q", DSL_QUERIES, ids=[x[0] for x in DSL_QUERIES])
+def test_dsl_naive_matches_oracle(spark, docs, docs_pdf, label, q):
+    got = search_dsl(docs, q, 10).toPandas()
+    want = dsl_oracle(docs_pdf, q, 10)
+    _assert_rank_identical(got, want, label)
+
+
+@pytest.mark.parametrize("label,q", DSL_QUERIES, ids=[x[0] for x in DSL_QUERIES])
+def test_dsl_indexed_matches_naive(spark, docs, dsl_index, label, q):
+    got = search_dsl_indexed(spark, dsl_index, q, 10, docs_df=docs).toPandas()
+    want = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, label)
+
+
+# --------------------------------------------------------------------------
+# 3. edge semantics
+# --------------------------------------------------------------------------
+
+def test_match_all_scores_zero_ordered_by_doc_id(spark, docs, dsl_index):
+    q = {"query": {"match_all": {}}}
+    got = search_dsl(docs, q, 7).toPandas()
+    assert (got["score"] == 0.0).all()
+    assert got["doc_id"].is_monotonic_increasing
+    gi = search_dsl_indexed(spark, dsl_index, q, 7).toPandas()
+    assert got["doc_id"].tolist() == gi["doc_id"].tolist()
+
+
+def test_pure_filter_scores_zero(spark, docs, docs_pdf, dsl_index):
+    q = {"query": {"bool": {"filter": [{"term": {"role": "tool"}}]}}}
+    got = search_dsl(docs, q, 10).toPandas()
+    assert (got["score"] == 0.0).all()
+    n_expect = int((docs_pdf["role"] == "tool").sum())
+    assert len(got) == min(10, n_expect)
+    gi = search_dsl_indexed(spark, dsl_index, q, 10).toPandas()
+    assert got["doc_id"].tolist() == gi["doc_id"].tolist()
+
+
+def test_must_absent_term_empty(spark, docs, dsl_index):
+    q = {"query": {"bool": {"must": [
+        {"match": {"text": {"query": "spark zzz_never_appears",
+                            "operator": "and"}}}]}}}
+    assert search_dsl(docs, q, 10).count() == 0
+    assert search_dsl_indexed(spark, dsl_index, q, 10).count() == 0
+
+
+def test_msm_above_live_should_is_empty(spark, docs, dsl_index):
+    q = {"query": {"bool": {"should": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "zzz_never_appears"}},
+    ], "minimum_should_match": 2}}}
+    assert search_dsl(docs, q, 10).count() == 0
+    assert search_dsl_indexed(spark, dsl_index, q, 10).count() == 0
