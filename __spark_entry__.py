@@ -403,6 +403,26 @@ def _similarity_topk(spark, sf_dir):
                        F.round("cosine", 4).alias("cosine"))
 
 
+def _hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval, oracle-checked: BM25 (ES `match`, operator:or)
+    over documents + exact cosine over the aligned embeddings table,
+    fused with Reciprocal Rank Fusion (Cormack et al., c=60 — the ES
+    8.x `rrf` rank constructor shape). Fusion cost is O(k_each) per
+    list, never corpus-sized; the retrieval sides carry the engine's
+    scale designs (search/hybrid.py docstring)."""
+    from prow_jobs_scraper_spark.search.hybrid import hybrid_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = hybrid_topk(docs, emb, "key agg", [float(x) for x in q],
+                       k=10, k_each=20)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("rrf_score", 6).alias("rrf_score"), "n_lists")
+
+
 def _enrich_orders(spark, sf_dir):
     # J3: enrichment left-outer join (metadata attach), broadcast dim
     o = _t(spark, sf_dir, "orders")
@@ -766,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _quality,
         "language_id": _language_id,
         "similarity_topk": _similarity_topk,
+        "hybrid_rrf_topk": _hybrid_rrf_topk,
         "enrich_orders": _enrich_orders,
         "first_match_enrich": _first_match_enrich,
         "order_lineitems_denorm": _order_lineitems_denorm,
@@ -869,6 +890,53 @@ FROM sc JOIN documents d ON sc.doc_id = d.doc_id
 WHERE must_nt >= 1 AND d.lang = 'en' AND d.n_chars >= 100
   AND sc.doc_id NOT IN (SELECT doc_id FROM ph)
 ORDER BY must_score + should_score DESC, sc.doc_id LIMIT 10
+""".replace("{toks}", _TOKS)
+
+# hybrid RRF twin: the _BM25_OR CTE shape at depth 20 + the cosine CTE
+# from similarity_topk at depth 20, fused with 1/(60+rank). All division
+# through ::DOUBLE (DuckDB's bare 1.0 is DECIMAL -> decimal sums would
+# drift from Spark's double under the type-tagged driver hash).
+_HYBRID_RRF_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1),
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       FROM sc),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qv FROM q)) AS c
+  FROM embeddings),
+sr AS (SELECT vec_id,
+              row_number() OVER (ORDER BY c DESC, vec_id) AS rank
+       FROM sims),
+u AS (
+  SELECT doc_id, 1.0::DOUBLE/(60 + rank) AS contrib
+  FROM bm WHERE rank <= 20
+  UNION ALL
+  SELECT vec_id AS doc_id, 1.0::DOUBLE/(60 + rank) AS contrib
+  FROM sr WHERE rank <= 20),
+f AS (SELECT doc_id, sum(contrib) AS rrf_score,
+             count(*) AS n_lists
+      FROM u GROUP BY 1)
+SELECT doc_id,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+       round(rrf_score, 6) AS rrf_score, n_lists
+FROM f ORDER BY f.rrf_score DESC, doc_id LIMIT 10
 """.replace("{toks}", _TOKS)
 
 # match_phrase twin: BM25 scoring over the phrase's distinct terms
@@ -1382,4 +1450,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _IVF_ANN_SQL,
+        "hybrid_rrf_topk": _HYBRID_RRF_SQL,
     }
