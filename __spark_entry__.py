@@ -403,6 +403,32 @@ def _similarity_topk(spark, sf_dir):
                        F.round("cosine", 4).alias("cosine"))
 
 
+def _search_aggs_weekly(spark, sf_dir):
+    """ES `aggs` block pushed into the engine, oracle-checked: the
+    reference queries jobs in a period then computes per-period metrics
+    client-side (src/jobsautoreport/query.py:28-45 + report.py); here
+    the same request — bool filter (terms + range, ES filter context)
+    with a date_histogram bucket agg and an avg sub-metric — runs as
+    ONE grouped Spark aggregation (map-side partial agg; the shuffle
+    carries one row per (partition, week), never per event)."""
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    req = {
+        "query": {"bool": {"filter": [
+            {"terms": {"event_type": ["error", "purchase"]}},
+            {"range": {"ts": {"gte": "2024-01-01"}}},
+        ]}},
+        "aggs": {"per_week": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week"},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    }
+    out = dsl_aggregate(ev, req)
+    return out.select(F.col("key").alias("week"), "doc_count",
+                      F.round("avg_value", 6).alias("avg_value"))
+
+
 def _hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval, oracle-checked: BM25 (ES `match`, operator:or)
     over documents + exact cosine over the aligned embeddings table,
@@ -787,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _language_id,
         "similarity_topk": _similarity_topk,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
+        "search_aggs_weekly": _search_aggs_weekly,
         "enrich_orders": _enrich_orders,
         "first_match_enrich": _first_match_enrich,
         "order_lineitems_denorm": _order_lineitems_denorm,
@@ -1451,4 +1478,13 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _IVF_ANN_SQL,
         "hybrid_rrf_topk": _HYBRID_RRF_SQL,
+        "search_aggs_weekly": """
+            SELECT date_trunc('week', ts) AS week,
+                   count(*) AS doc_count,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            WHERE event_type IN ('error', 'purchase')
+              AND ts >= '2024-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
     }

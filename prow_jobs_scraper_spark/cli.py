@@ -59,6 +59,30 @@ def cmd_search(args) -> dict:
     t0 = time.time()
     dirs = args.index.split(",")
     flt = getattr(args, "filter", None)
+    dsl = getattr(args, "dsl", None)
+    if dsl:
+        from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+            search_dsl_indexed,
+        )
+
+        if len(dirs) > 1 or flt or getattr(args, "phrase", False):
+            raise SystemExit("--dsl takes one index; express filters and "
+                             "phrases inside the query JSON")
+        qjson = (json.load(open(dsl[1:])) if dsl.startswith("@")
+                 else json.loads(dsl))
+        corpus_df = (spark.read.parquet(args.corpus)
+                     if getattr(args, "corpus", None) else None)
+        rows = search_dsl_indexed(spark, dirs[0], qjson, args.k,
+                                  docs_df=corpus_df).collect()
+        return {
+            "dsl": qjson,
+            "k": args.k,
+            "latency_sec": round(time.time() - t0, 4),
+            "hits": [{"doc_id": r["doc_id"], "score": r["score"]}
+                     for r in rows],
+        }
+    if not args.query:
+        raise SystemExit("search needs --query (or --dsl)")
     if getattr(args, "phrase", False):
         from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
             search_phrase,
@@ -138,7 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True,
                    help="index dir, or comma-separated segment dirs "
                         "(incremental maintenance: base,delta,...)")
-    s.add_argument("--query", required=True)
+    s.add_argument("--query", default=None,
+                   help="match query text (or use --dsl)")
+    s.add_argument("--dsl", default=None,
+                   help="ES query DSL as a JSON string, or @/path/to/file "
+                        "— the reference's raw bool/match/filter query "
+                        "shape, executed via search/dsl.py")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--operator", choices=("and", "or"), default="and",
                    help="conjunctive (reference semantics) or disjunctive "

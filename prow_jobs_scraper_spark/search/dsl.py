@@ -54,6 +54,12 @@ many clauses the bool carries.
 index: per-clause score-all frames (salt-cogrouped block decode), combined
 with doc_id joins, metadata predicates resolved against ``doc_stats``.
 Rank-identity with the naive pass is pytest-gated (tests/test_dsl.py).
+
+:func:`dsl_aggregate` adds the ES ``aggs`` block (terms /
+date_histogram buckets with metric sub-aggs, or a bare metric) over the
+query's qualifying set — the aggregations the reference computes
+client-side from query results (reference src/jobsautoreport/report.py)
+pushed down into one grouped Spark aggregation.
 """
 
 from __future__ import annotations
@@ -290,21 +296,45 @@ def search_dsl(
     score, with a deterministic order where ES would use internal doc
     order.
     """
-    params = params or BM25Params()
     spark = docs_df.sparkSession
     spec = parse_query(query)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if k <= 0:
         return empty
-    if "doc_id" not in docs_df.columns:
-        docs_df = with_doc_ids(docs_df)
+    if ("doc_id" not in docs_df.columns
+            and not {"conv_id", "turn_idx"} <= set(docs_df.columns)):
+        raise DslError("search_dsl needs a doc_id (or conv_id+turn_idx) "
+                       "column to identify results")
+    mf = _matched_frame(docs_df, spec, params or BM25Params())
+    if mf is None:
+        return empty
+    frame, scored = mf
+    out = frame.select("doc_id", F.col("__dsl_score").alias("score"))
+    order = ([F.desc("score"), F.asc("doc_id")] if scored
+             else [F.asc("doc_id")])
+    return out.orderBy(*order).limit(k)
+
+
+def _matched_frame(
+    docs_df: DataFrame,
+    spec: QuerySpec,
+    params: BM25Params,
+) -> tuple[DataFrame, bool] | None:
+    """Qualification core shared by top-k and aggregations: -> (frame
+    of QUALIFYING docs — original columns + ``__dsl_score`` — , scored?)
+    or None when the query is provably empty. One stats agg + one
+    map-side pass regardless of clause count (module docstring)."""
+    if ("doc_id" not in docs_df.columns
+            and {"conv_id", "turn_idx"} <= set(docs_df.columns)):
+        docs_df = with_doc_ids(docs_df)  # aggs never need an id; attach
+        # the engine key only when the transcript key columns exist
 
     text_clauses = (spec.must + spec.should + spec.filter_text
                     + spec.must_not)
     for c in text_clauses:
         if not _clause_terms(c):
             if c in spec.must or c in spec.filter_text:
-                return empty  # unsatisfiable anchor
+                return None  # unsatisfiable anchor
     fields = sorted({c.field for c in text_clauses})
 
     base = docs_df
@@ -330,7 +360,7 @@ def search_dsl(
         row = base.agg(*aggs).collect()[0]
         n_docs = int(row["n"])
         if n_docs == 0:
-            return empty
+            return None
         avgdl = {f: float(row[f"avgdl__{f}"] or 0.0) for f in fields}
         dfs = {(f, t): int(row[f"df__{f}__{j}"] or 0)
                for f in fields for j, t in enumerate(terms_by_field[f])}
@@ -384,13 +414,13 @@ def search_dsl(
     for c in spec.must:
         ok, sc, m = clause_exprs(c)
         if not ok:
-            return empty
+            return None
         qual = qual & m
         score_total = score_total + sc
     for c in spec.filter_text:
         ok, _, m = clause_exprs(c)
         if not ok:
-            return empty
+            return None
         qual = qual & m
     for c in spec.should:
         ok, sc, m = clause_exprs(c)
@@ -406,18 +436,119 @@ def search_dsl(
     msm = spec.minimum_should_match()
     if msm > 0:
         if n_should_live < msm:
-            return empty
+            return None
         qual = qual & (should_cnt >= msm)
     for pred in spec.filter_sql:
         qual = qual & F.expr(pred)
     for pred in spec.must_not_sql:
         qual = qual & ~F.expr(pred)
 
-    scored = base.where(qual).select(
-        "doc_id", score_total.alias("score"))
-    order = ([F.desc("score"), F.asc("doc_id")]
-             if (spec.must or n_should_live) else [F.asc("doc_id")])
-    return scored.orderBy(*order).limit(k)
+    scored_q = bool(spec.must or n_should_live)
+    return (base.where(qual).withColumn("__dsl_score", score_total),
+            scored_q)
+
+
+# --------------------------------------------------------------------------
+# aggregations: the ES `aggs` block, pushed into the engine
+# --------------------------------------------------------------------------
+
+_METRIC_FNS = {
+    "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "value_count": F.count,
+}
+_CALENDAR_INTERVALS = {"hour", "day", "week", "month", "quarter", "year"}
+
+
+def _metric_exprs(sub_aggs: dict) -> list:
+    """{name: {"avg": {"field": f}}, ...} -> aliased agg columns."""
+    cols = []
+    for name, spec in sub_aggs.items():
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(f"bad sub-aggregation {name!r}")
+        (kind, body), = spec.items()
+        if kind not in _METRIC_FNS:
+            raise DslError(
+                f"sub-aggregation {kind!r} not supported (metrics only)")
+        cols.append(_METRIC_FNS[kind](_ident(body["field"])).alias(name))
+    return cols
+
+
+def dsl_aggregate(
+    docs_df: DataFrame,
+    request: dict,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """Execute an ES search request WITH an ``aggs`` block -> the
+    aggregation result as a DataFrame (the reference's report metrics —
+    counts/rates by group over query results, jobsautoreport/report.py —
+    pushed into the engine instead of computed client-side).
+
+    ``request`` = ``{"query": <clause>, "aggs": {<name>: <agg>}}`` with
+    exactly one top-level aggregation. Supported aggs:
+
+    - ``{"terms": {"field": f, "size": n}}`` -> (key, doc_count [, sub
+      metrics]); ES bucket order: doc_count desc, key asc; size
+      defaults to 10.
+    - ``{"date_histogram": {"field": f, "calendar_interval": iv}}`` ->
+      (key, doc_count [, sub metrics]) with key = date_trunc(iv, f),
+      ascending (ES order); iv ∈ hour/day/week/month/quarter/year
+      (week is ISO/Monday-based, matching ES).
+    - a bare metric ``{"avg"|"sum"|"min"|"max"|"value_count":
+      {"field": f}}`` -> one row, one column named after the agg.
+
+    Bucket aggs may nest metric sub-aggs under ``"aggs"``. The match
+    semantics are :func:`search_dsl`'s (scores computed but irrelevant:
+    aggregations run over the QUALIFYING set, exactly ES's behaviour);
+    the whole request stays one stats agg + one grouped aggregation —
+    Catalyst partial-aggregates map-side, so the shuffle carries one row
+    per (partition, bucket), not per doc.
+    """
+    if not isinstance(request, dict) or "aggs" not in request:
+        raise DslError('aggregation request needs an "aggs" block')
+    aggs = request["aggs"]
+    if not isinstance(aggs, dict) or len(aggs) != 1:
+        raise DslError("exactly one top-level aggregation is supported")
+    (agg_name, agg_spec), = aggs.items()
+    if not isinstance(agg_spec, dict) or not agg_spec:
+        raise DslError(f"bad aggregation {agg_name!r}")
+    sub = agg_spec.get("aggs", {})
+    kinds = [k for k in agg_spec if k != "aggs"]
+    if len(kinds) != 1:
+        raise DslError(f"aggregation {agg_name!r} needs exactly one type")
+    kind = kinds[0]
+    body = agg_spec[kind]
+
+    spec = parse_query(request.get("query", {"match_all": {}}))
+    mf = _matched_frame(docs_df, spec, params or BM25Params())
+    # provably-empty query: aggregate the empty frame (keeps real column
+    # types; metrics go null / counts 0, buckets vanish — ES behaviour)
+    frame = docs_df.where(F.lit(False)) if mf is None else mf[0]
+
+    if kind in _METRIC_FNS and not sub:
+        return frame.agg(
+            _METRIC_FNS[kind](_ident(body["field"])).alias(agg_name))
+
+    metrics = _metric_exprs(sub)
+    if kind == "terms":
+        key = F.col(_ident(body["field"]))
+        size = int(body.get("size", 10))
+        order = [F.desc("doc_count"), F.asc("key")]
+    elif kind == "date_histogram":
+        iv = body.get("calendar_interval")
+        if iv not in _CALENDAR_INTERVALS:
+            raise DslError(f"calendar_interval {iv!r} not supported")
+        key = F.date_trunc(iv, F.col(_ident(body["field"])))
+        size = body.get("size")  # ES date_histogram has no bucket cap
+        order = [F.asc("key")]
+    else:
+        raise DslError(f"aggregation type {kind!r} not supported")
+
+    out = (
+        frame.groupBy(key.alias("key"))
+        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+        .orderBy(*order)
+    )
+    return out.limit(int(size)) if size is not None else out
 
 
 # --------------------------------------------------------------------------

@@ -71,3 +71,34 @@ def test_cli_round_trip(spark, tmp_path, capsys):
 def test_cli_requires_subcommand():
     with pytest.raises(SystemExit):
         cli.main([])
+
+
+def test_cli_dsl_search(spark, tmp_path, capsys):
+    corpus = str(tmp_path / "dsl_corpus")
+    idx = str(tmp_path / "dsl_idx")
+    _run(capsys, ["synth", "--output", corpus, "--n-turns", "500",
+                  "--n-partitions", "2"])
+    _run(capsys, ["build", "--input", corpus, "--output", idx,
+                  "--n-ranges", "4", "--n-buckets", "2"])
+
+    q = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}
+    r = _run(capsys, ["search", "--index", idx, "--dsl", json.dumps(q),
+                      "--k", "5"])
+    assert r["dsl"] == q and len(r["hits"]) <= 5
+    scores = [h["score"] for h in r["hits"]]
+    assert scores == sorted(scores, reverse=True)
+
+    # @file form + equality with the inline form
+    f = tmp_path / "q.json"
+    f.write_text(json.dumps(q))
+    r2 = _run(capsys, ["search", "--index", idx, "--dsl", f"@{f}",
+                       "--k", "5"])
+    assert r2["hits"] == r["hits"]
+
+    # neither --query nor --dsl is an error
+    with pytest.raises(SystemExit):
+        cli.main(["search", "--index", idx, "--k", "5"])

@@ -315,3 +315,92 @@ def test_msm_above_live_should_is_empty(spark, docs, dsl_index):
     ], "minimum_should_match": 2}}}
     assert search_dsl(docs, q, 10).count() == 0
     assert search_dsl_indexed(spark, dsl_index, q, 10).count() == 0
+
+
+# --------------------------------------------------------------------------
+# 4. aggregations (the ES `aggs` block)
+# --------------------------------------------------------------------------
+
+from prow_jobs_scraper_spark.search.dsl import dsl_aggregate  # noqa: E402
+
+
+def _hot_mask(docs_pdf):
+    import re
+    return docs_pdf["text"].str.lower().apply(
+        lambda t: "the_hot_term" in re.findall(r"[a-z0-9_]+", t))
+
+
+def test_terms_agg_with_metric(spark, docs, docs_pdf):
+    req = {
+        "query": {"match": {"text": {"query": "the_hot_term",
+                                     "operator": "and"}}},
+        "aggs": {"by_role": {"terms": {"field": "role", "size": 10},
+                             "aggs": {"avg_turn": {"avg": {
+                                 "field": "turn_idx"}}}}},
+    }
+    got = dsl_aggregate(docs, req).toPandas()
+    sel = docs_pdf[_hot_mask(docs_pdf)]
+    want = (sel.groupby("role")
+            .agg(doc_count=("role", "size"), avg_turn=("turn_idx", "mean"))
+            .reset_index()
+            .sort_values(["doc_count", "role"], ascending=[False, True]))
+    assert got["key"].tolist() == want["role"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    np.testing.assert_allclose(got["avg_turn"], want["avg_turn"], rtol=1e-12)
+
+
+def test_date_histogram_weekly(spark, docs, docs_pdf):
+    req = {
+        "query": {"bool": {"filter": [{"term": {"role": "assistant"}}]}},
+        "aggs": {"per_week": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}},
+    }
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        SELECT date_trunc('week', ts) AS key, count(*) AS doc_count
+        FROM t WHERE role = 'assistant' GROUP BY 1 ORDER BY 1
+    """).df()
+    assert pd.to_datetime(got["key"]).tolist() == \
+        pd.to_datetime(want["key"]).tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    assert got["key"].is_monotonic_increasing
+
+
+def test_bare_metric_agg(spark, docs, docs_pdf):
+    req = {
+        "query": {"match": {"text": {"query": "the_hot_term",
+                                     "operator": "and"}}},
+        "aggs": {"max_turn": {"max": {"field": "turn_idx"}}},
+    }
+    got = dsl_aggregate(docs, req).toPandas()
+    want = int(docs_pdf[_hot_mask(docs_pdf)]["turn_idx"].max())
+    assert got.shape == (1, 1)
+    assert int(got["max_turn"].iloc[0]) == want
+
+
+def test_agg_over_provably_empty_query(spark, docs):
+    req = {
+        "query": {"match": {"text": {"query": "zzz_never_appears",
+                                     "operator": "and"}}},
+        "aggs": {"by_role": {"terms": {"field": "role"}}},
+    }
+    assert dsl_aggregate(docs, req).count() == 0
+    req2 = {**req, "aggs": {"n": {"value_count": {"field": "role"}}}}
+    assert int(dsl_aggregate(docs, req2).toPandas()["n"].iloc[0]) == 0
+
+
+def test_agg_rejects_bad_requests(spark, docs):
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"query": {"match_all": {}}})  # no aggs
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"}},
+                                      "b": {"terms": {"field": "tool"}}}})
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"aggs": {"a": {"date_histogram": {
+            "field": "ts", "calendar_interval": "fortnight"}}}})
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
+                                            "aggs": {"h": {"date_histogram": {
+                                                "field": "ts"}}}}}})

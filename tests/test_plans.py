@@ -177,3 +177,24 @@ def test_jaccard_size_joins_have_no_broadcast_hint(spark):
         analyzed = df._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed, analyzed
         assert "UnresolvedHint" not in analyzed, analyzed
+
+
+def test_dsl_bool_query_stays_jvm_side_one_topk(spark):
+    # the WHOLE ES bool query (must+should+must_not+filter) must compile
+    # to row expressions inside codegen — no Python eval, no joins — with
+    # TakeOrderedAndProject as the only exchange-worthy step
+    plan = _plan(E.queries()["bool_dsl_topk"](spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_dsl_aggs_partial_aggregates_map_side(spark):
+    # date_histogram + filter -> HashAggregate with a partial_ pass and
+    # the terms/range predicates pushed to the events scan
+    plan = _plan(E.queries()["search_aggs_weekly"](spark, SF_DIR))
+    assert "EvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "partial_" in plan, plan
+    assert "PushedFilters: [" in plan
+    assert "In(event_type" in plan, plan
