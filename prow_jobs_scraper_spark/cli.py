@@ -65,14 +65,14 @@ def cmd_search(args) -> dict:
             search_dsl_indexed,
         )
 
-        if len(dirs) > 1 or flt or getattr(args, "phrase", False):
-            raise SystemExit("--dsl takes one index; express filters and "
-                             "phrases inside the query JSON")
+        if flt or getattr(args, "phrase", False):
+            raise SystemExit("--dsl expresses filters and phrases inside "
+                             "the query JSON")
         qjson = (json.load(open(dsl[1:])) if dsl.startswith("@")
                  else json.loads(dsl))
         corpus_df = (spark.read.parquet(args.corpus)
                      if getattr(args, "corpus", None) else None)
-        rows = search_dsl_indexed(spark, dirs[0], qjson, args.k,
+        rows = search_dsl_indexed(spark, dirs, qjson, args.k,
                                   docs_df=corpus_df).collect()
         return {
             "dsl": qjson,

@@ -560,34 +560,43 @@ _K_ALL = 1 << 62  # no per-salt cut: clause combination needs every match
 
 def _clause_frame_indexed(
     spark: SparkSession,
-    paths: IndexPaths,
-    meta: dict,
+    dirs: list[str],
+    metas: list[dict],
+    n_docs: int,
+    avgdl: float,
     c: TextClause,
     docs_df: DataFrame | None,
 ) -> DataFrame | None:
-    """Score-all ``(doc_id, score)`` for one text clause from the
-    compressed index, or None when the clause is unsatisfiable. Same
-    block-pruned per-salt kernel as the top-k paths, minus the cut
-    (clauses combine downstream, so every matching doc must surface)."""
+    """Score-all ``(doc_id, score)`` for one text clause across index
+    SEGMENTS (``len(dirs) == 1`` is the monolithic case — same path),
+    or None when the clause is unsatisfiable. Global df = summed
+    per-segment dfs and block maxes are bound-corrected by
+    ``max(1, avgdl_global/avgdl_seg)`` exactly as
+    :func:`..compressed.search_topk_multi` (proof there); the per-
+    (segment, salt) kernel runs with NO top-k cut because clauses
+    combine downstream."""
     from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
         _score_match_group,
     )
 
-    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-    k1, b, n_buckets = (float(meta["k1"]), float(meta["b"]),
-                        int(meta["n_buckets"]))
+    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
     terms = _clause_terms(c)
     if not terms or n_docs == 0:
         return None
     tid_of = {t: term_id_py(t) for t in terms}
-    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
     q_term_ids = list(tid_of.values())
-    stats = (
-        spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
-        .select("term_id", "df").collect()
-    )
-    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+
+    df_of_tid: dict[int, int] = {}
+    for d, m in zip(dirs, metas):
+        buckets = sorted({tid % int(m["n_buckets"]) for tid in q_term_ids})
+        for r in (
+            spark.read.parquet(IndexPaths(d).term_stats)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(q_term_ids))
+            .select("term_id", "df").collect()
+        ):
+            tid = int(r["term_id"])
+            df_of_tid[tid] = df_of_tid.get(tid, 0) + int(r["df"])
     conj = c.operator == "and" or c.phrase
     if conj:
         if any(tid not in df_of_tid for tid in q_term_ids):
@@ -598,7 +607,6 @@ def _clause_frame_indexed(
         if not live:
             return None
         q_term_ids = [tid_of[t] for t in live]
-        buckets = sorted({tid % n_buckets for tid in q_term_ids})
     idfs = {
         tid_of[t]: math.log(
             1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
@@ -607,20 +615,30 @@ def _clause_frame_indexed(
     }
     rarity = [tid_of[t]
               for t in sorted(live, key=lambda t: (df_of_tid[tid_of[t]], t))]
-    blocks = (
-        spark.read.parquet(paths.postings)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
-        .select("term_id", "salt", "block_id", "n_docs", "first_doc_id",
-                "last_doc_id", "doc_gaps", "tf_bytes", "dl_bytes",
-                "block_max_tf_norm")
-    )
+
+    blocks = None
+    for si, (d, m) in enumerate(zip(dirs, metas)):
+        buckets = sorted({tid % int(m["n_buckets"]) for tid in q_term_ids})
+        scale = max(1.0, avgdl / max(float(m["avgdl"]), 1e-12))
+        part = (
+            spark.read.parquet(IndexPaths(d).postings)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(q_term_ids))
+            .select("term_id", "salt", "block_id", "n_docs",
+                    "first_doc_id", "last_doc_id", "doc_gaps", "tf_bytes",
+                    "dl_bytes",
+                    (F.col("block_max_tf_norm") * F.lit(scale))
+                    .alias("block_max_tf_norm"))
+            .withColumn("seg", F.lit(si))
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
     n_q, disj = len(live), not conj
 
     def score_all(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_match_group(pdf, idfs, _K_ALL, avgdl, k1, b, n_q,
                                   disj, rarity)
 
-    frame = blocks.groupBy("salt").applyInPandas(
+    frame = blocks.groupBy("seg", "salt").applyInPandas(
         score_all, schema="doc_id long, score double")
 
     if c.phrase:
@@ -642,20 +660,33 @@ def _clause_frame_indexed(
     return frame
 
 
+def _doc_stats_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Union of the segments' doc_stats (each doc lives in exactly one
+    segment — the ingest dedup guarantee); attribute columns may differ
+    per segment, missing ones read as null."""
+    frames = [spark.read.parquet(IndexPaths(d).doc_stats) for d in dirs]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr, allowMissingColumns=True)
+    return out
+
+
 def search_dsl_indexed(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | list[str],
     query: dict,
     k: int,
     docs_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Execute an ES query dict against a compressed index -> top-k
+    """Execute an ES query dict against a compressed index — or a LIST
+    of independently-built segments (the reference fans its bool
+    queries over weekly ``prefix-*`` indices, main.py:70-72) — top-k
     ``(doc_id, score)``, rank-identical to :func:`search_dsl` on the
-    same corpus (pytest-gated).
+    union corpus (pytest-gated).
 
     Metadata predicates (term/terms/range/exists) resolve against the
-    index's ``doc_stats`` columns (``conv_id``, ``turn_idx``, ``dl``,
-    plus any ride-along metadata persisted at build time);
+    segments' ``doc_stats`` columns (``conv_id``, ``turn_idx``, ``dl``,
+    plus every ride-along metadata column persisted at build time);
     ``match_phrase`` additionally needs ``docs_df`` for the adjacency
     re-check (the index stores no positions — see
     :func:`..compressed.search_phrase`). All text clauses must target
@@ -665,9 +696,18 @@ def search_dsl_indexed(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if k <= 0:
         return empty
-    paths = IndexPaths(index_dir)
-    with open(paths.meta) as f:
-        meta = json.load(f)
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    metas = []
+    for d in dirs:
+        with open(IndexPaths(d).meta) as f:
+            metas.append(json.load(f))
+    n_docs = sum(int(m["n_docs"]) for m in metas)
+    if n_docs == 0:
+        return empty
+    avgdl = sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas) / n_docs
+    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
+    if any((float(m["k1"]), float(m["b"])) != (k1, b) for m in metas):
+        raise DslError("segments disagree on BM25 params")
 
     text_fields = {c.field for c in (spec.must + spec.should
                                      + spec.filter_text + spec.must_not)}
@@ -675,10 +715,14 @@ def search_dsl_indexed(
         raise DslError(
             f"index holds one text field; query targets {sorted(text_fields)}")
 
+    def clause_frame(c: TextClause) -> DataFrame | None:
+        return _clause_frame_indexed(spark, dirs, metas, n_docs, avgdl,
+                                     c, docs_df)
+
     # ---- anchor frame: must + filter_text (inner-combined, must scores)
     anchor: DataFrame | None = None
     for c in spec.must:
-        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        fr = clause_frame(c)
         if fr is None:
             return empty
         fr = fr.withColumnRenamed("score", "s_")
@@ -689,7 +733,7 @@ def search_dsl_indexed(
                       .select("doc_id",
                               (F.col("score") + F.col("s_")).alias("score")))
     for c in spec.filter_text:
-        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        fr = clause_frame(c)
         if fr is None:
             return empty
         if anchor is None:
@@ -702,7 +746,7 @@ def search_dsl_indexed(
     # ---- should frames: union -> per-doc (sum, matched-count)
     should_frames = []
     for c in spec.should:
-        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        fr = clause_frame(c)
         if fr is not None:
             should_frames.append(fr)
     if msm > 0 and len(should_frames) < msm:
@@ -714,9 +758,6 @@ def search_dsl_indexed(
         if anchor is None:
             anchor = sagg.select(
                 "doc_id", F.col("s_sum").alias("score"), "s_cnt")
-            if msm > 0:
-                anchor = anchor.where(F.col("s_cnt") >= msm)
-            anchor = anchor.drop("s_cnt")
         else:
             anchor = (anchor.join(sagg, "doc_id", "left")
                       .select("doc_id",
@@ -725,9 +766,9 @@ def search_dsl_indexed(
                                ).alias("score"),
                               F.coalesce(F.col("s_cnt"), F.lit(0))
                               .alias("s_cnt")))
-            if msm > 0:
-                anchor = anchor.where(F.col("s_cnt") >= msm)
-            anchor = anchor.drop("s_cnt")
+        if msm > 0:
+            anchor = anchor.where(F.col("s_cnt") >= msm)
+        anchor = anchor.drop("s_cnt")
 
     scored = bool(spec.must or should_frames)
     if anchor is None:
@@ -735,21 +776,20 @@ def search_dsl_indexed(
         if not (spec.match_all or spec.filter_sql or spec.must_not
                 or spec.must_not_sql):
             return empty
-        anchor = (spark.read.parquet(paths.doc_stats)
-                  .select("doc_id", F.lit(0.0).alias("score")))
+        anchor = _doc_stats_union(spark, dirs).select(
+            "doc_id", F.lit(0.0).alias("score"))
 
     # ---- metadata predicates against doc_stats
     if spec.filter_sql or spec.must_not_sql:
-        ds = spark.read.parquet(paths.doc_stats)
         pred = " AND ".join(
             [f"({p})" for p in spec.filter_sql]
             + [f"NOT ({p})" for p in spec.must_not_sql])
-        allowed = ds.where(pred).select("doc_id")
+        allowed = _doc_stats_union(spark, dirs).where(pred).select("doc_id")
         anchor = anchor.join(allowed, "doc_id", "left_semi")
 
     # ---- must_not text clauses: anti-join the matching ids
     for c in spec.must_not:
-        fr = _clause_frame_indexed(spark, paths, meta, c, docs_df)
+        fr = clause_frame(c)
         if fr is not None:
             anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
 

@@ -404,3 +404,41 @@ def test_agg_rejects_bad_requests(spark, docs):
         dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
                                             "aggs": {"h": {"date_histogram": {
                                                 "field": "ts"}}}}}})
+
+
+# --------------------------------------------------------------------------
+# 5. multi-segment indexed execution
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dsl_segments(spark, docs, tmp_path_factory) -> list[str]:
+    """Corpus split into two disjoint segments, independently built with
+    DIFFERENT layouts (the incremental-maintenance shape)."""
+    from pyspark.sql import functions as SF
+    d1 = str(tmp_path_factory.mktemp("dsl_seg1"))
+    d2 = str(tmp_path_factory.mktemp("dsl_seg2"))
+    a = docs.where(SF.pmod(SF.col("doc_id"), SF.lit(2)) == 0)
+    b = docs.where(SF.pmod(SF.col("doc_id"), SF.lit(2)) == 1)
+    build_index(spark, a, d1, BuildConfig(n_ranges=8, n_buckets=4))
+    build_index(spark, b, d2, BuildConfig(n_ranges=4, n_buckets=2))
+    return [d1, d2]
+
+
+MULTI_QUERIES = [DSL_QUERIES[0], DSL_QUERIES[3], DSL_QUERIES[5],
+                 DSL_QUERIES[8]]
+
+
+@pytest.mark.parametrize("label,q", MULTI_QUERIES,
+                         ids=[x[0] for x in MULTI_QUERIES])
+def test_dsl_multi_segment_matches_naive(spark, docs, dsl_segments, label, q):
+    got = search_dsl_indexed(spark, dsl_segments, q, 10,
+                             docs_df=docs).toPandas()
+    want = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, f"multi:{label}")
+
+
+def test_dsl_multi_segment_pure_filter(spark, docs, dsl_segments):
+    q = {"query": {"bool": {"filter": [{"term": {"role": "tool"}}]}}}
+    got = search_dsl_indexed(spark, dsl_segments, q, 10).toPandas()
+    want = search_dsl(docs, q, 10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
