@@ -448,6 +448,34 @@ def _matched_frame(
             scored_q)
 
 
+DEFAULT_SIZE = 10  # the ES `_search` default
+
+
+def execute_request(
+    docs_df: DataFrame,
+    request: dict,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """The ES ``_search`` endpoint shape, whole-request: honors
+    ``{"query": ..., "size": n, "from": m}`` (ES defaults size=10,
+    from=0) and dispatches ``{"aggs": ...}`` requests to
+    :func:`dsl_aggregate`. Pagination = one top-k of depth from+size,
+    then an offset — the standard deep-paging trade (ES bounds it with
+    index.max_result_window for the same reason; keep from shallow).
+    """
+    if not isinstance(request, dict):
+        raise DslError("request must be a dict")
+    if "aggs" in request:
+        return dsl_aggregate(docs_df, request, params)
+    size = int(request.get("size", DEFAULT_SIZE))
+    frm = int(request.get("from", 0))
+    if size < 0 or frm < 0:
+        raise DslError("size/from must be non-negative")
+    query = request.get("query", {"match_all": {}})
+    out = search_dsl(docs_df, query, frm + size, params)
+    return out.offset(frm) if frm else out
+
+
 # --------------------------------------------------------------------------
 # aggregations: the ES `aggs` block, pushed into the engine
 # --------------------------------------------------------------------------

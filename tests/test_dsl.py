@@ -442,3 +442,34 @@ def test_dsl_multi_segment_pure_filter(spark, docs, dsl_segments):
     got = search_dsl_indexed(spark, dsl_segments, q, 10).toPandas()
     want = search_dsl(docs, q, 10).toPandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+# --------------------------------------------------------------------------
+# 6. whole-request executor (`_search` endpoint shape: size/from/aggs)
+# --------------------------------------------------------------------------
+
+from prow_jobs_scraper_spark.search.dsl import execute_request  # noqa: E402
+
+
+def test_execute_request_size_from_pagination(spark, docs):
+    q = {"query": {"match": {"text": {"query": "spark agent",
+                                      "operator": "or"}}}}
+    full = execute_request(docs, {**q, "size": 10}).toPandas()
+    assert len(full) == 10
+    page2 = execute_request(docs, {**q, "size": 4, "from": 4}).toPandas()
+    assert page2["doc_id"].tolist() == full["doc_id"].tolist()[4:8]
+    np.testing.assert_allclose(page2["score"], full["score"][4:8], rtol=1e-12)
+
+
+def test_execute_request_defaults_and_aggs_dispatch(spark, docs):
+    # no query -> match_all, size default 10
+    r = execute_request(docs, {}).toPandas()
+    assert len(r) == 10 and (r["score"] == 0.0).all()
+    # aggs requests route to dsl_aggregate
+    a = execute_request(docs, {
+        "query": {"bool": {"filter": [{"term": {"role": "user"}}]}},
+        "aggs": {"n": {"value_count": {"field": "role"}}},
+    }).toPandas()
+    assert list(a.columns) == ["n"]
+    with pytest.raises(DslError):
+        execute_request(docs, {"size": -1})
