@@ -252,7 +252,12 @@ def _scale_worker(cores: int, corpus_path: str) -> None:
         spark.stop()
 
 
-SCALE_LEVELS = (2, 8, 32)
+# parallelism levels; override e.g. SPARK_GRAFT_SCALE_LEVELS=1,4 to
+# measure an N->4N pair at low absolute parallelism (least affected by
+# the host's >8-thread ceiling, BASELINE.md "Measured results" §1)
+SCALE_LEVELS = tuple(
+    int(x) for x in
+    os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
 # >=3 interleaved reps by default: the host shows bursty CPU steal, so
 # single-sample scaling numbers are noise (round-1 verdict asked that the
 # bench artifact itself carry the multi-sample evidence, min-of-N)
@@ -296,7 +301,7 @@ def bench_scaling(corpus_path: str) -> dict:
                       "all_elapsed_sec": [r["elapsed_sec"] for r in samples[c]]}
         for c in best
     }
-    for lo, hi in ((2, 8), (8, 32)):
+    for lo, hi in zip(SCALE_LEVELS, SCALE_LEVELS[1:]):
         if lo in best and hi in best:
             sp = best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]
             out[f"speedup_{lo}_to_{hi}"] = round(sp, 3)

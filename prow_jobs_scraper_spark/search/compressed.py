@@ -38,6 +38,56 @@ from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
 from prow_jobs_scraper_spark.index import codec
 from prow_jobs_scraper_spark.index.build import IndexPaths, salt_expr
 
+# Driver-side df-stats cache: repeated queries against the same BUILT
+# index re-fetch only terms not seen before, and a fully-warm query
+# skips the term_stats Spark job entirely (the ES analogue: node-level
+# request/query caches). Correctness: entries are keyed by the index's
+# IDENTITY — (root, build_id, fingerprint, n_docs) from meta.json — so
+# any rebuild, compaction or incremental re-ingest that rewrites meta
+# invalidates naturally; df values for a committed build are immutable
+# by construction (build.py writes term_stats once per bucket). A 0
+# entry is a negative cache (term absent from the corpus).
+_DF_CACHE: dict[tuple, dict[int, int]] = {}
+_DF_CACHE_MAX_IDS = 64       # distinct index identities kept
+_DF_CACHE_MAX_TERMS = 1 << 20  # per identity; queried terms only
+
+
+def _index_identity(paths: IndexPaths, meta: dict) -> tuple:
+    return (paths.root, str(meta.get("build_id")),
+            int(meta.get("fingerprint", 0)), int(meta["n_docs"]))
+
+
+def _df_stats(
+    spark: SparkSession,
+    paths: IndexPaths,
+    meta: dict,
+    term_ids: list[int],
+    n_buckets: int,
+) -> dict[int, int]:
+    """df per term_id from term_stats, through the cache -> only terms
+    PRESENT in the corpus appear in the result (same contract as the
+    inline fetch this replaces)."""
+    key = _index_identity(paths, meta)
+    if key not in _DF_CACHE and len(_DF_CACHE) >= _DF_CACHE_MAX_IDS:
+        _DF_CACHE.clear()
+    cached = _DF_CACHE.setdefault(key, {})
+    missing = [t for t in term_ids if t not in cached]
+    if missing:
+        if len(cached) + len(missing) > _DF_CACHE_MAX_TERMS:
+            cached.clear()
+        buckets = sorted({t % n_buckets for t in missing})
+        rows = (
+            spark.read.parquet(paths.term_stats)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(missing))
+            .select("term_id", "df").collect()
+        )
+        for r in rows:
+            cached[int(r["term_id"])] = int(r["df"])
+        for t in missing:  # negative entries: absent terms stay absent
+            cached.setdefault(t, 0)
+    return {t: cached[t] for t in term_ids if cached.get(t, 0) > 0}
+
 
 def _tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float):
     tf = tfs.astype(np.float64)
@@ -259,18 +309,13 @@ def search_topk(
 
     # term_id = xxhash64(term) computed CLIENT-side (bit-identity with
     # Spark's xxhash64 is tested) — no cluster round-trip just to learn
-    # which term buckets to prune. One Spark job fetches df stats,
-    # pruned to the terms' tb directories + term_id row groups.
+    # which term buckets to prune. At most one Spark job fetches df
+    # stats (pruned to the terms' tb directories + term_id row groups);
+    # terms already seen against this built index come from _DF_CACHE,
+    # so a warm repeated query runs zero stats jobs.
     tid_of = {t: term_id_py(t) for t in q_terms}
-    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
     q_term_ids = list(tid_of.values())
-    stats = (
-        spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
-        .select("term_id", "df")
-        .collect()
-    )
-    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    df_of_tid = _df_stats(spark, paths, meta, q_term_ids, n_buckets)
     if operator == "and":
         if any(tid not in df_of_tid for tid in q_term_ids):
             return empty  # conjunctive AND: a missing term kills the query
@@ -288,6 +333,9 @@ def search_topk(
         tid_of[t] for t in sorted(q_terms, key=lambda t: (dfs[t], t))
     ]
 
+    # tb pruning from the SURVIVING terms only (post df filter) — on the
+    # OR path absent terms no longer widen the partition-filter set
+    buckets = sorted({tid % n_buckets for tid in q_term_ids})
     blocks = (
         spark.read.parquet(paths.postings)
         .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
@@ -390,14 +438,8 @@ def search_topk_filtered(
     if not q_terms or n_docs == 0:
         return empty
     tid_of = {t: term_id_py(t) for t in q_terms}
-    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
     q_term_ids = list(tid_of.values())
-    stats = (
-        spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
-        .select("term_id", "df").collect()
-    )
-    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    df_of_tid = _df_stats(spark, paths, meta, q_term_ids, n_buckets)
     if operator == "and":
         if any(tid not in df_of_tid for tid in q_term_ids):
             return empty
@@ -417,6 +459,7 @@ def search_topk_filtered(
         for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
     ]
 
+    buckets = sorted({tid % n_buckets for tid in q_term_ids})
     blocks = (
         spark.read.parquet(paths.postings)
         .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
@@ -719,14 +762,7 @@ def search_topk_many(
     union_tids = sorted(set(tid_of.values()))
     if not union_tids:
         return empty
-    buckets = sorted({tid % n_buckets for tid in union_tids})
-    stats = (
-        spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(union_tids))
-        .select("term_id", "df")
-        .collect()
-    )
-    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    df_of_tid = _df_stats(spark, paths, meta, union_tids, n_buckets)
 
     op_of = {q["query_id"]: q.get("operator", "and") for q in queries}
     # distinct filter strings -> small int fid; queries share scans
@@ -762,6 +798,7 @@ def search_topk_many(
     if not plans:
         return empty
 
+    buckets = sorted({tid % n_buckets for tid in needed_tids})
     blocks = (
         spark.read.parquet(paths.postings)
         .where(F.col("tb").isin(buckets)
@@ -948,14 +985,8 @@ def search_phrase(
 
     q_terms = sorted(set(phrase_terms))
     tid_of = {t: term_id_py(t) for t in q_terms}
-    buckets = sorted({tid % n_buckets for tid in tid_of.values()})
     q_term_ids = list(tid_of.values())
-    stats = (
-        spark.read.parquet(paths.term_stats)
-        .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
-        .select("term_id", "df").collect()
-    )
-    df_of_tid = {int(r["term_id"]): int(r["df"]) for r in stats}
+    df_of_tid = _df_stats(spark, paths, meta, q_term_ids, n_buckets)
     if any(tid not in df_of_tid for tid in q_term_ids):
         return empty  # phrase implies conjunctive
     idfs = {
@@ -969,6 +1000,7 @@ def search_phrase(
         for t in sorted(q_terms, key=lambda t: (df_of_tid[tid_of[t]], t))
     ]
 
+    buckets = sorted({tid % n_buckets for tid in q_term_ids})
     blocks = (
         spark.read.parquet(paths.postings)
         .where(F.col("tb").isin(buckets) & F.col("term_id").isin(q_term_ids))
