@@ -88,13 +88,13 @@ def cmd_search(args) -> dict:
             search_phrase,
         )
 
-        if not args.corpus:
-            raise SystemExit(
-                "--phrase needs --corpus (adjacency re-check source)")
         if len(dirs) > 1 or flt:
             raise SystemExit("--phrase supports one index, no --filter")
-        rows = search_phrase(spark, dirs[0],
-                             spark.read.parquet(args.corpus),
+        # --corpus: adjacency re-check against the store; without it the
+        # index must carry the positions sidecar (store_positions=True)
+        corpus = (spark.read.parquet(args.corpus)
+                  if args.corpus else None)
+        rows = search_phrase(spark, dirs[0], corpus,
                              args.query, args.k).collect()
     elif len(dirs) > 1:  # incremental segments: base,delta1,delta2,...
         rows = search_topk_multi(spark, dirs, args.query, args.k,

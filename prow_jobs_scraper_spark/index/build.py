@@ -19,6 +19,8 @@ partition-granular and idempotent, so swapping the I/O layer for
     <root>/manifest/             per-bucket lineage + build metrics
     <root>/terms/tb=*/           term <-> term_id dim (the only strings)
     <root>/flat/tb=*/            optional persisted occurrence stream
+    <root>/positions/tb=*/       optional per-(term, doc) token offsets
+                                 (ES index_options=positions / Lucene .pos)
     <root>/meta.json             corpus constants (n_docs, avgdl, params)
 
 Key design points (vs BASELINE.json north_rule):
@@ -101,6 +103,10 @@ class IndexPaths:
         return os.path.join(self.root, "flat")
 
     @property
+    def positions(self) -> str:
+        return os.path.join(self.root, "positions")
+
+    @property
     def terms(self) -> str:
         return os.path.join(self.root, "terms")
 
@@ -117,6 +123,12 @@ class BuildConfig:
     block_size: int = codec.BLOCK_SIZE
     params: BM25Params = field(default_factory=BM25Params)
     persist_flat: bool | None = None  # default: True iff n_chunks > 1
+    # ES text fields default to index_options=positions; storing them
+    # makes match_phrase answerable from the index alone (no corpus
+    # re-scan at query time). Off by default: positions multiply index
+    # bytes and only the phrase shape needs them (Lucene's .pos file is
+    # the analogue — a sidecar, never interleaved with the postings).
+    store_positions: bool = False
 
 
 def with_doc_ids(transcripts: DataFrame) -> DataFrame:
@@ -379,6 +391,7 @@ def build_index(
         "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size,
         "fingerprint": int(agg["fingerprint"] or 0),
+        "has_positions": bool(cfg.store_positions),
     }
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=1)
@@ -437,6 +450,28 @@ def build_index(
             .applyInArrow(encoder, schema=BLOCKS_SCHEMA)
             .write.mode("overwrite").partitionBy("tb").parquet(paths.postings)
         )
+
+        # positions sidecar (optional — ES index_options=positions / the
+        # Lucene .pos file): one row per (term, doc) with the term's
+        # in-doc token offsets, ascending. posexplode + the grouped
+        # collect are whole-stage-codegen; the shuffle key (term_id,
+        # doc_id) spreads hot terms over their documents, so no salt is
+        # needed. tb-partitioned like every other per-term table so the
+        # phrase read prunes to the query's buckets.
+        if cfg.store_positions:
+            (
+                docs.select(
+                    "doc_id", F.posexplode("tokens").alias("pos", "term"))
+                .select(term_id_expr(F.col("term")).alias("term_id"),
+                        "doc_id", "pos")
+                .withColumn(
+                    "tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
+                .where(F.col("tb").isin(chunk))
+                .groupBy("tb", "term_id", "doc_id")
+                .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+                .write.mode("overwrite").partitionBy("tb")
+                .parquet(paths.positions)
+            )
 
         # term_stats + lineage metrics derive from the committed blocks'
         # METADATA columns only (Parquet prunes the binary payloads):

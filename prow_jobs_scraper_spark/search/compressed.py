@@ -934,35 +934,102 @@ def search_topk_many(
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
 
+def phrase_verify_from_positions(
+    spark: SparkSession,
+    dirs: list[str],
+    metas: list[dict],
+    cand: DataFrame,
+    q_term_ids: list[int],
+    tid_seq: list[int],
+) -> DataFrame:
+    """doc_ids from ``cand`` where the phrase's terms appear adjacent
+    in order, proven from the positions sidecar alone (ES
+    ``index_options: positions``) — no corpus access.
+
+    ``tid_seq`` is the phrase's term_ids in token order (duplicates
+    kept); ``cand`` must be CONJUNCTIVE candidates (every term present,
+    so ``element_at`` below never returns null). Works across segments:
+    each doc lives in exactly one segment (the ingest-dedup guarantee),
+    so a plain union of the pruned per-segment position reads is exact.
+
+    Plan shape: bucket+term pruned parquet read → join to the (small)
+    candidate set (AQE broadcasts it) → one-shuffle pivot to a per-doc
+    ``map<term_id, positions>`` → a Catalyst ``exists(P_0, p -> ∀i
+    array_contains(P_i, p+i))`` predicate, fully whole-stage-codegen.
+    The read is bounded by the phrase terms' posting sizes — at 10^12
+    turns that is index I/O, not a corpus probe.
+    """
+    pos = None
+    for d, m in zip(dirs, metas):
+        nb = int(m["n_buckets"])
+        bks = sorted({tid % nb for tid in q_term_ids})
+        p = (
+            spark.read.parquet(IndexPaths(d).positions)
+            .where(F.col("tb").isin(bks)
+                   & F.col("term_id").isin(q_term_ids))
+            .select("term_id", "doc_id", "positions")
+        )
+        pos = p if pos is None else pos.unionByName(p)
+    pivoted = (
+        pos.join(cand.select("doc_id"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("term_id", "positions"))
+        ).alias("pm"))
+    )
+
+    def _key(tid):  # map keys are bigint; small literals infer int
+        return F.lit(tid).cast("long")
+
+    # exists p in P(term_0): every later token i sits at p+i —
+    # duplicate phrase tokens resolve to the same term's list, so
+    # repeats ("a b a") verify correctly.
+    def adjacent(p):
+        cond = F.lit(True)
+        for i, tid in enumerate(tid_seq[1:], start=1):
+            cond = cond & F.array_contains(
+                F.element_at("pm", _key(tid)), p + i)
+        return cond
+
+    return (
+        pivoted.where(F.exists(F.element_at("pm", _key(tid_seq[0])),
+                               adjacent))
+        .select("doc_id")
+    )
+
+
 def search_phrase(
     spark: SparkSession,
     index_dir: str,
-    docs_df: DataFrame,
+    docs_df: DataFrame | None,
     phrase_text: str,
     k: int,
 ) -> DataFrame:
     """Phrase top-k (ES ``match_phrase`` shape) from the compressed
-    index + adjacency verification against the source corpus.
+    index + adjacency verification.
 
     Two stages, both exact:
     1. the index prunes to CONJUNCTIVE candidates — every doc containing
        all phrase terms, scored, with NO top-k cut (a phrase doc may sit
        arbitrarily deep in the match ranking, so cutting early would be
        wrong);
-    2. candidates semi-join back to ``docs_df`` where a Catalyst
-       substring predicate over the space-joined token array verifies
-       adjacency-in-order (exact: tokens never contain spaces), then the
-       global top-k.
-
-    Candidate cardinality — not corpus size — bounds the text re-check;
-    at scale the join-back is where an Iceberg bloom filter / z-order on
-    doc_id would prune the corpus read. Positions are deliberately NOT
-    stored in the index: position lists multiply posting bytes for one
-    query shape (ES itself makes them optional via ``index_options``),
-    and candidate re-check against the store is the standard trade.
+    2. adjacency-in-order verification, one of two exact paths:
+       - ``docs_df is None`` (requires an index built with
+         ``store_positions=True`` — ES ``index_options: positions`` /
+         Lucene's .pos file): the positions sidecar is read pruned to
+         the phrase's (tb, term_id)s, pivoted per candidate doc, and a
+         Catalyst ``exists(P_0, p -> ∀i array_contains(P_i, p+i))``
+         predicate verifies the phrase — fully JVM-side, NO corpus
+         access at query time (at 10^12 turns the corpus join-back is a
+         100 TB-table probe; the positions read is bucket-pruned index
+         I/O bounded by the phrase terms' posting sizes);
+       - otherwise: candidates semi-join back to ``docs_df`` where a
+         substring predicate over the space-joined token array verifies
+         adjacency (exact: tokens never contain spaces). The standard
+         trade for indexes that skipped positions.
     Scoring = BM25 over the phrase's distinct terms with corpus-global
     stats (same formula as ``match``; rank-identical to
-    :func:`..naive.naive_phrase_topk`, tested).
+    :func:`..naive.naive_phrase_topk` on both paths, tested).
     """
     from prow_jobs_scraper_spark.functions.tokenize import (  # noqa: PLC0415
         tokenize_column,
@@ -1018,17 +1085,27 @@ def search_phrase(
     cand = blocks.groupBy("salt").applyInPandas(
         score_all, schema="doc_id long, score double")
 
-    if "doc_id" not in docs_df.columns:
-        docs_df = with_doc_ids(docs_df)
-    joined = F.concat(
-        F.lit(" "),
-        F.array_join(tokenize_column(F.col("text")), " "), F.lit(" "))
-    needle = " " + " ".join(phrase_terms) + " "
-    verified = (
-        docs_df.join(cand.select("doc_id"), "doc_id", "left_semi")
-        .where(F.instr(joined, needle) > 0)
-        .select("doc_id")
-    )
+    if docs_df is None:
+        if not meta.get("has_positions"):
+            raise ValueError(
+                "search_phrase without docs_df needs an index built with "
+                "BuildConfig(store_positions=True); this index has no "
+                "positions sidecar")
+        tid_seq = [tid_of[t] for t in phrase_terms]
+        verified = phrase_verify_from_positions(
+            spark, [index_dir], [meta], cand, q_term_ids, tid_seq)
+    else:
+        if "doc_id" not in docs_df.columns:
+            docs_df = with_doc_ids(docs_df)
+        joined = F.concat(
+            F.lit(" "),
+            F.array_join(tokenize_column(F.col("text")), " "), F.lit(" "))
+        needle = " " + " ".join(phrase_terms) + " "
+        verified = (
+            docs_df.join(cand.select("doc_id"), "doc_id", "left_semi")
+            .where(F.instr(joined, needle) > 0)
+            .select("doc_id")
+        )
     return (
         cand.join(verified, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -670,20 +670,35 @@ def _clause_frame_indexed(
         score_all, schema="doc_id long, score double")
 
     if c.phrase:
-        if docs_df is None:
-            raise DslError("match_phrase needs docs_df for adjacency verify")
-        if "doc_id" not in docs_df.columns:
-            docs_df = with_doc_ids(docs_df)
         ordered = tokenize_text(c.text)
-        needle = " " + " ".join(ordered) + " "
-        hay = F.concat(F.lit(" "),
-                       F.array_join(tokenize_column(F.col(c.field)), " "),
-                       F.lit(" "))
-        verified = (
-            docs_df.join(frame.select("doc_id"), "doc_id", "left_semi")
-            .where(F.instr(hay, needle) > 0)
-            .select("doc_id")
-        )
+        if docs_df is None:
+            # ES index_options=positions: adjacency proven from the
+            # positions sidecar, no corpus access (see
+            # compressed.phrase_verify_from_positions)
+            if not all(m.get("has_positions") for m in metas):
+                raise DslError(
+                    "match_phrase needs docs_df for adjacency verify, or "
+                    "every index segment built with store_positions=True")
+            from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                phrase_verify_from_positions,
+            )
+
+            verified = phrase_verify_from_positions(
+                spark, dirs, metas, frame,
+                q_term_ids, [tid_of[t] for t in ordered])
+        else:
+            if "doc_id" not in docs_df.columns:
+                docs_df = with_doc_ids(docs_df)
+            needle = " " + " ".join(ordered) + " "
+            hay = F.concat(
+                F.lit(" "),
+                F.array_join(tokenize_column(F.col(c.field)), " "),
+                F.lit(" "))
+            verified = (
+                docs_df.join(frame.select("doc_id"), "doc_id", "left_semi")
+                .where(F.instr(hay, needle) > 0)
+                .select("doc_id")
+            )
         frame = frame.join(verified, "doc_id")
     return frame
 
@@ -715,8 +730,9 @@ def search_dsl_indexed(
     Metadata predicates (term/terms/range/exists) resolve against the
     segments' ``doc_stats`` columns (``conv_id``, ``turn_idx``, ``dl``,
     plus every ride-along metadata column persisted at build time);
-    ``match_phrase`` additionally needs ``docs_df`` for the adjacency
-    re-check (the index stores no positions — see
+    ``match_phrase`` verifies adjacency either from the positions
+    sidecar (every segment built with ``store_positions=True`` —
+    ``docs_df`` may be None) or by re-check against ``docs_df`` (see
     :func:`..compressed.search_phrase`). All text clauses must target
     the single indexed text field.
     """

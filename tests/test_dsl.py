@@ -437,6 +437,42 @@ def test_dsl_multi_segment_matches_naive(spark, docs, dsl_segments, label, q):
     _assert_rank_identical(got, want, f"multi:{label}")
 
 
+def test_dsl_phrase_from_positions_multi_segment(spark, docs,
+                                                 tmp_path_factory):
+    # match_phrase with docs_df=None: adjacency from the positions
+    # sidecar, across two independently-built segments — identical to
+    # the corpus-recheck path and the naive plan. Segments WITHOUT
+    # positions must refuse loudly.
+    from pyspark.sql import functions as SF
+
+    from prow_jobs_scraper_spark.search.dsl import DslError
+
+    d1 = str(tmp_path_factory.mktemp("dsl_pseg1"))
+    d2 = str(tmp_path_factory.mktemp("dsl_pseg2"))
+    a = docs.where(SF.pmod(SF.col("doc_id"), SF.lit(2)) == 0)
+    b = docs.where(SF.pmod(SF.col("doc_id"), SF.lit(2)) == 1)
+    build_index(spark, a, d1,
+                BuildConfig(n_ranges=8, n_buckets=4, store_positions=True))
+    build_index(spark, b, d2,
+                BuildConfig(n_ranges=4, n_buckets=2, store_positions=True))
+
+    q = {"query": {"bool": {
+        "must": [{"match_phrase": {"text": "the_hot_term spark"}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}
+    got = search_dsl_indexed(spark, [d1, d2], q, 10).toPandas()
+    want = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, "phrase-positions-multi")
+    rechk = search_dsl_indexed(spark, [d1, d2], q, 10,
+                               docs_df=docs).toPandas()
+    _assert_rank_identical(got, rechk, "phrase-positions-vs-recheck")
+
+    d3 = str(tmp_path_factory.mktemp("dsl_pseg3"))
+    build_index(spark, b, d3, BuildConfig(n_ranges=4, n_buckets=2))
+    with pytest.raises(DslError, match="store_positions"):
+        search_dsl_indexed(spark, [d1, d3], q, 10).toPandas()
+
+
 def test_dsl_multi_segment_pure_filter(spark, docs, dsl_segments):
     q = {"query": {"bool": {"filter": [{"term": {"role": "tool"}}]}}}
     got = search_dsl_indexed(spark, dsl_segments, q, 10).toPandas()

@@ -408,6 +408,38 @@ def test_phrase_search_naive_vs_compressed(spark, transcripts, oracle_docs,
     assert set(got["doc_id"]) <= set(full_match["doc_id"])
 
 
+def test_phrase_search_from_positions_sidecar(spark, transcripts,
+                                              tmp_path_factory):
+    # ES index_options=positions / Lucene .pos: an index built with
+    # store_positions=True answers match_phrase WITHOUT touching the
+    # corpus (docs_df=None) — rank- and score-identical to both the
+    # naive plan and the corpus-recheck path, including a duplicate
+    # -token phrase and a 3-term phrase.
+    from prow_jobs_scraper_spark.search.compressed import search_phrase
+    from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
+
+    d = str(tmp_path_factory.mktemp("idx_pos"))
+    build_index(
+        spark, transcripts, d,
+        BuildConfig(n_ranges=8, n_buckets=4, n_chunks=2,
+                    store_positions=True),
+    )
+    for phrase in ("the_hot_term spark", "w04999 w04999", "spark agent",
+                   "zzz_missing spark", "the the_hot_term spark"):
+        want = naive_phrase_topk(transcripts, phrase, 10).toPandas()
+        got = search_phrase(spark, d, None, phrase, 10).toPandas()
+        _assert_rank_identical(got, want, f"pos-phrase:{phrase}")
+        rechk = search_phrase(spark, d, transcripts, phrase, 10).toPandas()
+        _assert_rank_identical(got, rechk, f"pos-vs-recheck:{phrase}")
+
+    # an index WITHOUT positions must refuse docs_df=None loudly
+    d2 = str(tmp_path_factory.mktemp("idx_nopos"))
+    build_index(spark, transcripts, d2,
+                BuildConfig(n_ranges=8, n_buckets=4, n_chunks=1))
+    with pytest.raises(ValueError, match="store_positions"):
+        search_phrase(spark, d2, None, "spark agent", 5)
+
+
 def test_batch_search_with_per_query_filters(spark, transcripts, index_dir):
     # the reference's report issues MANY match+filter queries per run
     # (main.py:70-72 loops query.py's bool shapes) — the batch path must
