@@ -42,10 +42,43 @@ def cmd_build(args) -> dict:
     metrics = build_index(
         spark, transcripts, args.output,
         BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets,
-                    n_chunks=args.n_chunks),
+                    n_chunks=args.n_chunks,
+                    store_positions=args.store_positions),
         build_id=args.build_id,
     )
     return metrics
+
+
+def cmd_package(args) -> dict:
+    """Zip the package for ``spark-submit --py-files`` (the north rule's
+    submission shape). Deterministic: sorted entries, zeroed timestamps,
+    fixed permissions — identical trees yield byte-identical zips, so
+    the submission artifact itself is reproducible/lineage-friendly.
+    """
+    import os  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.abspath(args.output)
+    entries = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join(
+                    "prow_jobs_scraper_spark",
+                    os.path.relpath(full, pkg_root))
+                entries.append((full, rel))
+    entries.sort(key=lambda t: t[1])
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for full, rel in entries:
+            zi = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.external_attr = 0o644 << 16
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            with open(full, "rb") as f:
+                zf.writestr(zi, f.read())
+    return {"zip": out, "n_files": len(entries),
+            "bytes": os.path.getsize(out)}
 
 
 def cmd_search(args) -> dict:
@@ -156,7 +189,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--n-buckets", type=int, default=16)
     b.add_argument("--n-chunks", type=int, default=1)
     b.add_argument("--build-id", default="build-0")
+    b.add_argument("--store-positions", action="store_true",
+                   help="persist the per-(term, doc) token-offset sidecar "
+                        "(ES index_options=positions); lets --phrase run "
+                        "without --corpus")
     b.set_defaults(fn=cmd_build)
+
+    z = sub.add_parser(
+        "package", help="zip the package for spark-submit --py-files")
+    z.add_argument("--output", default="pjs_spark.zip")
+    z.set_defaults(fn=cmd_package)
 
     s = sub.add_parser("search", help="BM25 top-k over a built index")
     s.add_argument("--index", required=True,
@@ -178,10 +220,11 @@ def main(argv: list[str] | None = None) -> int:
                         "shape: match + filter, single- or multi-segment")
     s.add_argument("--phrase", action="store_true",
                    help="treat --query as an exact phrase (match_phrase): "
-                        "index candidates + adjacency re-check")
+                        "index candidates + adjacency verification")
     s.add_argument("--corpus", default=None,
-                   help="source corpus parquet for the --phrase "
-                        "adjacency re-check")
+                   help="source corpus parquet for the --phrase adjacency "
+                        "re-check; optional when the index was built with "
+                        "--store-positions")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(

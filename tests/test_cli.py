@@ -102,3 +102,68 @@ def test_cli_dsl_search(spark, tmp_path, capsys):
     # neither --query nor --dsl is an error
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx, "--k", "5"])
+
+
+def test_cli_package_zip_is_deterministic(tmp_path, capsys):
+    z1 = str(tmp_path / "a.zip")
+    z2 = str(tmp_path / "b.zip")
+    r1 = _run(capsys, ["package", "--output", z1])
+    r2 = _run(capsys, ["package", "--output", z2])
+    assert r1["n_files"] == r2["n_files"] > 10
+    with open(z1, "rb") as f1, open(z2, "rb") as f2:
+        assert f1.read() == f2.read()  # byte-identical submission artifact
+
+
+def test_spark_submit_py_files_end_to_end(spark, tmp_path, capsys):
+    """The north rule's submission shape, run for REAL: package the repo
+    into a --py-files zip, then drive synth -> build -> search through
+    actual ``spark-submit`` subprocesses that see ONLY the zip (the app
+    file is a copy of cli.py in a bare tmp dir; PYTHONPATH is scrubbed).
+    The final hits must be rank+score identical to the in-process path
+    over the same index."""
+    import os
+    import shutil
+    import subprocess
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    zip_path = str(tmp_path / "pjs_spark.zip")
+    _run(capsys, ["package", "--output", zip_path])
+    app = str(tmp_path / "app.py")
+    shutil.copyfile(
+        os.path.join(os.path.dirname(cli.__file__), "cli.py"), app)
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+
+    def submit(*argv) -> dict:
+        proc = subprocess.run(
+            [spark_submit, "--master", "local[2]",
+             "--py-files", zip_path, app, *argv],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=300, check=True)
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    r = submit("synth", "--output", corpus, "--n-turns", "400",
+               "--n-partitions", "2")
+    assert r["n_turns"] == 400
+    r = submit("build", "--input", corpus, "--output", idx,
+               "--n-ranges", "4", "--n-buckets", "2")
+    assert r["n_docs"] == 400 and r["n_postings"] > 0
+    r = submit("search", "--index", idx, "--query", "spark agent",
+               "--k", "5")
+    assert len(r["hits"]) == 5
+
+    # the submitted job's answers == the in-process engine's answers
+    from prow_jobs_scraper_spark.search import search_topk
+    want = search_topk(spark, idx, "spark agent", 5).toPandas()
+    assert [h["doc_id"] for h in r["hits"]] == want["doc_id"].tolist()
+    import numpy as np
+    np.testing.assert_allclose(
+        [h["score"] for h in r["hits"]], want["score"].to_numpy(),
+        rtol=1e-12)
