@@ -612,6 +612,11 @@ def compact_segments(
     )
     open(os.path.join(paths.terms, "_SUCCESS"), "a").close()
 
+    # positions carry through only when EVERY segment has them —
+    # a partial sidecar would silently miss phrase matches in the
+    # uncovered docs, so it is all-or-nothing (mirrors Lucene, where a
+    # merge keeps .pos iff the field indexed positions in all segments)
+    has_pos = all(m.get("has_positions") for m in metas)
     meta = {
         "build_id": build_id,
         "n_docs": n_docs,
@@ -622,9 +627,25 @@ def compact_segments(
         "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size,
         "fingerprint": fingerprint,
+        "has_positions": has_pos,
     }
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=1)
+
+    if has_pos:
+        # disjoint doc sets -> plain union; only tb changes under the
+        # target layout (positions themselves are layout-independent)
+        pos = None
+        for d in segment_dirs:
+            part = spark.read.parquet(IndexPaths(d).positions).select(
+                "term_id", "doc_id", "positions")
+            pos = part if pos is None else pos.unionByName(part)
+        (
+            pos.withColumn(
+                "tb", term_bucket_of_id(F.col("term_id"), cfg.n_buckets))
+            .write.mode("overwrite").partitionBy("tb")
+            .parquet(paths.positions)
+        )
 
     # decoded postings stream: one row per (term, doc) posting.
     # ONE decode_blocks_bulk call per Arrow batch — the bulk API's

@@ -218,3 +218,50 @@ def test_compact_segments_equals_monolithic_build(spark, transcripts,
         got = search_topk(spark, out, q["query_text"], q["k"]).toPandas()
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
         assert got["score"].tolist() == want["score"].tolist(), q
+
+
+def test_compact_carries_positions_sidecar(spark, transcripts, tmp_path):
+    # merging positions-bearing segments keeps the sidecar (Lucene keeps
+    # .pos across merges) — the compacted index answers match_phrase
+    # with docs_df=None identically to the corpus re-check; merging a
+    # mixed set (one segment lacks positions) yields has_positions=False
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        build_index,
+        compact_segments,
+    )
+    from prow_jobs_scraper_spark.search.compressed import search_phrase
+
+    half_a = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    da, db = str(tmp_path / "pa"), str(tmp_path / "pb")
+    build_index(spark, half_a, da,
+                BuildConfig(n_ranges=4, n_buckets=2, store_positions=True))
+    build_index(spark, half_b, db,
+                BuildConfig(n_ranges=2, n_buckets=2, store_positions=True))
+
+    out = str(tmp_path / "pc_out")
+    m = compact_segments(spark, [da, db], out,
+                         BuildConfig(n_ranges=8, n_buckets=4))
+    assert m["has_positions"] is True
+    for phrase in ("the_hot_term spark", "spark agent"):
+        got = search_phrase(spark, out, None, phrase, 10).toPandas()
+        want = search_phrase(spark, out, transcripts, phrase, 10).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), phrase
+        assert got["score"].tolist() == want["score"].tolist(), phrase
+
+    # mixed segments -> no sidecar claimed, positions path refuses
+    dc = str(tmp_path / "pc_nopos")
+    build_index(spark, half_b, dc, BuildConfig(n_ranges=2, n_buckets=2))
+    out2 = str(tmp_path / "pc_mixed")
+    m2 = compact_segments(spark, [da, dc], out2,
+                          BuildConfig(n_ranges=8, n_buckets=4))
+    assert m2["has_positions"] is False
+    meta2 = json.load(open(os.path.join(out2, "meta.json")))
+    assert meta2["has_positions"] is False
+    assert not os.path.exists(os.path.join(out2, "positions"))
