@@ -785,6 +785,42 @@ def _bm25_compressed_topk(spark, sf_dir):
                        F.round("score", 4).alias("score"))
 
 
+def _search_aggs_indexed(spark, sf_dir):
+    """ES `aggs` over the INDEX's qualifying set, oracle-checked: a
+    bool query (match operator:or + range filter) resolves against
+    posting blocks + doc_stats — which persists every non-text input
+    column, the ES doc-values analogue — and a terms bucket agg with an
+    avg sub-metric runs over the FULL qualifying set (ES rule: aggs see
+    every match, not the top-k). The source corpus is never read at
+    query time — at 10^12 turns this is the scale path for the
+    reference's per-period report metrics (src/jobsautoreport/
+    main.py:70-72 + report.py computes them client-side from hits)."""
+    import tempfile  # noqa: PLC0415
+
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate_indexed
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), "text", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"))
+    d = tempfile.mkdtemp(prefix="entry_aidx_")
+    build_index(spark, docs, d, BuildConfig(n_ranges=8, n_buckets=4))
+    req = {
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "key agg",
+                                         "operator": "or"}}}],
+            "filter": [{"range": {"n_chars": {"gte": 200}}}],
+        }},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+                 "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}},
+    }
+    out = dsl_aggregate_indexed(spark, d, req)
+    return out.select("key", "doc_count",
+                      F.round("avg_chars", 6).alias("avg_chars"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
@@ -835,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "doc_fingerprints": _doc_fingerprints,
         "bm25_compressed_topk": _bm25_compressed_topk,
+        "search_aggs_indexed": _search_aggs_indexed,
     }
 
 
@@ -1486,5 +1523,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IN ('error', 'purchase')
               AND ts >= '2024-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        # indexed-aggs twin: qualification = match-or ('key','agg' — any
+        # term present) + range filter, aggs over the FULL qualifying
+        # set (ES rule); terms bucket order = doc_count desc, key asc
+        "search_aggs_indexed": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            hit AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              WHERE tok IN ('key', 'agg'))
+            SELECT lang AS key, count(*) AS doc_count,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents JOIN hit USING (doc_id)
+            WHERE n_chars >= 200
+            GROUP BY 1 ORDER BY doc_count DESC, key ASC
         """,
     }

@@ -531,6 +531,17 @@ def dsl_aggregate(
     Catalyst partial-aggregates map-side, so the shuffle carries one row
     per (partition, bucket), not per doc.
     """
+    agg_name, kind, body, sub = _parse_aggs_block(request)
+    spec = parse_query(request.get("query", {"match_all": {}}))
+    mf = _matched_frame(docs_df, spec, params or BM25Params())
+    # provably-empty query: aggregate the empty frame (keeps real column
+    # types; metrics go null / counts 0, buckets vanish — ES behaviour)
+    frame = docs_df.where(F.lit(False)) if mf is None else mf[0]
+    return _apply_agg(frame, agg_name, kind, body, sub)
+
+
+def _parse_aggs_block(request: dict):
+    """Validate the ``aggs`` block -> (name, kind, body, sub_aggs)."""
     if not isinstance(request, dict) or "aggs" not in request:
         raise DslError('aggregation request needs an "aggs" block')
     aggs = request["aggs"]
@@ -543,15 +554,15 @@ def dsl_aggregate(
     kinds = [k for k in agg_spec if k != "aggs"]
     if len(kinds) != 1:
         raise DslError(f"aggregation {agg_name!r} needs exactly one type")
-    kind = kinds[0]
-    body = agg_spec[kind]
+    return agg_name, kinds[0], agg_spec[kinds[0]], sub
 
-    spec = parse_query(request.get("query", {"match_all": {}}))
-    mf = _matched_frame(docs_df, spec, params or BM25Params())
-    # provably-empty query: aggregate the empty frame (keeps real column
-    # types; metrics go null / counts 0, buckets vanish — ES behaviour)
-    frame = docs_df.where(F.lit(False)) if mf is None else mf[0]
 
+def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
+               sub: dict) -> DataFrame:
+    """Apply one parsed aggregation to the qualifying-set frame —
+    shared by the naive (:func:`dsl_aggregate`, full doc rows) and
+    indexed (:func:`dsl_aggregate_indexed`, doc_stats rows) executors;
+    ``frame`` just needs the referenced field columns."""
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
             _METRIC_FNS[kind](_ident(body["field"])).alias(agg_name))
@@ -740,19 +751,49 @@ def search_dsl_indexed(
     empty = spark.createDataFrame([], "doc_id long, score double")
     if k <= 0:
         return empty
+    dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    if n_docs == 0:
+        return empty
+
+    anchor, scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                      spec, docs_df)
+    if anchor is None:
+        return empty
+    order = ([F.desc("score"), F.asc("doc_id")] if scored
+             else [F.asc("doc_id")])
+    return anchor.orderBy(*order).limit(k)
+
+
+def _load_segments(index_dir: str | list[str]):
+    """-> (dirs, metas, global n_docs, global avgdl); BM25 params must
+    agree across segments."""
     dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
     metas = []
     for d in dirs:
         with open(IndexPaths(d).meta) as f:
             metas.append(json.load(f))
     n_docs = sum(int(m["n_docs"]) for m in metas)
-    if n_docs == 0:
-        return empty
-    avgdl = sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas) / n_docs
+    avgdl = (sum(float(m["avgdl"]) * int(m["n_docs"]) for m in metas)
+             / n_docs if n_docs else 0.0)
     k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
     if any((float(m["k1"]), float(m["b"])) != (k1, b) for m in metas):
         raise DslError("segments disagree on BM25 params")
+    return dirs, metas, n_docs, avgdl
 
+
+def _qualify_indexed(
+    spark: SparkSession,
+    dirs: list[str],
+    metas: list[dict],
+    n_docs: int,
+    avgdl: float,
+    spec,
+    docs_df: DataFrame | None,
+):
+    """The bool query's QUALIFYING set from the index: -> (frame of
+    ``(doc_id, score)`` or None when provably empty, scored?). Shared
+    by :func:`search_dsl_indexed` (adds order + top-k) and
+    :func:`dsl_aggregate_indexed` (aggregates over it, no cut)."""
     text_fields = {c.field for c in (spec.must + spec.should
                                      + spec.filter_text + spec.must_not)}
     if len(text_fields) > 1:
@@ -768,7 +809,7 @@ def search_dsl_indexed(
     for c in spec.must:
         fr = clause_frame(c)
         if fr is None:
-            return empty
+            return None, False
         fr = fr.withColumnRenamed("score", "s_")
         if anchor is None:
             anchor = fr.withColumnRenamed("s_", "score")
@@ -779,7 +820,7 @@ def search_dsl_indexed(
     for c in spec.filter_text:
         fr = clause_frame(c)
         if fr is None:
-            return empty
+            return None, False
         if anchor is None:
             anchor = fr.select("doc_id", F.lit(0.0).alias("score"))
         else:
@@ -794,7 +835,7 @@ def search_dsl_indexed(
         if fr is not None:
             should_frames.append(fr)
     if msm > 0 and len(should_frames) < msm:
-        return empty
+        return None, False
     if should_frames:
         su = reduce(DataFrame.unionByName, should_frames)
         sagg = su.groupBy("doc_id").agg(
@@ -819,7 +860,7 @@ def search_dsl_indexed(
         # pure filter / match_all: every doc qualifies at score 0
         if not (spec.match_all or spec.filter_sql or spec.must_not
                 or spec.must_not_sql):
-            return empty
+            return None, False
         anchor = _doc_stats_union(spark, dirs).select(
             "doc_id", F.lit(0.0).alias("score"))
 
@@ -837,6 +878,69 @@ def search_dsl_indexed(
         if fr is not None:
             anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
 
-    order = ([F.desc("score"), F.asc("doc_id")] if scored
-             else [F.asc("doc_id")])
-    return anchor.orderBy(*order).limit(k)
+    return anchor, scored
+
+
+def dsl_aggregate_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    request: dict,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``aggs`` block answered from the INDEX alone: the query's
+    qualifying set resolves against posting blocks + ``doc_stats``
+    exactly as :func:`search_dsl_indexed` (single index or segment
+    list), and the aggregation fields read from ``doc_stats`` — which
+    persists every non-text input column, the ES doc-values analogue —
+    so the corpus is never touched. ES semantics: aggregations run over
+    the FULL qualifying set (no top-k cut anywhere).
+
+    Equals :func:`dsl_aggregate` on the union corpus (pytest-gated).
+    ``docs_df`` is only consulted for ``match_phrase`` adjacency when
+    the segments lack the positions sidecar.
+
+    At 10^12 turns this is the scale path for the reference's report
+    metrics (counts/rates per week, reference src/jobsautoreport/
+    main.py:70-72 + report.py): index-pruned candidate resolution +
+    one grouped aggregation over doc_stats, vs a full corpus scan in
+    the naive executor.
+    """
+    agg_name, kind, body, sub = _parse_aggs_block(request)
+    spec = parse_query(request.get("query", {"match_all": {}}))
+    dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    stats = _doc_stats_union(spark, dirs)
+    if n_docs == 0:
+        return _apply_agg(stats.where(F.lit(False)),
+                          agg_name, kind, body, sub)
+    anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                       spec, docs_df)
+    # provably-empty query: aggregate the empty doc_stats frame (real
+    # column types; metrics null / counts 0, buckets vanish — ES rule)
+    frame = (stats.where(F.lit(False)) if anchor is None
+             else stats.join(anchor.select("doc_id"), "doc_id",
+                             "left_semi"))
+    return _apply_agg(frame, agg_name, kind, body, sub)
+
+
+def execute_request_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    request: dict,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``_search`` endpoint shape against a compressed index (or
+    segment list): ``{"query":..., "size": n, "from": m}`` pagination
+    and ``aggs`` dispatch — the indexed twin of
+    :func:`execute_request`, same semantics, pytest-pinned identical.
+    """
+    if not isinstance(request, dict):
+        raise DslError("request must be a dict")
+    if "aggs" in request:
+        return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
+    size = int(request.get("size", DEFAULT_SIZE))
+    frm = int(request.get("from", 0))
+    if size < 0 or frm < 0:
+        raise DslError("size/from must be non-negative")
+    query = request.get("query", {"match_all": {}})
+    out = search_dsl_indexed(spark, index_dir, query, frm + size, docs_df)
+    return out.offset(frm) if frm else out

@@ -509,3 +509,92 @@ def test_execute_request_defaults_and_aggs_dispatch(spark, docs):
     assert list(a.columns) == ["n"]
     with pytest.raises(DslError):
         execute_request(docs, {"size": -1})
+
+
+# --------------------------------------------------------------------------
+# 7. indexed aggs + request executor (the scale path: no corpus access)
+# --------------------------------------------------------------------------
+
+from prow_jobs_scraper_spark.search.dsl import (  # noqa: E402
+    dsl_aggregate_indexed,
+    execute_request_indexed,
+)
+
+AGG_REQUESTS = [
+    ("terms+metric", {
+        "query": {"match": {"text": {"query": "the_hot_term",
+                                     "operator": "and"}}},
+        "aggs": {"by_role": {"terms": {"field": "role", "size": 10},
+                 "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}}}},
+    }),
+    ("weekly-histogram", {
+        "query": {"bool": {"filter": [{"term": {"role": "assistant"}}]}},
+        "aggs": {"per_week": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}},
+    }),
+    ("bare-metric", {
+        "query": {"match": {"text": {"query": "the_hot_term",
+                                     "operator": "and"}}},
+        "aggs": {"max_turn": {"max": {"field": "turn_idx"}}},
+    }),
+    ("provably-empty", {
+        "query": {"match": {"text": {"query": "zzz_never_appears",
+                                     "operator": "and"}}},
+        "aggs": {"by_role": {"terms": {"field": "role"}}},
+    }),
+    ("scored-bool-agg", {
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "spark agent",
+                                         "operator": "or"}}}],
+            "must_not": [{"range": {"turn_idx": {"gte": 80}}}],
+        }},
+        "aggs": {"by_tool": {"terms": {"field": "tool", "size": 5}}},
+    }),
+]
+
+
+def _agg_frames_equal(got, want, label):
+    assert list(got.columns) == list(want.columns), label
+    assert len(got) == len(want), label
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if str(g.dtype).startswith("datetime"):
+            assert pd.to_datetime(g).tolist() == \
+                pd.to_datetime(w).tolist(), f"{label}:{c}"
+        elif g.dtype.kind == "f":
+            np.testing.assert_allclose(g, w, rtol=1e-12,
+                                       err_msg=f"{label}:{c}")
+        else:
+            assert g.tolist() == w.tolist(), f"{label}:{c}"
+
+
+@pytest.mark.parametrize("label,req", AGG_REQUESTS,
+                         ids=[x[0] for x in AGG_REQUESTS])
+def test_dsl_aggregate_indexed_matches_naive(spark, docs, dsl_index,
+                                             dsl_segments, label, req):
+    # ES rule: aggs run over the FULL qualifying set, resolved here
+    # from the index + doc_stats with the corpus never read — must
+    # equal the naive full-scan executor, single index AND segment list
+    want = dsl_aggregate(docs, req).toPandas()
+    got = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    _agg_frames_equal(got, want, f"mono:{label}")
+    got2 = dsl_aggregate_indexed(spark, dsl_segments, req).toPandas()
+    _agg_frames_equal(got2, want, f"multi:{label}")
+
+
+def test_execute_request_indexed_matches_naive(spark, docs, dsl_index):
+    q = {"query": {"match": {"text": {"query": "spark agent",
+                                      "operator": "or"}}}}
+    for req in ({**q, "size": 10}, {**q, "size": 4, "from": 4}, {}):
+        want = execute_request(docs, req).toPandas()
+        got = execute_request_indexed(spark, dsl_index, req).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), req
+        np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+    # aggs dispatch
+    a = execute_request_indexed(spark, dsl_index, {
+        **q, "aggs": {"n": {"value_count": {"field": "role"}}}}).toPandas()
+    wa = execute_request(docs, {
+        **q, "aggs": {"n": {"value_count": {"field": "role"}}}}).toPandas()
+    assert int(a["n"].iloc[0]) == int(wa["n"].iloc[0])
+    with pytest.raises(DslError):
+        execute_request_indexed(spark, dsl_index, {"from": -1})
