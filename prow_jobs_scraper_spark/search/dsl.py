@@ -315,6 +315,31 @@ def search_dsl(
     return out.orderBy(*order).limit(k)
 
 
+def scan_dsl(
+    docs_df: DataFrame,
+    query: dict,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """The ES ``helpers.scan`` shape — the reference's PRIMARY access
+    pattern (reference src/prowjobsscraper/event.py:221-227 dedup
+    window, src/jobsautoreport/query.py:137 report hits,
+    src/elasticsearch_cleanup/main.py:113 full-index sweep): the FULL
+    qualifying set as doc rows, no top-k, no score ordering (scan
+    disables scoring order in ES; here scores simply aren't attached).
+
+    Unlike scroll-batched clients, the result is one distributed
+    DataFrame — downstream Spark ops consume it without pagination, so
+    at 10^12 turns the "scan" is just a filtered scan, not 10^9 HTTP
+    round-trips. Columns = the input's own columns.
+    """
+    spec = parse_query(query)
+    mf = _matched_frame(docs_df, spec, params or BM25Params())
+    if mf is None:
+        return docs_df.where(F.lit(False))
+    keep = [c for c in docs_df.columns]
+    return mf[0].select(*keep)
+
+
 def _matched_frame(
     docs_df: DataFrame,
     spec: QuerySpec,
@@ -472,8 +497,44 @@ def execute_request(
     if size < 0 or frm < 0:
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
+    after = request.get("search_after")
+    if after is not None:
+        if frm:
+            raise DslError(
+                "search_after cannot be combined with from (ES rule)")
+        spec = parse_query(query)
+        spark = docs_df.sparkSession
+        mf = _matched_frame(docs_df, spec, params or BM25Params())
+        if mf is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        frame, scored = mf
+        out = frame.select("doc_id", F.col("__dsl_score").alias("score"))
+        order = ([F.desc("score"), F.asc("doc_id")] if scored
+                 else [F.asc("doc_id")])
+        return (out.where(_search_after_pred(scored, after))
+                .orderBy(*order).limit(size))
     out = search_dsl(docs_df, query, frm + size, params)
     return out.offset(frm) if frm else out
+
+
+def _search_after_pred(scored: bool, after):
+    """ES ``search_after``: resume strictly past the last hit's sort
+    key. Sort is (score desc, doc_id asc) for scored queries —
+    ``after = [score, doc_id]`` — else (doc_id asc) — ``after =
+    [doc_id]``. The score must be passed back VERBATIM (float64
+    round-trip), as in ES where sort values are echoed exactly; this is
+    the deep-paging shape that stays O(size) per page where ``from``
+    pays O(from+size), and the predicate prunes before the top-k."""
+    if scored:
+        if not isinstance(after, (list, tuple)) or len(after) != 2:
+            raise DslError("search_after for a scored query is "
+                           "[score, doc_id]")
+        s, d = float(after[0]), int(after[1])
+        return (F.col("score") < F.lit(s)) | (
+            (F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+    if not isinstance(after, (list, tuple)) or len(after) != 1:
+        raise DslError("search_after for an unscored query is [doc_id]")
+    return F.col("doc_id") > F.lit(int(after[0]))
 
 
 # --------------------------------------------------------------------------
@@ -942,5 +1003,49 @@ def execute_request_indexed(
     if size < 0 or frm < 0:
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
+    after = request.get("search_after")
+    if after is not None:
+        if frm:
+            raise DslError(
+                "search_after cannot be combined with from (ES rule)")
+        spec = parse_query(query)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+        if n_docs == 0:
+            return empty
+        anchor, scored = _qualify_indexed(spark, dirs, metas, n_docs,
+                                          avgdl, spec, docs_df)
+        if anchor is None:
+            return empty
+        order = ([F.desc("score"), F.asc("doc_id")] if scored
+                 else [F.asc("doc_id")])
+        return (anchor.where(_search_after_pred(scored, after))
+                .orderBy(*order).limit(size))
     out = search_dsl_indexed(spark, index_dir, query, frm + size, docs_df)
     return out.offset(frm) if frm else out
+
+
+def scan_dsl_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    query: dict,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``helpers.scan`` shape from the INDEX: the query's FULL
+    qualifying set as ``doc_stats`` rows (doc_id, conv_id, turn_idx,
+    dl + every ride-along metadata column) — the reference's primary
+    access pattern (see :func:`scan_dsl`) answered without reading the
+    corpus. Row set equals :func:`scan_dsl` on the union corpus
+    (pytest-gated); ``docs_df`` is only consulted for ``match_phrase``
+    adjacency when segments lack the positions sidecar.
+    """
+    spec = parse_query(query)
+    dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    stats = _doc_stats_union(spark, dirs)
+    if n_docs == 0:
+        return stats.where(F.lit(False))
+    anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                       spec, docs_df)
+    if anchor is None:
+        return stats.where(F.lit(False))
+    return stats.join(anchor.select("doc_id"), "doc_id", "left_semi")

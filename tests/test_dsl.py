@@ -598,3 +598,106 @@ def test_execute_request_indexed_matches_naive(spark, docs, dsl_index):
     assert int(a["n"].iloc[0]) == int(wa["n"].iloc[0])
     with pytest.raises(DslError):
         execute_request_indexed(spark, dsl_index, {"from": -1})
+
+
+# --------------------------------------------------------------------------
+# 8. scan (the reference's helpers.scan shape) + search_after paging
+# --------------------------------------------------------------------------
+
+from prow_jobs_scraper_spark.search.dsl import (  # noqa: E402
+    scan_dsl,
+    scan_dsl_indexed,
+)
+
+
+def test_scan_dsl_full_qualifying_set(spark, docs, docs_pdf, dsl_index,
+                                      dsl_segments):
+    # helpers.scan = ALL matches, no top-k (reference event.py:221-227,
+    # query.py:137, elasticsearch_cleanup/main.py:113). The naive scan
+    # must equal a brute-force qualification; the indexed scan must
+    # return the same doc_id set from doc_stats without the corpus.
+    q = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}
+    got = scan_dsl(docs, q).toPandas()
+    assert list(got.columns) == list(docs.columns)  # doc rows, no score
+    toks = tokenize_pandas(docs_pdf["text"]).tolist()
+    hit = [("spark" in t or "agent" in t) for t in toks]
+    want_ids = set(docs_pdf.loc[
+        np.array(hit) & (docs_pdf["role"] == "assistant").to_numpy(),
+        "doc_id"])
+    assert set(got["doc_id"]) == want_ids
+    assert len(got) == len(want_ids)  # no duplicates
+
+    for idx, label in ((dsl_index, "mono"), (dsl_segments, "multi")):
+        gi = scan_dsl_indexed(spark, idx, q).toPandas()
+        assert set(gi["doc_id"]) == want_ids, label
+        assert {"conv_id", "turn_idx", "dl", "role"} <= set(gi.columns)
+
+    # match_all scan = whole corpus
+    assert scan_dsl(docs, {"query": {"match_all": {}}}).count() == \
+        len(docs_pdf)
+    assert scan_dsl_indexed(
+        spark, dsl_index, {"query": {"match_all": {}}}).count() == \
+        len(docs_pdf)
+    # provably-empty scan
+    qz = {"query": {"match": {"text": {"query": "zzz_never_appears",
+                                       "operator": "and"}}}}
+    assert scan_dsl(docs, qz).count() == 0
+    assert scan_dsl_indexed(spark, dsl_index, qz).count() == 0
+
+
+def test_search_after_pages_through_everything(spark, docs, dsl_index):
+    # ES search_after: O(size) deep paging. Chasing the cursor through
+    # the WHOLE result set must reproduce the one-shot ranking exactly,
+    # on both executors; pages are disjoint and in order.
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    # rare terms keep the full set small enough to page through with a
+    # Spark job per page; >2 pages still exercises the cursor math
+    q = {"query": {"match": {"text": {"query": "w00042 w00099",
+                                      "operator": "or"}}}}
+    full = execute_request(docs, {**q, "size": 100000}).toPandas()
+    assert len(full) > 15
+
+    for runner in (
+        lambda req: execute_request(docs, req).toPandas(),
+        lambda req: execute_request_indexed(spark, dsl_index,
+                                            req).toPandas(),
+    ):
+        pages, after = [], None
+        for _ in range(1 + len(full) // 7 + 1):
+            req = {**q, "size": 7}
+            if after is not None:
+                req["search_after"] = after
+            page = runner(req)
+            if not len(page):
+                break
+            pages.append(page)
+            # column access keeps int64 — a row view (.iloc[-1]) would
+            # upcast doc_id to float64 and corrupt the cursor
+            after = [float(page["score"].iloc[-1]),
+                     int(page["doc_id"].iloc[-1])]
+        paged = pd.concat(pages, ignore_index=True)
+        assert paged["doc_id"].tolist() == full["doc_id"].tolist()
+        np.testing.assert_allclose(paged["score"], full["score"],
+                                   rtol=1e-12)
+
+    # unscored (pure filter) cursor = [doc_id]
+    qf = {"query": {"bool": {"filter": [{"term": {"role": "tool"}}]}}}
+    f_full = execute_request(docs, {**qf, "size": 100000}).toPandas()
+    p1 = execute_request(docs, {**qf, "size": 5}).toPandas()
+    p2 = execute_request(docs, {
+        **qf, "size": 100000,
+        "search_after": [int(p1["doc_id"].iloc[-1])]}).toPandas()
+    assert p1["doc_id"].tolist() + p2["doc_id"].tolist() == \
+        f_full["doc_id"].tolist()
+
+    # ES rule: search_after + from is an error
+    with pytest.raises(DslError):
+        execute_request(docs, {**q, "from": 3, "search_after": [1.0, 0]})
