@@ -160,6 +160,45 @@ def _bool_dsl_topk(spark, sf_dir):
     )
 
 
+_SCAN_QUERY = {"query": {"bool": {
+    "must": [{"match": {"text": {"query": "key agg", "operator": "or"}}}],
+    "filter": [{"term": {"lang": "en"}},
+               {"range": {"n_chars": {"gte": 100}}}],
+}}}
+
+
+def _dsl_scan(spark, sf_dir):
+    """ES helpers.scan shape — the reference's PRIMARY access pattern
+    (src/prowjobsscraper/event.py:221-227 dedup window,
+    src/jobsautoreport/query.py:137 report hits,
+    src/elasticsearch_cleanup/main.py:113 full-index sweep): the FULL
+    qualifying set of a bool query as doc rows — no top-k, no score.
+    One distributed filtered scan instead of scroll pagination; at
+    10^12 turns this stays a single Spark job, not 10^9 round-trips."""
+    from prow_jobs_scraper_spark.search.dsl import scan_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    return scan_dsl(docs, _SCAN_QUERY).select("doc_id", "lang", "n_chars")
+
+
+def _search_after_page(spark, sf_dir):
+    """ES search_after deep paging: page 2 (rows 6-10) of the ranking,
+    reached by chasing the cursor from page 1 — O(size) per page where
+    `from` pays O(from+size). The cursor is the VERBATIM [score,
+    doc_id] of page 1's last hit (float64 round-trip, as ES echoes sort
+    values); the oracle is LIMIT 5 OFFSET 5 of the one-shot ordering,
+    so the driver value-checks the cursor math end-to-end."""
+    from prow_jobs_scraper_spark.search.dsl import execute_request
+
+    docs = _t(spark, sf_dir, "documents")
+    q = {"query": {"match": {"text": {"query": "key agg",
+                                      "operator": "or"}}}}
+    p1 = execute_request(docs, {**q, "size": 5}).toPandas()  # 5 rows
+    after = [float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1])]
+    p2 = execute_request(docs, {**q, "size": 5, "search_after": after})
+    return p2.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -828,6 +867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_match": _phrase_match,
         "bool_dsl_topk": _bool_dsl_topk,
+        "dsl_scan": _dsl_scan,
+        "search_after_page": _search_after_page,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -955,6 +996,40 @@ WHERE must_nt >= 1 AND d.lang = 'en' AND d.n_chars >= 100
   AND sc.doc_id NOT IN (SELECT doc_id FROM ph)
 ORDER BY must_score + should_score DESC, sc.doc_id LIMIT 10
 """.replace("{toks}", _TOKS)
+
+# helpers.scan twin of _SCAN_QUERY: full qualifying set, no ranking —
+# any doc containing >=1 must term, filters applied, every row kept
+_DSL_SCAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hit AS (SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE tok IN ('key','agg'))
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN hit USING (doc_id)
+WHERE d.lang = 'en' AND d.n_chars >= 100
+"""
+
+# search_after twin: the cursor-reached page 2 must equal rows 6-10 of
+# the one-shot (score desc, doc_id asc) ordering — same scoring CTEs as
+# _BM25_SQL, disjunctive (no nt filter), offset instead of a cursor
+_SEARCH_AFTER_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 5 OFFSET 5
+"""
 
 # hybrid RRF twin: the _BM25_OR CTE shape at depth 20 + the cosine CTE
 # from similarity_topk at depth 20, fused with 1/(60+rank). All division
@@ -1231,6 +1306,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_topk": _BM25_SQL,
         "phrase_match": _PHRASE_SQL,
         "bool_dsl_topk": _BOOL_DSL_SQL,
+        "dsl_scan": _DSL_SCAN_SQL,
+        "search_after_page": _SEARCH_AFTER_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
