@@ -199,6 +199,32 @@ def _search_after_page(spark, sf_dir):
     return p2.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _cleanup_duplicates(spark, sf_dir):
+    """The reference's elasticsearch_cleanup tool end-to-end
+    (src/elasticsearch_cleanup/main.py:30-107): copy the documents table
+    to a scratch dir, delete every row whose (lang, source) pair was
+    already seen — keeper = lowest doc_id, the deterministic stand-in
+    for the script's first-scanned-wins — then return the SURVIVING
+    table, so the oracle value-checks the actual on-disk mutation
+    (dedup + bulk delete + staged-swap commit), not just a projection."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from prow_jobs_scraper_spark.sources.readers import cleanup_duplicates
+
+    tmp = os.path.join(tempfile.gettempdir(),
+                       f"cleanup_{uuid.uuid4().hex[:8]}")
+    _t(spark, sf_dir, "documents").write.mode("overwrite").parquet(tmp)
+    cleanup_duplicates(spark, tmp, ["lang", "source"],
+                       order_col="doc_id", id_col="doc_id")
+    out = spark.read.parquet(tmp).select("doc_id", "lang", "source")
+    rows = out.collect()  # survivors: |lang × source| rows, KBs
+    shutil.rmtree(tmp)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _pricing_summary(spark, sf_dir):
     # A1/A3/A7: grouped multi-metric agg + derived columns (TPC-H Q1 shape)
     li = _t(spark, sf_dir, "lineitem")
@@ -869,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_dsl_topk": _bool_dsl_topk,
         "dsl_scan": _dsl_scan,
         "search_after_page": _search_after_page,
+        "cleanup_duplicates": _cleanup_duplicates,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -1308,6 +1335,14 @@ def oracle_sql() -> dict[str, str]:
         "bool_dsl_topk": _BOOL_DSL_SQL,
         "dsl_scan": _DSL_SCAN_SQL,
         "search_after_page": _SEARCH_AFTER_SQL,
+        "cleanup_duplicates": """
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -176,6 +176,23 @@ def cmd_synth(args) -> dict:
             "elapsed_sec": round(time.time() - t0, 3)}
 
 
+def cmd_cleanup(args) -> dict:
+    # the reference's elasticsearch_cleanup script interface: dedup a
+    # stored table on comparison fields, dry-run by default off
+    from prow_jobs_scraper_spark.sources.readers import cleanup_duplicates
+
+    spark = _spark(args)
+    fields = args.fields.split(",")
+    if args.dry_run:
+        losers = cleanup_duplicates(
+            spark, args.table, fields, args.order_col, args.id_col,
+            dry_run=True)
+        return {"dry_run": True, "n_duplicates": losers.count()}
+    out = cleanup_duplicates(
+        spark, args.table, fields, args.order_col, args.id_col)
+    return {"dry_run": False, **out}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="prow_jobs_scraper_spark")
     p.add_argument("--cores", type=int, default=None,
@@ -236,6 +253,23 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--n-buckets", type=int, default=16)
     c.add_argument("--build-id", default="compact-0")
     c.set_defaults(fn=cmd_compact)
+
+    u = sub.add_parser(
+        "cleanup",
+        help="remove duplicate rows from a stored table (keep-first by "
+             "order column) — the elasticsearch_cleanup tool shape")
+    u.add_argument("--table", required=True, help="parquet table path")
+    u.add_argument("--fields", required=True,
+                   help="comma-separated comparison fields defining "
+                        "duplicates")
+    u.add_argument("--order-col", required=True,
+                   help="keeper = first row per group by this column "
+                        "(ties broken by --id-col)")
+    u.add_argument("--id-col", required=True,
+                   help="unique row id (the _id analogue)")
+    u.add_argument("--dry-run", action="store_true",
+                   help="report duplicates without deleting")
+    u.set_defaults(fn=cmd_cleanup)
 
     g = sub.add_parser("synth", help="generate a synthetic transcript corpus")
     g.add_argument("--output", required=True)

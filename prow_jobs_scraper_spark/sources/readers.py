@@ -290,51 +290,147 @@ def delete_where(spark: SparkSession, path: str, condition: str) -> None:
     only after the replacement is fully in place; a crash between the two
     renames is healed by :func:`recover_table` (called on entry).
     """
+    recover_table(path)
+    part_cols = _partition_columns(path)
+    df = spark.read.parquet(path)
+    if part_cols:
+        affected = (
+            df.where(condition).select(*part_cols).distinct().collect())
+        if not affected:
+            return
+        aff_df = spark.createDataFrame(
+            affected, df.select(*part_cols).schema)
+        keep = (
+            df.join(F.broadcast(aff_df), part_cols, "left_semi")
+            .where(f"NOT ({condition})")
+        )
+        _commit_partitioned(spark, path, part_cols, keep, affected)
+    else:
+        _commit_unpartitioned(path, df.where(f"NOT ({condition})"))
+
+
+def _commit_partitioned(spark: SparkSession, path: str,
+                        part_cols: list[str], keep: DataFrame,
+                        affected: list) -> None:
+    """Commit ``keep`` as the new contents of the partitions listed in
+    ``affected`` (staged write → dynamic partition overwrite → explicit
+    removal of partitions the rewrite emptied). Shared by
+    :func:`delete_where` and :func:`cleanup_duplicates`; crash-safety
+    contract documented on delete_where."""
     import shutil  # noqa: PLC0415
     import uuid  # noqa: PLC0415
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        keep.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            staging)
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # explicit schema: a delete that empties every affected
+        # partition stages zero files, which breaks schema inference
+        staged = spark.read.schema(keep.schema).parquet(staging)
+        staged.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            path)
+        # partitions the delete emptied entirely: in `affected`, not
+        # in staging — their old files still exist; remove them (on a
+        # rerun after a crash here they are re-affected and re-empty)
+        kept = {tuple(r) for r in
+                staged.select(*part_cols).distinct().collect()}
+        for row in affected:
+            if tuple(row) not in kept:
+                # located via listdir + unescape, and rmtree fails
+                # loudly — a silently-missed dir would resurrect the
+                # deleted rows
+                shutil.rmtree(
+                    _locate_partition_dir(path, part_cols, tuple(row)))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def _commit_unpartitioned(path: str, keep: DataFrame) -> None:
+    """Staged swap of an unpartitioned table (write .staging → move live
+    aside → move .staging in → drop .old); crash states are healed by
+    :func:`recover_table` on the next entry."""
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        keep.write.mode("overwrite").parquet(staging)
+        shutil.move(path, path + ".old")
+        shutil.move(staging, path)
+        shutil.rmtree(path + ".old")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def cleanup_duplicates(
+    spark: SparkSession,
+    path: str,
+    comparison_fields: list[str],
+    order_col: str,
+    id_col: str,
+    dry_run: bool = False,
+):
+    """The reference's elasticsearch_cleanup tool end-to-end
+    (src/elasticsearch_cleanup/main.py:30-107): scan the whole table,
+    group rows by ``comparison_fields``, keep ONE row per group, delete
+    the rest in bulk — with the script's dry-run mode.
+
+    The reference keeps the first document its scan happens to yield
+    (scan order is unspecified in ES); a distributed engine needs that
+    choice deterministic, so the keeper is the group's first row by
+    ``(order_col, id_col)`` ascending. ``id_col`` must be unique (the
+    ``_id`` analogue) — it identifies the losing rows for the delete.
+
+    ``dry_run=True`` returns the would-be-deleted rows (``id_col`` +
+    ``comparison_fields`` + partition columns) WITHOUT touching the
+    table — the reference's logged-bulk-actions mode. Otherwise the
+    losers are removed via the same partition-scoped staged rewrite as
+    :func:`delete_where` (only partitions containing losers are
+    rewritten; crash-safe, idempotent — rerunning deletes nothing) and
+    a ``{"n_deleted": int, "n_partitions_rewritten": int}`` summary is
+    returned, mirroring the script's success/failure counts.
+
+    Scale: one window shuffle on ``comparison_fields`` to pick keepers,
+    one anti-join keyed on ``id_col`` bounded to affected partitions —
+    no driver-side set of seen keys (the reference holds every distinct
+    key tuple in one process's memory; at 10^9 rows that is the
+    scale-killer this rewrite removes).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
 
     recover_table(path)
     part_cols = _partition_columns(path)
     df = spark.read.parquet(path)
-    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-    try:
-        if part_cols:
-            affected = (
-                df.where(condition).select(*part_cols).distinct().collect())
-            if not affected:
-                return
-            aff_df = spark.createDataFrame(
-                affected, df.select(*part_cols).schema)
-            keep = (
-                df.join(F.broadcast(aff_df), part_cols, "left_semi")
-                .where(f"NOT ({condition})")
-            )
-            keep.write.mode("overwrite").partitionBy(*part_cols).parquet(
-                staging)
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic")
-            # explicit schema: a delete that empties every affected
-            # partition stages zero files, which breaks schema inference
-            staged = spark.read.schema(keep.schema).parquet(staging)
-            staged.write.mode("overwrite").partitionBy(*part_cols).parquet(
-                path)
-            # partitions the delete emptied entirely: in `affected`, not
-            # in staging — their old files still exist; remove them (on a
-            # rerun after a crash here they are re-affected and re-empty)
-            kept = {tuple(r) for r in
-                    staged.select(*part_cols).distinct().collect()}
-            for row in affected:
-                if tuple(row) not in kept:
-                    # located via listdir + unescape, and rmtree fails
-                    # loudly — a silently-missed dir would resurrect the
-                    # deleted rows
-                    shutil.rmtree(
-                        _locate_partition_dir(path, part_cols, tuple(row)))
-        else:
-            df.where(f"NOT ({condition})").write.mode("overwrite").parquet(
-                staging)
-            shutil.move(path, path + ".old")
-            shutil.move(staging, path)
-            shutil.rmtree(path + ".old")
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    w = (Window.partitionBy(*[F.col(c) for c in comparison_fields])
+         .orderBy(F.asc(order_col), F.asc(id_col)))
+    loser_cols = list(dict.fromkeys([id_col, *comparison_fields,
+                                     *part_cols]))
+    losers = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(*loser_cols)
+    )
+    if dry_run:
+        return losers
+    if part_cols:
+        affected = losers.select(*part_cols).distinct().collect()
+        if not affected:
+            return {"n_deleted": 0, "n_partitions_rewritten": 0}
+        aff_df = spark.createDataFrame(
+            affected, df.select(*part_cols).schema)
+        n = losers.count()
+        keep = (
+            df.join(F.broadcast(aff_df), part_cols, "left_semi")
+            .join(losers.select(id_col), id_col, "left_anti")
+            .select(*df.columns)
+        )
+        _commit_partitioned(spark, path, part_cols, keep, affected)
+        return {"n_deleted": n, "n_partitions_rewritten": len(affected)}
+    n = losers.count()
+    if n:
+        keep = (df.join(losers.select(id_col), id_col, "left_anti")
+                .select(*df.columns))
+        _commit_unpartitioned(path, keep)
+    return {"n_deleted": n, "n_partitions_rewritten": 0}

@@ -207,3 +207,102 @@ def test_recover_table_drops_stale_old_after_completed_swap(spark,
     delete_where(spark, p, "m = 0")
     assert not os.path.exists(p + ".old")
     assert spark.read.parquet(p).count() == 15
+
+
+# --------------------------------------------------------------------------
+# cleanup_duplicates: the elasticsearch_cleanup tool end-to-end
+# (reference src/elasticsearch_cleanup/main.py:30-107 — scan, dedup on
+# comparison fields keep-first, bulk-delete the losers, dry-run mode)
+# --------------------------------------------------------------------------
+
+from prow_jobs_scraper_spark.sources.readers import (  # noqa: E402
+    cleanup_duplicates,
+)
+
+
+@pytest.fixture()
+def dup_table(spark, tmp_path):
+    # 3 partitions; duplicate (a, b) groups within AND across partitions;
+    # keeper = lowest (ord, id). kind is also a comparison field for one
+    # group to exercise the column-overlap dedup in the loser projection.
+    p = str(tmp_path / "dups_by_kind")
+    rows = [
+        # (id, kind, a, b, ord)
+        (1, 0, "x", "m", 10),   # group (x,m): keeper (ord 10)
+        (2, 0, "x", "m", 20),   # loser, same partition
+        (3, 1, "x", "m", 5),    # ord 5 < 10 -> the real keeper
+        (4, 1, "y", "n", 1),    # unique group
+        (5, 2, "z", "o", 1),    # group (z,o): ord tie broken by id
+        (6, 2, "z", "o", 1),    # loser (same ord, higher id)
+        (7, 2, "q", "r", 9),    # unique group, untouched partition? no:
+                                # kind=2 has loser 6, so it IS rewritten
+    ]
+    spark.createDataFrame(
+        rows, "id long, kind int, a string, b string, ord long"
+    ).write.partitionBy("kind").parquet(p)
+    return p
+
+
+def test_cleanup_dry_run_reports_without_deleting(spark, dup_table):
+    before = _files_of(dup_table)
+    losers = cleanup_duplicates(
+        spark, dup_table, ["a", "b"], "ord", "id", dry_run=True)
+    got = {r.id for r in losers.collect()}
+    # keeper of (x,m) is id=3 (ord 5); of (z,o) is id=5 (ord tie, id asc)
+    assert got == {1, 2, 6}
+    assert {"id", "a", "b", "kind"} <= set(losers.columns)
+    assert _files_of(dup_table) == before  # nothing touched
+
+
+def test_cleanup_deletes_losers_partition_scoped(spark, dup_table):
+    # make one partition loser-free so its files must stay byte-identical
+    before = _files_of(dup_table)
+    out = cleanup_duplicates(spark, dup_table, ["a", "b"], "ord", "id")
+    # losers 1,2 live in kind=0 and loser 6 in kind=2; kind=1 holds only
+    # keepers (3, 4) so it is NOT rewritten
+    assert out == {"n_deleted": 3, "n_partitions_rewritten": 2}
+
+    got = spark.read.parquet(dup_table)
+    assert {r.id for r in got.collect()} == {3, 4, 5, 7}
+    # survivors keep full rows
+    assert got.where("id = 3").select("a", "b").first() == ("x", "m")
+    # kind=1's files stayed byte-identical (names + mtimes)
+    after = _files_of(dup_table)
+    assert {f: t for f, t in before.items() if "kind=1" in f} == \
+        {f: t for f, t in after.items() if "kind=1" in f}
+
+    # idempotent: rerun deletes nothing, rewrites nothing
+    before2 = _files_of(dup_table)
+    out2 = cleanup_duplicates(spark, dup_table, ["a", "b"], "ord", "id")
+    assert out2 == {"n_deleted": 0, "n_partitions_rewritten": 0}
+    assert _files_of(dup_table) == before2
+
+
+def test_cleanup_untouched_partition_files_intact(spark, tmp_path):
+    p = str(tmp_path / "dups_one_part")
+    rows = [(1, 0, "x", 1), (2, 0, "x", 2),  # dups only in kind=0
+            (3, 1, "y", 1), (4, 1, "w", 1)]
+    spark.createDataFrame(
+        rows, "id long, kind int, a string, ord long"
+    ).write.partitionBy("kind").parquet(p)
+    before = _files_of(p)
+    out = cleanup_duplicates(spark, p, ["a"], "ord", "id")
+    assert out == {"n_deleted": 1, "n_partitions_rewritten": 1}
+    after = _files_of(p)
+    k1 = {f: t for f, t in before.items() if "kind=1" in f}
+    assert k1 == {f: t for f, t in after.items() if "kind=1" in f}
+    assert {r.id for r in spark.read.parquet(p).collect()} == {1, 3, 4}
+
+
+def test_cleanup_unpartitioned_swap(spark, tmp_path):
+    p = str(tmp_path / "dups_flat")
+    rows = [(1, "x", 2), (2, "x", 1), (3, "y", 1)]
+    spark.createDataFrame(rows, "id long, a string, ord long") \
+        .write.parquet(p)
+    out = cleanup_duplicates(spark, p, ["a"], "ord", "id")
+    assert out["n_deleted"] == 1
+    assert {r.id for r in spark.read.parquet(p).collect()} == {2, 3}
+    assert not os.path.exists(p + ".old")
+    # no dups left -> no swap at all
+    out2 = cleanup_duplicates(spark, p, ["a"], "ord", "id")
+    assert out2["n_deleted"] == 0
