@@ -199,6 +199,15 @@ def _search_after_page(spark, sf_dir):
     return p2.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _dsl_count(spark, sf_dir):
+    """ES _count endpoint: the bool query's qualifying-set size, no
+    scoring, no top-k — one map-side-partial count over the scan."""
+    from prow_jobs_scraper_spark.search.dsl import count_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    return count_dsl(docs, _SCAN_QUERY)
+
+
 def _cleanup_duplicates(spark, sf_dir):
     """The reference's elasticsearch_cleanup tool end-to-end
     (src/elasticsearch_cleanup/main.py:30-107): copy the documents table
@@ -896,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_scan": _dsl_scan,
         "search_after_page": _search_after_page,
         "cleanup_duplicates": _cleanup_duplicates,
+        "dsl_count": _dsl_count,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
         "anti_join_customers": _anti_join_customers,
@@ -1335,6 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_dsl_topk": _BOOL_DSL_SQL,
         "dsl_scan": _DSL_SCAN_SQL,
         "search_after_page": _SEARCH_AFTER_SQL,
+        "dsl_count": f"SELECT count(*) AS count FROM ({_DSL_SCAN_SQL})",
         "cleanup_duplicates": """
 SELECT doc_id, lang, source
 FROM (SELECT doc_id, lang, source,

@@ -340,6 +340,19 @@ def scan_dsl(
     return mf[0].select(*keep)
 
 
+def count_dsl(
+    docs_df: DataFrame,
+    query: dict,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """The ES ``_count`` endpoint: the qualifying-set size of a query as
+    a 1-row frame ``(count long)`` — scoring skipped by ES in count
+    mode; here the count reduces the scan's rows without materializing
+    them (one map-side-partial aggregation)."""
+    return (scan_dsl(docs_df, query, params)
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
 def _matched_frame(
     docs_df: DataFrame,
     spec: QuerySpec,
@@ -1049,3 +1062,17 @@ def scan_dsl_indexed(
     if anchor is None:
         return stats.where(F.lit(False))
     return stats.join(anchor.select("doc_id"), "doc_id", "left_semi")
+
+
+def count_dsl_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    query: dict,
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``_count`` endpoint from the INDEX: qualifying-set size
+    answered from posting blocks + doc_stats, corpus never read (except
+    the documented match_phrase fallback). Equal to :func:`count_dsl`
+    on the union corpus (pytest-gated)."""
+    return (scan_dsl_indexed(spark, index_dir, query, docs_df)
+            .agg(F.count(F.lit(1)).alias("count")))

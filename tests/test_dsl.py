@@ -701,3 +701,33 @@ def test_search_after_pages_through_everything(spark, docs, dsl_index):
     # ES rule: search_after + from is an error
     with pytest.raises(DslError):
         execute_request(docs, {**q, "from": 3, "search_after": [1.0, 0]})
+
+
+def test_count_dsl_matches_scan(spark, docs, docs_pdf, dsl_index,
+                                dsl_segments):
+    # ES _count: qualifying-set size, scoring skipped. Must equal the
+    # scan's row count on naive + mono-index + multi-segment executors.
+    from prow_jobs_scraper_spark.search.dsl import (
+        count_dsl,
+        count_dsl_indexed,
+    )
+
+    qs = [
+        {"query": {"bool": {
+            "must": [{"match": {"text": {"query": "spark agent",
+                                         "operator": "or"}}}],
+            "filter": [{"term": {"role": "assistant"}}]}}},
+        {"query": {"match_all": {}}},
+        {"query": {"match": {"text": {"query": "zzz_never_appears",
+                                      "operator": "and"}}}},
+    ]
+    for q in qs:
+        want = scan_dsl(docs, q).count()
+        got = count_dsl(docs, q).toPandas()
+        assert list(got.columns) == ["count"]
+        assert int(got["count"].iloc[0]) == want
+        for idx in (dsl_index, dsl_segments):
+            gi = count_dsl_indexed(spark, idx, q).toPandas()
+            assert int(gi["count"].iloc[0]) == want
+    assert int(count_dsl(docs, {"query": {"match_all": {}}})
+               .toPandas()["count"].iloc[0]) == len(docs_pdf)
