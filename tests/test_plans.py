@@ -198,3 +198,28 @@ def test_dsl_aggs_partial_aggregates_map_side(spark):
     assert "partial_" in plan, plan
     assert "PushedFilters: [" in plan
     assert "In(event_type" in plan, plan
+
+
+def test_count_and_scan_prune_and_push(spark):
+    # ES _count / helpers.scan on a pure-filter query: both predicates
+    # must reach the parquet reader, the count must aggregate map-side
+    # (partial_count before one single-row exchange), and neither plan
+    # may read `text` — at 100 TB the text column IS the table.
+    from prow_jobs_scraper_spark.search.dsl import count_dsl, scan_dsl
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = {"query": {"bool": {"filter": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"gte": 100}}}]}}}
+
+    plan = _plan(count_dsl(docs, q))
+    assert "EqualTo(lang,en)" in plan, plan
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    assert "partial_count" in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema, read_schema
+
+    # the scan keeps doc rows (so text IS read) but still pushes filters
+    splan = _plan(scan_dsl(docs, q))
+    assert "EqualTo(lang,en)" in splan, splan
+    assert "EvalPython" not in splan, splan  # no Python in a filter scan
