@@ -105,6 +105,18 @@ def cmd_search(args) -> dict:
                  else json.loads(dsl))
         corpus_df = (spark.read.parquet(args.corpus)
                      if getattr(args, "corpus", None) else None)
+        if getattr(args, "count", False):  # the ES _count endpoint
+            from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+                count_dsl_indexed,
+            )
+
+            n = count_dsl_indexed(spark, dirs, qjson,
+                                  docs_df=corpus_df).first()["count"]
+            return {
+                "dsl": qjson,
+                "count": int(n),
+                "latency_sec": round(time.time() - t0, 4),
+            }
         rows = search_dsl_indexed(spark, dirs, qjson, args.k,
                                   docs_df=corpus_df).collect()
         return {
@@ -242,6 +254,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="source corpus parquet for the --phrase adjacency "
                         "re-check; optional when the index was built with "
                         "--store-positions")
+    s.add_argument("--count", action="store_true",
+                   help="with --dsl: return the qualifying-set size "
+                        "(the ES _count endpoint) instead of top-k hits")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser(

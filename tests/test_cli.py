@@ -99,6 +99,15 @@ def test_cli_dsl_search(spark, tmp_path, capsys):
                        "--k", "5"])
     assert r2["hits"] == r["hits"]
 
+    # --count: the ES _count endpoint — qualifying-set size, no hits;
+    # must equal the full (untruncated) hit count of the same query
+    rc = _run(capsys, ["search", "--index", idx, "--dsl", json.dumps(q),
+                       "--count"])
+    rfull = _run(capsys, ["search", "--index", idx, "--dsl",
+                          json.dumps(q), "--k", "100000"])
+    assert rc["count"] == len(rfull["hits"])
+    assert "hits" not in rc
+
     # neither --query nor --dsl is an error
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx, "--k", "5"])
