@@ -74,7 +74,13 @@ def _df_stats(
     missing = [t for t in term_ids if t not in cached]
     if missing:
         if len(cached) + len(missing) > _DF_CACHE_MAX_TERMS:
+            # The clear wipes entries for terms of THIS query that were
+            # cached; re-derive ``missing`` from the full request so no
+            # term in this call is served from the wiped cache (a stale
+            # ``missing`` would silently treat those terms as df=0 —
+            # AND/phrase queries would wrongly return empty).
             cached.clear()
+            missing = list(dict.fromkeys(term_ids))
         buckets = sorted({t % n_buckets for t in missing})
         rows = (
             spark.read.parquet(paths.term_stats)

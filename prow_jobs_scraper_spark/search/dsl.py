@@ -39,8 +39,16 @@ Semantics (ES-faithful; deviations called out):
   constant score; the reference only ever uses them in filter context,
   so the engine pins score-0 — a documented deviation.)
 - ``minimum_should_match`` defaults to 1 when the bool has no ``must``
-  and no ``filter``, else 0 — the ES rule.
-- ``bool``-in-``bool`` nesting is rejected (the reference never nests).
+  and no ``filter``, else 0 — the ES rule. Only non-negative ints are
+  in-grammar (ES percentage strings like ``"75%"`` raise DslError).
+- ``bool``-in-``bool`` nesting is accepted recursively (any programmatic
+  ES client composes bools; the reference's flat shape is the degenerate
+  case): a child bool in ``must``/``should`` contributes its score sum
+  when it matches, in ``filter``/``must_not`` it qualifies/excludes at
+  score 0, and it counts toward the parent's ``minimum_should_match``
+  exactly like a leaf clause.
+- ``must_not`` on a missing/NULL field MATCHES the doc (the inner clause
+  cannot match) — predicates are null-guarded to ES behaviour.
 
 Execution: :func:`search_dsl` compiles the WHOLE bool query into ONE
 map-side scoring pass — a single stats agg (corpus size, per-field avgdl,
@@ -102,7 +110,10 @@ class TextClause:
 
 @dataclass
 class QuerySpec:
-    """Normalized bool query: text clauses by context + SQL predicates."""
+    """Normalized bool query: text clauses by context + SQL predicates +
+    nested child bools by context (ES composes bools recursively; any
+    programmatic client emits them — the reference's flat shape,
+    query.py:28-45, is the degenerate case)."""
 
     must: list[TextClause] = _field(default_factory=list)
     should: list[TextClause] = _field(default_factory=list)
@@ -110,15 +121,29 @@ class QuerySpec:
     filter_text: list[TextClause] = _field(default_factory=list)
     filter_sql: list[str] = _field(default_factory=list)
     must_not_sql: list[str] = _field(default_factory=list)
+    must_bool: list["QuerySpec"] = _field(default_factory=list)
+    filter_bool: list["QuerySpec"] = _field(default_factory=list)
+    should_bool: list["QuerySpec"] = _field(default_factory=list)
+    must_not_bool: list["QuerySpec"] = _field(default_factory=list)
     msm: int | None = None  # None -> ES default rule
     match_all: bool = False
 
     def minimum_should_match(self) -> int:
         if self.msm is not None:
             return self.msm
-        has_anchor = bool(self.must or self.filter_text or self.filter_sql
+        has_anchor = bool(self.must or self.must_bool or self.filter_text
+                          or self.filter_bool or self.filter_sql
                           or self.match_all)
-        return 0 if has_anchor else (1 if self.should else 0)
+        return 0 if has_anchor else (
+            1 if (self.should or self.should_bool) else 0)
+
+    def text_clauses(self) -> list[TextClause]:
+        """Every text clause in the tree (self + nested bools)."""
+        out = (self.must + self.should + self.filter_text + self.must_not)
+        for child in (self.must_bool + self.filter_bool + self.should_bool
+                      + self.must_not_bool):
+            out.extend(child.text_clauses())
+        return out
 
 
 class DslError(ValueError):
@@ -231,7 +256,13 @@ def parse_query(q: dict) -> QuerySpec:
     known = {"must", "filter", "should", "must_not", "minimum_should_match"}
     if set(body) - known:
         raise DslError(f"unsupported bool keys {sorted(set(body) - known)}")
-    spec.msm = body.get("minimum_should_match")
+    msm = body.get("minimum_should_match")
+    if msm is not None and (isinstance(msm, bool)
+                            or not isinstance(msm, int) or msm < 0):
+        # ES also accepts percentage strings ('75%'); out-of-grammar here
+        raise DslError(
+            f"minimum_should_match must be a non-negative int, got {msm!r}")
+    spec.msm = msm
 
     for ctx in ("must", "filter", "should", "must_not"):
         for c in _as_list(body.get(ctx, [])):
@@ -239,7 +270,9 @@ def parse_query(q: dict) -> QuerySpec:
                 raise DslError(f"bad clause in {ctx}: {c!r}")
             (ck, cb), = c.items()
             if ck == "bool":
-                raise DslError("nested bool is not supported")
+                child = parse_query({"bool": cb})
+                getattr(spec, f"{ctx}_bool").append(child)
+                continue
             if ck == "match_all":
                 if ctx == "must_not":
                     raise DslError("must_not match_all matches nothing")
@@ -367,12 +400,7 @@ def _matched_frame(
         docs_df = with_doc_ids(docs_df)  # aggs never need an id; attach
         # the engine key only when the transcript key columns exist
 
-    text_clauses = (spec.must + spec.should + spec.filter_text
-                    + spec.must_not)
-    for c in text_clauses:
-        if not _clause_terms(c):
-            if c in spec.must or c in spec.filter_text:
-                return None  # unsatisfiable anchor
+    text_clauses = spec.text_clauses()
     fields = sorted({c.field for c in text_clauses})
 
     base = docs_df
@@ -445,43 +473,83 @@ def _matched_frame(
             matched = hits > 0
         return True, score, matched
 
-    qual = F.lit(True)
-    score_total = F.lit(0.0)
-    n_should_live = 0
-    should_cnt = F.lit(0)
-    for c in spec.must:
-        ok, sc, m = clause_exprs(c)
-        if not ok:
-            return None
-        qual = qual & m
-        score_total = score_total + sc
-    for c in spec.filter_text:
-        ok, _, m = clause_exprs(c)
-        if not ok:
-            return None
-        qual = qual & m
-    for c in spec.should:
-        ok, sc, m = clause_exprs(c)
-        if not ok:
-            continue  # an unsatisfiable should simply never matches
-        n_should_live += 1
-        score_total = score_total + F.when(m, sc).otherwise(F.lit(0.0))
-        should_cnt = should_cnt + m.cast("int")
-    for c in spec.must_not:
-        ok, _, m = clause_exprs(c)
-        if ok:
-            qual = qual & ~m
-    msm = spec.minimum_should_match()
-    if msm > 0:
-        if n_should_live < msm:
-            return None
-        qual = qual & (should_cnt >= msm)
-    for pred in spec.filter_sql:
-        qual = qual & F.expr(pred)
-    for pred in spec.must_not_sql:
-        qual = qual & ~F.expr(pred)
+    def spec_exprs(sp: QuerySpec):
+        """One (sub)bool -> (ok, score_expr, qual_expr, scored); ok=False
+        means provably empty (a required clause can never match). Child
+        bools recurse — still row expressions, so the whole TREE stays a
+        single map-side pass (no extra scans or joins per nesting level)."""
+        qual = F.lit(True)
+        score = F.lit(0.0)
+        scored = False
+        for c in sp.must:
+            ok, sc, m = clause_exprs(c)
+            if not ok:
+                return False, None, None, False
+            qual = qual & m
+            score = score + sc
+            scored = True
+        for child in sp.must_bool:
+            cok, csc, cq, cscored = spec_exprs(child)
+            if not cok:
+                return False, None, None, False
+            qual = qual & cq
+            score = score + csc
+            scored = scored or cscored
+        for c in sp.filter_text:
+            ok, _, m = clause_exprs(c)
+            if not ok:
+                return False, None, None, False
+            qual = qual & m
+        for child in sp.filter_bool:
+            cok, _, cq, _ = spec_exprs(child)
+            if not cok:
+                return False, None, None, False
+            qual = qual & cq  # filter context qualifies, never scores
+        n_should_live = 0
+        should_cnt = F.lit(0)
+        for c in sp.should:
+            ok, sc, m = clause_exprs(c)
+            if not ok:
+                continue  # an unsatisfiable should simply never matches
+            n_should_live += 1
+            score = score + F.when(m, sc).otherwise(F.lit(0.0))
+            should_cnt = should_cnt + m.cast("int")
+        for child in sp.should_bool:
+            cok, csc, cq, _ = spec_exprs(child)
+            if not cok:
+                continue
+            n_should_live += 1
+            cq = F.coalesce(cq, F.lit(False))
+            score = score + F.when(cq, csc).otherwise(F.lit(0.0))
+            should_cnt = should_cnt + cq.cast("int")
+        if n_should_live:
+            scored = True
+        for c in sp.must_not:
+            ok, _, m = clause_exprs(c)
+            if ok:
+                qual = qual & ~m
+        for child in sp.must_not_bool:
+            cok, _, cq, _ = spec_exprs(child)
+            if cok:
+                # a NULL child-qual (filter on a NULL field) means the
+                # child did NOT match -> the doc stays (ES must_not)
+                qual = qual & ~F.coalesce(cq, F.lit(False))
+        msm = sp.minimum_should_match()
+        if msm > 0:
+            if n_should_live < msm:
+                return False, None, None, False
+            qual = qual & (should_cnt >= msm)
+        for pred in sp.filter_sql:
+            qual = qual & F.expr(pred)
+        for pred in sp.must_not_sql:
+            # ES: must_not against a missing/NULL field MATCHES the doc —
+            # null-guard so ~NULL doesn't silently exclude it
+            qual = qual & ~F.coalesce(F.expr(pred), F.lit(False))
+        return True, score, qual, scored
 
-    scored_q = bool(spec.must or n_should_live)
+    ok, score_total, qual, scored_q = spec_exprs(spec)
+    if not ok:
+        return None
     return (base.where(qual).withColumn("__dsl_score", score_total),
             scored_q)
 
@@ -867,9 +935,12 @@ def _qualify_indexed(
     """The bool query's QUALIFYING set from the index: -> (frame of
     ``(doc_id, score)`` or None when provably empty, scored?). Shared
     by :func:`search_dsl_indexed` (adds order + top-k) and
-    :func:`dsl_aggregate_indexed` (aggregates over it, no cut)."""
-    text_fields = {c.field for c in (spec.must + spec.should
-                                     + spec.filter_text + spec.must_not)}
+    :func:`dsl_aggregate_indexed` (aggregates over it, no cut). Child
+    bools recurse — each nested level resolves to its own qualifying
+    frame and combines by doc_id join (semi/anti/score-add), so nesting
+    costs one extra postings-sized join per level, never a corpus scan.
+    """
+    text_fields = {c.field for c in spec.text_clauses()}
     if len(text_fields) > 1:
         raise DslError(
             f"index holds one text field; query targets {sorted(text_fields)}")
@@ -878,27 +949,48 @@ def _qualify_indexed(
         return _clause_frame_indexed(spark, dirs, metas, n_docs, avgdl,
                                      c, docs_df)
 
-    # ---- anchor frame: must + filter_text (inner-combined, must scores)
+    def child_qualify(child: QuerySpec):
+        return _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                child, docs_df)
+
+    # ---- anchor frame: must/must_bool (scores add) + filter* (semi)
     anchor: DataFrame | None = None
+    child_scored = False
+
+    def add_scoring(anchor, fr):
+        fr = fr.withColumnRenamed("score", "s_")
+        if anchor is None:
+            return fr.withColumnRenamed("s_", "score")
+        return (anchor.join(fr, "doc_id")
+                .select("doc_id",
+                        (F.col("score") + F.col("s_")).alias("score")))
+
+    def add_filtering(anchor, fr):
+        if anchor is None:
+            return fr.select("doc_id", F.lit(0.0).alias("score"))
+        return anchor.join(fr.select("doc_id"), "doc_id", "left_semi")
+
     for c in spec.must:
         fr = clause_frame(c)
         if fr is None:
             return None, False
-        fr = fr.withColumnRenamed("score", "s_")
-        if anchor is None:
-            anchor = fr.withColumnRenamed("s_", "score")
-        else:
-            anchor = (anchor.join(fr, "doc_id")
-                      .select("doc_id",
-                              (F.col("score") + F.col("s_")).alias("score")))
+        anchor = add_scoring(anchor, fr)
+    for child in spec.must_bool:
+        fr, cs = child_qualify(child)
+        if fr is None:
+            return None, False
+        anchor = add_scoring(anchor, fr)
+        child_scored = child_scored or cs
     for c in spec.filter_text:
         fr = clause_frame(c)
         if fr is None:
             return None, False
-        if anchor is None:
-            anchor = fr.select("doc_id", F.lit(0.0).alias("score"))
-        else:
-            anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_semi")
+        anchor = add_filtering(anchor, fr)
+    for child in spec.filter_bool:
+        fr, _ = child_qualify(child)
+        if fr is None:
+            return None, False
+        anchor = add_filtering(anchor, fr)
 
     msm = spec.minimum_should_match()
 
@@ -907,14 +999,31 @@ def _qualify_indexed(
     for c in spec.should:
         fr = clause_frame(c)
         if fr is not None:
-            should_frames.append(fr)
+            should_frames.append(fr.select("doc_id", "score"))
+    for child in spec.should_bool:
+        fr, _ = child_qualify(child)
+        if fr is not None:
+            should_frames.append(fr.select("doc_id", "score"))
     if msm > 0 and len(should_frames) < msm:
         return None, False
     if should_frames:
         su = reduce(DataFrame.unionByName, should_frames)
         sagg = su.groupBy("doc_id").agg(
             F.sum("score").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt"))
-        if anchor is None:
+        if anchor is None and msm == 0:
+            # explicit minimum_should_match: 0 with no anchor — ES (and
+            # the naive executor) match EVERY doc; the should scores are
+            # decoration. Left-join them onto the full doc set instead
+            # of anchoring on the should union (ADVICE r3).
+            anchor = (
+                _doc_stats_union(spark, dirs).select("doc_id")
+                .join(sagg, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("s_sum"), F.lit(0.0))
+                        .alias("score"),
+                        F.coalesce(F.col("s_cnt"), F.lit(0))
+                        .alias("s_cnt")))
+        elif anchor is None:
             anchor = sagg.select(
                 "doc_id", F.col("s_sum").alias("score"), "s_cnt")
         else:
@@ -929,26 +1038,36 @@ def _qualify_indexed(
             anchor = anchor.where(F.col("s_cnt") >= msm)
         anchor = anchor.drop("s_cnt")
 
-    scored = bool(spec.must or should_frames)
+    scored = bool(spec.must or should_frames or child_scored)
     if anchor is None:
-        # pure filter / match_all: every doc qualifies at score 0
-        if not (spec.match_all or spec.filter_sql or spec.must_not
-                or spec.must_not_sql):
+        # pure filter / match_all / pure must_not / explicit msm=0 with
+        # no live should: every doc qualifies at score 0
+        qualifies_all = (
+            spec.match_all or spec.filter_sql or spec.must_not
+            or spec.must_not_sql or spec.must_not_bool
+            or ((spec.should or spec.should_bool) and msm == 0))
+        if not qualifies_all:
             return None, False
         anchor = _doc_stats_union(spark, dirs).select(
             "doc_id", F.lit(0.0).alias("score"))
 
     # ---- metadata predicates against doc_stats
     if spec.filter_sql or spec.must_not_sql:
+        # must_not null-guarded: ES must_not on a missing/NULL field
+        # MATCHES the doc — NOT(NULL) would silently exclude it
         pred = " AND ".join(
             [f"({p})" for p in spec.filter_sql]
-            + [f"NOT ({p})" for p in spec.must_not_sql])
+            + [f"NOT coalesce(({p}), false)" for p in spec.must_not_sql])
         allowed = _doc_stats_union(spark, dirs).where(pred).select("doc_id")
         anchor = anchor.join(allowed, "doc_id", "left_semi")
 
-    # ---- must_not text clauses: anti-join the matching ids
+    # ---- must_not text clauses / child bools: anti-join matching ids
     for c in spec.must_not:
         fr = clause_frame(c)
+        if fr is not None:
+            anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
+    for child in spec.must_not_bool:
+        fr, _ = child_qualify(child)
         if fr is not None:
             anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
 

@@ -95,51 +95,87 @@ def _clause_eval(pdf, toks, n, avgdl, clause):
     return score, matched
 
 
-def dsl_oracle(pdf: pd.DataFrame, query: dict, k: int) -> pd.DataFrame:
-    spec = parse_query(query)
-    toks = tokenize_pandas(pdf["text"]).tolist()
-    n, avgdl = len(pdf), float(np.mean([len(x) for x in toks]))
+def _pred_mask(pdf: pd.DataFrame, pred: str) -> np.ndarray:
+    """Docs whose row satisfies the SQL predicate (NULL -> False)."""
+    con = duckdb.connect()
+    con.register("t", pdf)
+    ids = set(con.sql(f"SELECT doc_id FROM t WHERE {pred}")
+              .df()["doc_id"].tolist())
+    return pdf["doc_id"].isin(ids).to_numpy()
+
+
+def _spec_eval(pdf, toks, n, avgdl, spec):
+    """One (sub)bool -> (ok, score, qual, scored) numpy arrays —
+    recursive, mirrors ES semantics independently of the Spark plans."""
     total = np.zeros(n)
     qual = np.ones(n, dtype=bool)
     scored = False
-
     for c in spec.must:
         s, m = _clause_eval(pdf, toks, n, avgdl, c)
         if s is None:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return False, None, None, False
         total, qual, scored = total + s, qual & m, True
+    for ch in spec.must_bool:
+        ok, s, q, sc = _spec_eval(pdf, toks, n, avgdl, ch)
+        if not ok:
+            return False, None, None, False
+        total, qual, scored = total + s, qual & q, scored or sc
     for c in spec.filter_text:
         s, m = _clause_eval(pdf, toks, n, avgdl, c)
         if s is None:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return False, None, None, False
         qual = qual & m
+    for ch in spec.filter_bool:
+        ok, _, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        if not ok:
+            return False, None, None, False
+        qual = qual & q
     n_live_should, should_cnt = 0, np.zeros(n, dtype=np.int64)
     for c in spec.should:
         s, m = _clause_eval(pdf, toks, n, avgdl, c)
         if s is None:
             continue
         n_live_should += 1
-        scored = True
         total = total + np.where(m, s, 0.0)
         should_cnt += m.astype(np.int64)
+    for ch in spec.should_bool:
+        ok, s, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        if not ok:
+            continue
+        n_live_should += 1
+        total = total + np.where(q, s, 0.0)
+        should_cnt += q.astype(np.int64)
+    if n_live_should:
+        scored = True
     msm = spec.minimum_should_match()
     if msm > 0:
         if n_live_should < msm:
-            return pd.DataFrame({"doc_id": [], "score": []})
+            return False, None, None, False
         qual = qual & (should_cnt >= msm)
     for c in spec.must_not:
         s, m = _clause_eval(pdf, toks, n, avgdl, c)
         if s is not None:
             qual = qual & ~m
-    preds = [f"({p})" for p in spec.filter_sql] + [
-        f"NOT ({p})" for p in spec.must_not_sql]
-    if preds:
-        con = duckdb.connect()
-        con.register("t", pdf)
-        ok_ids = set(
-            con.sql(f"SELECT doc_id FROM t WHERE {' AND '.join(preds)}")
-            .df()["doc_id"].tolist())
-        qual = qual & pdf["doc_id"].isin(ok_ids).to_numpy()
+    for ch in spec.must_not_bool:
+        ok, _, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        if ok:
+            qual = qual & ~q
+    for p in spec.filter_sql:
+        qual = qual & _pred_mask(pdf, p)
+    for p in spec.must_not_sql:
+        # ES: must_not on a NULL field matches the doc -> the doc only
+        # drops when the predicate POSITIVELY matched
+        qual = qual & ~_pred_mask(pdf, p)
+    return True, total, qual, scored
+
+
+def dsl_oracle(pdf: pd.DataFrame, query: dict, k: int) -> pd.DataFrame:
+    spec = parse_query(query)
+    toks = tokenize_pandas(pdf["text"]).tolist()
+    n, avgdl = len(pdf), float(np.mean([len(x) for x in toks]))
+    ok, total, qual, scored = _spec_eval(pdf, toks, n, avgdl, spec)
+    if not ok:
+        return pd.DataFrame({"doc_id": [], "score": []})
 
     out = pd.DataFrame({
         "doc_id": pdf["doc_id"].to_numpy()[qual],
@@ -193,14 +229,37 @@ def test_parse_match_all():
     assert spec.match_all
 
 
-def test_parse_rejects_nested_bool_and_unknown():
-    with pytest.raises(DslError):
-        parse_query({"bool": {"must": [{"bool": {"must": []}}]}})
+def test_parse_rejects_unknown():
     with pytest.raises(DslError):
         parse_query({"fuzzy": {"text": "x"}})
     with pytest.raises(DslError):
         parse_query({"bool": {"must": [{"match": {"text": {
             "query": "x", "operator": "xor"}}}]}})
+
+
+def test_parse_accepts_nested_bool():
+    spec = parse_query({"bool": {
+        "must": [{"bool": {"should": [{"match": {"text": "a"}},
+                                      {"match": {"text": "b"}}],
+                           "minimum_should_match": 2}}],
+        "filter": [{"bool": {"must_not": [{"term": {"role": "tool"}}]}}],
+    }})
+    assert len(spec.must_bool) == 1 and spec.must_bool[0].msm == 2
+    assert len(spec.must_bool[0].should) == 2
+    assert len(spec.filter_bool) == 1
+    assert spec.filter_bool[0].must_not_sql == ["role = 'tool'"]
+    # text_clauses walks the whole tree
+    assert len(spec.text_clauses()) == 2
+
+
+def test_parse_validates_minimum_should_match():
+    for bad in ("75%", -1, True, 1.5):
+        with pytest.raises(DslError):
+            parse_query({"bool": {"should": [{"match": {"text": "x"}}],
+                                  "minimum_should_match": bad}})
+    # None and non-negative ints stay in-grammar
+    assert parse_query({"bool": {"should": [{"match": {"text": "x"}}],
+                                 "minimum_should_match": 0}}).msm == 0
 
 
 # --------------------------------------------------------------------------
@@ -259,6 +318,57 @@ DSL_QUERIES = [
     ("unsatisfiable-should-dropped", {"query": {"bool": {
         "must": [{"match": {"text": {"query": "spark", "operator": "and"}}}],
         "should": [{"match": {"text": "zzz_never_appears"}}],
+    }}}),
+    # ---- nested bools (round 4): the composed shapes a programmatic ES
+    # client emits; the flat reference queries are the degenerate case
+    ("nested-bool-in-must", {"query": {"bool": {
+        "must": [{"bool": {"should": [
+            {"match": {"text": "w00042"}},
+            {"match": {"text": "w00099"}},
+        ]}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}),
+    ("nested-bool-in-filter", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "filter": [{"bool": {
+            "should": [{"match": {"text": "agent"}},
+                       {"match": {"text": "tool_call"}}],
+            "minimum_should_match": 1,
+        }}],
+    }}}),
+    ("nested-bool-in-should-msm", {"query": {"bool": {
+        "should": [
+            {"match": {"text": "the_hot_term"}},
+            {"bool": {"must": [{"match": {"text": {"query": "w00042",
+                                                   "operator": "and"}}}],
+                      "must_not": [{"term": {"role": "tool"}}]}},
+        ],
+        "minimum_should_match": 1,
+    }}}),
+    ("nested-bool-in-must-not", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "must_not": [{"bool": {
+            "must": [{"match": {"text": {"query": "agent",
+                                         "operator": "and"}}}],
+            "filter": [{"term": {"role": "user"}}],
+        }}],
+    }}}),
+    ("nested-two-deep", {"query": {"bool": {
+        "must": [{"bool": {"must": [{"bool": {"should": [
+            {"match": {"text": "w00042"}},
+            {"match": {"text": "w00099"}},
+        ], "minimum_should_match": 2}}]}}],
+    }}}),
+    # must_not on a NULL field matches the doc (ES); `tool` has NULLs
+    ("must-not-on-null-field", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "must_not": [{"term": {"tool": "bash"}}],
+    }}}),
+    # explicit msm=0 on a should-only bool: EVERY doc qualifies (ES);
+    # the indexed anchor must not shrink to the should union (ADVICE r3)
+    ("should-only-msm-zero", {"query": {"bool": {
+        "should": [{"match": {"text": "w00042"}}],
+        "minimum_should_match": 0,
     }}}),
 ]
 

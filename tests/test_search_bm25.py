@@ -480,3 +480,28 @@ def test_batch_search_with_per_query_filters(spark, transcripts, index_dir):
         _assert_rank_identical(got, want, f"batch-filtered:{qid}")
         assert len(got) > 0, qid
     assert (batch["query_id"] == "e").sum() == 0  # all-excluding filter
+
+
+def test_df_cache_overflow_refetches_current_query(spark, transcripts,
+                                                   oracle_docs, index_dir,
+                                                   monkeypatch):
+    """Regression (ADVICE r3): when the per-identity term cap trips,
+    the clear must not starve terms of the CURRENT query that were
+    already cached — a stale ``missing`` list turned them into df=0
+    and an AND query silently returned empty."""
+    from prow_jobs_scraper_spark.search import compressed as C
+
+    # Warm the cache with one term, then issue an AND query mixing that
+    # cached term with an uncached one, sized so the fetch overflows:
+    # the clear used to wipe the cached term while only the uncached one
+    # was re-fetched -> cached term served as df=0 -> empty result.
+    C._DF_CACHE.clear()
+    search_topk(spark, index_dir, "w00042", 3).collect()
+    assert any(len(v) >= 1 for v in C._DF_CACHE.values())
+    monkeypatch.setattr(C, "_DF_CACHE_MAX_TERMS", 1)
+    mixed = "w00042 w00099"  # cached + uncached
+    want = bm25_oracle_topk(oracle_docs, mixed, k=10)
+    got = search_topk(spark, index_dir, mixed, 10).toPandas()
+    assert len(got) > 0, "AND query starved by the cache clear"
+    _assert_rank_identical(got, want, "post-overflow")
+    C._DF_CACHE.clear()
