@@ -427,11 +427,19 @@ def train_pq(embeddings: DataFrame, m: int = 8, seed: int = 42,
 def build_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 16,
                       m: int = 8, seed: int = 42, id_col: str = "vec_id",
                       vec_col: str = "embedding", centroids: str = "hash",
-                      kmeans_iters: int = 0, sample_n: int = 4096) -> dict:
+                      kmeans_iters: int = 0, sample_n: int = 4096,
+                      codebooks: np.ndarray | None = None) -> dict:
     """Persist an IVF-PQ layout: the IVF table of :func:`build_ivf_index`
     plus an m-byte PQ code per row (residual vs the row's list centroid,
     encoded by a vectorized pandas UDF — one argmin matmul per subspace
     per Arrow batch).
+
+    ``codebooks`` (shape (m, 256, dim//m)) skips :func:`train_pq` and
+    encodes with the given pre-trained codebooks — the FAISS
+    read-codebooks path. A fixed scalar-quantization grid (m = dim,
+    256 points on [-1, 1]) makes the WHOLE pipeline expressible in
+    plain SQL, which is how the driver's DuckDB oracle value-checks
+    encode + ADC + refine end-to-end.
 
     One table, column-pruned two ways: the ADC scan reads only
     (vec_id, pq_code) — m bytes/row instead of 4·dim — and the exact
@@ -446,8 +454,14 @@ def build_ivfpq_index(embeddings: DataFrame, path: str, n_lists: int = 16,
         C = kmeans_refine(embeddings, C, kmeans_iters, vec_col)
         assigned = embeddings.withColumn(
             "ivf_list", _assign_udf(C)(F.col(vec_col)))
-    books = train_pq(embeddings, m=m, seed=seed, sample_n=sample_n,
-                     id_col=id_col, vec_col=vec_col, centers=C)
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+        if books.shape[:2] != (m, 256):
+            raise ValueError(
+                f"codebooks shape {books.shape} != (m={m}, 256, dsub)")
+    else:
+        books = train_pq(embeddings, m=m, seed=seed, sample_n=sample_n,
+                         id_col=id_col, vec_col=vec_col, centers=C)
     dsub = books.shape[2]
 
     @F.pandas_udf(T.BinaryType())

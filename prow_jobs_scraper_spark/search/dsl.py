@@ -81,6 +81,7 @@ from functools import reduce
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from prow_jobs_scraper_spark.functions.tokenize import (
     tokenize_column,
@@ -699,37 +700,118 @@ def _parse_aggs_block(request: dict):
     return agg_name, kinds[0], agg_spec[kinds[0]], sub
 
 
+_BUCKET_KINDS = ("terms", "date_histogram")
+
+
+def _bucket_key(kind: str, body: dict):
+    """One bucket agg -> (key expr, size cap or None, count-desc order?)."""
+    if kind == "terms":
+        return (F.col(_ident(body["field"])), int(body.get("size", 10)),
+                True)
+    iv = body.get("calendar_interval")
+    if iv not in _CALENDAR_INTERVALS:
+        raise DslError(f"calendar_interval {iv!r} not supported")
+    # ES date_histogram has no bucket cap by default
+    return (F.date_trunc(iv, F.col(_ident(body["field"]))),
+            body.get("size"), False)
+
+
+def _split_sub(sub: dict):
+    """Sub-agg block -> (metric sub-aggs, bucket sub-agg or None as
+    (name, kind, body, its own sub block))."""
+    metrics, bucket = {}, None
+    for name, spec in sub.items():
+        if not isinstance(spec, dict) or not spec:
+            raise DslError(f"bad sub-aggregation {name!r}")
+        kinds = [k for k in spec if k != "aggs"]
+        if len(kinds) != 1:
+            raise DslError(f"sub-aggregation {name!r} needs exactly one type")
+        if kinds[0] in _BUCKET_KINDS:
+            if bucket is not None:
+                raise DslError("at most one bucket sub-aggregation")
+            bucket = (name, kinds[0], spec[kinds[0]], spec.get("aggs", {}))
+        else:
+            if "aggs" in spec:
+                raise DslError(
+                    f"metric sub-aggregation {name!r} cannot nest further")
+            metrics[name] = spec
+    return metrics, bucket
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                sub: dict) -> DataFrame:
     """Apply one parsed aggregation to the qualifying-set frame —
     shared by the naive (:func:`dsl_aggregate`, full doc rows) and
     indexed (:func:`dsl_aggregate_indexed`, doc_stats rows) executors;
-    ``frame`` just needs the referenced field columns."""
+    ``frame`` just needs the referenced field columns.
+
+    Supports ONE nested bucket level — ``date_histogram`` containing
+    ``terms`` or vice versa, with metric leaves (the ES idiom for the
+    reference's per-period per-type cost/count tables, reference
+    src/jobsautoreport/report.py:184-225). Nested output is FLATTENED:
+    one row per (parent, child) bucket with columns ``key, doc_count,
+    sub_key, sub_doc_count[, metric leaves]``; parent ``doc_count``
+    counts ALL parent-bucket docs (even those missing the child field —
+    ES), child-less parents emit no rows (a flattening deviation,
+    documented). Still one grouped aggregation at (parent, child)
+    granularity — Catalyst partial-aggregates map-side, then a window
+    over bucket-cardinality rows; no second corpus scan."""
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
             _METRIC_FNS[kind](_ident(body["field"])).alias(agg_name))
-
-    metrics = _metric_exprs(sub)
-    if kind == "terms":
-        key = F.col(_ident(body["field"]))
-        size = int(body.get("size", 10))
-        order = [F.desc("doc_count"), F.asc("key")]
-    elif kind == "date_histogram":
-        iv = body.get("calendar_interval")
-        if iv not in _CALENDAR_INTERVALS:
-            raise DslError(f"calendar_interval {iv!r} not supported")
-        key = F.date_trunc(iv, F.col(_ident(body["field"])))
-        size = body.get("size")  # ES date_histogram has no bucket cap
-        order = [F.asc("key")]
-    else:
+    if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")
 
-    out = (
-        frame.groupBy(key.alias("key"))
-        .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
-        .orderBy(*order)
+    metrics_spec, sub_bucket = _split_sub(sub)
+    pkey, psize, pdesc = _bucket_key(kind, body)
+    porder = ([F.desc("doc_count"), F.asc("key")] if pdesc
+              else [F.asc("key")])
+
+    if sub_bucket is None:
+        out = (
+            frame.groupBy(pkey.alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 *_metric_exprs(metrics_spec))
+            .orderBy(*porder)
+        )
+        return out.limit(int(psize)) if psize is not None else out
+
+    if metrics_spec:
+        raise DslError(
+            "metric leaves must live inside the bucket sub-aggregation")
+    _sname, skind, sbody, ssub = sub_bucket
+    smetrics, deeper = _split_sub(ssub)
+    if deeper is not None:
+        raise DslError("only one nested bucket level is supported")
+    ckey, csize, cdesc = _bucket_key(skind, sbody)
+
+    cells = (
+        frame.where(pkey.isNotNull())  # ES: docs missing the field drop
+        .groupBy(pkey.alias("key"), ckey.alias("sub_key"))
+        .agg(F.count(F.lit(1)).alias("sub_doc_count"),
+             *_metric_exprs(smetrics))
     )
-    return out.limit(int(size)) if size is not None else out
+    # parent doc_count = all docs in the parent bucket, INCLUDING those
+    # whose child field is NULL (their cell is dropped from the output
+    # but still counts — ES parent counts are child-independent)
+    cells = cells.withColumn(
+        "doc_count",
+        F.sum("sub_doc_count").over(Window.partitionBy("key")))
+    cells = cells.where(F.col("sub_key").isNotNull())
+    if psize is not None:
+        parents = (cells.select("key", "doc_count").distinct()
+                   .orderBy(*porder).limit(int(psize)))
+        cells = cells.join(F.broadcast(parents.select("key")),
+                           "key", "left_semi")
+    corder = ([F.desc("sub_doc_count"), F.asc("sub_key")] if cdesc
+              else [F.asc("sub_key")])
+    if csize is not None:
+        wc = Window.partitionBy("key").orderBy(*corder)
+        cells = (cells.withColumn("__rn", F.row_number().over(wc))
+                 .where(F.col("__rn") <= int(csize)).drop("__rn"))
+    return (cells.select("key", "doc_count", "sub_key", "sub_doc_count",
+                         *list(smetrics))
+            .orderBy(*porder, *corder))
 
 
 # --------------------------------------------------------------------------

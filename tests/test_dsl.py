@@ -431,7 +431,10 @@ def test_msm_above_live_should_is_empty(spark, docs, dsl_index):
 # 4. aggregations (the ES `aggs` block)
 # --------------------------------------------------------------------------
 
-from prow_jobs_scraper_spark.search.dsl import dsl_aggregate  # noqa: E402
+from prow_jobs_scraper_spark.search.dsl import (  # noqa: E402
+    dsl_aggregate,
+    dsl_aggregate_indexed,
+)
 
 
 def _hot_mask(docs_pdf):
@@ -510,10 +513,112 @@ def test_agg_rejects_bad_requests(spark, docs):
     with pytest.raises(DslError):
         dsl_aggregate(docs, {"aggs": {"a": {"date_histogram": {
             "field": "ts", "calendar_interval": "fortnight"}}}})
-    with pytest.raises(DslError):
+    with pytest.raises(DslError):  # bucket sub-agg missing its interval
         dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
                                             "aggs": {"h": {"date_histogram": {
                                                 "field": "ts"}}}}}})
+    with pytest.raises(DslError):  # two bucket sub-aggs
+        dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
+                                            "aggs": {
+            "b": {"terms": {"field": "tool"}},
+            "c": {"terms": {"field": "conv_id"}}}}}})
+    with pytest.raises(DslError):  # three bucket levels
+        dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
+                                            "aggs": {"b": {
+            "terms": {"field": "tool"},
+            "aggs": {"c": {"terms": {"field": "conv_id"}}}}}}}})
+    with pytest.raises(DslError):  # metric leaf beside a bucket sub-agg
+        dsl_aggregate(docs, {"aggs": {"a": {"terms": {"field": "role"},
+                                            "aggs": {
+            "b": {"terms": {"field": "tool"}},
+            "m": {"avg": {"field": "turn_idx"}}}}}})
+
+
+# --------------------------------------------------------------------------
+# 4b. nested aggs: one bucket level inside another (round 4)
+# --------------------------------------------------------------------------
+
+_NESTED_AGG_REQ = {
+    # the reference's report idiom: per-period per-type metrics
+    # (src/jobsautoreport/report.py:184-225) as date_histogram > terms
+    "query": {"bool": {"filter": [
+        {"terms": {"role": ["user", "assistant"]}}]}},
+    "aggs": {"per_week": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"per_tool": {
+            "terms": {"field": "tool", "size": 3},
+            "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}}}}}},
+}
+
+_NESTED_AGG_ORACLE = """
+WITH q AS (SELECT * FROM t WHERE role IN ('user', 'assistant')),
+cells AS (
+    SELECT date_trunc('week', ts) AS key, tool AS sub_key,
+           count(*) AS sub_doc_count, avg(turn_idx) AS avg_turn
+    FROM q WHERE ts IS NOT NULL GROUP BY 1, 2),
+tot AS (
+    SELECT *, sum(sub_doc_count) OVER (PARTITION BY key) AS doc_count
+    FROM cells),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY key ORDER BY sub_doc_count DESC, sub_key ASC) AS rn
+    FROM tot WHERE sub_key IS NOT NULL)
+SELECT key, doc_count::BIGINT AS doc_count, sub_key,
+       sub_doc_count::BIGINT AS sub_doc_count, avg_turn
+FROM ranked WHERE rn <= 3
+ORDER BY key ASC, sub_doc_count DESC, sub_key ASC
+"""
+
+
+def _cmp_nested(got: pd.DataFrame, want: pd.DataFrame, label: str):
+    assert list(got.columns) == ["key", "doc_count", "sub_key",
+                                 "sub_doc_count", "avg_turn"], label
+    assert len(got) == len(want), label
+    assert pd.to_datetime(got["key"]).tolist() == \
+        pd.to_datetime(want["key"]).tolist(), label
+    for c in ("doc_count", "sub_key", "sub_doc_count"):
+        assert got[c].tolist() == want[c].tolist(), f"{label}:{c}"
+    np.testing.assert_allclose(got["avg_turn"], want["avg_turn"],
+                               rtol=1e-12, err_msg=label)
+
+
+def test_nested_aggs_date_histogram_terms(spark, docs, docs_pdf):
+    got = dsl_aggregate(docs, _NESTED_AGG_REQ).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql(_NESTED_AGG_ORACLE).df()
+    _cmp_nested(got, want, "naive-vs-duckdb")
+    # parent doc_count counts docs whose tool is NULL too (dropped cells)
+    assert (got.groupby("key")["sub_doc_count"].sum()
+            <= got.groupby("key")["doc_count"].first()).all()
+
+
+def test_nested_aggs_indexed_matches_naive(spark, docs, dsl_index):
+    got = dsl_aggregate(docs, _NESTED_AGG_REQ).toPandas()
+    gi = dsl_aggregate_indexed(spark, dsl_index,
+                               _NESTED_AGG_REQ).toPandas()
+    _cmp_nested(gi, got, "indexed-vs-naive")
+
+
+def test_nested_aggs_terms_parent_size_cut(spark, docs, docs_pdf):
+    # terms parent (size=2) containing a date_histogram child: the
+    # parent cut keeps the 2 biggest roles by TOTAL doc_count
+    req = {
+        "query": {"match_all": {}},
+        "aggs": {"by_role": {
+            "terms": {"field": "role", "size": 2},
+            "aggs": {"per_week": {"date_histogram": {
+                "field": "ts", "calendar_interval": "week"}}}}},
+    }
+    got = dsl_aggregate(docs, req).toPandas()
+    top2 = (docs_pdf.groupby("role").size()
+            .sort_values(ascending=False).index[:2].tolist())
+    assert sorted(got["key"].unique().tolist()) == sorted(top2)
+    # parent ordering: doc_count desc, then child key asc within parent
+    counts = got.groupby("key", sort=False)["doc_count"].first().tolist()
+    assert counts == sorted(counts, reverse=True)
+    for _, grp in got.groupby("key"):
+        assert grp["sub_key"].is_monotonic_increasing
 
 
 # --------------------------------------------------------------------------
