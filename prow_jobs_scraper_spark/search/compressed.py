@@ -289,6 +289,204 @@ def _wand_or_topk(
     return best_ids, best_scores
 
 
+def _wand_bool_topk(
+    by_term: dict,
+    idfs: dict,
+    clauses: list[tuple[bool, bool, np.ndarray]],
+    msm: int,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-clause block-max pruned top-k for a whole BOOL query inside
+    one salt group — the WAND family applied ACROSS clauses instead of
+    per clause (round-3 verdict: the per-clause score-all was the one
+    plan in the tree not shippable at 100×).
+
+    ``clauses``: ``(is_must, conjunctive, term_ids)`` per text clause.
+    Doc score = Σ must-clause scores + Σ MATCHED should-clause scores;
+    a doc qualifies iff every must clause matches and ≥ ``msm`` should
+    clauses match (ES bool semantics, identical to ``..dsl.search_dsl``).
+
+    Two EXACT strategies, chosen by shape:
+
+    - **anchor** (≥1 must clause): every qualifying doc appears in the
+      postings of EACH must clause, so the cheapest must clause
+      enumerates all candidates — its rarest term for a conjunctive
+      clause, the union of its terms for a disjunctive one. Every other
+      term (including an arbitrarily hot ``should`` term) contributes
+      via block-SKIPPED decodes at candidate positions only: the hot
+      list is never walked. No threshold needed — the enumeration is a
+      superset of the qualifying set by construction.
+    - **MaxScore** (should-only, msm ≥ 1): terms descend by upper bound
+      ub_t = idf_t·max(block_max); each visited term seeds its
+      not-yet-seen docs as fully-scored candidates; STOP when the
+      suffix bound cannot beat the k-th QUALIFYING score. Exact: an
+      unseen doc contains none of the visited terms, so its score is
+      bounded by that suffix — and clause gating only ever LOWERS a
+      doc's score below the term-sum bound, never raises it.
+    """
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    frames: dict[int, pd.DataFrame] = {
+        int(t): g.sort_values("first_doc_id").reset_index(drop=True)
+        for t, g in by_term.items()
+    }
+    present = set(frames)
+    block_cache: dict = {}
+
+    def blocks_of(tid: int, idx: np.ndarray):
+        outs = []
+        g = frames[tid]
+        for bi in idx:
+            key = (tid, int(bi))
+            if key not in block_cache:
+                row = g.iloc[int(bi)]
+                block_cache[key] = codec.decode_blocks_bulk(
+                    np.array([row["n_docs"]]),
+                    np.array([row["first_doc_id"]]),
+                    [row["doc_gaps"]], [row["tf_bytes"]], [row["dl_bytes"]],
+                )
+            outs.append(block_cache[key])
+        if not outs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+    def contrib(tid: int, cand_ids: np.ndarray) -> np.ndarray:
+        """idf·tf_norm of ``tid`` at SORTED cand_ids (0 where absent),
+        decoding only blocks whose span contains a candidate."""
+        g = frames[tid]
+        firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+        lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+        lo = np.searchsorted(cand_ids, firsts, side="left")
+        hi = np.searchsorted(cand_ids, lasts, side="right")
+        out = np.zeros(cand_ids.size, dtype=np.float64)
+        touched = np.flatnonzero(hi > lo)
+        if touched.size == 0:
+            return out
+        ids_t, tfs_t, dls_t = blocks_of(tid, touched)
+        pos = np.searchsorted(ids_t, cand_ids)
+        pos_c = np.minimum(pos, ids_t.size - 1)
+        found = ids_t[pos_c] == cand_ids
+        if found.any():
+            out[found] = idfs[tid] * _tf_norm(
+                tfs_t[pos_c[found]], dls_t[pos_c[found]], avgdl, k1, b)
+        return out
+
+    # restrict clauses to terms with postings in THIS doc range
+    live_clauses: list[tuple[bool, bool, list[int]]] = []
+    for is_must, conj, tids in clauses:
+        tl = [int(t) for t in tids]
+        if conj:
+            if any(t not in present for t in tl):
+                if is_must:
+                    return empty  # a must term absent here: no doc in
+                    # this salt's doc range can qualify
+                continue  # a should clause dead in this group
+            live = sorted(set(tl))
+        else:
+            live = sorted({t for t in tl if t in present})
+            if not live:
+                if is_must:
+                    return empty
+                continue
+        live_clauses.append((is_must, conj, live))
+    if not live_clauses:
+        return empty
+    must_cl = [c for c in live_clauses if c[0]]
+    if not must_cl and msm > 0:
+        if sum(1 for c in live_clauses if not c[0]) < msm:
+            return empty
+    union_tids = sorted({t for _, _, tl in live_clauses for t in tl})
+
+    def score_candidates(cand: np.ndarray):
+        """-> (qualifies, score) over SORTED candidate ids."""
+        contribs = {t: contrib(t, cand) for t in union_tids}
+        score = np.zeros(cand.size, dtype=np.float64)
+        qual = np.ones(cand.size, dtype=bool)
+        n_matched = np.zeros(cand.size, dtype=np.int64)
+        for is_must, conj, tl in live_clauses:
+            cl = np.zeros(cand.size, dtype=np.float64)
+            if conj:
+                matched = np.ones(cand.size, dtype=bool)
+            else:
+                matched = np.zeros(cand.size, dtype=bool)
+            for t in tl:
+                ct = contribs[t]
+                cl = cl + ct
+                # contribution > 0  <=>  tf >= 1 (idf and tf_norm are
+                # strictly positive for present terms)
+                if conj:
+                    matched &= ct > 0
+                else:
+                    matched |= ct > 0
+            if is_must:
+                qual &= matched
+                score = score + cl
+            else:
+                n_matched += matched.astype(np.int64)
+                score = score + np.where(matched, cl, 0.0)
+        if msm > 0:
+            qual &= n_matched >= msm
+        return qual, score
+
+    if must_cl:
+        # ---- anchor strategy
+        def clause_cost(c):
+            _, conj, tl = c
+            sizes = [int(frames[t]["n_docs"].sum()) for t in tl]
+            return min(sizes) if conj else sum(sizes)
+
+        _, aconj, atids = min(must_cl, key=clause_cost)
+        if aconj:
+            seeds = [min(atids,
+                         key=lambda t: int(frames[t]["n_docs"].sum()))]
+        else:
+            seeds = list(atids)
+        cand = np.unique(np.concatenate(
+            [blocks_of(t, np.arange(len(frames[t])))[0] for t in seeds]))
+        if cand.size == 0:
+            return empty
+        qual, score = score_candidates(cand)
+        cand, score = cand[qual], score[qual]
+        order = np.lexsort((cand, -score))[:k]
+        return cand[order], score[order]
+
+    # ---- MaxScore strategy (should-only, msm >= 1)
+    ubs = {t: idfs[t] * float(frames[t]["block_max_tf_norm"].max())
+           for t in union_tids}
+    order_t = sorted(union_tids, key=lambda t: (-ubs[t], t))
+    tail = np.cumsum([ubs[t] for t in order_t][::-1])[::-1]
+    best_ids = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    kth = -math.inf
+    seen = np.empty(0, dtype=np.int64)
+    for i, tid in enumerate(order_t):
+        if best_ids.size >= k and tail[i] < kth:
+            break
+        ids_t = blocks_of(tid, np.arange(len(frames[tid])))[0]
+        if seen.size:
+            pos = np.searchsorted(seen, ids_t)
+            pos_c = np.minimum(pos, seen.size - 1)
+            new = seen[pos_c] != ids_t
+        else:
+            new = np.ones(ids_t.size, dtype=bool)
+        cand = ids_t[new]  # doc-ordered within a term -> sorted
+        if cand.size:
+            qual, score = score_candidates(cand)
+            cand, score = cand[qual], score[qual]
+            if cand.size:
+                all_ids = np.concatenate([best_ids, cand])
+                all_scores = np.concatenate([best_scores, score])
+                sel = np.lexsort((all_ids, -all_scores))[:k]
+                best_ids, best_scores = all_ids[sel], all_scores[sel]
+                if best_ids.size >= k:
+                    kth = best_scores[-1]
+        seen = np.union1d(seen, ids_t)
+    return best_ids, best_scores
+
+
 def search_topk(
     spark: SparkSession,
     index_dir: str,

@@ -78,6 +78,7 @@ import math
 from dataclasses import dataclass, field as _field
 from functools import reduce
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -949,6 +950,137 @@ def _doc_stats_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
     return out
 
 
+def _prunable_for_topk(spec: QuerySpec) -> bool:
+    """True when the top-k can run the cross-clause block-max kernel
+    (:func:`..compressed._wand_bool_topk`): pure must/should text
+    clauses (no phrase) on the indexed field, no filters, no must_not,
+    no nested bools — and a should-only query must require >= 1 match
+    (explicit msm=0 admits zero-score docs that postings cannot
+    enumerate). Everything else falls back to the exact score-all path.
+    """
+    if (spec.filter_text or spec.filter_sql or spec.must_not
+            or spec.must_not_sql or spec.match_all or spec.must_bool
+            or spec.filter_bool or spec.should_bool
+            or spec.must_not_bool):
+        return False
+    cls = spec.must + spec.should
+    if not cls or any(c.phrase for c in cls):
+        return False
+    if not spec.must and spec.minimum_should_match() < 1:
+        return False
+    return True
+
+
+def _search_dsl_pruned(
+    spark: SparkSession,
+    dirs: list[str],
+    metas: list[dict],
+    n_docs: int,
+    avgdl: float,
+    spec: QuerySpec,
+    k: int,
+) -> DataFrame | None:
+    """Top-k for a prunable bool query via cross-clause block-max
+    pruning — ONE kernel over the union of clause terms per
+    (segment, salt) group instead of one score-all frame per clause
+    (round-3 verdict #2: a hot ``should`` term no longer produces a
+    df-sized frame + shuffle; it contributes via block-skipped decodes
+    or is cut by the MaxScore suffix bound, see
+    :func:`..compressed._wand_bool_topk`). Returns None only on shapes
+    :func:`_prunable_for_topk` should have rejected; rank+score
+    identical to the score-all path (pytest-gated)."""
+    from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+        _wand_bool_topk,
+    )
+
+    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    clauses = []  # (is_must, conjunctive, [term_id, ...])
+    for is_must, lst in ((True, spec.must), (False, spec.should)):
+        for c in lst:
+            terms = _clause_terms(c)
+            if not terms:
+                if is_must:
+                    return empty  # unanalyzable must: nothing matches
+                continue
+            clauses.append((is_must, c.operator == "and",
+                            [term_id_py(t) for t in terms]))
+    if not clauses:
+        return None
+
+    # global df per term, summed across segments (multi-segment rule of
+    # search_topk_multi); absent terms kill conj clauses / shrink disj
+    all_tids = sorted({t for _, _, tl in clauses for t in tl})
+    df_of: dict[int, int] = {}
+    for d, m in zip(dirs, metas):
+        buckets = sorted({t % int(m["n_buckets"]) for t in all_tids})
+        for r in (
+            spark.read.parquet(IndexPaths(d).term_stats)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(all_tids))
+            .select("term_id", "df").collect()
+        ):
+            tid = int(r["term_id"])
+            df_of[tid] = df_of.get(tid, 0) + int(r["df"])
+
+    live_clauses = []
+    for is_must, conj, tl in clauses:
+        if conj:
+            if any(t not in df_of for t in tl):
+                if is_must:
+                    return empty
+                continue
+            live = sorted(set(tl))
+        else:
+            live = sorted({t for t in tl if t in df_of})
+            if not live:
+                if is_must:
+                    return empty
+                continue
+        live_clauses.append((is_must, conj, live))
+    msm = spec.minimum_should_match()
+    has_must = any(c[0] for c in live_clauses)
+    n_should = sum(1 for c in live_clauses if not c[0])
+    if msm > 0 and n_should < msm:
+        return empty
+    if not live_clauses or (not has_must and n_should == 0):
+        return empty
+
+    union_tids = sorted({t for _, _, tl in live_clauses for t in tl})
+    idfs = {t: math.log(1.0 + (n_docs - df_of[t] + 0.5)
+                        / (df_of[t] + 0.5)) for t in union_tids}
+
+    blocks = None
+    for si, (d, m) in enumerate(zip(dirs, metas)):
+        buckets = sorted({t % int(m["n_buckets"]) for t in union_tids})
+        scale = max(1.0, avgdl / max(float(m["avgdl"]), 1e-12))
+        part = (
+            spark.read.parquet(IndexPaths(d).postings)
+            .where(F.col("tb").isin(buckets)
+                   & F.col("term_id").isin(union_tids))
+            .select("term_id", "salt", "block_id", "n_docs",
+                    "first_doc_id", "last_doc_id", "doc_gaps", "tf_bytes",
+                    "dl_bytes",
+                    (F.col("block_max_tf_norm") * F.lit(scale))
+                    .alias("block_max_tf_norm"))
+            .withColumn("seg", F.lit(si))
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+
+    cl_arrays = [(m_, c_, np.array(tl, dtype=np.int64))
+                 for m_, c_, tl in live_clauses]
+
+    def topk_grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g for t, g in pdf.groupby("term_id")}
+        ids, scores = _wand_bool_topk(by_term, idfs, cl_arrays, msm, k,
+                                      avgdl, k1, b)
+        return pd.DataFrame({"doc_id": ids, "score": scores})
+
+    frame = blocks.groupBy("seg", "salt").applyInPandas(
+        topk_grp, schema="doc_id long, score double")
+    return frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_dsl_indexed(
     spark: SparkSession,
     index_dir: str | list[str],
@@ -978,6 +1110,12 @@ def search_dsl_indexed(
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
     if n_docs == 0:
         return empty
+
+    if _prunable_for_topk(spec):
+        out = _search_dsl_pruned(spark, dirs, metas, n_docs, avgdl,
+                                 spec, k)
+        if out is not None:
+            return out
 
     anchor, scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                       spec, docs_df)

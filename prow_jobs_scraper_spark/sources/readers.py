@@ -414,23 +414,31 @@ def cleanup_duplicates(
     )
     if dry_run:
         return losers
-    if part_cols:
-        affected = losers.select(*part_cols).distinct().collect()
-        if not affected:
-            return {"n_deleted": 0, "n_partitions_rewritten": 0}
-        aff_df = spark.createDataFrame(
-            affected, df.select(*part_cols).schema)
+    # The loser set feeds the affected-partition probe, the count AND
+    # the anti-join — persist so the full-table window shuffle runs
+    # ONCE, not once per consumer (at 10^9 rows the window dominates)
+    losers = losers.persist()
+    try:
+        if part_cols:
+            affected = losers.select(*part_cols).distinct().collect()
+            if not affected:
+                return {"n_deleted": 0, "n_partitions_rewritten": 0}
+            aff_df = spark.createDataFrame(
+                affected, df.select(*part_cols).schema)
+            n = losers.count()
+            keep = (
+                df.join(F.broadcast(aff_df), part_cols, "left_semi")
+                .join(losers.select(id_col), id_col, "left_anti")
+                .select(*df.columns)
+            )
+            _commit_partitioned(spark, path, part_cols, keep, affected)
+            return {"n_deleted": n,
+                    "n_partitions_rewritten": len(affected)}
         n = losers.count()
-        keep = (
-            df.join(F.broadcast(aff_df), part_cols, "left_semi")
-            .join(losers.select(id_col), id_col, "left_anti")
-            .select(*df.columns)
-        )
-        _commit_partitioned(spark, path, part_cols, keep, affected)
-        return {"n_deleted": n, "n_partitions_rewritten": len(affected)}
-    n = losers.count()
-    if n:
-        keep = (df.join(losers.select(id_col), id_col, "left_anti")
-                .select(*df.columns))
-        _commit_unpartitioned(path, keep)
-    return {"n_deleted": n, "n_partitions_rewritten": 0}
+        if n:
+            keep = (df.join(losers.select(id_col), id_col, "left_anti")
+                    .select(*df.columns))
+            _commit_unpartitioned(path, keep)
+        return {"n_deleted": n, "n_partitions_rewritten": 0}
+    finally:
+        losers.unpersist()

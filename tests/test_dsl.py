@@ -946,3 +946,142 @@ def test_count_dsl_matches_scan(spark, docs, docs_pdf, dsl_index,
             assert int(gi["count"].iloc[0]) == want
     assert int(count_dsl(docs, {"query": {"match_all": {}}})
                .toPandas()["count"].iloc[0]) == len(docs_pdf)
+
+
+# --------------------------------------------------------------------------
+# 8. cross-clause block-max pruning gate (round 4: VERDICT #2)
+# --------------------------------------------------------------------------
+
+def _decode_counter(monkeypatch):
+    import prow_jobs_scraper_spark.search.compressed as C
+
+    calls = {"n_blocks": 0}
+    real = C.codec.decode_blocks_bulk
+
+    def counting(n_docs, *a, **kw):
+        calls["n_blocks"] += len(n_docs)
+        return real(n_docs, *a, **kw)
+
+    monkeypatch.setattr(C.codec, "decode_blocks_bulk", counting)
+    return calls
+
+
+@pytest.fixture(scope="module")
+def bool_prune_fixture(spark, docs, tmp_path_factory):
+    """Single-salt index with tiny blocks so the hot term spans many
+    blocks, plus the hot/rare block frames and global stats."""
+    import json as _json
+
+    import prow_jobs_scraper_spark.search.compressed as C
+    from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
+
+    d = str(tmp_path_factory.mktemp("bool_prune") / "idx")
+    build_index(spark, docs, d,
+                BuildConfig(n_ranges=1, n_buckets=2, block_size=16))
+    paths = C.IndexPaths(d)
+    with open(paths.meta) as f:
+        meta = _json.load(f)
+    tids = {t: term_id_py(t) for t in ("the_hot_term", "w01000")}
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .where(C.F.col("term_id").isin(list(tids.values())))
+        .toPandas()
+    )
+    stats = spark.read.parquet(paths.term_stats).where(
+        C.F.col("term_id").isin(list(tids.values()))).collect()
+    dfs = {int(r["term_id"]): int(r["df"]) for r in stats}
+    idfs = {tid: math.log(1.0 + (meta["n_docs"] - dfs[tid] + 0.5)
+                          / (dfs[tid] + 0.5)) for tid in dfs}
+    return d, meta, tids, blocks, idfs
+
+
+def test_bool_anchor_prunes_hot_should_term(spark, docs,
+                                            bool_prune_fixture,
+                                            monkeypatch):
+    """must: rare term, should: HOT term — the round-3 flagged shape.
+    The anchor strategy must enumerate candidates from the rare must
+    clause and decode only the hot blocks containing those candidates,
+    never walking the hot list."""
+    import numpy as _np
+
+    import prow_jobs_scraper_spark.search.compressed as C
+
+    d, meta, tids, blocks, idfs = bool_prune_fixture
+    total_blocks = len(blocks)
+    assert total_blocks > 20, "fixture too small to demonstrate pruning"
+    calls = _decode_counter(monkeypatch)
+    by_term = {t: g for t, g in blocks.groupby("term_id")}
+    clauses = [(True, True, _np.array([tids["w01000"]])),
+               (False, False, _np.array([tids["the_hot_term"]]))]
+    ids, scores = C._wand_bool_topk(by_term, idfs, clauses, 0, 5,
+                                    meta["avgdl"], meta["k1"], meta["b"])
+    assert ids.size > 0
+    assert calls["n_blocks"] < total_blocks * 0.3, (
+        f"anchor pruning ineffective ({calls['n_blocks']}/{total_blocks})")
+    # rank+score identity with the naive executor on the same query
+    q = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "w01000",
+                                     "operator": "and"}}}],
+        "should": [{"match": {"text": "the_hot_term"}}],
+    }}}
+    got = search_dsl_indexed(spark, d, q, 5).toPandas()
+    want = search_dsl(docs, q, 5).toPandas()
+    _assert_rank_identical(got, want, "anchor-pruned")
+
+
+def test_bool_maxscore_prunes_should_only(spark, docs,
+                                          bool_prune_fixture,
+                                          monkeypatch):
+    """should-only hot+rare: after the rare clause seeds the top-k, the
+    suffix bound cuts the hot clause — its untouched blocks are never
+    decoded (the MaxScore arm of _wand_bool_topk)."""
+    import numpy as _np
+
+    import prow_jobs_scraper_spark.search.compressed as C
+
+    d, meta, tids, blocks, idfs = bool_prune_fixture
+    total_blocks = len(blocks)
+    calls = _decode_counter(monkeypatch)
+    by_term = {t: g for t, g in blocks.groupby("term_id")}
+    clauses = [(False, False, _np.array([tids["the_hot_term"]])),
+               (False, False, _np.array([tids["w01000"]]))]
+    ids, scores = C._wand_bool_topk(by_term, idfs, clauses, 1, 3,
+                                    meta["avgdl"], meta["k1"], meta["b"])
+    assert ids.size == 3
+    assert calls["n_blocks"] < total_blocks * 0.6, (
+        f"MaxScore pruning ineffective "
+        f"({calls['n_blocks']}/{total_blocks})")
+    q = {"query": {"bool": {"should": [
+        {"match": {"text": "the_hot_term"}},
+        {"match": {"text": "w01000"}},
+    ]}}}
+    got = search_dsl_indexed(spark, d, q, 3).toPandas()
+    want = search_dsl(docs, q, 3).toPandas()
+    _assert_rank_identical(got, want, "maxscore-pruned")
+
+
+def test_pruned_path_is_taken_and_fallback_shapes_are_not(spark):
+    """_prunable_for_topk routes exactly the supported shapes."""
+    from prow_jobs_scraper_spark.search.dsl import _prunable_for_topk
+
+    ok = parse_query({"bool": {
+        "must": [{"match": {"text": {"query": "a b", "operator": "and"}}}],
+        "should": [{"match": {"text": "c"}}],
+    }})
+    assert _prunable_for_topk(ok)
+    assert _prunable_for_topk(parse_query({"bool": {"should": [
+        {"match": {"text": "c"}}], "minimum_should_match": 2}}))
+    # fallback shapes
+    for q in (
+        {"bool": {"must": [{"match_phrase": {"text": "a b"}}]}},
+        {"bool": {"must": [{"match": {"text": "a"}}],
+                  "filter": [{"term": {"role": "x"}}]}},
+        {"bool": {"must": [{"match": {"text": "a"}}],
+                  "must_not": [{"match": {"text": "b"}}]}},
+        {"bool": {"should": [{"match": {"text": "a"}}],
+                  "minimum_should_match": 0}},
+        {"bool": {"must": [{"bool": {"must": [
+            {"match": {"text": "a"}}]}}]}},
+        {"match_all": {}},
+    ):
+        assert not _prunable_for_topk(parse_query(q)), q
