@@ -230,6 +230,94 @@ def bench_ann(spark) -> dict:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def bench_positions(spark, corpus_path: str) -> dict:
+    """Positions-sidecar cost disclosure (round-3 verdict stretch #8):
+    a warm baseline build and a ``store_positions=True`` build run
+    BACK-TO-BACK on the same corpus + config (warm-vs-warm, so the
+    multiplier isn't polluted by first-build JVM/codegen warm-up),
+    reporting the build-time multiplier and the sidecar's on-disk bytes
+    next to the postings bytes — the numbers behind the documented
+    trade-off (phrase verify without corpus access vs size/build cost).
+    """
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+
+    def _tree_bytes(root: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+        return total
+
+    transcripts = spark.read.parquet(corpus_path)
+    base_d = tempfile.mkdtemp(prefix="bench_posbase_")
+    pos_d = tempfile.mkdtemp(prefix="bench_posidx_")
+    try:
+        t0 = time.time()
+        build_index(spark, transcripts, base_d,
+                    BuildConfig(n_ranges=32, n_buckets=16))
+        base_sec = time.time() - t0
+        t0 = time.time()
+        build_index(spark, transcripts, pos_d,
+                    BuildConfig(n_ranges=32, n_buckets=16,
+                                store_positions=True))
+        pos_sec = time.time() - t0
+        postings_b = _tree_bytes(os.path.join(pos_d, "postings"))
+        sidecar_b = _tree_bytes(os.path.join(pos_d, "positions"))
+        return {
+            "baseline_build_sec": round(base_sec, 3),
+            "build_sec": round(pos_sec, 3),
+            "build_multiplier_vs_baseline": round(
+                pos_sec / max(base_sec, 1e-9), 3),
+            "postings_bytes": postings_b,
+            "positions_bytes": sidecar_b,
+            "positions_to_postings_ratio": round(
+                sidecar_b / max(postings_b, 1), 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        return {"error": str(exc)[:200]}
+    finally:
+        shutil.rmtree(base_d, ignore_errors=True)
+        shutil.rmtree(pos_d, ignore_errors=True)
+
+
+# ---- host-contention instrumentation (round-3 verdict #6): every
+# scaling sample carries machine-checkable calm/contended evidence, so
+# the efficiency claim cites calm-window pairs instead of narrative.
+_PROBE_ITERS = 2_000_000
+
+
+def _cpu_probe_sec() -> float:
+    """Fixed single-thread pure-Python workload — wall time is a direct
+    probe of host CPU contention (no IO, no JVM, no allocation).
+    Best-of-2 so a single scheduler hiccup doesn't mislabel a sample."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(_PROBE_ITERS):
+            x += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _read_steal() -> tuple[float, float]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line; 0 steal on hosts that don't expose it."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [float(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0.0), sum(vals)
+    except Exception:  # noqa: BLE001
+        return 0.0, 0.0
+
+
+# a sample is CALM when its probes stay within this factor of the quiet
+# baseline AND /proc/stat steal during the sample stays under 2%
+_PROBE_CALM_FACTOR = float(os.environ.get("SPARK_GRAFT_CALM_FACTOR", "1.3"))
+_STEAL_CALM_PCT = float(os.environ.get("SPARK_GRAFT_CALM_STEAL", "2.0"))
+
+
 def _scale_worker(cores: int, corpus_path: str) -> None:
     """Subprocess entry: one build at local[cores], JSON on stdout."""
     from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
@@ -277,35 +365,76 @@ def bench_scaling(corpus_path: str) -> dict:
     """
     import subprocess
 
+    # quiet-host probe baseline: best of 3 back-to-back single-thread
+    # probes taken before any scaling load is generated
+    probe_base = min(_cpu_probe_sec() for _ in range(3))
+
     samples: dict[int, list] = {c: [] for c in SCALE_LEVELS}
     for _ in range(SCALE_REPS):
         for cores in SCALE_LEVELS:
             try:
+                steal0, total0 = _read_steal()
+                probe_before = _cpu_probe_sec()
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--scale-worker", str(cores), corpus_path],
                     capture_output=True, text=True, timeout=900,
                 )
+                probe_after = _cpu_probe_sec()
+                steal1, total1 = _read_steal()
                 lines = [ln for ln in proc.stdout.splitlines()
                          if ln.startswith("{")]
                 if lines:
-                    samples[cores].append(json.loads(lines[-1]))
+                    rec = json.loads(lines[-1])
+                    steal_pct = (100.0 * (steal1 - steal0)
+                                 / max(total1 - total0, 1.0))
+                    worst_probe = max(probe_before, probe_after)
+                    rec.update({
+                        "steal_pct": round(steal_pct, 3),
+                        "probe_before_sec": round(probe_before, 4),
+                        "probe_after_sec": round(probe_after, 4),
+                        "calm": bool(
+                            steal_pct < _STEAL_CALM_PCT
+                            and worst_probe
+                            < probe_base * _PROBE_CALM_FACTOR),
+                    })
+                    samples[cores].append(rec)
             except Exception:
                 continue  # a lost sample must never lose the bench line
-    best = {
-        c: min(samples[c], key=lambda r: r["elapsed_sec"])
-        for c in SCALE_LEVELS if samples[c]
+
+    def _best(recs: list) -> dict:
+        return min(recs, key=lambda r: r["elapsed_sec"])
+
+    best = {c: _best(samples[c]) for c in SCALE_LEVELS if samples[c]}
+    calm_best = {
+        c: _best([r for r in samples[c] if r.get("calm")])
+        for c in SCALE_LEVELS
+        if any(r.get("calm") for r in samples[c])
     }
     out: dict = {
-        f"local{c}": {**best[c],
-                      "all_elapsed_sec": [r["elapsed_sec"] for r in samples[c]]}
+        f"local{c}": {
+            **best[c],
+            "all_elapsed_sec": [r["elapsed_sec"] for r in samples[c]],
+            "samples": samples[c],
+        }
         for c in best
     }
+    out["probe_base_sec"] = round(probe_base, 4)
+    out["calm_rule"] = (
+        f"steal_pct < {_STEAL_CALM_PCT} and probe <= "
+        f"{_PROBE_CALM_FACTOR}x quiet baseline")
     for lo, hi in zip(SCALE_LEVELS, SCALE_LEVELS[1:]):
         if lo in best and hi in best:
             sp = best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]
             out[f"speedup_{lo}_to_{hi}"] = round(sp, 3)
             out[f"efficiency_{lo}_to_{hi}"] = round(sp / (hi // lo), 3)
+        if lo in calm_best and hi in calm_best:
+            # the HEADLINE pair: both samples individually verified calm
+            sp = (calm_best[hi]["turns_per_sec"]
+                  / calm_best[lo]["turns_per_sec"])
+            out[f"calm_speedup_{lo}_to_{hi}"] = round(sp, 3)
+            out[f"calm_efficiency_{lo}_to_{hi}"] = round(
+                sp / (hi // lo), 3)
     return out
 
 
@@ -328,6 +457,9 @@ def main() -> None:
     )
     queries, query_samples = bench_queries(spark)
     build, query_latency = bench_flagship(spark, corpus_path)
+    positions = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_POSITIONS") != "1":
+        positions = bench_positions(spark, corpus_path)
     ann = bench_ann(spark)
     spark.stop()
 
@@ -349,6 +481,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "build": build,
+        "positions_build": positions,
         "query_latency": query_latency,
         "ann": ann,
         "scaling": scaling,
