@@ -790,6 +790,30 @@ def _minhash_candidates(spark, sf_dir):
     )
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERING end-to-end, oracle-checked: the
+    MinHash-LSH candidate pairs (exact-verified at jaccard >= 0.5, the
+    same pipeline as the minhash_candidates entry) feed connected
+    components (alternating large-star/small-star, Kiveris et al. SoCC
+    2014 — diameter-independent O(log² n) rounds), and every document
+    gets (cluster_id = component min, is_canonical) — the standard last
+    stage of a corpus dedup pipeline: pairs -> components -> keep one
+    doc per cluster. The DuckDB oracle recomputes the exact pair set in
+    SQL and closes it with a recursive CTE, so the component labels are
+    value-checked, not rows-only."""
+    from prow_jobs_scraper_spark.operators.dedup import (
+        dedup_clusters,
+        exact_jaccard_for_pairs,
+        minhash_band_candidates,
+    )
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    cands = minhash_band_candidates(d, n_hashes=64, bands=32, shingle_n=3)
+    pairs = (exact_jaccard_for_pairs(d, cands, shingle_n=3)
+             .where(F.col("jaccard") >= 0.5))
+    return dedup_clusters(d, pairs)
+
+
 def _simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over an md5-derived 60-bit token hash —
     byte-identical in DuckDB, so the oracle replicates the FULL pipeline
@@ -1032,9 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_share_others": _brand_share_others,
         "order_ship_overlap": _order_ship_overlap,
         "composite_anti_join": _composite_anti_join,
-        "distinct_users": _distinct_users,
         "embedding_dedup_pairs": _embedding_dedup_pairs,
         "minhash_candidates": _minhash_candidates,
+        "dedup_clusters": _dedup_clusters,
         "simhash_pairs": _simhash_pairs,
         "lsh_ann_topk": _lsh_ann_topk,
         "ivf_ann_topk": _ivf_ann_topk,
@@ -1046,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_event_streams": _union_event_streams,
         "url_paths": _url_paths,
         "customer_ids_derived": _customer_ids_derived,
+        "distinct_users": _distinct_users,
     }
 
 
@@ -1427,6 +1452,31 @@ rk AS (SELECT vec_id, c, row_number() OVER (ORDER BY c DESC, vec_id) AS rank
        FROM cand)
 SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
 """
+
+
+def _dedup_clusters_sql() -> str:
+    """Component labels via transitive closure (recursive CTE) over the
+    SAME exact pair set as the minhash_candidates oracle — cluster_id =
+    min reachable id, singletons label themselves."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({_jaccard_sql(0.5, shingle_n=3)})),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+        labels AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                    THEN 1 ELSE 0 END::INT AS is_canonical
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    """
 
 
 # nested-bool twin of _NESTED_BOOL_QUERY: the must-child is a
@@ -1873,4 +1923,5 @@ WHERE rn = 1
         """,
         "nested_bool_topk": _NESTED_BOOL_SQL,
         "ivfpq_ann_topk": _IVFPQ_ANN_SQL,
+        "dedup_clusters": _dedup_clusters_sql(),
     }

@@ -340,12 +340,13 @@ def _scale_worker(cores: int, corpus_path: str) -> None:
         spark.stop()
 
 
-# parallelism levels; override e.g. SPARK_GRAFT_SCALE_LEVELS=1,4 to
-# measure an N->4N pair at low absolute parallelism (least affected by
-# the host's >8-thread ceiling, BASELINE.md "Measured results" §1)
+# parallelism levels — the default holds TWO true N->4N pairs (1->4 at
+# low absolute parallelism, least affected by the host's >8-thread
+# memory-bus ceiling, and 8->32 at the ceiling; BASELINE.md "Measured
+# results" §1). Override with SPARK_GRAFT_SCALE_LEVELS=...
 SCALE_LEVELS = tuple(
     int(x) for x in
-    os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(","))
+    os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4,8,32").split(","))
 # >=3 interleaved reps by default: the host shows bursty CPU steal, so
 # single-sample scaling numbers are noise (round-1 verdict asked that the
 # bench artifact itself carry the multi-sample evidence, min-of-N)
@@ -423,18 +424,24 @@ def bench_scaling(corpus_path: str) -> dict:
     out["calm_rule"] = (
         f"steal_pct < {_STEAL_CALM_PCT} and probe <= "
         f"{_PROBE_CALM_FACTOR}x quiet baseline")
-    for lo, hi in zip(SCALE_LEVELS, SCALE_LEVELS[1:]):
+    # report every true N->4N pair among the levels (the north rule's
+    # shape); fall back to consecutive levels if none exists
+    pairs = [(lo, hi) for lo in SCALE_LEVELS for hi in SCALE_LEVELS
+             if hi == 4 * lo]
+    if not pairs:
+        pairs = list(zip(SCALE_LEVELS, SCALE_LEVELS[1:]))
+    for lo, hi in pairs:
         if lo in best and hi in best:
             sp = best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]
             out[f"speedup_{lo}_to_{hi}"] = round(sp, 3)
-            out[f"efficiency_{lo}_to_{hi}"] = round(sp / (hi // lo), 3)
+            out[f"efficiency_{lo}_to_{hi}"] = round(sp / (hi / lo), 3)
         if lo in calm_best and hi in calm_best:
             # the HEADLINE pair: both samples individually verified calm
             sp = (calm_best[hi]["turns_per_sec"]
                   / calm_best[lo]["turns_per_sec"])
             out[f"calm_speedup_{lo}_to_{hi}"] = round(sp, 3)
             out[f"calm_efficiency_{lo}_to_{hi}"] = round(
-                sp / (hi // lo), 3)
+                sp / (hi / lo), 3)
     return out
 
 

@@ -430,3 +430,105 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# near-duplicate clustering: connected components over candidate pairs
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components of an undirected pair set -> ``(doc_id,
+    cluster_id)`` with cluster_id = the component's MINIMUM id. Nodes
+    appearing in no pair are absent (see :func:`dedup_clusters` for the
+    all-docs labeling).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges in
+    O(log² n) rounds INDEPENDENT of component diameter — plain label
+    propagation needs diameter-many rounds, which a 10^12-doc chain of
+    near-duplicate pages makes unbounded. Each half-round is one
+    map-side-combinable groupBy (per-node min) + one join on the edge
+    set; edges monotonically contract toward the star forest and the
+    loop exits on a checksummed fixed point, not a diameter guess. The
+    driver only ever sees a 2-value checksum per round.
+    """
+    e = (
+        pairs.select(F.col(id_a).cast("long").alias("u"),
+                     F.col(id_b).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        """Connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        m = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least(F.col("u"), F.col("mn")).alias("m")))
+        return (sym.join(m, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        """Point every smaller neighbor (and u itself) at the minimum
+        of u's smaller neighborhood."""
+        dir_ = e.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        m = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        return (dir_.join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m.select("u", F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    prev_chk = None
+    for _ in range(max_iters):
+        # localCheckpoint TRUNCATES the lineage: without it each round
+        # nests the previous plan (exponential logical-plan growth —
+        # the classic iterative-algorithm driver OOM). On a cluster a
+        # reliable checkpoint dir gives the same cut with fault
+        # tolerance; the algorithm is unchanged.
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # xor-fold the edge hashes: order-independent and overflow-free
+        # (ANSI mode makes a plain sum of int64 hashes throw)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        chk = (int(row["n"] or 0), int(row["h"] or 0))
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    # fixed point: e is a star forest u -> root
+    roots = e.select(F.col("v").alias("doc_id"),
+                     F.col("v").alias("cluster_id")).distinct()
+    members = e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("cluster_id"))
+    out = members.union(roots).distinct()
+    return out
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTER labeling for every doc: ``(doc_id,
+    cluster_id, is_canonical)`` where cluster_id = min id of the doc's
+    connected component over ``pairs`` (its own id when it has no
+    near-dup), and the canonical survivor is the cluster minimum — the
+    same keep-first tie law as ``dedup_keep_first``/``cleanup_duplicates``.
+    This is the standard last stage of a corpus dedup pipeline: candidate
+    pairs (MinHash/SimHash/embedding) -> components -> keep one doc per
+    cluster."""
+    cc = connected_components(pairs, id_a, id_b, max_iters)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(cc, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", F.col("doc_id"))
+                .alias("cluster_id"))
+        .withColumn("is_canonical",
+                    (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )

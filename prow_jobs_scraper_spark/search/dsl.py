@@ -39,8 +39,10 @@ Semantics (ES-faithful; deviations called out):
   constant score; the reference only ever uses them in filter context,
   so the engine pins score-0 — a documented deviation.)
 - ``minimum_should_match`` defaults to 1 when the bool has no ``must``
-  and no ``filter``, else 0 — the ES rule. Only non-negative ints are
-  in-grammar (ES percentage strings like ``"75%"`` raise DslError).
+  and no ``filter``, else 0 — the ES rule. Ints (negative = "all but
+  N") and percentage strings (``"75%"`` = floor(n·0.75); ``"-25%"`` =
+  all but floor(n·0.25)) follow the ES minimum_should_match grammar;
+  other combinator forms ("3<90%") stay out-of-grammar.
 - ``bool``-in-``bool`` nesting is accepted recursively (any programmatic
   ES client composes bools; the reference's flat shape is the degenerate
   case): a child bool in ``must``/``should`` contributes its score sum
@@ -127,17 +129,27 @@ class QuerySpec:
     filter_bool: list["QuerySpec"] = _field(default_factory=list)
     should_bool: list["QuerySpec"] = _field(default_factory=list)
     must_not_bool: list["QuerySpec"] = _field(default_factory=list)
-    msm: int | None = None  # None -> ES default rule
+    msm: int | str | None = None  # None -> ES default rule
     match_all: bool = False
 
     def minimum_should_match(self) -> int:
+        n_should = len(self.should) + len(self.should_bool)
         if self.msm is not None:
+            if isinstance(self.msm, str):
+                # ES percentage form: "75%" -> floor(n*0.75); a negative
+                # percentage "-25%" means "all but floor(n*0.25)"
+                pct = int(self.msm.rstrip("%"))
+                if pct >= 0:
+                    return (n_should * pct) // 100
+                return n_should - (n_should * (-pct)) // 100
+            if self.msm < 0:
+                # ES negative int: "all but |msm|" should clauses
+                return max(0, n_should + self.msm)
             return self.msm
         has_anchor = bool(self.must or self.must_bool or self.filter_text
                           or self.filter_bool or self.filter_sql
                           or self.match_all)
-        return 0 if has_anchor else (
-            1 if (self.should or self.should_bool) else 0)
+        return 0 if has_anchor else (1 if n_should else 0)
 
     def text_clauses(self) -> list[TextClause]:
         """Every text clause in the tree (self + nested bools)."""
@@ -259,11 +271,18 @@ def parse_query(q: dict) -> QuerySpec:
     if set(body) - known:
         raise DslError(f"unsupported bool keys {sorted(set(body) - known)}")
     msm = body.get("minimum_should_match")
-    if msm is not None and (isinstance(msm, bool)
-                            or not isinstance(msm, int) or msm < 0):
-        # ES also accepts percentage strings ('75%'); out-of-grammar here
-        raise DslError(
-            f"minimum_should_match must be a non-negative int, got {msm!r}")
+    if msm is not None:
+        if isinstance(msm, str):
+            # ES percentage form, positive or negative: "75%", "-25%"
+            core = msm[1:] if msm.startswith("-") else msm
+            if not (core.endswith("%") and core[:-1].isdigit()):
+                raise DslError(
+                    f"minimum_should_match string must be a percentage "
+                    f"like '75%' or '-25%', got {msm!r}")
+        elif isinstance(msm, bool) or not isinstance(msm, int):
+            raise DslError(
+                f"minimum_should_match must be an int or a percentage "
+                f"string, got {msm!r}")
     spec.msm = msm
 
     for ctx in ("must", "filter", "should", "must_not"):

@@ -256,3 +256,70 @@ def test_ivfpq_probe_recall_and_exactness(spark, tmp_path):
     again = S.ivfpq_probe_topk(spark, d, q, 10, n_probe=2, refine=8,
                                centroids=C, codebooks=books).toPandas()
     assert again["vec_id"].tolist() == got["vec_id"].tolist()
+
+
+# --------------------------------------------------------------------------
+# connected components / near-dup clustering (round 4)
+# --------------------------------------------------------------------------
+
+def _union_find_labels(n_nodes, edges):
+    """Independent oracle: plain union-find, label = component min."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (1, 60, 40), (2, 100, 150), (3, 40, 8),
+])
+def test_connected_components_random_graphs(spark, seed, n_nodes, n_edges):
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n_nodes, size=(n_edges, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {int(r["doc_id"]): int(r["cluster_id"])
+           for r in D.connected_components(pairs).collect()}
+    want = _union_find_labels(n_nodes, edges)
+    touched = {a for e in edges for a in e}
+    assert set(got) == touched  # only nodes appearing in pairs
+    for node in touched:
+        assert got[node] == want[node], f"node {node}"
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 200-node chain has diameter 199: label propagation would need
+    # ~200 rounds; large-star/small-star must finish in max_iters=12
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = D.connected_components(pairs, max_iters=12).collect()
+    assert len(got) == n
+    assert {int(r["cluster_id"]) for r in got} == {0}
+
+
+def test_connected_components_empty_and_self(spark):
+    pairs = spark.createDataFrame([(5, 5)], "id_a long, id_b long")
+    assert D.connected_components(pairs).count() == 0  # self loops drop
+
+
+def test_dedup_clusters_labels_every_doc(spark):
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(1, 2), (2, 7), (4, 9)],
+                                  "id_a long, id_b long")
+    out = {int(r["doc_id"]): (int(r["cluster_id"]), int(r["is_canonical"]))
+           for r in D.dedup_clusters(docs, pairs).collect()}
+    assert len(out) == 10
+    assert out[1] == (1, 1) and out[2] == (1, 0) and out[7] == (1, 0)
+    assert out[4] == (4, 1) and out[9] == (4, 0)
+    for singleton in (0, 3, 5, 6, 8):
+        assert out[singleton] == (singleton, 1)

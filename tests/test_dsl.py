@@ -253,13 +253,26 @@ def test_parse_accepts_nested_bool():
 
 
 def test_parse_validates_minimum_should_match():
-    for bad in ("75%", -1, True, 1.5):
+    for bad in ("75", "x%", "3<90%", True, 1.5):
         with pytest.raises(DslError):
             parse_query({"bool": {"should": [{"match": {"text": "x"}}],
                                   "minimum_should_match": bad}})
-    # None and non-negative ints stay in-grammar
+    # ints, negative ints and percentage strings are ES grammar
     assert parse_query({"bool": {"should": [{"match": {"text": "x"}}],
                                  "minimum_should_match": 0}}).msm == 0
+    three = [{"match": {"text": t}} for t in ("a", "b", "c")]
+
+    def resolved(msm):
+        return parse_query({"bool": {
+            "should": three, "minimum_should_match": msm,
+        }}).minimum_should_match()
+
+    assert resolved("75%") == 2    # floor(3 * 0.75)
+    assert resolved("100%") == 3
+    assert resolved("-25%") == 3   # all but floor(3 * 0.25) = 3 - 0
+    assert resolved("-34%") == 2   # all but floor(3 * 0.34) = 3 - 1
+    assert resolved(-1) == 2       # all but 1
+    assert resolved(-5) == 0       # clamped
 
 
 # --------------------------------------------------------------------------
@@ -370,6 +383,17 @@ DSL_QUERIES = [
         "should": [{"match": {"text": "w00042"}}],
         "minimum_should_match": 0,
     }}}),
+    # ES minimum_should_match grammar: percentage + negative forms
+    ("msm-percent", {"query": {"bool": {"should": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "agent"}},
+        {"match": {"text": "w00005"}},
+    ], "minimum_should_match": "67%"}}}),  # floor(3*0.67) = 2
+    ("msm-negative", {"query": {"bool": {"should": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "agent"}},
+        {"match": {"text": "w00005"}},
+    ], "minimum_should_match": -1}}}),  # all but 1 = 2
 ]
 
 
