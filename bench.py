@@ -85,7 +85,7 @@ def _session(cores: int, shuffle_partitions: int | None = None):
 # queries, pass 2 all queries, ...) decorrelates a steal burst from any
 # single entry; min-of-N is the noise-robust estimator under one-sided
 # interference. Raw samples ride along so the artifact shows the spread.
-HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
+HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
 
 
 def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:

@@ -416,12 +416,32 @@ def _matched_frame(
     of QUALIFYING docs — original columns + ``__dsl_score`` — , scored?)
     or None when the query is provably empty. One stats agg + one
     map-side pass regardless of clause count (module docstring)."""
+    base, results = _compile_specs(docs_df, [spec], params)
+    ok, score_total, qual, scored_q = results[0]
+    if not ok:
+        return None
+    return (base.where(qual).withColumn("__dsl_score", score_total),
+            scored_q)
+
+
+def _compile_specs(
+    docs_df: DataFrame,
+    specs: list[QuerySpec],
+    params: BM25Params,
+) -> tuple[DataFrame, list]:
+    """Compile a BATCH of specs against one corpus frame: ONE stats agg
+    covering every text clause of every spec (corpus size, per-field
+    avgdl, per-(field, term) df in a single scan), then per-spec row
+    expressions -> (base frame with tokenized columns, [per-spec
+    (ok, score_expr, qual_expr, scored)]). ``ok=False`` marks a spec
+    provably empty. Single-query callers pass a 1-list; the _msearch
+    batch amortizes the scan across queries."""
     if ("doc_id" not in docs_df.columns
             and {"conv_id", "turn_idx"} <= set(docs_df.columns)):
         docs_df = with_doc_ids(docs_df)  # aggs never need an id; attach
         # the engine key only when the transcript key columns exist
 
-    text_clauses = spec.text_clauses()
+    text_clauses = [c for sp in specs for c in sp.text_clauses()]
     fields = sorted({c.field for c in text_clauses})
 
     base = docs_df
@@ -447,7 +467,7 @@ def _matched_frame(
         row = base.agg(*aggs).collect()[0]
         n_docs = int(row["n"])
         if n_docs == 0:
-            return None
+            return base, [(False, None, None, False)] * len(specs)
         avgdl = {f: float(row[f"avgdl__{f}"] or 0.0) for f in fields}
         dfs = {(f, t): int(row[f"df__{f}__{j}"] or 0)
                for f in fields for j, t in enumerate(terms_by_field[f])}
@@ -568,11 +588,86 @@ def _matched_frame(
             qual = qual & ~F.coalesce(F.expr(pred), F.lit(False))
         return True, score, qual, scored
 
-    ok, score_total, qual, scored_q = spec_exprs(spec)
-    if not ok:
-        return None
-    return (base.where(qual).withColumn("__dsl_score", score_total),
-            scored_q)
+    return base, [spec_exprs(sp) for sp in specs]
+
+
+def search_dsl_many(
+    docs_df: DataFrame,
+    requests: list[dict],
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """The ES ``_msearch`` endpoint shape: a BATCH of bool queries
+    answered in one distributed pass -> ``(query_id, doc_id, score)``
+    rows, each query's block rank-identical to its own
+    :func:`search_dsl` call (pytest-gated).
+
+    ``requests``: ``[{"query_id": str, "query": <ES query dict>,
+    "size": int (default 10)}, ...]``.
+
+    Where ES fans ``_msearch`` bodies out to independent searches, the
+    batch here amortizes the Spark work: ONE stats agg covers every
+    query's terms in a single corpus scan (:func:`_compile_specs`), one
+    map-side pass evaluates every query's (qual, score) row expressions
+    simultaneously, and the only exchange is the per-query top-k
+    (window over query_id partitions, which carry ONLY qualifying
+    rows). At 10^12 turns, n queries cost ~one query's scan instead of
+    n scans — the same amortization :func:`..compressed.search_topk_many`
+    gives the indexed path."""
+    if not isinstance(requests, list) or not requests:
+        raise DslError("_msearch needs a non-empty request list")
+    qids, specs, sizes = [], [], {}
+    for r in requests:
+        if not isinstance(r, dict) or "query_id" not in r:
+            raise DslError(f"bad _msearch request {r!r}")
+        qid = str(r["query_id"])
+        if qid in sizes:
+            raise DslError(f"duplicate query_id {qid!r}")
+        k = int(r.get("size", DEFAULT_SIZE))
+        if k < 0:
+            raise DslError("size must be non-negative")
+        qids.append(qid)
+        specs.append(parse_query(r.get("query", {"match_all": {}})))
+        sizes[qid] = k
+
+    spark = docs_df.sparkSession
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id long, score double")
+    if ("doc_id" not in docs_df.columns
+            and not {"conv_id", "turn_idx"} <= set(docs_df.columns)):
+        raise DslError("search_dsl_many needs a doc_id (or "
+                       "conv_id+turn_idx) column to identify results")
+    base, results = _compile_specs(docs_df, specs, params or BM25Params())
+
+    cells = []
+    for qid, (ok, score, qual, scored) in zip(qids, results):
+        if not ok or sizes[qid] == 0:
+            continue  # provably-empty query: contributes no rows
+        cells.append(
+            F.when(F.coalesce(qual, F.lit(False)),
+                   F.struct(F.lit(qid).alias("query_id"),
+                            score.alias("score"))))
+    if not cells:
+        return empty
+    rows = (
+        base.select("doc_id", F.explode(F.array(*cells)).alias("q"))
+        .where(F.col("q").isNotNull())
+        .select(F.col("q.query_id").alias("query_id"), "doc_id",
+                F.col("q.score").alias("score"))
+    )
+    k_expr = F.create_map(
+        *[x for qid in qids for x in (F.lit(qid), F.lit(sizes[qid]))]
+    )[F.col("query_id")]
+    # one sort law covers both: a pure-filter spec's score is the
+    # constant 0.0, so (score desc, doc_id asc) degenerates to the
+    # doc_id ordering search_dsl uses for unscored queries
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k_expr)
+        .orderBy("query_id", "__rn")
+        .select("query_id", "doc_id", "score")
+    )
 
 
 DEFAULT_SIZE = 10  # the ES `_search` default

@@ -1109,3 +1109,69 @@ def test_pruned_path_is_taken_and_fallback_shapes_are_not(spark):
         {"match_all": {}},
     ):
         assert not _prunable_for_topk(parse_query(q)), q
+
+
+# --------------------------------------------------------------------------
+# 9. _msearch: batched DSL execution (round 4)
+# --------------------------------------------------------------------------
+
+def test_msearch_matches_per_query_search_dsl(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_many
+
+    reqs = [
+        {"query_id": "a", "query": DSL_QUERIES[1][1]["query"], "size": 7},
+        {"query_id": "b", "query": DSL_QUERIES[4][1]["query"]},
+        {"query_id": "c",
+         "query": {"bool": {"filter": [{"term": {"role": "tool"}}]}},
+         "size": 5},
+        {"query_id": "d",  # provably empty: contributes no rows
+         "query": {"match": {"text": {"query": "zzz_never_appears",
+                                      "operator": "and"}}}},
+        {"query_id": "e",  # nested bool rides along
+         "query": DSL_QUERIES[8][1]["query"], "size": 4},
+    ]
+    batch = search_dsl_many(docs, reqs).toPandas()
+    assert (batch["query_id"] == "d").sum() == 0
+    for r in reqs:
+        if r["query_id"] == "d":
+            continue
+        want = search_dsl(docs, {"query": r["query"]},
+                          r.get("size", 10)).toPandas()
+        got = (batch[batch["query_id"] == r["query_id"]]
+               .reset_index(drop=True))
+        _assert_rank_identical(got, want, f"msearch:{r['query_id']}")
+        assert len(got) > 0, r["query_id"]
+
+
+def test_msearch_amortizes_stats_scans(spark, docs):
+    """The batch runs ONE stats aggregation for all queries, so its
+    total Spark-job count must undercut the per-query loop's (which
+    pays one stats agg + one top-k per query)."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_many
+
+    reqs = [{"query_id": f"q{i}",
+             "query": {"match": {"text": t}}, "size": 3}
+            for i, t in enumerate(["spark", "agent", "w00042",
+                                   "the_hot_term"])]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    search_dsl_many(docs, reqs).collect()
+    mid = len(tracker.getJobIdsForGroup() or [])
+    for r in reqs:
+        search_dsl(docs, {"query": r["query"]}, 3).collect()
+    after = len(tracker.getJobIdsForGroup() or [])
+    batch_jobs, loop_jobs = mid - before, after - mid
+    assert batch_jobs < loop_jobs, (batch_jobs, loop_jobs)
+
+
+def test_msearch_rejects_bad_requests(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_many
+
+    with pytest.raises(DslError):
+        search_dsl_many(docs, [])
+    with pytest.raises(DslError):
+        search_dsl_many(docs, [{"query": {"match_all": {}}}])  # no id
+    with pytest.raises(DslError):
+        search_dsl_many(docs, [
+            {"query_id": "x", "query": {"match_all": {}}},
+            {"query_id": "x", "query": {"match_all": {}}}])  # dup id
