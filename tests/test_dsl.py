@@ -1175,3 +1175,94 @@ def test_msearch_rejects_bad_requests(spark, docs):
         search_dsl_many(docs, [
             {"query_id": "x", "query": {"match_all": {}}},
             {"query_id": "x", "query": {"match_all": {}}}])  # dup id
+
+
+# --------------------------------------------------------------------------
+# 10. property-based: random nested bool trees, naive executor vs the
+# recursive numpy/duckdb oracle (hypothesis — SURVEY.md §5 item 4 style)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["spark", "agent", "the_hot_term", "w00042", "w00099", "w00005",
+          "tool_call", "zzz_never_appears"]
+
+
+def _leaf_clause(draw):
+    kind = draw(st.sampled_from(["match", "match_phrase", "term", "range"]))
+    if kind == "match":
+        terms = draw(st.lists(st.sampled_from(_VOCAB), min_size=1,
+                              max_size=2))
+        op = draw(st.sampled_from(["and", "or"]))
+        return {"match": {"text": {"query": " ".join(terms),
+                                   "operator": op}}}
+    if kind == "match_phrase":
+        return {"match_phrase": {"text": draw(st.sampled_from(_VOCAB))}}
+    if kind == "term":
+        return {"term": {"role": draw(st.sampled_from(
+            ["user", "assistant", "tool", "system"]))}}
+    return {"range": {"turn_idx": {"gte": draw(
+        st.integers(min_value=0, max_value=60))}}}
+
+
+def _bool_query(draw, depth):
+    body = {}
+    for ctx in ("must", "filter", "should", "must_not"):
+        n = draw(st.integers(min_value=0, max_value=2))
+        clauses = []
+        for _ in range(n):
+            if depth > 0 and draw(st.booleans()):
+                clauses.append({"bool": _bool_query(draw, depth - 1)})
+            else:
+                c = _leaf_clause(draw)
+                if ctx == "should" and list(c)[0] in ("term", "range"):
+                    c = _leaf_clause_text(draw)  # meta-in-should is
+                    # out-of-grammar; substitute a text clause
+                clauses.append(c)
+        if clauses:
+            body[ctx] = clauses
+    if "should" in body and draw(st.booleans()):
+        body["minimum_should_match"] = draw(st.sampled_from(
+            [0, 1, 2, -1, "50%", "100%"]))
+    if not body:
+        body["must"] = [_leaf_clause_text(draw)]
+    return body
+
+
+def _leaf_clause_text(draw):
+    terms = draw(st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=2))
+    return {"match": {"text": {"query": " ".join(terms),
+                               "operator": draw(
+                                   st.sampled_from(["and", "or"]))}}}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_random_nested_bool_naive_matches_oracle(spark, docs, docs_pdf,
+                                                 data):
+    q = {"query": {"bool": _bool_query(data.draw, depth=2)}}
+    got = search_dsl(docs, q, 10).toPandas()
+    want = dsl_oracle(docs_pdf, q, 10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+    np.testing.assert_allclose(
+        got["score"].to_numpy(dtype=np.float64),
+        want["score"].to_numpy(dtype=np.float64),
+        rtol=1e-9, atol=1e-12, err_msg=str(q))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.data())
+def test_random_nested_bool_indexed_matches_naive(spark, docs, dsl_index,
+                                                  data):
+    """Random trees through the INDEXED executor — randomly hits the
+    cross-clause pruned path (prunable shapes) and the score-all
+    fallback; both must be rank+score identical to the naive pass."""
+    q = {"query": {"bool": _bool_query(data.draw, depth=1)}}
+    want = search_dsl(docs, q, 8).toPandas()
+    got = search_dsl_indexed(spark, dsl_index, q, 8, docs_df=docs).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+    np.testing.assert_allclose(
+        got["score"].to_numpy(dtype=np.float64),
+        want["score"].to_numpy(dtype=np.float64),
+        rtol=1e-9, atol=1e-12, err_msg=str(q))
