@@ -914,10 +914,14 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         F.sum("sub_doc_count").over(Window.partitionBy("key")))
     cells = cells.where(F.col("sub_key").isNotNull())
     if psize is not None:
-        parents = (cells.select("key", "doc_count").distinct()
-                   .orderBy(*porder).limit(int(psize)))
-        cells = cells.join(F.broadcast(parents.select("key")),
-                           "key", "left_semi")
+        # parent-size cut via dense_rank over the AGGREGATED cells —
+        # (doc_count desc, key) totally orders parents, so the rank is
+        # the parent's bucket position. A distinct+semi-join branch
+        # would make Catalyst re-derive cells from the corpus and scan
+        # the table twice (plan-gated: exactly one corpus scan).
+        wp = Window.orderBy(*porder)
+        cells = (cells.withColumn("__pr", F.dense_rank().over(wp))
+                 .where(F.col("__pr") <= int(psize)).drop("__pr"))
     corder = ([F.desc("sub_doc_count"), F.asc("sub_key")] if cdesc
               else [F.asc("sub_key")])
     if csize is not None:

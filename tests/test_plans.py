@@ -223,3 +223,47 @@ def test_count_and_scan_prune_and_push(spark):
     splan = _plan(scan_dsl(docs, q))
     assert "EqualTo(lang,en)" in splan, splan
     assert "EvalPython" not in splan, splan  # no Python in a filter scan
+
+
+def test_nested_aggs_one_corpus_aggregation(spark):
+    # nested bucket agg (terms > terms + metric): exactly ONE
+    # HashAggregate pair touches corpus-sized data — the (parent, child)
+    # grouped agg with a map-side partial_ pass; the parent totals come
+    # from a window over bucket-cardinality rows and the parent cut is a
+    # broadcast semi-join, never a second corpus scan
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {
+        "query": {"bool": {"filter": [
+            {"range": {"n_chars": {"gte": 100}}}]}},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 3},
+                 "aggs": {"by_source": {
+                     "terms": {"field": "source", "size": 2},
+                     "aggs": {"avg_chars": {"avg": {
+                         "field": "n_chars"}}}}}}},
+    }
+    plan = _plan(dsl_aggregate(docs, req))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "GreaterThanOrEqual(n_chars,100)" in plan, plan
+    # the corpus parquet is scanned ONCE: parent and child cuts are
+    # windows over the aggregated cells, not branches off the table
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
+
+
+def test_msearch_single_tokenize_scan(spark):
+    # the _msearch batch evaluates every query in one pass: one corpus
+    # scan feeds the exploded (query_id, doc_id, score) rows, the only
+    # exchange is the per-query top-k window partitioned by query_id
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_many
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumnRenamed("doc_id", "doc_id")
+    reqs = [{"query_id": f"q{i}", "query": {"match": {"text": t}},
+             "size": 5} for i, t in enumerate(["key", "agg", "hash"])]
+    plan = _plan(search_dsl_many(docs, reqs))
+    assert "EvalPython" not in plan, plan
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
