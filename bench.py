@@ -366,9 +366,10 @@ def bench_scaling(corpus_path: str) -> dict:
     """
     import subprocess
 
-    # quiet-host probe baseline: best of 3 back-to-back single-thread
-    # probes taken before any scaling load is generated
-    probe_base = min(_cpu_probe_sec() for _ in range(3))
+    # initial probes (the block may START contended — the baseline is
+    # finalized post-hoc as the best probe seen ANYWHERE in the block,
+    # so a busy start can't make the calm rule lenient)
+    all_probes = [_cpu_probe_sec() for _ in range(3)]
 
     samples: dict[int, list] = {c: [] for c in SCALE_LEVELS}
     for _ in range(SCALE_REPS):
@@ -383,25 +384,29 @@ def bench_scaling(corpus_path: str) -> dict:
                 )
                 probe_after = _cpu_probe_sec()
                 steal1, total1 = _read_steal()
+                all_probes += [probe_before, probe_after]
                 lines = [ln for ln in proc.stdout.splitlines()
                          if ln.startswith("{")]
                 if lines:
                     rec = json.loads(lines[-1])
                     steal_pct = (100.0 * (steal1 - steal0)
                                  / max(total1 - total0, 1.0))
-                    worst_probe = max(probe_before, probe_after)
                     rec.update({
                         "steal_pct": round(steal_pct, 3),
                         "probe_before_sec": round(probe_before, 4),
                         "probe_after_sec": round(probe_after, 4),
-                        "calm": bool(
-                            steal_pct < _STEAL_CALM_PCT
-                            and worst_probe
-                            < probe_base * _PROBE_CALM_FACTOR),
                     })
                     samples[cores].append(rec)
             except Exception:
                 continue  # a lost sample must never lose the bench line
+
+    probe_base = min(all_probes)
+    for recs in samples.values():
+        for rec in recs:
+            worst = max(rec["probe_before_sec"], rec["probe_after_sec"])
+            rec["calm"] = bool(
+                rec["steal_pct"] < _STEAL_CALM_PCT
+                and worst < probe_base * _PROBE_CALM_FACTOR)
 
     def _best(recs: list) -> dict:
         return min(recs, key=lambda r: r["elapsed_sec"])

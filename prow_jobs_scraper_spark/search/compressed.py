@@ -298,6 +298,7 @@ def _wand_bool_topk(
     avgdl: float,
     k1: float,
     b: float,
+    allowed: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cross-clause block-max pruned top-k for a whole BOOL query inside
     one salt group — the WAND family applied ACROSS clauses instead of
@@ -326,8 +327,16 @@ def _wand_bool_topk(
       unseen doc contains none of the visited terms, so its score is
       bounded by that suffix — and clause gating only ever LOWERS a
       doc's score below the term-sum bound, never raises it.
+
+    ``allowed``: SORTED array of doc ids permitted into the top-k (ES
+    filter context resolved against doc_stats; scores stay
+    corpus-global), or None. Candidates are intersected with it before
+    scoring; unfiltered block maxes still upper-bound every allowed
+    doc's score, so both strategies stay exact.
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if allowed is not None and allowed.size == 0:
+        return empty
     frames: dict[int, pd.DataFrame] = {
         int(t): g.sort_values("first_doc_id").reset_index(drop=True)
         for t, g in by_term.items()
@@ -446,6 +455,8 @@ def _wand_bool_topk(
             seeds = list(atids)
         cand = np.unique(np.concatenate(
             [blocks_of(t, np.arange(len(frames[t])))[0] for t in seeds]))
+        if allowed is not None:
+            cand = cand[_in_sorted(cand, allowed)]
         if cand.size == 0:
             return empty
         qual, score = score_candidates(cand)
@@ -472,6 +483,8 @@ def _wand_bool_topk(
             new = seen[pos_c] != ids_t
         else:
             new = np.ones(ids_t.size, dtype=bool)
+        if allowed is not None:  # filtered retrieval restricts seeds
+            new &= _in_sorted(ids_t, allowed)
         cand = ids_t[new]  # doc-ordered within a term -> sorted
         if cand.size:
             qual, score = score_candidates(cand)

@@ -94,6 +94,7 @@ from prow_jobs_scraper_spark.functions.xxh64 import term_id_py
 from prow_jobs_scraper_spark.index.build import (
     BM25Params,
     IndexPaths,
+    salt_expr,
     with_doc_ids,
 )
 
@@ -1070,14 +1071,15 @@ def _doc_stats_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
 
 def _prunable_for_topk(spec: QuerySpec) -> bool:
     """True when the top-k can run the cross-clause block-max kernel
-    (:func:`..compressed._wand_bool_topk`): pure must/should text
-    clauses (no phrase) on the indexed field, no filters, no must_not,
-    no nested bools — and a should-only query must require >= 1 match
-    (explicit msm=0 admits zero-score docs that postings cannot
+    (:func:`..compressed._wand_bool_topk`): must/should text clauses
+    (no phrase) on the indexed field, optionally with METADATA filters
+    and metadata must_nots (resolved against doc_stats and co-grouped
+    into the kernel as an allowed set) — no text must_not/filter
+    clauses, no nested bools, and a query without must clauses needs
+    msm >= 1 (msm=0 admits zero-score docs that postings cannot
     enumerate). Everything else falls back to the exact score-all path.
     """
-    if (spec.filter_text or spec.filter_sql or spec.must_not
-            or spec.must_not_sql or spec.match_all or spec.must_bool
+    if (spec.filter_text or spec.must_not or spec.must_bool
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool):
         return False
@@ -1187,6 +1189,44 @@ def _search_dsl_pruned(
 
     cl_arrays = [(m_, c_, np.array(tl, dtype=np.int64))
                  for m_, c_, tl in live_clauses]
+
+    if spec.filter_sql or spec.must_not_sql:
+        # metadata predicates -> allowed-id set from doc_stats, pushed
+        # to the parquet scan and CO-GROUPED with the posting blocks
+        # per (segment, salt) — the same co-partitioned merge as
+        # ..compressed.search_topk_filtered; must_not null-guarded
+        pred = " AND ".join(
+            [f"({p})" for p in spec.filter_sql]
+            + [f"NOT coalesce(({p}), false)" for p in spec.must_not_sql])
+        allowed_df = None
+        for si, (d, m) in enumerate(zip(dirs, metas)):
+            part = (
+                spark.read.parquet(IndexPaths(d).doc_stats)
+                .where(pred)
+                .select("doc_id",
+                        salt_expr(F.col("doc_id"),
+                                  int(m["n_ranges"])).alias("salt"))
+                .withColumn("seg", F.lit(si))
+            )
+            allowed_df = (part if allowed_df is None
+                          else allowed_df.unionByName(part))
+
+        def topk_cogrp(blocks_pdf: pd.DataFrame,
+                       allowed_pdf: pd.DataFrame) -> pd.DataFrame:
+            allowed = np.sort(
+                allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+            by_term = {t: g for t, g in blocks_pdf.groupby("term_id")}
+            ids, scores = _wand_bool_topk(by_term, idfs, cl_arrays, msm,
+                                          k, avgdl, k1, b,
+                                          allowed=allowed)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        frame = (
+            blocks.groupBy("seg", "salt")
+            .cogroup(allowed_df.groupBy("seg", "salt"))
+            .applyInPandas(topk_cogrp, schema="doc_id long, score double")
+        )
+        return frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_grp(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term_id")}

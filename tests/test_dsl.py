@@ -1095,13 +1095,21 @@ def test_pruned_path_is_taken_and_fallback_shapes_are_not(spark):
     assert _prunable_for_topk(ok)
     assert _prunable_for_topk(parse_query({"bool": {"should": [
         {"match": {"text": "c"}}], "minimum_should_match": 2}}))
+    # metadata filters / metadata must_nots ride the pruned path via
+    # the co-grouped allowed set (round 4, second pass)
+    assert _prunable_for_topk(parse_query(
+        {"bool": {"must": [{"match": {"text": "a"}}],
+                  "filter": [{"term": {"role": "x"}}]}}))
+    assert _prunable_for_topk(parse_query(
+        {"bool": {"must": [{"match": {"text": "a"}}],
+                  "must_not": [{"range": {"turn_idx": {"gte": 5}}}]}}))
     # fallback shapes
     for q in (
         {"bool": {"must": [{"match_phrase": {"text": "a b"}}]}},
         {"bool": {"must": [{"match": {"text": "a"}}],
-                  "filter": [{"term": {"role": "x"}}]}},
+                  "filter": [{"match": {"text": "b"}}]}},  # text filter
         {"bool": {"must": [{"match": {"text": "a"}}],
-                  "must_not": [{"match": {"text": "b"}}]}},
+                  "must_not": [{"match": {"text": "b"}}]}},  # text mn
         {"bool": {"should": [{"match": {"text": "a"}}],
                   "minimum_should_match": 0}},
         {"bool": {"must": [{"bool": {"must": [
