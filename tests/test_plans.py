@@ -267,3 +267,27 @@ def test_msearch_single_tokenize_scan(spark):
     assert "EvalPython" not in plan, plan
     n_scans = plan.count("documents.parquet")
     assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
+
+
+def test_pruned_dsl_filter_pushes_to_doc_stats(spark, transcripts,
+                                               tmp_path):
+    # a prunable bool (must text + metadata filter) rides the
+    # cross-clause kernel; the filter must reach the doc_stats parquet
+    # scan as PushedFilters, and the postings scan must carry the
+    # term_id/tb pruning — never a full postings read
+    from prow_jobs_scraper_spark.index.build import BuildConfig, build_index
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_indexed
+
+    d = str(tmp_path / "pruned_idx")
+    build_index(spark, transcripts, d, BuildConfig(n_ranges=4, n_buckets=2))
+    q = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark",
+                                     "operator": "and"}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+        "should": [{"match": {"text": "the_hot_term"}}],
+    }}}
+    plan = _plan(search_dsl_indexed(spark, d, q, 5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("role" in ln for ln in pushed), plan
+    assert any("term_id" in ln for ln in pushed), plan
+    assert "FlatMapCoGroupsInPandas" in plan, plan  # the co-grouped merge
