@@ -161,3 +161,80 @@ def _duration_ms(s: str) -> int:
             "hour": 3_600_000, "hours": 3_600_000,
             "day": 86_400_000, "days": 86_400_000}[unit]
     return int(n) * mult
+
+
+def ingest_and_index_tick(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    build_config=None,
+    watermark: str = "7 days",
+) -> dict:
+    """One cron-equivalent tick of the reference's whole pipeline —
+    scrape → dedup → index (reference scraper/main.py + template.yaml's
+    cron) — as streaming ingest + incremental segment build:
+
+    1. run the availableNow ingest (exactly-once per (conv_id,
+       turn_idx) via watermark dedup + file-source tracking);
+    2. build a NEW index segment from ONLY the turns this tick staged
+       (never re-tokenizes old data — the reference re-scrapes
+       everything and anti-joins; here the stream's own state bounds
+       the work to the delta);
+    3. record it in ``work_dir/segments.json`` so queries fan out with
+       :func:`..search.compressed.search_topk_multi` /
+       ``search_dsl_indexed(spark, segments, ...)`` — rank+score
+       identical to a monolithic index (their global-stats rule).
+
+    Crash-safe: the segment dir name is derived from the batch-id range
+    it covers, build_index resumes per-bucket, and the manifest is
+    written AFTER the segment commits — a rerun of a torn tick rebuilds
+    the same segment dir (resumed, idempotent) and then registers it.
+    Returns {"segments": [...], "n_new_turns": int, "new_segment": str|None}.
+    """
+    import json as _json
+    import os as _os
+
+    from prow_jobs_scraper_spark.index.build import (  # noqa: PLC0415
+        BuildConfig,
+        build_index,
+    )
+
+    staging = _os.path.join(work_dir, "staging")
+    ckpt = _os.path.join(work_dir, "checkpoint")
+    manifest_path = _os.path.join(work_dir, "segments.json")
+    manifest = {"segments": [], "indexed_batches": []}
+    if _os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = _json.load(f)
+
+    q = incremental_ingest(spark, source_dir, staging, ckpt, watermark)
+    q.awaitTermination()
+
+    if not _os.path.exists(staging):
+        return {"segments": list(manifest["segments"]),
+                "n_new_turns": 0, "new_segment": None}
+    staged = spark.read.parquet(staging)
+    done = set(manifest["indexed_batches"])
+    new_batches = sorted(
+        int(r["ingest_batch"])
+        for r in staged.select("ingest_batch").distinct().collect()
+        if int(r["ingest_batch"]) not in done)
+    if not new_batches:
+        return {"segments": list(manifest["segments"]),
+                "n_new_turns": 0, "new_segment": None}
+
+    delta = staged.where(F.col("ingest_batch").isin(new_batches)).drop(
+        "ingest_batch")
+    seg_dir = _os.path.join(
+        work_dir, f"seg_b{new_batches[0]}_{new_batches[-1]}")
+    metrics = build_index(spark, delta, seg_dir,
+                          build_config or BuildConfig())
+    manifest["segments"].append(seg_dir)
+    manifest["indexed_batches"].extend(new_batches)
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.replace(tmp, manifest_path)
+    return {"segments": list(manifest["segments"]),
+            "n_new_turns": int(metrics["n_docs"]),
+            "new_segment": seg_dir}

@@ -236,3 +236,54 @@ def test_read_usages_json(spark, tmp_path):
     assert got["ipi-ci-op-def-456"]["is_bandwidth"] is True
     assert got["ipi-ci-op-def-456"]["total"] == 0.5
     assert got["ipi-ci-op-abc-123"]["end_date"] is None  # optional field
+
+
+def test_incremental_segment_ticks_match_monolithic(spark, transcripts,
+                                                    tmp_path):
+    """The full cron-tick loop (reference template.yaml cron +
+    scraper/main.py): two data waves arrive, each tick stream-ingests
+    the delta and builds ONE new segment from it; multi-segment search
+    over the accumulated segments must be rank+score identical to the
+    brute-force oracle over the full corpus — incremental maintenance
+    without ever re-tokenizing old data."""
+    import numpy as np
+
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        with_doc_ids,
+    )
+    from prow_jobs_scraper_spark.oracle import bm25_oracle_topk
+    from prow_jobs_scraper_spark.search.compressed import search_topk_multi
+    from prow_jobs_scraper_spark.streaming.incremental import (
+        ingest_and_index_tick,
+    )
+
+    src = str(tmp_path / "isrc")
+    work = str(tmp_path / "iwork")
+    cfg = BuildConfig(n_ranges=4, n_buckets=2)
+
+    # waves split by TIME (the cron reality: later ticks see newer
+    # data) — a parity split would feed tick 2 rows older than the
+    # advanced watermark, which the dedup rightly drops as late
+    cut = "2025-06-16"
+    transcripts.where(f"ts < '{cut}'").write.mode("append").parquet(src)
+    r1 = ingest_and_index_tick(spark, src, work, cfg)
+    assert r1["new_segment"] is not None
+    assert len(r1["segments"]) == 1 and r1["n_new_turns"] > 0
+
+    # a tick with nothing new stages nothing and builds nothing
+    r_idle = ingest_and_index_tick(spark, src, work, cfg)
+    assert r_idle["new_segment"] is None
+    assert len(r_idle["segments"]) == 1
+
+    transcripts.where(f"ts >= '{cut}'").write.mode("append").parquet(src)
+    r2 = ingest_and_index_tick(spark, src, work, cfg)
+    assert r2["new_segment"] is not None
+    assert len(r2["segments"]) == 2
+
+    docs = with_doc_ids(transcripts).select("doc_id", "text").toPandas()
+    got = search_topk_multi(spark, r2["segments"], "spark agent",
+                            10).toPandas()
+    want = bm25_oracle_topk(docs, "spark agent", 10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
