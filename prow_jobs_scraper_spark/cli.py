@@ -175,6 +175,26 @@ def cmd_compact(args) -> dict:
     )
 
 
+def cmd_tick(args) -> dict:
+    """One cron tick of the whole pipeline (the reference's cron job,
+    template.yaml:12 + scraper/main.py): ingest the delta exactly-once,
+    build one new index segment from it, register it for multi-segment
+    search. Rerunning with no new data is a no-op."""
+    from prow_jobs_scraper_spark.index.build import BuildConfig
+    from prow_jobs_scraper_spark.streaming.incremental import (
+        ingest_and_index_tick,
+    )
+
+    spark = _spark(args)
+    t0 = time.time()
+    out = ingest_and_index_tick(
+        spark, args.source, args.work,
+        BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets),
+        watermark=args.watermark,
+    )
+    return {**out, "elapsed_sec": round(time.time() - t0, 3)}
+
+
 def cmd_synth(args) -> dict:
     from prow_jobs_scraper_spark.synth import synth_transcripts
 
@@ -285,6 +305,17 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--dry-run", action="store_true",
                    help="report duplicates without deleting")
     u.set_defaults(fn=cmd_cleanup)
+
+    t = sub.add_parser(
+        "tick", help="one cron tick: ingest delta -> build one segment")
+    t.add_argument("--source", required=True,
+                   help="transcripts parquet directory (append-only)")
+    t.add_argument("--work", required=True,
+                   help="work dir: staging, checkpoint, segments")
+    t.add_argument("--n-ranges", type=int, default=32)
+    t.add_argument("--n-buckets", type=int, default=16)
+    t.add_argument("--watermark", default="7 days")
+    t.set_defaults(fn=cmd_tick)
 
     g = sub.add_parser("synth", help="generate a synthetic transcript corpus")
     g.add_argument("--output", required=True)

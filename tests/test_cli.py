@@ -176,3 +176,22 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path, capsys):
     np.testing.assert_allclose(
         [h["score"] for h in r["hits"]], want["score"].to_numpy(),
         rtol=1e-12)
+
+
+def test_cli_tick_incremental(spark, tmp_path, capsys):
+    """`tick` = one cron pass: ingest delta -> one new segment; an idle
+    rerun is a no-op; the produced segment is searchable."""
+    src = str(tmp_path / "tick_src")
+    work = str(tmp_path / "tick_work")
+    _run(capsys, ["synth", "--output", src, "--n-turns", "400",
+                  "--n-partitions", "2"])
+    r1 = _run(capsys, ["tick", "--source", src, "--work", work,
+                       "--n-ranges", "4", "--n-buckets", "2"])
+    assert r1["new_segment"] and len(r1["segments"]) == 1
+    assert r1["n_new_turns"] == 400
+    r2 = _run(capsys, ["tick", "--source", src, "--work", work,
+                       "--n-ranges", "4", "--n-buckets", "2"])
+    assert r2["new_segment"] is None and r2["n_new_turns"] == 0
+    r = _run(capsys, ["search", "--index", r1["new_segment"],
+                      "--query", "spark", "--k", "3"])
+    assert len(r["hits"]) == 3
