@@ -185,14 +185,21 @@ def cmd_tick(args) -> dict:
         ingest_and_index_tick,
     )
 
+    from prow_jobs_scraper_spark.streaming.incremental import compact_tick
+
     spark = _spark(args)
     t0 = time.time()
+    cfg = BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets)
     out = ingest_and_index_tick(
-        spark, args.source, args.work,
-        BuildConfig(n_ranges=args.n_ranges, n_buckets=args.n_buckets),
-        watermark=args.watermark,
-    )
-    return {**out, "elapsed_sec": round(time.time() - t0, 3)}
+        spark, args.source, args.work, cfg, watermark=args.watermark)
+    compacted = False
+    if args.compact_threshold:
+        rc = compact_tick(spark, args.work,
+                          max_segments=args.compact_threshold,
+                          build_config=cfg)
+        out["segments"], compacted = rc["segments"], rc["compacted"]
+    return {**out, "compacted": compacted,
+            "elapsed_sec": round(time.time() - t0, 3)}
 
 
 def cmd_synth(args) -> dict:
@@ -315,6 +322,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--n-ranges", type=int, default=32)
     t.add_argument("--n-buckets", type=int, default=16)
     t.add_argument("--watermark", default="7 days")
+    t.add_argument("--compact-threshold", type=int, default=None,
+                   help="fold segments into one when more than N exist")
     t.set_defaults(fn=cmd_tick)
 
     g = sub.add_parser("synth", help="generate a synthetic transcript corpus")

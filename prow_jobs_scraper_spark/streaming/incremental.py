@@ -231,10 +231,68 @@ def ingest_and_index_tick(
                           build_config or BuildConfig())
     manifest["segments"].append(seg_dir)
     manifest["indexed_batches"].extend(new_batches)
-    tmp = manifest_path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(manifest, f)
-    _os.replace(tmp, manifest_path)
+    _write_manifest(manifest_path, manifest)
     return {"segments": list(manifest["segments"]),
             "n_new_turns": int(metrics["n_docs"]),
             "new_segment": seg_dir}
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.replace(tmp, path)  # atomic swap: readers see old or new, never torn
+
+
+def compact_tick(
+    spark: SparkSession,
+    work_dir: str,
+    max_segments: int = 8,
+    build_config=None,
+) -> dict:
+    """Fold the tick manifest's segments into ONE when they exceed
+    ``max_segments`` — the merge half of the Lucene-style segment
+    lifecycle (ingest ticks append small segments; compaction bounds
+    per-query fan-out). Uses :func:`..index.build.compact_segments`
+    (decode → re-encode, NO re-tokenization; block-identical to a
+    monolithic build, pytest-gated there).
+
+    Crash-safe ordering: the compacted index is built in a fresh
+    ``compacted_<n>`` dir first, the manifest is atomically swapped to
+    point at it, and only then are the old segment dirs deleted — a
+    crash at any point leaves a manifest whose every entry is a
+    complete, queryable index. Returns {"segments": [...],
+    "compacted": bool}.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from prow_jobs_scraper_spark.index.build import (  # noqa: PLC0415
+        BuildConfig,
+        compact_segments,
+    )
+
+    manifest_path = _os.path.join(work_dir, "segments.json")
+    if not _os.path.exists(manifest_path):
+        return {"segments": [], "compacted": False}
+    with open(manifest_path) as f:
+        manifest = _json.load(f)
+    segs = list(manifest["segments"])
+    if len(segs) <= max_segments:
+        return {"segments": segs, "compacted": False}
+
+    gen = int(manifest.get("compaction_gen", 0)) + 1
+    out_dir = _os.path.join(work_dir, f"compacted_{gen}")
+    compact_segments(spark, segs, out_dir,
+                     build_config or BuildConfig(),
+                     build_id=f"compact-{gen}")
+    manifest["segments"] = [out_dir]
+    manifest["compaction_gen"] = gen
+    _write_manifest(manifest_path, manifest)
+    for d in segs:  # old dirs removable only AFTER the manifest swap
+        _shutil.rmtree(d, ignore_errors=True)
+    return {"segments": [out_dir], "compacted": True}

@@ -287,3 +287,55 @@ def test_incremental_segment_ticks_match_monolithic(spark, transcripts,
     want = bm25_oracle_topk(docs, "spark agent", 10)
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+
+
+def test_compact_tick_folds_segments_and_search_is_identical(
+        spark, transcripts, tmp_path):
+    """Three waves -> three segments -> compact_tick folds them into
+    one; search over the compacted manifest stays rank+score identical
+    to the oracle, old segment dirs are gone, and a below-threshold
+    manifest is untouched."""
+    import numpy as np
+
+    from prow_jobs_scraper_spark.index.build import (
+        BuildConfig,
+        with_doc_ids,
+    )
+    from prow_jobs_scraper_spark.oracle import bm25_oracle_topk
+    from prow_jobs_scraper_spark.search.compressed import search_topk_multi
+    from prow_jobs_scraper_spark.streaming.incremental import (
+        compact_tick,
+        ingest_and_index_tick,
+    )
+
+    src = str(tmp_path / "csrc")
+    work = str(tmp_path / "cwork")
+    cfg = BuildConfig(n_ranges=4, n_buckets=2)
+    cuts = ["2025-06-10", "2025-06-20"]
+    waves = [
+        transcripts.where(f"ts < '{cuts[0]}'"),
+        transcripts.where(f"ts >= '{cuts[0]}' AND ts < '{cuts[1]}'"),
+        transcripts.where(f"ts >= '{cuts[1]}'"),
+    ]
+    for w in waves:
+        w.write.mode("append").parquet(src)
+        r = ingest_and_index_tick(spark, src, work, cfg)
+        assert r["new_segment"] is not None
+    assert len(r["segments"]) == 3
+
+    # below threshold: no-op
+    r_noop = compact_tick(spark, work, max_segments=8, build_config=cfg)
+    assert not r_noop["compacted"] and len(r_noop["segments"]) == 3
+
+    old_segs = list(r["segments"])
+    rc = compact_tick(spark, work, max_segments=2, build_config=cfg)
+    assert rc["compacted"] and len(rc["segments"]) == 1
+    import os
+    assert all(not os.path.exists(d) for d in old_segs)
+
+    docs = with_doc_ids(transcripts).select("doc_id", "text").toPandas()
+    got = search_topk_multi(spark, rc["segments"], "spark agent",
+                            10).toPandas()
+    want = bm25_oracle_topk(docs, "spark agent", 10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
