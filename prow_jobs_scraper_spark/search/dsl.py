@@ -968,18 +968,7 @@ def _clause_frame_indexed(
         return None
     tid_of = {t: term_id_py(t) for t in terms}
     q_term_ids = list(tid_of.values())
-
-    df_of_tid: dict[int, int] = {}
-    for d, m in zip(dirs, metas):
-        buckets = sorted({tid % int(m["n_buckets"]) for tid in q_term_ids})
-        for r in (
-            spark.read.parquet(IndexPaths(d).term_stats)
-            .where(F.col("tb").isin(buckets)
-                   & F.col("term_id").isin(q_term_ids))
-            .select("term_id", "df").collect()
-        ):
-            tid = int(r["term_id"])
-            df_of_tid[tid] = df_of_tid.get(tid, 0) + int(r["df"])
+    df_of_tid = _df_stats_multi(spark, dirs, metas, q_term_ids)
     conj = c.operator == "and" or c.phrase
     if conj:
         if any(tid not in df_of_tid for tid in q_term_ids):
@@ -1131,17 +1120,7 @@ def _search_dsl_pruned(
     # global df per term, summed across segments (multi-segment rule of
     # search_topk_multi); absent terms kill conj clauses / shrink disj
     all_tids = sorted({t for _, _, tl in clauses for t in tl})
-    df_of: dict[int, int] = {}
-    for d, m in zip(dirs, metas):
-        buckets = sorted({t % int(m["n_buckets"]) for t in all_tids})
-        for r in (
-            spark.read.parquet(IndexPaths(d).term_stats)
-            .where(F.col("tb").isin(buckets)
-                   & F.col("term_id").isin(all_tids))
-            .select("term_id", "df").collect()
-        ):
-            tid = int(r["term_id"])
-            df_of[tid] = df_of.get(tid, 0) + int(r["df"])
+    df_of = _df_stats_multi(spark, dirs, metas, all_tids)
 
     live_clauses = []
     for is_must, conj, tl in clauses:
@@ -1299,6 +1278,30 @@ def _load_segments(index_dir: str | list[str]):
     if any((float(m["k1"]), float(m["b"])) != (k1, b) for m in metas):
         raise DslError("segments disagree on BM25 params")
     return dirs, metas, n_docs, avgdl
+
+
+def _df_stats_multi(
+    spark: SparkSession,
+    dirs: list[str],
+    metas: list[dict],
+    term_ids: list[int],
+) -> dict[int, int]:
+    """Global df per term summed across segments, through the
+    driver-side per-index cache (:func:`..compressed._df_stats`) — a
+    warm repeated DSL query (same clauses, same built segments) runs
+    ZERO stats jobs, and multiple clauses referencing overlapping terms
+    fetch each term at most once per segment."""
+    from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+        _df_stats,
+    )
+
+    out: dict[int, int] = {}
+    for d, m in zip(dirs, metas):
+        seg = _df_stats(spark, IndexPaths(d), m, list(term_ids),
+                        int(m["n_buckets"]))
+        for tid, df in seg.items():
+            out[tid] = out.get(tid, 0) + int(df)
+    return out
 
 
 def _qualify_indexed(
