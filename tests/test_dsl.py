@@ -617,11 +617,16 @@ def test_nested_aggs_date_histogram_terms(spark, docs, docs_pdf):
             <= got.groupby("key")["doc_count"].first()).all()
 
 
-def test_nested_aggs_indexed_matches_naive(spark, docs, dsl_index):
+def test_nested_aggs_indexed_matches_naive(spark, docs, dsl_index,
+                                           dsl_segments):
     got = dsl_aggregate(docs, _NESTED_AGG_REQ).toPandas()
     gi = dsl_aggregate_indexed(spark, dsl_index,
                                _NESTED_AGG_REQ).toPandas()
     _cmp_nested(gi, got, "indexed-vs-naive")
+    # and over SPLIT segments with different layouts (incremental shape)
+    gs = dsl_aggregate_indexed(spark, dsl_segments,
+                               _NESTED_AGG_REQ).toPandas()
+    _cmp_nested(gs, got, "segments-vs-naive")
 
 
 def test_nested_aggs_terms_parent_size_cut(spark, docs, docs_pdf):
