@@ -1,12 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The image/audio codec libraries are not present in this container, so the
-actual decode is STUBBED — :func:`_decode_image_stub` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, in which case
-it derives a deterministic fake pixel tensor from the bytes (so the whole
-Spark-side pipeline — schema, partitioning, UDF signature, Arrow batch
-shape — is real and tested end-to-end).
+Decode boundary, by format:
+
+- **netpbm (P6 RGB / P5 gray)** — REAL decode, pure numpy
+  (:func:`decode_ppm`): the public netpbm spec needs no codec library,
+  so these payloads produce true pixel tensors end-to-end.
+- **JPEG/PNG/audio codecs** — the libraries are not present in this
+  container, so that decode is STUBBED: :func:`_decode_image_stub`
+  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
+  which case it derives a deterministic fake pixel tensor from the
+  bytes (the Spark-side pipeline — schema, partitioning, UDF signature,
+  Arrow batch shape — is identical either way and tested end-to-end).
+
+:func:`decode_image` dispatches by magic bytes: netpbm decodes for
+real, anything else hits the stub boundary.
 
 Schema contract:
 
@@ -33,6 +41,77 @@ FEATURE_SCHEMA = (
 )
 
 RESIZE_SCHEMA = "media_id long, width int, height int, payload binary"
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255). Pure numpy —
+    test/synth helper and the round-trip twin of :func:`decode_ppm`."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"encode_ppm needs (h, w, 3), got {img.shape}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for the binary netpbm formats — P6 (RGB) and
+    P5 (grayscale), maxval <= 255, per the public netpbm spec (header
+    tokens separated by whitespace, ``#`` comments to end-of-line,
+    exactly one whitespace byte before the raster). Returns
+    (h, w, 3) uint8; grayscale is replicated across channels so every
+    downstream op sees one tensor shape."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+
+    # header tokenizer: after the magic, read 3 ints (w, h, maxval),
+    # skipping whitespace and # comments
+    pos = 2
+    tokens: list[int] = []
+    n = len(payload)
+    while len(tokens) < 3:
+        while pos < n and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos:pos + 1] == b"#":
+            while pos < n and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte before the raster
+    w, h, maxval = tokens
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported netpbm dims/maxval {tokens}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raster = payload[pos:pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"netpbm raster truncated: {len(raster)}/{need} bytes")
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def decode_image(payload: bytes, width: int, height: int,
+                 deterministic_fake: bool = False) -> np.ndarray:
+    """Decode dispatch: netpbm payloads (magic P6/P5) decode for REAL
+    with :func:`decode_ppm` (their header dims win over the metadata);
+    any other format hits the stubbed codec boundary."""
+    if payload[:2] in (b"P6", b"P5"):
+        try:
+            return decode_ppm(payload)
+        except ValueError:
+            # strict mode surfaces the corrupt payload; fake mode (test/
+            # plumbing path) treats lookalike bytes as opaque
+            if not deterministic_fake:
+                raise
+    return _decode_image_stub(payload, width, height, deterministic_fake)
 
 
 def _decode_image_stub(payload: bytes, width: int, height: int,
@@ -64,7 +143,7 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True,
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 4)
                 h = int(meta["height"] or 4)
-                img = _decode_image_stub(payload, w, h, deterministic_fake)
+                img = decode_image(payload, w, h, deterministic_fake)
                 v = img.reshape(-1, 3).astype(np.float64)
                 f8 = np.concatenate([v.mean(axis=0), v.std(axis=0),
                                      [v.min(), v.max()]])
@@ -90,7 +169,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int,
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w = int(meta["width"] or 4)
                 h = int(meta["height"] or 4)
-                img = _decode_image_stub(payload, w, h, deterministic_fake)
+                img = decode_image(payload, w, h, deterministic_fake)
+                h, w = img.shape[:2]  # netpbm header dims win
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 payloads.append(img[yi][:, xi].tobytes())
@@ -122,7 +202,7 @@ def sample_frames(media: DataFrame, every_n: int = 2,
             feats = []
             for payload, meta, fi in zip(pdf["payload"], pdf["meta"],
                                          pdf["frame_idx"]):
-                img = _decode_image_stub(
+                img = decode_image(
                     payload + int(fi).to_bytes(4, "little"),
                     int(meta["width"] or 4), int(meta["height"] or 4),
                     deterministic_fake)
@@ -174,11 +254,17 @@ def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 64)))
+        w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+        if kind == "image":
+            # REAL binary PPM payload: the image path decodes true pixels
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_ppm(px)
+        else:
+            payload = rng.bytes(64 + int(rng.integers(0, 64)))
         rows.append((
             i, kind, bytearray(payload),
-            {"width": int(rng.integers(4, 17)),
-             "height": int(rng.integers(4, 17)),
+            {"width": w,
+             "height": h,
              "sample_rate": 16000 if kind == "audio" else 0,
              "n_frames": int(rng.integers(2, 9)) if kind == "video" else 1},
         ))

@@ -105,3 +105,80 @@ def test_media_from_docs_total_over_negative_ids(spark):
         assert r["kind"] in ("image", "audio", "video")
         assert r["meta"]["width"] >= 4 and r["meta"]["height"] >= 4
         assert r["meta"]["n_frames"] >= 1
+
+
+# ---- real netpbm decode (round 4): the image path decodes TRUE pixels
+
+def test_ppm_roundtrip_and_variants():
+    import numpy as np
+
+    from prow_jobs_scraper_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = np.random.default_rng(3).integers(0, 256, (6, 9, 3),
+                                            dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comments + arbitrary whitespace in the header (netpbm spec)
+    p5 = b"P5 # c1\n# c2\n 3\t2 \n255\n" + bytes(range(6))
+    g = decode_ppm(p5)
+    assert g.shape == (2, 3, 3)
+    assert (g[:, :, 0] == g[:, :, 2]).all()  # gray replicated
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255\n" + b"\0" * 5)  # truncated raster
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIF....")
+
+
+def test_extract_features_real_pixels(spark):
+    """synth_media image rows now carry REAL binary PPM payloads: the
+    Spark feature op must reproduce the numpy mean/std of the true
+    pixels — no stub in the image path."""
+    import numpy as np
+
+    from prow_jobs_scraper_spark.operators.multimodal import (
+        decode_ppm,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12, seed=11)
+    rows = {r["media_id"]: r for r in media.collect()}
+    got = {r["media_id"]: r for r in
+           extract_features(media, deterministic_fake=True).collect()}
+    n_img = 0
+    for mid, r in rows.items():
+        if r["kind"] != "image":
+            continue
+        n_img += 1
+        img = decode_ppm(bytes(r["payload"]))
+        v = img.reshape(-1, 3).astype(np.float64)
+        want = np.concatenate([v.mean(axis=0), v.std(axis=0),
+                               [v.min(), v.max()]])[:8]
+        np.testing.assert_allclose(got[mid]["feat"], want, rtol=1e-6)
+    assert n_img >= 4
+
+
+def test_resize_uses_header_dims(spark):
+    import numpy as np
+
+    from prow_jobs_scraper_spark.operators.multimodal import (
+        decode_ppm,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=9, seed=5)
+    out = {r["media_id"]: r for r in
+           resize_images(media, 4, 4).collect()}
+    src = {r["media_id"]: r for r in media.collect()
+           if r["kind"] == "image"}
+    for mid, r in src.items():
+        img = decode_ppm(bytes(r["payload"]))
+        h, w = img.shape[:2]
+        yi = np.arange(4) * h // 4
+        xi = np.arange(4) * w // 4
+        want = img[yi][:, xi].tobytes()
+        assert bytes(out[mid]["payload"]) == want, mid
