@@ -299,6 +299,7 @@ def _wand_bool_topk(
     k1: float,
     b: float,
     allowed: np.ndarray | None = None,
+    block_cache: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cross-clause block-max pruned top-k for a whole BOOL query inside
     one salt group — the WAND family applied ACROSS clauses instead of
@@ -333,6 +334,12 @@ def _wand_bool_topk(
     corpus-global), or None. Candidates are intersected with it before
     scoring; unfiltered block maxes still upper-bound every allowed
     doc's score, so both strategies stay exact.
+
+    ``block_cache``: batch callers (the indexed _msearch) pass a shared
+    dict so a block decoded for one query is reused by every other
+    query touching the term in this salt group — keys are (term_id,
+    row position in the term's doc-ordered frame), identical across
+    queries because the frame is the same term group.
     """
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     if allowed is not None and allowed.size == 0:
@@ -342,7 +349,8 @@ def _wand_bool_topk(
         for t, g in by_term.items()
     }
     present = set(frames)
-    block_cache: dict = {}
+    if block_cache is None:
+        block_cache = {}
 
     def blocks_of(tid: int, idx: np.ndarray):
         outs = []

@@ -592,6 +592,28 @@ def _compile_specs(
     return base, [spec_exprs(sp) for sp in specs]
 
 
+def _parse_msearch(requests: list[dict]):
+    """Validate an _msearch body -> (qids, raw queries, specs, sizes)."""
+    if not isinstance(requests, list) or not requests:
+        raise DslError("_msearch needs a non-empty request list")
+    qids, queries_raw, specs, sizes = [], [], [], {}
+    for r in requests:
+        if not isinstance(r, dict) or "query_id" not in r:
+            raise DslError(f"bad _msearch request {r!r}")
+        qid = str(r["query_id"])
+        if qid in sizes:
+            raise DslError(f"duplicate query_id {qid!r}")
+        k = int(r.get("size", DEFAULT_SIZE))
+        if k < 0:
+            raise DslError("size must be non-negative")
+        q = r.get("query", {"match_all": {}})
+        qids.append(qid)
+        queries_raw.append(q)
+        specs.append(parse_query(q))
+        sizes[qid] = k
+    return qids, queries_raw, specs, sizes
+
+
 def search_dsl_many(
     docs_df: DataFrame,
     requests: list[dict],
@@ -614,22 +636,7 @@ def search_dsl_many(
     rows). At 10^12 turns, n queries cost ~one query's scan instead of
     n scans — the same amortization :func:`..compressed.search_topk_many`
     gives the indexed path."""
-    if not isinstance(requests, list) or not requests:
-        raise DslError("_msearch needs a non-empty request list")
-    qids, specs, sizes = [], [], {}
-    for r in requests:
-        if not isinstance(r, dict) or "query_id" not in r:
-            raise DslError(f"bad _msearch request {r!r}")
-        qid = str(r["query_id"])
-        if qid in sizes:
-            raise DslError(f"duplicate query_id {qid!r}")
-        k = int(r.get("size", DEFAULT_SIZE))
-        if k < 0:
-            raise DslError("size must be non-negative")
-        qids.append(qid)
-        specs.append(parse_query(r.get("query", {"match_all": {}})))
-        sizes[qid] = k
-
+    qids, queries_raw, specs, sizes = _parse_msearch(requests)
     spark = docs_df.sparkSession
     empty = spark.createDataFrame(
         [], "query_id string, doc_id long, score double")
@@ -1261,6 +1268,171 @@ def search_dsl_indexed(
     order = ([F.desc("score"), F.asc("doc_id")] if scored
              else [F.asc("doc_id")])
     return anchor.orderBy(*order).limit(k)
+
+
+def search_dsl_many_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    requests: list[dict],
+    docs_df: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``_msearch`` shape against the compressed index (or a
+    segment list) -> ``(query_id, doc_id, score)``, each query's block
+    rank-identical to its own :func:`search_dsl_indexed` call
+    (pytest-gated).
+
+    PRUNABLE unfiltered queries (must/should text clauses — see
+    :func:`_prunable_for_topk`) batch into ONE postings read covering
+    the union of every query's terms and one kernel pass per
+    (segment, salt) group with a SHARED block-decode cache — a block a
+    hot term contributes to query A is reused by queries B..N in the
+    same group, and the df stats for all queries come from one cached
+    fetch. Everything else (phrase, filters, nesting) falls back to its
+    own exact :func:`search_dsl_indexed` call and unions in."""
+    from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+        _wand_bool_topk,
+    )
+
+    qids, queries_raw, specs, sizes = _parse_msearch(requests)
+    out_schema = "query_id string, doc_id long, score double"
+    empty = spark.createDataFrame([], out_schema)
+    dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    if n_docs == 0:
+        return empty
+    k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
+
+    raw_batch = []   # (qid, msm, [(is_must, conj, [tid...])...])
+    fallback = []    # (qid, raw query)
+    all_tids: set[int] = set()
+    for qid, q, spec in zip(qids, queries_raw, specs):
+        if sizes[qid] == 0:
+            continue
+        if not _prunable_for_topk(spec) or spec.filter_sql \
+                or spec.must_not_sql or spec.match_all:
+            fallback.append((qid, q))
+            continue
+        clauses, dead = [], False
+        for is_must, lst in ((True, spec.must), (False, spec.should)):
+            for c in lst:
+                terms = _clause_terms(c)
+                if not terms:
+                    if is_must:
+                        dead = True
+                        break
+                    continue
+                clauses.append((is_must, c.operator == "and",
+                                [term_id_py(t) for t in terms]))
+            if dead:
+                break
+        if dead or not clauses:
+            continue  # provably empty: contributes no rows
+        raw_batch.append((qid, spec.minimum_should_match(), clauses))
+        all_tids.update(t for _, _, tl in clauses for t in tl)
+
+    results = []
+    if raw_batch:
+        df_of = _df_stats_multi(spark, dirs, metas, sorted(all_tids))
+        compiled = []  # (qid, msm, k, cl_arrays, idfs, tids)
+        union_live: set[int] = set()
+        for qid, msm, clauses in raw_batch:
+            live_clauses, dead = [], False
+            for is_must, conj, tl in clauses:
+                if conj:
+                    if any(t not in df_of for t in tl):
+                        if is_must:
+                            dead = True
+                            break
+                        continue
+                    live = sorted(set(tl))
+                else:
+                    live = sorted({t for t in tl if t in df_of})
+                    if not live:
+                        if is_must:
+                            dead = True
+                            break
+                        continue
+                live_clauses.append((is_must, conj, live))
+            has_must = any(c[0] for c in live_clauses)
+            n_should = sum(1 for c in live_clauses if not c[0])
+            if (dead or not live_clauses
+                    or (msm > 0 and n_should < msm)
+                    or (not has_must and n_should == 0)):
+                continue
+            tids_q = sorted({t for _, _, tl in live_clauses for t in tl})
+            idfs_q = {t: math.log(1.0 + (n_docs - df_of[t] + 0.5)
+                                  / (df_of[t] + 0.5)) for t in tids_q}
+            compiled.append((
+                qid, msm, sizes[qid],
+                [(m_, c_, np.array(tl, dtype=np.int64))
+                 for m_, c_, tl in live_clauses],
+                idfs_q, tids_q))
+            union_live.update(tids_q)
+
+        if compiled:
+            blocks = None
+            union_list = sorted(union_live)
+            for si, (d, m) in enumerate(zip(dirs, metas)):
+                buckets = sorted({t % int(m["n_buckets"])
+                                  for t in union_list})
+                scale = max(1.0, avgdl / max(float(m["avgdl"]), 1e-12))
+                part = (
+                    spark.read.parquet(IndexPaths(d).postings)
+                    .where(F.col("tb").isin(buckets)
+                           & F.col("term_id").isin(union_list))
+                    .select("term_id", "salt", "block_id", "n_docs",
+                            "first_doc_id", "last_doc_id", "doc_gaps",
+                            "tf_bytes", "dl_bytes",
+                            (F.col("block_max_tf_norm") * F.lit(scale))
+                            .alias("block_max_tf_norm"))
+                    .withColumn("seg", F.lit(si))
+                )
+                blocks = (part if blocks is None
+                          else blocks.unionByName(part))
+
+            def batch_grp(pdf: pd.DataFrame) -> pd.DataFrame:
+                by_term_all = {int(t): g
+                               for t, g in pdf.groupby("term_id")}
+                cache: dict = {}  # shared across queries in this group
+                outs = []
+                for qid, msm, k, cl_arrays, idfs_q, tids_q in compiled:
+                    by_term = {t: by_term_all[t] for t in tids_q
+                               if t in by_term_all}
+                    if not by_term:
+                        continue
+                    ids, scores = _wand_bool_topk(
+                        by_term, idfs_q, cl_arrays, msm, k, avgdl,
+                        k1, b, block_cache=cache)
+                    if ids.size:
+                        outs.append(pd.DataFrame({
+                            "query_id": qid, "doc_id": ids,
+                            "score": scores}))
+                if not outs:
+                    return pd.DataFrame({
+                        "query_id": pd.Series([], dtype="object"),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "score": pd.Series([], dtype="float64")})
+                return pd.concat(outs, ignore_index=True)
+
+            local = blocks.groupBy("seg", "salt").applyInPandas(
+                batch_grp, schema=out_schema)
+            k_expr = F.create_map(
+                *[x for qid in qids
+                  for x in (F.lit(qid), F.lit(sizes[qid]))]
+            )[F.col("query_id")]
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            results.append(
+                local.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k_expr).drop("__rn"))
+
+    for qid, q in fallback:
+        out = search_dsl_indexed(spark, index_dir, q, sizes[qid], docs_df)
+        results.append(out.select(F.lit(qid).alias("query_id"),
+                                  "doc_id", "score"))
+    if not results:
+        return empty
+    combined = reduce(DataFrame.unionByName, results)
+    return combined.orderBy("query_id", F.desc("score"), F.asc("doc_id"))
 
 
 def _load_segments(index_dir: str | list[str]):

@@ -1279,3 +1279,46 @@ def test_random_nested_bool_indexed_matches_naive(spark, docs, dsl_index,
         got["score"].to_numpy(dtype=np.float64),
         want["score"].to_numpy(dtype=np.float64),
         rtol=1e-9, atol=1e-12, err_msg=str(q))
+
+
+def test_msearch_indexed_matches_per_query(spark, docs, dsl_index,
+                                           dsl_segments):
+    """Indexed _msearch: prunable queries batch through one postings
+    read + shared block cache, fallback shapes (phrase/filter/nested)
+    union in from their own exact calls — every block rank+score
+    identical to its own search_dsl_indexed."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl_many_indexed
+
+    reqs = [
+        {"query_id": "a", "query": {"bool": {"must": [
+            {"match": {"text": {"query": "w00042 w00099",
+                                "operator": "and"}}}],
+            "should": [{"match": {"text": "the_hot_term"}}]}},
+         "size": 6},
+        {"query_id": "b", "query": {"bool": {"should": [
+            {"match": {"text": "spark"}},
+            {"match": {"text": "agent"}}]}}, "size": 5},
+        {"query_id": "c",  # fallback: metadata filter
+         "query": {"bool": {"must": [{"match": {"text": "spark"}}],
+                            "filter": [{"term": {"role": "assistant"}}]}},
+         "size": 4},
+        {"query_id": "d",  # fallback: phrase
+         "query": {"match_phrase": {"text": "the_hot_term"}}, "size": 3},
+        {"query_id": "e",  # provably empty
+         "query": {"match": {"text": {"query": "zzz_never_appears",
+                                      "operator": "and"}}}},
+    ]
+    for idx in (dsl_index, dsl_segments):
+        batch = search_dsl_many_indexed(spark, idx, reqs,
+                                        docs_df=docs).toPandas()
+        assert (batch["query_id"] == "e").sum() == 0
+        for r in reqs:
+            if r["query_id"] == "e":
+                continue
+            want = search_dsl_indexed(spark, idx, r["query"],
+                                      r["size"], docs_df=docs).toPandas()
+            got = (batch[batch["query_id"] == r["query_id"]]
+                   .reset_index(drop=True))
+            _assert_rank_identical(got, want,
+                                   f"msearch-indexed:{r['query_id']}")
+            assert len(got) > 0, r["query_id"]
