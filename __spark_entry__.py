@@ -725,6 +725,48 @@ def _distinct_users(spark, sf_dir):
     return ev.select("user_id").distinct()
 
 
+def _trivial_filters_suite(spark, sf_dir):
+    """Six long-green trivial operators value-checked in ONE driver row
+    — the driver's CORRECTNESS artifact records only the first 50
+    ``queries()`` entries, so this keeps every SURVEY §2 operator
+    hard-signal-checked while the six individual entries stay at the
+    contract tail for API users. Rows are normalized to
+    (shape, k, v) strings; the oracle wraps the six individual oracle
+    SQLs verbatim, so value agreement is inherited, not re-derived.
+    Shapes: P5 boolean-flag, P2 regex, U2 union-all, F4 url slice,
+    F1/F2 prefix strip + startswith, A2/U3 distinct keys."""
+    from functools import reduce as _reduce
+
+    parts = [
+        _boolean_flag_filter(spark, sf_dir).select(
+            F.lit("bool_flag").alias("shape"),
+            F.col("event_id").cast("string").alias("k"),
+            F.col("user_id").cast("string").alias("v")),
+        _regex_filter(spark, sf_dir).select(
+            F.lit("regex").alias("shape"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("n_chars").cast("string").alias("v")),
+        _union_event_streams(spark, sf_dir).select(
+            F.lit("union").alias("shape"),
+            F.col("event_id").cast("string").alias("k"),
+            F.col("tag").alias("v")),
+        _url_paths(spark, sf_dir).select(
+            F.lit("url").alias("shape"),
+            F.col("event_id").cast("string").alias("k"),
+            F.col("artifact_path").alias("v")),
+        _customer_ids_derived(spark, sf_dir).select(
+            F.lit("prefix").alias("shape"),
+            F.col("c_custkey").cast("string").alias("k"),
+            F.concat(F.col("cust_num").cast("string"), F.lit(":"),
+                     F.col("name_ok").cast("string")).alias("v")),
+        _distinct_users(spark, sf_dir).select(
+            F.lit("distinct").alias("shape"),
+            F.col("user_id").cast("string").alias("k"),
+            F.lit("").alias("v")),
+    ]
+    return _reduce(DataFrame.unionByName, parts)
+
+
 def _embedding_dedup_pairs(spark, sf_dir):
     # embedding-cosine near-dup, exact all-pairs baseline (the
     # verification-grade path; the LSH-bucketed scale path is exercised
@@ -1039,7 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_partition_names": _weekly_partition_names,
         "time_range_filter": _time_range_filter,
         "classifier": _classifier,
-        "conjunctive_match": _conjunctive_match,
+        # six trivial operators value-checked in one row (P5/P2/U2/F4/
+        # F1-F2/A2-U3) — their individual entries sit at the tail
+        "trivial_filters_suite": _trivial_filters_suite,
         "exact_dedup": _exact_dedup,
         "unigram_jaccard": _unigram_jaccard,
         "token_counts": _token_counts,
@@ -1064,7 +1108,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _ivf_ann_topk,
         "ivfpq_ann_topk": _ivfpq_ann_topk,
         "media_features": _media_features,
-        # ---- tail: trivial long-green filters (see NOTE above)
+        # ---- tail: trivial long-green filters (see NOTE above; all six
+        # are ALSO value-checked inside the driver window by
+        # trivial_filters_suite, and conjunctive_match's operator row
+        # P11 keeps its in-window check via bm25_topk)
+        "conjunctive_match": _conjunctive_match,
         "boolean_flag_filter": _boolean_flag_filter,
         "regex_filter": _regex_filter,
         "union_event_streams": _union_event_streams,
@@ -1570,7 +1618,7 @@ SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    o = {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_or": _BM25_OR_SQL,
         "bm25_filtered_topk": _BM25_FILTERED_SQL,
@@ -1925,3 +1973,27 @@ WHERE rn = 1
         "ivfpq_ann_topk": _IVFPQ_ANN_SQL,
         "dedup_clusters": _dedup_clusters_sql(),
     }
+    # the combo row wraps the six individual oracle SQLs VERBATIM, so
+    # its value agreement is inherited from theirs (see
+    # _trivial_filters_suite)
+    o["trivial_filters_suite"] = f"""
+        SELECT 'bool_flag' AS shape, event_id::VARCHAR AS k,
+               user_id::VARCHAR AS v FROM ({o["boolean_flag_filter"]})
+        UNION ALL
+        SELECT 'regex', doc_id::VARCHAR, n_chars::VARCHAR
+        FROM ({o["regex_filter"]})
+        UNION ALL
+        SELECT 'union', event_id::VARCHAR, tag
+        FROM ({o["union_event_streams"]})
+        UNION ALL
+        SELECT 'url', event_id::VARCHAR, artifact_path
+        FROM ({o["url_paths"]})
+        UNION ALL
+        SELECT 'prefix', c_custkey::VARCHAR,
+               cust_num::VARCHAR || ':' || name_ok::VARCHAR
+        FROM ({o["customer_ids_derived"]})
+        UNION ALL
+        SELECT 'distinct', user_id::VARCHAR, ''
+        FROM ({o["distinct_users"]})
+    """
+    return o
