@@ -200,6 +200,59 @@ def _nested_bool_topk(spark, sf_dir):
     )
 
 
+_DISMAX_QUERY = {"query": {"bool": {
+    # dis_max in must: best-matching child wins, the other contributes
+    # via tie_breaker; a META clause in should counts toward
+    # minimum_should_match (score 0) — both round-4 grammar closures
+    "must": [{"dis_max": {"queries": [
+        {"match": {"text": {"query": "key agg", "operator": "or"}}},
+        {"match": {"text": "hash"}},
+    ], "tie_breaker": 0.3}}],
+    "should": [{"range": {"n_chars": {"gte": 400}}}],
+    "minimum_should_match": 1,
+}}}
+
+
+def _dismax_topk(spark, sf_dir):
+    """ES dis_max + metadata-in-should, oracle-checked: score = best
+    matched child + 0.3 x the other (search/dsl.py DisMax — the rule
+    multi_match type=best_fields desugars into), and the range clause
+    in should gates qualification via minimum_should_match without
+    touching scores. Still ONE map-side scoring pass; the indexed twin
+    is pytest-gated rank-identical (tests/test_dsl.py)."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = search_dsl(docs, _DISMAX_QUERY, 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_MULTI_MATCH_QUERY = {"query": {"multi_match": {
+    "query": "src3 key", "fields": ["text", "source"],
+    "type": "most_fields"}}}
+
+
+def _multi_match_topk(spark, sf_dir):
+    """ES multi_match type=most_fields over TWO fields, oracle-checked:
+    per-field BM25 with each field's OWN corpus stats (df/avgdl), summed
+    when matched — the ES-documented bool-should desugaring
+    (search/dsl.py _parse_multi_match). 'src3' only matches in `source`,
+    'key' only in `text`, so the check is genuinely cross-field."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    topk = search_dsl(docs, _MULTI_MATCH_QUERY, 10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 _SCAN_QUERY = {"query": {"bool": {
     "must": [{"match": {"text": {"query": "key agg", "operator": "or"}}}],
     "filter": [{"term": {"lang": "en"}},
@@ -726,18 +779,29 @@ def _distinct_users(spark, sf_dir):
 
 
 def _trivial_filters_suite(spark, sf_dir):
-    """Six long-green trivial operators value-checked in ONE driver row
-    — the driver's CORRECTNESS artifact records only the first 50
+    """Eight long-green trivial operators value-checked in ONE driver
+    row — the driver's CORRECTNESS artifact records only the first 50
     ``queries()`` entries, so this keeps every SURVEY §2 operator
-    hard-signal-checked while the six individual entries stay at the
+    hard-signal-checked while the individual entries stay at the
     contract tail for API users. Rows are normalized to
-    (shape, k, v) strings; the oracle wraps the six individual oracle
+    (shape, k, v) strings; the oracle wraps the individual oracle
     SQLs verbatim, so value agreement is inherited, not re-derived.
     Shapes: P5 boolean-flag, P2 regex, U2 union-all, F4 url slice,
-    F1/F2 prefix strip + startswith, A2/U3 distinct keys."""
+    F1/F2 prefix strip + startswith, A2/U3 distinct keys, P3/P4/P9
+    time-range+membership+contains, P6/P7/P8 classifier chain."""
     from functools import reduce as _reduce
 
     parts = [
+        _time_range_filter(spark, sf_dir).select(
+            F.lit("timerange").alias("shape"),
+            F.col("event_id").cast("string").alias("k"),
+            F.concat(F.col("event_type"), F.lit(":"),
+                     F.round(F.col("value") * 100, 0).cast("long")
+                     .cast("string")).alias("v")),
+        _classifier(spark, sf_dir).select(
+            F.lit("classifier").alias("shape"),
+            F.col("doc_class").alias("k"),
+            F.col("n").cast("string").alias("v")),
         _boolean_flag_filter(spark, sf_dir).select(
             F.lit("bool_flag").alias("shape"),
             F.col("event_id").cast("string").alias("k"),
@@ -1063,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _phrase_match,
         "bool_dsl_topk": _bool_dsl_topk,
         "nested_bool_topk": _nested_bool_topk,
+        "dismax_topk": _dismax_topk,
+        "multi_match_topk": _multi_match_topk,
         "dsl_scan": _dsl_scan,
         "search_after_page": _search_after_page,
         "cleanup_duplicates": _cleanup_duplicates,
@@ -1079,10 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _dedup_keep_first,
         "trends_weekly": _trends_weekly,
         "weekly_partition_names": _weekly_partition_names,
-        "time_range_filter": _time_range_filter,
-        "classifier": _classifier,
-        # six trivial operators value-checked in one row (P5/P2/U2/F4/
-        # F1-F2/A2-U3) — their individual entries sit at the tail
+        # eight trivial operators value-checked in one row (P5/P2/U2/F4/
+        # F1-F2/A2-U3 + P3-P4-P9 time-range and P6-P8 classifier) —
+        # their individual entries sit at the tail
         "trivial_filters_suite": _trivial_filters_suite,
         "exact_dedup": _exact_dedup,
         "unigram_jaccard": _unigram_jaccard,
@@ -1113,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trivial_filters_suite, and conjunctive_match's operator row
         # P11 keeps its in-window check via bm25_topk)
         "conjunctive_match": _conjunctive_match,
+        "time_range_filter": _time_range_filter,
+        "classifier": _classifier,
         "boolean_flag_filter": _boolean_flag_filter,
         "regex_filter": _regex_filter,
         "union_event_streams": _union_event_streams,
@@ -1202,6 +1269,90 @@ WHERE must_nt >= 1 AND d.lang = 'en' AND d.n_chars >= 100
   AND sc.doc_id NOT IN (SELECT doc_id FROM ph)
 ORDER BY must_score + should_score DESC, sc.doc_id LIMIT 10
 """.replace("{toks}", _TOKS)
+
+# dis_max twin of _DISMAX_QUERY: per-clause scores from the same BM25
+# CTE shape; dis_max combine = best matched child + 0.3 * the rest, the
+# should-range (n_chars >= 400) gates via minimum_should_match only
+_DISMAX_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg','hash') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN term IN ('key','agg') THEN
+               ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+               * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))
+             ELSE 0 END) AS s1,
+         sum(CASE WHEN term IN ('key','agg') THEN 1 ELSE 0 END) AS m1,
+         sum(CASE WHEN term = 'hash' THEN
+               ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+               * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))
+             ELSE 0 END) AS s2,
+         sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS m2
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1),
+dm AS (
+  SELECT sc.doc_id,
+         CASE WHEN m1 > 0 AND m2 > 0
+                THEN greatest(s1, s2) + 0.3*(s1 + s2 - greatest(s1, s2))
+              WHEN m1 > 0 THEN s1 ELSE s2 END AS score
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+  WHERE (m1 > 0 OR m2 > 0) AND d.n_chars >= 400)
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score
+FROM dm ORDER BY score DESC, doc_id LIMIT 10
+""".replace("{toks}", _TOKS)
+
+# multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored
+# with its OWN stats (df/avgdl over that field's tokens), matched-field
+# scores summed; 'src3' only exists in `source`, 'key' only in `text`
+_MULTI_MATCH_SQL = f"""
+WITH tt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+st AS (SELECT doc_id,
+              regexp_extract_all(lower(source), '{TOKEN_RE}') AS t
+       FROM documents),
+s1 AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM tt),
+s2 AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM st),
+tf1 AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tt)
+  WHERE tok IN ('src3','key') GROUP BY 1, 2),
+tf2 AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM st)
+  WHERE tok IN ('src3','key') GROUP BY 1, 2),
+df1 AS (SELECT term, count(*)::DOUBLE df FROM tf1 GROUP BY 1),
+df2 AS (SELECT term, count(*)::DOUBLE df FROM tf2 GROUP BY 1),
+dl1 AS (SELECT doc_id, len(t)::DOUBLE dl FROM tt),
+dl2 AS (SELECT doc_id, len(t)::DOUBLE dl FROM st),
+sc1 AS (
+  SELECT tf1.doc_id,
+         sum(ln(1+(s1.n-df1.df+0.5)/(df1.df+0.5))
+             * tf1.tf*2.2/(tf1.tf+1.2*(0.25+0.75*dl1.dl/s1.avgdl)))
+           AS score
+  FROM tf1 JOIN df1 USING(term) JOIN dl1 USING(doc_id) CROSS JOIN s1
+  GROUP BY 1),
+sc2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1+(s2.n-df2.df+0.5)/(df2.df+0.5))
+             * tf2.tf*2.2/(tf2.tf+1.2*(0.25+0.75*dl2.dl/s2.avgdl)))
+           AS score
+  FROM tf2 JOIN df2 USING(term) JOIN dl2 USING(doc_id) CROSS JOIN s2
+  GROUP BY 1),
+u AS (
+  SELECT doc_id, coalesce(sc1.score, 0) + coalesce(sc2.score, 0) AS score
+  FROM sc1 FULL OUTER JOIN sc2 USING (doc_id))
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score
+FROM u ORDER BY score DESC, doc_id LIMIT 10
+"""
 
 # helpers.scan twin of _SCAN_QUERY: full qualifying set, no ranking —
 # any doc containing >=1 must term, filters applied, every row kept
@@ -1627,6 +1778,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_compressed_topk": _BM25_SQL,
         "phrase_match": _PHRASE_SQL,
         "bool_dsl_topk": _BOOL_DSL_SQL,
+        "dismax_topk": _DISMAX_SQL,
+        "multi_match_topk": _MULTI_MATCH_SQL,
         "dsl_scan": _DSL_SCAN_SQL,
         "search_after_page": _SEARCH_AFTER_SQL,
         "dsl_count": f"SELECT count(*) AS count FROM ({_DSL_SCAN_SQL})",
@@ -1977,6 +2130,13 @@ WHERE rn = 1
     # its value agreement is inherited from theirs (see
     # _trivial_filters_suite)
     o["trivial_filters_suite"] = f"""
+        SELECT 'timerange' AS shape, event_id::VARCHAR AS k,
+               event_type || ':' || round(value * 100)::BIGINT::VARCHAR AS v
+        FROM ({o["time_range_filter"]})
+        UNION ALL
+        SELECT 'classifier', doc_class, n::VARCHAR
+        FROM ({o["classifier"]})
+        UNION ALL
         SELECT 'bool_flag' AS shape, event_id::VARCHAR AS k,
                user_id::VARCHAR AS v FROM ({o["boolean_flag_filter"]})
         UNION ALL

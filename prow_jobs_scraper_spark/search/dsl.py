@@ -11,6 +11,7 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
 
     query        := {"query": clause} | clause
     clause       := {"match_all": {}} | match | match_phrase | bool | meta
+                 |  dis_max | multi_match
     match        := {"match": {field: text | {"query": text,
                                               "operator": "and"|"or"}}}
     match_phrase := {"match_phrase": {field: text | {"query": text}}}
@@ -22,6 +23,12 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
     meta         := {"term": {field: value}} | {"terms": {field: [value...]}}
                  |  {"range": {field: {"gte"|"gt"|"lte"|"lt": value, ...}}}
                  |  {"exists": {"field": field}}
+    dis_max      := {"dis_max": {"queries": [match|match_phrase ...],
+                                 "tie_breaker": float}}
+    multi_match  := {"multi_match": {"query": text, "fields": [field...],
+                                     "type": "best_fields"|"most_fields",
+                                     "operator": "and"|"or",
+                                     "tie_breaker": float}}
 
 Semantics (ES-faithful; deviations called out):
 
@@ -51,6 +58,19 @@ Semantics (ES-faithful; deviations called out):
   exactly like a leaf clause.
 - ``must_not`` on a missing/NULL field MATCHES the doc (the inner clause
   cannot match) — predicates are null-guarded to ES behaviour.
+- metadata clauses inside ``should`` count toward
+  ``minimum_should_match`` like any other should clause (score 0 under
+  the engine's metadata-scores-0 deviation; ES gives them a small
+  constant score).
+- ``dis_max`` scores ``best + tie_breaker * (sum_of_others)`` over its
+  matched children and qualifies when ANY child matches — the ES
+  disjunction-max rule. ``multi_match`` desugars: ``best_fields`` (the
+  ES default) is a ``dis_max`` of per-field ``match`` clauses;
+  ``most_fields`` is a bool-``should`` of them (``minimum_should_match``
+  1) — exactly the equivalences the ES docs state. In filter /
+  must_not context the two types coincide (qualification is
+  any-field-matches; scores are irrelevant), so both desugar to the
+  bool-``should`` form there.
 
 Execution: :func:`search_dsl` compiles the WHOLE bool query into ONE
 map-side scoring pass — a single stats agg (corpus size, per-field avgdl,
@@ -113,6 +133,18 @@ class TextClause:
     phrase: bool = False
 
 
+@dataclass(frozen=True)
+class DisMax:
+    """ES ``dis_max``: best-matching child wins, others contribute via
+    ``tie_breaker`` (score = best + tie_breaker * sum(other matched
+    children)); a doc qualifies when ANY child matches. Children are
+    restricted to match/match_phrase — the shapes ``multi_match``
+    type=best_fields (the ES default) desugars into."""
+
+    children: tuple  # tuple[TextClause, ...]
+    tie_breaker: float = 0.0
+
+
 @dataclass
 class QuerySpec:
     """Normalized bool query: text clauses by context + SQL predicates +
@@ -126,6 +158,9 @@ class QuerySpec:
     filter_text: list[TextClause] = _field(default_factory=list)
     filter_sql: list[str] = _field(default_factory=list)
     must_not_sql: list[str] = _field(default_factory=list)
+    should_sql: list[str] = _field(default_factory=list)
+    must_dismax: list[DisMax] = _field(default_factory=list)
+    should_dismax: list[DisMax] = _field(default_factory=list)
     must_bool: list["QuerySpec"] = _field(default_factory=list)
     filter_bool: list["QuerySpec"] = _field(default_factory=list)
     should_bool: list["QuerySpec"] = _field(default_factory=list)
@@ -134,7 +169,8 @@ class QuerySpec:
     match_all: bool = False
 
     def minimum_should_match(self) -> int:
-        n_should = len(self.should) + len(self.should_bool)
+        n_should = (len(self.should) + len(self.should_bool)
+                    + len(self.should_sql) + len(self.should_dismax))
         if self.msm is not None:
             if isinstance(self.msm, str):
                 # ES percentage form: "75%" -> floor(n*0.75); a negative
@@ -147,14 +183,17 @@ class QuerySpec:
                 # ES negative int: "all but |msm|" should clauses
                 return max(0, n_should + self.msm)
             return self.msm
-        has_anchor = bool(self.must or self.must_bool or self.filter_text
-                          or self.filter_bool or self.filter_sql
-                          or self.match_all)
+        has_anchor = bool(self.must or self.must_bool or self.must_dismax
+                          or self.filter_text or self.filter_bool
+                          or self.filter_sql or self.match_all)
         return 0 if has_anchor else (1 if n_should else 0)
 
     def text_clauses(self) -> list[TextClause]:
-        """Every text clause in the tree (self + nested bools)."""
+        """Every text clause in the tree (self + nested bools +
+        dis_max children)."""
         out = (self.must + self.should + self.filter_text + self.must_not)
+        for dm in self.must_dismax + self.should_dismax:
+            out.extend(dm.children)
         for child in (self.must_bool + self.filter_bool + self.should_bool
                       + self.must_not_bool):
             out.extend(child.text_clauses())
@@ -244,6 +283,72 @@ def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
 
+def _parse_tie_breaker(body: dict) -> float:
+    tb = body.get("tie_breaker", 0.0)
+    if isinstance(tb, bool) or not isinstance(tb, (int, float)) \
+            or not 0.0 <= tb <= 1.0:
+        raise DslError(f"tie_breaker must be a float in [0, 1], got {tb!r}")
+    return float(tb)
+
+
+def _parse_dismax(body: dict) -> DisMax:
+    """ES ``dis_max`` body -> :class:`DisMax`. Children are restricted
+    to match/match_phrase (the subset best_fields desugars into);
+    arbitrary child queries stay out-of-grammar."""
+    if not isinstance(body, dict) or "queries" not in body:
+        raise DslError("dis_max needs a queries list")
+    kids = []
+    for c in _as_list(body["queries"]):
+        if not isinstance(c, dict) or len(c) != 1:
+            raise DslError(f"bad dis_max child {c!r}")
+        (ck, cb), = c.items()
+        if ck not in ("match", "match_phrase"):
+            raise DslError(
+                f"dis_max children must be match/match_phrase, got {ck!r}")
+        kids.append(_parse_text(ck, cb))
+    if not kids:
+        raise DslError("dis_max needs at least one child query")
+    return DisMax(children=tuple(kids),
+                  tie_breaker=_parse_tie_breaker(body))
+
+
+def _parse_multi_match(body: dict) -> DisMax | "QuerySpec":
+    """ES ``multi_match`` -> its documented desugaring: ``best_fields``
+    (the default) is a dis_max over per-field match clauses,
+    ``most_fields`` a bool-should of them (minimum_should_match 1)."""
+    if not isinstance(body, dict):
+        raise DslError("multi_match body must be a dict")
+    text = body.get("query")
+    fields = body.get("fields")
+    if not isinstance(text, str) or not isinstance(fields, list) \
+            or not fields:
+        raise DslError("multi_match needs query text and a fields list")
+    mtype = body.get("type", "best_fields")
+    if mtype not in ("best_fields", "most_fields"):
+        raise DslError(f"multi_match type {mtype!r} not supported")
+    operator = body.get("operator", "or")
+    if operator not in ("and", "or"):
+        raise DslError(f"match operator {operator!r} not supported")
+    clauses = [TextClause(field=_ident(f), text=text, operator=operator)
+               for f in fields]
+    if mtype == "best_fields":
+        return DisMax(children=tuple(clauses),
+                      tie_breaker=_parse_tie_breaker(body))
+    child = QuerySpec()
+    child.should = clauses
+    child.msm = 1
+    return child
+
+
+def _dismax_as_bool(dm: DisMax) -> "QuerySpec":
+    """dis_max reduced to qualification only (filter / must_not
+    context): any-child-matches == a bool-should with msm 1."""
+    child = QuerySpec()
+    child.should = list(dm.children)
+    child.msm = 1
+    return child
+
+
 def parse_query(q: dict) -> QuerySpec:
     """ES query JSON (with or without the ``{"query": ...}`` envelope)
     -> :class:`QuerySpec`. Raises :class:`DslError` out-of-grammar."""
@@ -264,6 +369,14 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind in ("term", "terms", "range", "exists"):
         spec.filter_sql.append(_compile_meta(kind, body))
+        return spec
+    if kind in ("dis_max", "multi_match"):
+        parsed = (_parse_dismax(body) if kind == "dis_max"
+                  else _parse_multi_match(body))
+        if isinstance(parsed, DisMax):
+            spec.must_dismax.append(parsed)
+        else:
+            spec.must_bool.append(parsed)
         return spec
     if kind != "bool":
         raise DslError(f"unsupported top-level clause {kind!r}")
@@ -316,9 +429,23 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.filter_sql.append(pred)
                 elif ctx == "must_not":
                     spec.must_not_sql.append(pred)
-                else:  # should with meta clause: counts toward msm
-                    raise DslError(
-                        "metadata clauses inside should are not supported")
+                else:
+                    # should with a meta clause: counts toward
+                    # minimum_should_match; scores 0 (the engine's
+                    # metadata-scores-0 deviation, module docstring)
+                    spec.should_sql.append(pred)
+            elif ck in ("dis_max", "multi_match"):
+                parsed = (_parse_dismax(cb) if ck == "dis_max"
+                          else _parse_multi_match(cb))
+                if not isinstance(parsed, DisMax):
+                    getattr(spec, f"{ctx}_bool").append(parsed)
+                elif ctx in ("filter", "must_not"):
+                    # score is irrelevant here: best_fields ==
+                    # most_fields == any-child-matches
+                    getattr(spec, f"{ctx}_bool").append(
+                        _dismax_as_bool(parsed))
+                else:
+                    getattr(spec, f"{ctx}_dismax").append(parsed)
             else:
                 raise DslError(f"unsupported clause {ck!r} in {ctx}")
     return spec
@@ -515,6 +642,30 @@ def _compile_specs(
             matched = hits > 0
         return True, score, matched
 
+    def dismax_exprs(dm: DisMax):
+        """-> (satisfiable, score_expr, matched_expr): ES dis_max —
+        score = best matched child + tie_breaker * (sum of the other
+        matched children), matched = any child matched. Still row
+        expressions: a dis_max costs no extra scan."""
+        parts = []
+        for c in dm.children:
+            ok, sc, m = clause_exprs(c)
+            if ok:
+                parts.append((sc, m))
+        if not parts:
+            return False, None, None
+        matched = reduce(lambda a, b: a | b,
+                         [F.coalesce(m, F.lit(False)) for _, m in parts])
+        when_scores = [F.when(m, sc) for sc, m in parts]  # NULL unmatched
+        best = (when_scores[0] if len(when_scores) == 1
+                else F.greatest(*when_scores))  # greatest skips NULLs
+        best = F.coalesce(best, F.lit(0.0))
+        total = reduce(lambda a, b: a + b,
+                       [F.when(m, sc).otherwise(F.lit(0.0))
+                        for sc, m in parts])
+        score = best + F.lit(dm.tie_breaker) * (total - best)
+        return True, score, matched
+
     def spec_exprs(sp: QuerySpec):
         """One (sub)bool -> (ok, score_expr, qual_expr, scored); ok=False
         means provably empty (a required clause can never match). Child
@@ -525,6 +676,13 @@ def _compile_specs(
         scored = False
         for c in sp.must:
             ok, sc, m = clause_exprs(c)
+            if not ok:
+                return False, None, None, False
+            qual = qual & m
+            score = score + sc
+            scored = True
+        for dm in sp.must_dismax:
+            ok, sc, m = dismax_exprs(dm)
             if not ok:
                 return False, None, None, False
             qual = qual & m
@@ -564,8 +722,22 @@ def _compile_specs(
             cq = F.coalesce(cq, F.lit(False))
             score = score + F.when(cq, csc).otherwise(F.lit(0.0))
             should_cnt = should_cnt + cq.cast("int")
+        for dm in sp.should_dismax:
+            ok, sc, m = dismax_exprs(dm)
+            if not ok:
+                continue
+            n_should_live += 1
+            score = score + F.when(m, sc).otherwise(F.lit(0.0))
+            should_cnt = should_cnt + m.cast("int")
         if n_should_live:
             scored = True
+        for pred in sp.should_sql:
+            # meta-in-should: counts toward minimum_should_match at
+            # score 0 (never unsatisfiable, never sets `scored`);
+            # null-guarded — a NULL field does NOT match the clause
+            m = F.coalesce(F.expr(pred), F.lit(False))
+            n_should_live += 1
+            should_cnt = should_cnt + m.cast("int")
         for c in sp.must_not:
             ok, _, m = clause_exprs(c)
             if ok:
@@ -1077,7 +1249,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
     """
     if (spec.filter_text or spec.must_not or spec.must_bool
             or spec.filter_bool or spec.should_bool
-            or spec.must_not_bool):
+            or spec.must_not_bool or spec.should_sql
+            or spec.must_dismax or spec.should_dismax):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase for c in cls):
@@ -1506,6 +1679,25 @@ def _qualify_indexed(
         return _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                 child, docs_df)
 
+    def dismax_frame(dm: DisMax) -> DataFrame | None:
+        """ES dis_max from the index: union the children's score
+        frames, combine per doc as best + tie_breaker * (sum - best)
+        — one postings-sized aggregation, never a corpus scan."""
+        parts = []
+        for c in dm.children:
+            fr = clause_frame(c)
+            if fr is not None:
+                parts.append(fr.select("doc_id", "score"))
+        if not parts:
+            return None
+        u = reduce(DataFrame.unionByName, parts)
+        agg = u.groupBy("doc_id").agg(F.max("score").alias("mx"),
+                                      F.sum("score").alias("sm"))
+        return agg.select(
+            "doc_id",
+            (F.col("mx") + F.lit(dm.tie_breaker)
+             * (F.col("sm") - F.col("mx"))).alias("score"))
+
     # ---- anchor frame: must/must_bool (scores add) + filter* (semi)
     anchor: DataFrame | None = None
     child_scored = False
@@ -1525,6 +1717,11 @@ def _qualify_indexed(
 
     for c in spec.must:
         fr = clause_frame(c)
+        if fr is None:
+            return None, False
+        anchor = add_scoring(anchor, fr)
+    for dm in spec.must_dismax:
+        fr = dismax_frame(dm)
         if fr is None:
             return None, False
         anchor = add_scoring(anchor, fr)
@@ -1549,14 +1746,30 @@ def _qualify_indexed(
 
     # ---- should frames: union -> per-doc (sum, matched-count)
     should_frames = []
+    n_scoring_should = 0
     for c in spec.should:
         fr = clause_frame(c)
         if fr is not None:
             should_frames.append(fr.select("doc_id", "score"))
+            n_scoring_should += 1
     for child in spec.should_bool:
         fr, _ = child_qualify(child)
         if fr is not None:
             should_frames.append(fr.select("doc_id", "score"))
+            n_scoring_should += 1
+    for dm in spec.should_dismax:
+        fr = dismax_frame(dm)
+        if fr is not None:
+            should_frames.append(fr.select("doc_id", "score"))
+            n_scoring_should += 1
+    for pred in spec.should_sql:
+        # meta-in-should: resolves against doc_stats, counts toward
+        # minimum_should_match at score 0 (module docstring); null-
+        # guarded — a NULL field does not match the clause
+        should_frames.append(
+            _doc_stats_union(spark, dirs)
+            .where(F.coalesce(F.expr(pred), F.lit(False)))
+            .select("doc_id", F.lit(0.0).alias("score")))
     if msm > 0 and len(should_frames) < msm:
         return None, False
     if should_frames:
@@ -1591,14 +1804,16 @@ def _qualify_indexed(
             anchor = anchor.where(F.col("s_cnt") >= msm)
         anchor = anchor.drop("s_cnt")
 
-    scored = bool(spec.must or should_frames or child_scored)
+    scored = bool(spec.must or spec.must_dismax or n_scoring_should
+                  or child_scored)
     if anchor is None:
         # pure filter / match_all / pure must_not / explicit msm=0 with
         # no live should: every doc qualifies at score 0
         qualifies_all = (
             spec.match_all or spec.filter_sql or spec.must_not
             or spec.must_not_sql or spec.must_not_bool
-            or ((spec.should or spec.should_bool) and msm == 0))
+            or ((spec.should or spec.should_bool or spec.should_sql
+                 or spec.should_dismax) and msm == 0))
         if not qualifies_all:
             return None, False
         anchor = _doc_stats_union(spark, dirs).select(

@@ -61,8 +61,19 @@ def dsl_index(spark, docs, tmp_path_factory) -> str:
 # brute-force oracle (independent of the engine's Spark plans)
 # --------------------------------------------------------------------------
 
-def _clause_eval(pdf, toks, n, avgdl, clause):
+def _field_stats(pdf, fields):
+    """Per-field token lists + avgdl (ES scores each field with its own
+    stats; the single-field corpus is the degenerate case)."""
+    out = {}
+    for f in sorted(set(fields) or {"text"}):
+        toks = tokenize_pandas(pdf[f].fillna("")).tolist()
+        out[f] = (toks, float(np.mean([len(x) for x in toks])))
+    return out
+
+
+def _clause_eval(pdf, fstats, n, clause):
     """-> (score: np.ndarray, matched: np.ndarray[bool]) for a text clause."""
+    toks, avgdl = fstats[clause.field]
     terms = sorted(set(tokenize_text(clause.text)))
     tf = {t: np.array([lst.count(t) for lst in toks], dtype=np.float64)
           for t in terms}
@@ -104,60 +115,93 @@ def _pred_mask(pdf: pd.DataFrame, pred: str) -> np.ndarray:
     return pdf["doc_id"].isin(ids).to_numpy()
 
 
-def _spec_eval(pdf, toks, n, avgdl, spec):
+def _dismax_eval(pdf, fstats, n, dm):
+    """ES dis_max: best matched child + tie_breaker * (sum of others);
+    matched = any child matched."""
+    parts = []
+    for c in dm.children:
+        s, m = _clause_eval(pdf, fstats, n, c)
+        if s is not None:
+            parts.append((s, m))
+    if not parts:
+        return None, None
+    matched = np.any(np.stack([m for _, m in parts]), axis=0)
+    best = np.stack([np.where(m, s, -np.inf) for s, m in parts]).max(axis=0)
+    best = np.where(matched, best, 0.0)
+    total = np.stack([np.where(m, s, 0.0) for s, m in parts]).sum(axis=0)
+    return best + dm.tie_breaker * (total - best), matched
+
+
+def _spec_eval(pdf, fstats, n, spec):
     """One (sub)bool -> (ok, score, qual, scored) numpy arrays —
     recursive, mirrors ES semantics independently of the Spark plans."""
     total = np.zeros(n)
     qual = np.ones(n, dtype=bool)
     scored = False
     for c in spec.must:
-        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        s, m = _clause_eval(pdf, fstats, n, c)
+        if s is None:
+            return False, None, None, False
+        total, qual, scored = total + s, qual & m, True
+    for dm in spec.must_dismax:
+        s, m = _dismax_eval(pdf, fstats, n, dm)
         if s is None:
             return False, None, None, False
         total, qual, scored = total + s, qual & m, True
     for ch in spec.must_bool:
-        ok, s, q, sc = _spec_eval(pdf, toks, n, avgdl, ch)
+        ok, s, q, sc = _spec_eval(pdf, fstats, n, ch)
         if not ok:
             return False, None, None, False
         total, qual, scored = total + s, qual & q, scored or sc
     for c in spec.filter_text:
-        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        s, m = _clause_eval(pdf, fstats, n, c)
         if s is None:
             return False, None, None, False
         qual = qual & m
     for ch in spec.filter_bool:
-        ok, _, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        ok, _, q, _ = _spec_eval(pdf, fstats, n, ch)
         if not ok:
             return False, None, None, False
         qual = qual & q
     n_live_should, should_cnt = 0, np.zeros(n, dtype=np.int64)
     for c in spec.should:
-        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        s, m = _clause_eval(pdf, fstats, n, c)
         if s is None:
             continue
         n_live_should += 1
         total = total + np.where(m, s, 0.0)
         should_cnt += m.astype(np.int64)
     for ch in spec.should_bool:
-        ok, s, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        ok, s, q, _ = _spec_eval(pdf, fstats, n, ch)
         if not ok:
             continue
         n_live_should += 1
         total = total + np.where(q, s, 0.0)
         should_cnt += q.astype(np.int64)
+    for dm in spec.should_dismax:
+        s, m = _dismax_eval(pdf, fstats, n, dm)
+        if s is None:
+            continue
+        n_live_should += 1
+        total = total + np.where(m, s, 0.0)
+        should_cnt += m.astype(np.int64)
     if n_live_should:
         scored = True
+    for p in spec.should_sql:
+        # meta-in-should: counts toward msm at score 0, never `scored`
+        n_live_should += 1
+        should_cnt += _pred_mask(pdf, p).astype(np.int64)
     msm = spec.minimum_should_match()
     if msm > 0:
         if n_live_should < msm:
             return False, None, None, False
         qual = qual & (should_cnt >= msm)
     for c in spec.must_not:
-        s, m = _clause_eval(pdf, toks, n, avgdl, c)
+        s, m = _clause_eval(pdf, fstats, n, c)
         if s is not None:
             qual = qual & ~m
     for ch in spec.must_not_bool:
-        ok, _, q, _ = _spec_eval(pdf, toks, n, avgdl, ch)
+        ok, _, q, _ = _spec_eval(pdf, fstats, n, ch)
         if ok:
             qual = qual & ~q
     for p in spec.filter_sql:
@@ -171,9 +215,9 @@ def _spec_eval(pdf, toks, n, avgdl, spec):
 
 def dsl_oracle(pdf: pd.DataFrame, query: dict, k: int) -> pd.DataFrame:
     spec = parse_query(query)
-    toks = tokenize_pandas(pdf["text"]).tolist()
-    n, avgdl = len(pdf), float(np.mean([len(x) for x in toks]))
-    ok, total, qual, scored = _spec_eval(pdf, toks, n, avgdl, spec)
+    n = len(pdf)
+    fstats = _field_stats(pdf, {c.field for c in spec.text_clauses()})
+    ok, total, qual, scored = _spec_eval(pdf, fstats, n, spec)
     if not ok:
         return pd.DataFrame({"doc_id": [], "score": []})
 
@@ -394,6 +438,61 @@ DSL_QUERIES = [
         {"match": {"text": "agent"}},
         {"match": {"text": "w00005"}},
     ], "minimum_should_match": -1}}}),  # all but 1 = 2
+    # ---- dis_max / multi_match / meta-in-should (round 4, late)
+    ("dismax-top-level", {"query": {"dis_max": {"queries": [
+        {"match": {"text": {"query": "spark agent", "operator": "or"}}},
+        {"match": {"text": "the_hot_term"}},
+    ]}}}),
+    ("dismax-tie-breaker-in-must", {"query": {"bool": {
+        "must": [{"dis_max": {"queries": [
+            {"match": {"text": {"query": "w00042 w00099",
+                                "operator": "or"}}},
+            {"match": {"text": "spark"}},
+        ], "tie_breaker": 0.35}}],
+        "filter": [{"terms": {"role": ["user", "assistant"]}}],
+    }}}),
+    ("dismax-in-should-msm", {"query": {"bool": {
+        "should": [
+            {"dis_max": {"queries": [
+                {"match": {"text": "w00042"}},
+                {"match": {"text": "w00099"}}], "tie_breaker": 0.5}},
+            {"match": {"text": "the_hot_term"}},
+        ],
+        "minimum_should_match": 1,
+    }}}),
+    ("dismax-in-filter", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "filter": [{"dis_max": {"queries": [
+            {"match": {"text": "agent"}},
+            {"match": {"text": "tool_call"}}]}}],
+    }}}),
+    ("dismax-dead-child-dropped", {"query": {"dis_max": {"queries": [
+        {"match": {"text": {"query": "spark", "operator": "or"}}},
+        {"match": {"text": {"query": "zzz_never_appears",
+                            "operator": "and"}}},
+    ], "tie_breaker": 0.1}}}),
+    ("meta-in-should-msm2", {"query": {"bool": {
+        "should": [
+            {"match": {"text": "spark"}},
+            {"range": {"turn_idx": {"lte": 3}}},
+        ],
+        "minimum_should_match": 2,
+    }}}),
+    ("meta-in-should-default-msm", {"query": {"bool": {"should": [
+        {"term": {"role": "tool"}},
+        {"match": {"text": "w00042"}},
+    ]}}}),
+    # `tool` has NULLs: a should-term on a NULL field does NOT match
+    ("meta-in-should-null-field", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "should": [{"term": {"tool": "bash"}}],
+        "minimum_should_match": 1,
+    }}}),
+    ("multi-match-best-single-field", {"query": {"multi_match": {
+        "query": "spark agent", "fields": ["text"]}}}),
+    ("multi-match-most-single-field", {"query": {"multi_match": {
+        "query": "spark agent", "fields": ["text"],
+        "type": "most_fields"}}}),
 ]
 
 
@@ -449,6 +548,62 @@ def test_msm_above_live_should_is_empty(spark, docs, dsl_index):
     ], "minimum_should_match": 2}}}
     assert search_dsl(docs, q, 10).count() == 0
     assert search_dsl_indexed(spark, dsl_index, q, 10).count() == 0
+
+
+def test_parse_dismax_and_multi_match_validation():
+    with pytest.raises(DslError):
+        parse_query({"dis_max": {"queries": []}})
+    with pytest.raises(DslError):  # meta children out-of-grammar
+        parse_query({"dis_max": {"queries": [{"term": {"role": "user"}}]}})
+    with pytest.raises(DslError):
+        parse_query({"dis_max": {"queries": [{"match": {"text": "x"}}],
+                                 "tie_breaker": 1.5}})
+    with pytest.raises(DslError):
+        parse_query({"multi_match": {"query": "x", "fields": []}})
+    with pytest.raises(DslError):
+        parse_query({"multi_match": {"query": "x", "fields": ["text"],
+                                     "type": "cross_fields"}})
+    # meta-in-should parses and counts toward the ES default msm
+    spec = parse_query({"bool": {"should": [{"term": {"role": "user"}}]}})
+    assert spec.should_sql and spec.minimum_should_match() == 1
+
+
+def test_multi_match_desugar_equivalences(spark, docs, docs_pdf):
+    """The ES-documented desugarings hold executable: best_fields ==
+    dis_max of per-field matches, most_fields == bool-should of them —
+    cross-FIELD ('user' lives in role, 'spark' in text), each field
+    scored with its own corpus stats; both checked against the
+    independent numpy oracle."""
+    mm_best = {"query": {"multi_match": {
+        "query": "user spark", "fields": ["text", "role"],
+        "tie_breaker": 0.2}}}
+    dm = {"query": {"dis_max": {"queries": [
+        {"match": {"text": "user spark"}},
+        {"match": {"role": "user spark"}}], "tie_breaker": 0.2}}}
+    a = search_dsl(docs, mm_best, 10).toPandas()
+    b = search_dsl(docs, dm, 10).toPandas()
+    _assert_rank_identical(a, b, "best_fields==dis_max")
+    _assert_rank_identical(a, dsl_oracle(docs_pdf, mm_best, 10),
+                           "best_fields vs oracle")
+
+    mm_most = {"query": {"multi_match": {
+        "query": "user spark", "fields": ["text", "role"],
+        "type": "most_fields"}}}
+    bs = {"query": {"bool": {"should": [
+        {"match": {"text": "user spark"}},
+        {"match": {"role": "user spark"}}], "minimum_should_match": 1}}}
+    a2 = search_dsl(docs, mm_most, 10).toPandas()
+    b2 = search_dsl(docs, bs, 10).toPandas()
+    _assert_rank_identical(a2, b2, "most_fields==bool-should")
+    _assert_rank_identical(a2, dsl_oracle(docs_pdf, mm_most, 10),
+                           "most_fields vs oracle")
+
+
+def test_indexed_rejects_multi_field_text(spark, dsl_index):
+    q = {"query": {"multi_match": {"query": "user spark",
+                                   "fields": ["text", "role"]}}}
+    with pytest.raises(DslError):
+        search_dsl_indexed(spark, dsl_index, q, 10)
 
 
 # --------------------------------------------------------------------------
