@@ -559,6 +559,55 @@ def _language_id(spark, sf_dir):
     return language_id(d).select("doc_id", "lang_pred")
 
 
+def _pii_scrub(spark, sf_dir):
+    """PII scrubbing for training-data sanitization, oracle-checked:
+    emails/URLs/IPv4s/phones detected in category order and masked
+    (operators/textqc.py pii_scrub — pure Catalyst regexp_count +
+    regexp_replace, patterns inside the Java/RE2 shared subset so the
+    DuckDB oracle replays them verbatim). The documents text is word
+    soup, so deterministic PII is injected per doc_id residue class and
+    the scrubbed text is value-checked by md5."""
+    from prow_jobs_scraper_spark.operators.textqc import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = d.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"), sid,
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" see https://data.example.com/d/"),
+                        sid)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" call 555-000-1234")).otherwise(F.lit("")),
+    ).alias("text"))
+    return pii_scrub(aug).select(
+        "doc_id", "n_emails", "n_urls", "n_ipv4s", "n_phones",
+        F.md5("text_scrubbed").alias("scrub_md5"))
+
+
+def _span_dedup(spark, sf_dir):
+    """Span-level exact dedup (C4 / Lee et al. shape), oracle-checked:
+    20-token chunks deduped corpus-wide keep-first over documents UNION
+    a relabeled copy of the first 50 docs (guaranteed duplicated spans),
+    rebuilt text value-checked by md5 (operators/textqc.py span_dedup —
+    map-side explode + ONE window shuffle on (chunk hash, chunk), no
+    driver-side state)."""
+    from prow_jobs_scraper_spark.operators.textqc import span_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (d.where(F.col("doc_id") < 50)
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    out = span_dedup(d.unionByName(copies), chunk_tokens=20)
+    return out.select("doc_id", "n_chunks", "n_dup_chunks",
+                      F.md5("text_deduped").alias("dedup_md5"))
+
+
 def _similarity_topk(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.similarity import brute_force_topk
 
@@ -779,7 +828,7 @@ def _distinct_users(spark, sf_dir):
 
 
 def _trivial_filters_suite(spark, sf_dir):
-    """Eight long-green trivial operators value-checked in ONE driver
+    """Ten long-green trivial operators value-checked in ONE driver
     row — the driver's CORRECTNESS artifact records only the first 50
     ``queries()`` entries, so this keeps every SURVEY §2 operator
     hard-signal-checked while the individual entries stay at the
@@ -788,10 +837,20 @@ def _trivial_filters_suite(spark, sf_dir):
     SQLs verbatim, so value agreement is inherited, not re-derived.
     Shapes: P5 boolean-flag, P2 regex, U2 union-all, F4 url slice,
     F1/F2 prefix strip + startswith, A2/U3 distinct keys, P3/P4/P9
-    time-range+membership+contains, P6/P7/P8 classifier chain."""
+    time-range+membership+contains, P6/P7/P8 classifier chain, F3/F6
+    split+replace priority labels, F5/F10/S9 weekly partition names."""
     from functools import reduce as _reduce
 
     parts = [
+        _priority_labels(spark, sf_dir).select(
+            F.lit("priority").alias("shape"),
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.concat(F.col("label"), F.lit(":"),
+                     F.col("label_norm")).alias("v")),
+        _weekly_partition_names(spark, sf_dir).select(
+            F.lit("weekly").alias("shape"),
+            F.col("index_name").alias("k"),
+            F.col("n_docs").cast("string").alias("v")),
         _time_range_filter(spark, sf_dir).select(
             F.lit("timerange").alias("shape"),
             F.col("event_id").cast("string").alias("k"),
@@ -1144,16 +1203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flakiness_users": _flakiness_users,
         "dedup_keep_first": _dedup_keep_first,
         "trends_weekly": _trends_weekly,
-        "weekly_partition_names": _weekly_partition_names,
-        # eight trivial operators value-checked in one row (P5/P2/U2/F4/
-        # F1-F2/A2-U3 + P3-P4-P9 time-range and P6-P8 classifier) —
-        # their individual entries sit at the tail
+        # ten trivial operators value-checked in one row (P5/P2/U2/F4/
+        # F1-F2/A2-U3 + P3-P4-P9 time-range, P6-P8 classifier, F3/F6
+        # priority labels, F5/F10/S9 weekly partition names) — their
+        # individual entries sit at the tail
         "trivial_filters_suite": _trivial_filters_suite,
         "exact_dedup": _exact_dedup,
         "unigram_jaccard": _unigram_jaccard,
         "token_counts": _token_counts,
         "quality": _quality,
         "language_id": _language_id,
+        "pii_scrub": _pii_scrub,
+        "span_dedup": _span_dedup,
         "similarity_topk": _similarity_topk,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
         "enrich_orders": _enrich_orders,
@@ -1161,7 +1222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_lineitems_denorm": _order_lineitems_denorm,
         "global_revenue": _global_revenue,
         "event_state_counts": _event_state_counts,
-        "priority_labels": _priority_labels,
         "brand_share_others": _brand_share_others,
         "order_ship_overlap": _order_ship_overlap,
         "composite_anti_join": _composite_anti_join,
@@ -1180,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_match": _conjunctive_match,
         "time_range_filter": _time_range_filter,
         "classifier": _classifier,
+        "priority_labels": _priority_labels,
+        "weekly_partition_names": _weekly_partition_names,
         "boolean_flag_filter": _boolean_flag_filter,
         "regex_filter": _regex_filter,
         "union_event_streams": _union_event_streams,
@@ -1352,6 +1414,72 @@ SELECT doc_id,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score
 FROM u ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# pii_scrub twin: identical augmentation (residue classes over doc_id)
+# and the same 4-stage count-then-mask chain — the patterns live in the
+# Java/RE2 shared regex subset, so DuckDB replays them verbatim
+_PII_SCRUB_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' see https://data.example.com/d/' || doc_id::VARCHAR
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-000-1234' ELSE '' END
+      AS s0
+  FROM documents),
+e AS (SELECT doc_id,
+        len(regexp_extract_all(s0,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::INT
+          AS n_emails,
+        regexp_replace(s0,
+            '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS s1 FROM aug),
+u AS (SELECT doc_id, n_emails,
+        len(regexp_extract_all(s1, 'https?://[^\s]+'))::INT AS n_urls,
+        regexp_replace(s1, 'https?://[^\s]+', '<URL>', 'g') AS s2 FROM e),
+i AS (SELECT doc_id, n_emails, n_urls,
+        len(regexp_extract_all(s2,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4s,
+        regexp_replace(s2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS s3 FROM u)
+SELECT doc_id, n_emails, n_urls, n_ipv4s,
+       len(regexp_extract_all(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b'))::INT
+         AS n_phones,
+       md5(regexp_replace(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+                          '<PHONE>', 'g')) AS scrub_md5
+FROM i
+"""
+
+# span_dedup twin: same union corpus (documents + relabeled first-50
+# copies), same 20-token chunking (list slice == Spark F.slice), same
+# keep-first rule (row_number over (doc_id, chunk_idx) per chunk), same
+# ordered rebuild (string_agg ORDER BY chunk_idx == array_sort struct)
+_SPAN_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (SELECT doc_id, (start / 20)::BIGINT AS chunk_idx,
+              array_to_string(t[start+1 : start+20], ' ') AS chunk
+       FROM (SELECT doc_id, t, unnest(range(0, n, 20)) AS start FROM nz)),
+rk AS (SELECT doc_id, chunk_idx, chunk,
+              row_number() OVER (PARTITION BY chunk
+                                 ORDER BY doc_id, chunk_idx) AS rn
+       FROM ch)
+SELECT doc_id, count(*) AS n_chunks,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY chunk_idx), '')) AS dedup_md5
+FROM rk GROUP BY doc_id
 """
 
 # helpers.scan twin of _SCAN_QUERY: full qualifying set, no ranking —
@@ -1952,6 +2080,8 @@ WHERE rn = 1
                      AS lang_pred
             FROM sc
         """,
+        "pii_scrub": _PII_SCRUB_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         "enrich_orders": """
             SELECT o_orderkey, c_name, c_mktsegment,
                    round(o_totalprice, 2) AS totalprice
@@ -2130,6 +2260,13 @@ WHERE rn = 1
     # its value agreement is inherited from theirs (see
     # _trivial_filters_suite)
     o["trivial_filters_suite"] = f"""
+        SELECT 'priority' AS shape, o_orderkey::VARCHAR AS k,
+               label || ':' || label_norm AS v
+        FROM ({o["priority_labels"]})
+        UNION ALL
+        SELECT 'weekly', index_name, n_docs::VARCHAR
+        FROM ({o["weekly_partition_names"]})
+        UNION ALL
         SELECT 'timerange' AS shape, event_id::VARCHAR AS k,
                event_type || ':' || round(value * 100)::BIGINT::VARCHAR AS v
         FROM ({o["time_range_filter"]})

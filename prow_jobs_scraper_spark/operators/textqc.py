@@ -1,5 +1,6 @@
 """Text-analysis operators for training-data pipelines: language ID,
-quality scoring, token counting, document fingerprinting.
+quality scoring, token counting, document fingerprinting, PII
+scrubbing, span-level exact dedup.
 
 All Catalyst-first: counts/ratios are JVM expressions over the shared
 tokenizer; the only pandas UDF is the rolling-hash fingerprint (numeric
@@ -13,6 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
 
@@ -164,3 +166,94 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         tokenize_column(F.col(text_col)), lambda t: hf(t)
     )
     return df.withColumn("fingerprint", fp(token_hashes))
+
+# PII categories scrubbed in ORDER (an email must be masked before the
+# URL pass so `user@host` inside a URL can't double-count; the IPv4 pass
+# runs after URLs so `http://1.2.3.4/` counts as a URL, not an IP). The
+# patterns stay inside the regex subset Java (Spark) and RE2 (DuckDB
+# oracle) agree on: no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect-and-mask PII for training-data sanitization: emails, URLs,
+    IPv4 addresses, US-style phone numbers — the categories every
+    web-scale pipeline scrubs before training. Adds one ``n_<kind>``
+    count per category and ``<text_col>_scrubbed`` with matches replaced
+    by typed mask tokens.
+
+    Pure Catalyst (``regexp_count``/``regexp_replace`` chained in
+    category order, each category counted on the PREVIOUS category's
+    scrubbed text so counts and masks tell one consistent story) — no
+    Python in the row path, fully predicate-pushdown-friendly, and
+    embarrassingly parallel at any scale."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    cols: dict[str, object] = {}
+    for kind, pat, mask in PII_PATTERNS:
+        cols[f"n_{kind}s"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, mask)
+    cols[f"{text_col}_scrubbed"] = cur
+    return df.withColumns(cols)
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Span-level exact dedup (the C4 / "Deduplicating Training Data
+    Makes Language Models Better" shape, done at fixed token-chunk
+    granularity): split every document into consecutive
+    ``chunk_tokens``-token chunks, drop every chunk whose exact token
+    sequence already appeared earlier in the corpus (keep-first by
+    (id, chunk position)), and rebuild the surviving text.
+
+    Returns one row per non-empty document: ``(id_col, n_chunks,
+    n_dup_chunks, text_deduped)``.
+
+    Scale shape: chunking is a map-side explode (no state), the
+    keep-first decision is ONE window shuffle keyed by
+    (chunk-hash, chunk) — the hash prefix keeps key comparison cheap
+    while the full chunk string keeps the dedup exact (at 10^12 turns
+    switch the key to hash-only and accept the 2^-64 collision rate) —
+    and the rebuild is a per-doc aggregation co-partitioned with
+    nothing: no driver-side seen-set, no iterative passes."""
+    toks = tokenize_column(F.col(text_col))
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+            .withColumn("__n", F.size("__toks"))
+            .where(F.col("__n") > 0))
+    chunks = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1,
+                             F.lit(int(chunk_tokens)))).alias("__start"),
+        "__toks",
+    ).select(
+        id_col,
+        (F.col("__start") / chunk_tokens).cast("long").alias("chunk_idx"),
+        F.array_join(F.slice(F.col("__toks"), F.col("__start") + 1,
+                             int(chunk_tokens)), " ").alias("chunk"),
+    )
+    w = Window.partitionBy(F.xxhash64("chunk"), F.col("chunk")).orderBy(
+        F.col(id_col), F.col("chunk_idx"))
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("__rn") == 1,
+                               F.struct("chunk_idx", "chunk")))),
+                    lambda x: x["chunk"],
+                ), " ").alias("text_deduped"),
+        )
+    )

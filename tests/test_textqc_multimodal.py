@@ -44,6 +44,97 @@ def test_quality_score_ordering(texts):
     assert 0 <= got[0]["stopword_ratio"] <= 1
 
 
+def test_pii_scrub_matches_duckdb(spark):
+    """Counts + masked text replicate exactly in DuckDB with the same
+    regexes (the patterns stay inside the Java/RE2 shared subset), and
+    the category ORDER holds: an email inside a URL userinfo is counted
+    as an email first; a bare IP inside a URL is a URL, not an IP."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "write bob@x.co or visit https://a.b/c?d=1 now",
+            "server 10.0.0.1 and 255.1.2.3, call 555-123-4567",
+            "mail a.b+c@my-host.org via http://10.1.1.1/path x",
+            "",
+            None,
+        ],
+    })
+    got = (Q.pii_scrub(spark.createDataFrame(pdf))
+           .orderBy("doc_id").toPandas())
+    assert got.loc[2, "n_emails"] == 1 and got.loc[2, "n_urls"] == 1
+    assert got.loc[2, "n_ipv4s"] == 0  # the IP is inside the URL mask
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = "SELECT doc_id, coalesce(text, '') AS s FROM t"
+    for _, pat, mask in Q.PII_PATTERNS:
+        sql = (f"SELECT doc_id, regexp_replace(s, '{pat}', '{mask}', 'g')"
+               f" AS s FROM ({sql})")
+    want = con.sql(f"SELECT s FROM ({sql}) ORDER BY doc_id").df()
+    assert got["text_scrubbed"].tolist() == want["s"].tolist()
+
+
+def test_span_dedup_cross_and_intra_doc(spark, transcripts):
+    """Span-level exact dedup vs a full DuckDB replica on the synthetic
+    transcript corpus UNION a shifted copy of its first conversations —
+    copied docs must lose every chunk to keep-first, intra-doc repeats
+    count too, and the rebuilt text matches string-for-string."""
+    import duckdb
+
+    from prow_jobs_scraper_spark.index.build import with_doc_ids
+
+    docs = with_doc_ids(transcripts).select("doc_id", "text")
+    copies = (docs.where(F.col("doc_id") % 17 == 0)
+              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      "text"))
+    corpus = docs.unionByName(copies)
+    got = (Q.span_dedup(corpus, chunk_tokens=10)
+           .orderBy("doc_id").toPandas())
+
+    con = duckdb.connect()
+    con.register("c", corpus.toPandas())
+    want = con.sql(r"""
+        WITH toks AS (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9_]+')
+                               AS t FROM c),
+        nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+        ch AS (SELECT doc_id, (start / 10)::BIGINT AS chunk_idx,
+                      array_to_string(t[start+1 : start+10], ' ') AS chunk
+               FROM (SELECT doc_id, t,
+                            unnest(range(0, n, 10)) AS start FROM nz)),
+        rk AS (SELECT doc_id, chunk_idx, chunk,
+                      row_number() OVER (PARTITION BY chunk
+                                         ORDER BY doc_id, chunk_idx) AS rn
+               FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_chunks,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY chunk_idx), '')
+                 AS text_deduped
+        FROM rk GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chunks"].tolist() == want["n_chunks"].astype(int).tolist()
+    assert (got["n_dup_chunks"].tolist()
+            == want["n_dup_chunks"].astype(int).tolist())
+    assert got["text_deduped"].tolist() == want["text_deduped"].tolist()
+    # duplicated chunks exist (the copies guarantee them; doc_ids are
+    # HASHES, so which side of an original/copy pair wins keep-first is
+    # arbitrary — the invariant is each distinct chunk kept exactly
+    # once: dups == total chunks - distinct chunks
+    n_distinct = con.sql("""
+        SELECT count(DISTINCT array_to_string(t[s+1 : s+10], ' '))
+        FROM (SELECT t, unnest(range(0, len(t), 10)) AS s
+              FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+')
+                      AS t FROM c) WHERE len(t) > 0)
+    """).fetchone()[0]
+    assert int(got["n_dup_chunks"].sum()) == int(
+        got["n_chunks"].sum() - n_distinct) > 0
+
+
 def test_fingerprint_deterministic_and_dup_sensitive(spark):
     rows = [(0, "a b c d e f g"), (1, "a b c d e f g"), (2, "x y z w q r s")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
