@@ -608,6 +608,44 @@ def _span_dedup(spark, sf_dir):
                       F.md5("text_deduped").alias("dedup_md5"))
 
 
+def _search_aggs_range(spark, sf_dir):
+    """ES range + filters bucket aggs and the stats metric in one
+    oracle-checked row (search/dsl.py _apply_multibucket_agg /
+    _stats_exprs): range buckets over purchase values (from-inclusive /
+    to-exclusive, ES default keys) with a stats leaf, plus a filters
+    agg (named metadata predicates incl. match_all — multi-membership:
+    one doc may land in several buckets). Each is a map-side bucket
+    fan-out (explode over per-row when() structs, no join, no second
+    scan) + ONE grouped aggregation."""
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    r1 = dsl_aggregate(ev, {
+        "query": {"term": {"event_type": "purchase"}},
+        "aggs": {"by_value": {
+            "range": {"field": "value", "ranges": [
+                {"to": 10}, {"from": 10, "to": 100}, {"from": 100}]},
+            "aggs": {"v": {"stats": {"field": "value"}}}}},
+    }).select(
+        F.lit("range").alias("shape"), "key", "doc_count", "v_count",
+        F.round("v_min", 4).alias("v_min"),
+        F.round("v_max", 4).alias("v_max"),
+        F.round("v_avg", 4).alias("v_avg"),
+        F.round("v_sum", 4).alias("v_sum"))
+    r2 = dsl_aggregate(ev, {
+        "aggs": {"groups": {"filters": {"filters": {
+            "errors": {"term": {"event_type": "error"}},
+            "big": {"range": {"value": {"gte": 100}}},
+            "all": {"match_all": {}},
+        }}}},
+    }).select(
+        F.lit("filters").alias("shape"), "key", "doc_count",
+        F.lit(None).cast("long").alias("v_count"),
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("v_min", "v_max", "v_avg", "v_sum")])
+    return r1.unionByName(r2)
+
+
 def _similarity_topk(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.similarity import brute_force_topk
 
@@ -838,10 +876,16 @@ def _trivial_filters_suite(spark, sf_dir):
     Shapes: P5 boolean-flag, P2 regex, U2 union-all, F4 url slice,
     F1/F2 prefix strip + startswith, A2/U3 distinct keys, P3/P4/P9
     time-range+membership+contains, P6/P7/P8 classifier chain, F3/F6
-    split+replace priority labels, F5/F10/S9 weekly partition names."""
+    split+replace priority labels, F5/F10/S9 weekly partition names,
+    A6 global scalar aggregate."""
     from functools import reduce as _reduce
 
     parts = [
+        _global_revenue(spark, sf_dir).select(
+            F.lit("revenue").alias("shape"),
+            F.round(F.col("total_revenue") * 100, 0).cast("long")
+            .cast("string").alias("k"),
+            F.col("n_lineitems").cast("string").alias("v")),
         _priority_labels(spark, sf_dir).select(
             F.lit("priority").alias("shape"),
             F.col("o_orderkey").cast("string").alias("k"),
@@ -1194,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_count": _dsl_count,
         "search_aggs_weekly": _search_aggs_weekly,
         "search_aggs_indexed": _search_aggs_indexed,
+        "search_aggs_range": _search_aggs_range,
         "doc_fingerprints": _doc_fingerprints,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
@@ -1220,7 +1265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_orders": _enrich_orders,
         "first_match_enrich": _first_match_enrich,
         "order_lineitems_denorm": _order_lineitems_denorm,
-        "global_revenue": _global_revenue,
         "event_state_counts": _event_state_counts,
         "brand_share_others": _brand_share_others,
         "order_ship_overlap": _order_ship_overlap,
@@ -1242,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier": _classifier,
         "priority_labels": _priority_labels,
         "weekly_partition_names": _weekly_partition_names,
+        "global_revenue": _global_revenue,
         "boolean_flag_filter": _boolean_flag_filter,
         "regex_filter": _regex_filter,
         "union_event_streams": _union_event_streams,
@@ -1414,6 +1459,37 @@ SELECT doc_id,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score
 FROM u ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# range/filters/stats aggs twin of _search_aggs_range: the range part
+# replays multi-membership as a UNION ALL of the three bucket selects
+# (overlap-safe), the filters part as three independent counts; ES
+# default range keys are literals on both sides so no float formatting
+# can drift
+_AGGS_RANGE_SQL = """
+WITH p AS (SELECT value FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT '*-10.0' AS key, value FROM p WHERE value < 10
+  UNION ALL
+  SELECT '10.0-100.0', value FROM p WHERE value >= 10 AND value < 100
+  UNION ALL
+  SELECT '100.0-*', value FROM p WHERE value >= 100)
+SELECT 'range' AS shape, key, count(*) AS doc_count,
+       count(value) AS v_count,
+       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+       round(avg(value), 4) AS v_avg, round(sum(value), 4) AS v_sum
+FROM r GROUP BY key
+UNION ALL
+SELECT 'filters', f.key, f.doc_count,
+       NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       NULL::DOUBLE
+FROM (
+  SELECT 'errors' AS key, count(*) AS doc_count FROM events
+  WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'big', count(*) FROM events WHERE value >= 100
+  UNION ALL
+  SELECT 'all', count(*) FROM events) f
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
@@ -2082,6 +2158,7 @@ WHERE rn = 1
         """,
         "pii_scrub": _PII_SCRUB_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
+        "search_aggs_range": _AGGS_RANGE_SQL,
         "enrich_orders": """
             SELECT o_orderkey, c_name, c_mktsegment,
                    round(o_totalprice, 2) AS totalprice
@@ -2260,6 +2337,11 @@ WHERE rn = 1
     # its value agreement is inherited from theirs (see
     # _trivial_filters_suite)
     o["trivial_filters_suite"] = f"""
+        SELECT 'revenue' AS shape,
+               round(total_revenue * 100)::BIGINT::VARCHAR AS k,
+               n_lineitems::VARCHAR AS v
+        FROM ({o["global_revenue"]})
+        UNION ALL
         SELECT 'priority' AS shape, o_orderkey::VARCHAR AS k,
                label || ':' || label_norm AS v
         FROM ({o["priority_labels"]})

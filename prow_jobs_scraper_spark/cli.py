@@ -117,6 +117,19 @@ def cmd_search(args) -> dict:
                 "count": int(n),
                 "latency_sec": round(time.time() - t0, 4),
             }
+        if "aggs" in qjson:  # ES _search with an aggs block
+            from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+                dsl_aggregate_indexed,
+            )
+
+            out = dsl_aggregate_indexed(spark, dirs, qjson,
+                                        docs_df=corpus_df)
+            return {
+                "dsl": qjson,
+                "latency_sec": round(time.time() - t0, 4),
+                "buckets": [r.asDict(recursive=True)
+                            for r in out.collect()],
+            }
         rows = search_dsl_indexed(spark, dirs, qjson, args.k,
                                   docs_df=corpus_df).collect()
         return {

@@ -925,6 +925,21 @@ _METRIC_FNS = {
 _CALENDAR_INTERVALS = {"hour", "day", "week", "month", "quarter", "year"}
 
 
+def _stats_exprs(name: str, field: str) -> list:
+    """The ES ``stats`` metric — count/min/max/avg/sum in one pass —
+    FLATTENED to five ``<name>_<stat>`` columns (ES nests them under the
+    agg name; a DataFrame result flattens, same documented rule as
+    nested buckets)."""
+    f = _ident(field)
+    return [
+        F.count(f).alias(f"{name}_count"),
+        F.min(f).alias(f"{name}_min"),
+        F.max(f).alias(f"{name}_max"),
+        F.avg(f).alias(f"{name}_avg"),
+        F.sum(f).alias(f"{name}_sum"),
+    ]
+
+
 def _metric_exprs(sub_aggs: dict) -> list:
     """{name: {"avg": {"field": f}}, ...} -> aliased agg columns."""
     cols = []
@@ -932,6 +947,9 @@ def _metric_exprs(sub_aggs: dict) -> list:
         if not isinstance(spec, dict) or len(spec) != 1:
             raise DslError(f"bad sub-aggregation {name!r}")
         (kind, body), = spec.items()
+        if kind == "stats":
+            cols.extend(_stats_exprs(name, body["field"]))
+            continue
         if kind not in _METRIC_FNS:
             raise DslError(
                 f"sub-aggregation {kind!r} not supported (metrics only)")
@@ -960,7 +978,18 @@ def dsl_aggregate(
       ascending (ES order); iv ∈ hour/day/week/month/quarter/year
       (week is ISO/Monday-based, matching ES).
     - a bare metric ``{"avg"|"sum"|"min"|"max"|"value_count":
-      {"field": f}}`` -> one row, one column named after the agg.
+      {"field": f}}`` -> one row, one column named after the agg; the
+      ``stats`` metric -> one row, five ``<name>_<stat>`` columns
+      (count/min/max/avg/sum).
+    - ``{"range": {"field": f, "ranges": [{"from": a, "to": b,
+      "key": k?}, ...]}}`` -> (key, doc_count [, sub metrics]) in range
+      definition order; from inclusive / to exclusive, open ends
+      allowed, overlapping ranges fan a doc into EVERY matching bucket
+      (ES multi-membership — map-side explode, no extra scan); default
+      keys are the ES ``"100.0-200.0"`` / ``"*-100.0"`` form.
+    - ``{"filters": {"filters": {name: metadata-clause | match_all,
+      ...}}}`` -> (key=name, doc_count [, sub metrics]) in definition
+      order; one doc may land in several named buckets.
 
     Bucket aggs may nest metric sub-aggs under ``"aggs"``. The match
     semantics are :func:`search_dsl`'s (scores computed but irrelevant:
@@ -1033,6 +1062,98 @@ def _split_sub(sub: dict):
     return metrics, bucket
 
 
+def _metric_out_names(sub_aggs: dict) -> list[str]:
+    """Output column names :func:`_metric_exprs` produces (``stats``
+    flattens to five ``<name>_<stat>`` columns)."""
+    names: list[str] = []
+    for name, spec in sub_aggs.items():
+        (kind, _), = spec.items()
+        if kind == "stats":
+            names.extend(f"{name}_{s}"
+                         for s in ("count", "min", "max", "avg", "sum"))
+        else:
+            names.append(name)
+    return names
+
+
+def _es_bound(v) -> str:
+    """ES default range-bucket key half: '*' for an open end, else the
+    double rendering ('100.0')."""
+    return "*" if v is None else repr(float(v))
+
+
+def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
+                           body: dict, sub: dict) -> DataFrame:
+    """``range`` / ``filters`` buckets — ES's MULTI-membership bucket
+    aggs (overlapping ranges / independent named predicates put one doc
+    in several buckets), which a plain groupBy key cannot express: the
+    doc fans out map-side into its matching buckets (explode over a
+    per-row when() array — no join, no second scan), then one grouped
+    aggregation. Buckets keep definition order (ES); empty buckets
+    vanish from the flattened output (ES emits them with doc_count 0 —
+    the engine's documented empty-bucket deviation). Metric sub-aggs
+    only (bucket nesting below a multi-membership parent is
+    out-of-grammar here)."""
+    metrics_spec, sub_bucket = _split_sub(sub)
+    if sub_bucket is not None:
+        raise DslError(f"{kind} aggregations take metric sub-aggs only")
+
+    buckets: list[tuple[int, str, object]] = []  # (rank, key, cond)
+    if kind == "range":
+        col = F.col(_ident(body["field"]))
+        ranges = body.get("ranges")
+        if not isinstance(ranges, list) or not ranges:
+            raise DslError("range aggregation needs a ranges list")
+        for i, r in enumerate(ranges):
+            if not isinstance(r, dict):
+                raise DslError(f"bad range {r!r}")
+            frm, to = r.get("from"), r.get("to")
+            if frm is None and to is None:
+                raise DslError("range bucket needs from and/or to")
+            cond = col.isNotNull()
+            if frm is not None:
+                cond = cond & (col >= F.lit(frm))  # ES: from inclusive
+            if to is not None:
+                cond = cond & (col < F.lit(to))    # ES: to exclusive
+            key = r.get("key") or f"{_es_bound(frm)}-{_es_bound(to)}"
+            buckets.append((i, key, cond))
+    else:  # filters
+        named = body.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise DslError("filters aggregation needs named filters")
+        for i, (name, clause) in enumerate(named.items()):
+            if not isinstance(clause, dict) or len(clause) != 1:
+                raise DslError(f"bad filter {name!r}")
+            (ck, cb), = clause.items()
+            if ck == "match_all":
+                cond = F.lit(True)
+            elif ck in ("term", "terms", "range", "exists"):
+                cond = F.coalesce(F.expr(_compile_meta(ck, cb)),
+                                  F.lit(False))
+            else:
+                raise DslError(
+                    f"filters agg supports metadata clauses and "
+                    f"match_all, got {ck!r}")
+            buckets.append((i, name, cond))
+    if len({k for _, k, _ in buckets}) != len(buckets):
+        raise DslError(f"duplicate bucket keys in {kind} aggregation")
+
+    tagged = F.array(*[
+        F.when(cond, F.struct(F.lit(i).alias("r"), F.lit(key).alias("k")))
+        for i, key, cond in buckets
+    ])
+    fr = (frame.withColumn("__b", F.explode(tagged))
+          .where(F.col("__b").isNotNull()))
+    return (
+        fr.groupBy(F.col("__b.k").alias("key"))
+        .agg(F.min("__b.r").alias("__rank"),
+             F.count(F.lit(1)).alias("doc_count"),
+             *_metric_exprs(metrics_spec))
+        .orderBy("__rank")
+        .drop("__rank")
+    )
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                sub: dict) -> DataFrame:
     """Apply one parsed aggregation to the qualifying-set frame —
@@ -1054,6 +1175,10 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
             _METRIC_FNS[kind](_ident(body["field"])).alias(agg_name))
+    if kind == "stats" and not sub:
+        return frame.agg(*_stats_exprs(agg_name, body["field"]))
+    if kind in ("range", "filters"):
+        return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")
 
@@ -1109,7 +1234,7 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         cells = (cells.withColumn("__rn", F.row_number().over(wc))
                  .where(F.col("__rn") <= int(csize)).drop("__rn"))
     return (cells.select("key", "doc_count", "sub_key", "sub_doc_count",
-                         *list(smetrics))
+                         *_metric_out_names(smetrics))
             .orderBy(*porder, *corder))
 
 

@@ -108,6 +108,22 @@ def test_cli_dsl_search(spark, tmp_path, capsys):
     assert rc["count"] == len(rfull["hits"])
     assert "hits" not in rc
 
+    # --dsl with an aggs block: the ES _search aggregation shape,
+    # answered from the index (buckets, not hits)
+    ra = _run(capsys, ["search", "--index", idx, "--dsl", json.dumps({
+        **q, "aggs": {"by_role": {"terms": {"field": "role",
+                                            "size": 10}}},
+    })])
+    assert "hits" not in ra and ra["buckets"]
+    assert sum(b["doc_count"] for b in ra["buckets"]) == rc["count"]
+    rf = _run(capsys, ["search", "--index", idx, "--dsl", json.dumps({
+        "aggs": {"groups": {"filters": {"filters": {
+            "assistants": {"term": {"role": "assistant"}},
+            "everything": {"match_all": {}}}}}},
+    })])
+    assert [b["key"] for b in rf["buckets"]] == ["assistants",
+                                                 "everything"]
+
     # neither --query nor --dsl is an error
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx, "--k", "5"])

@@ -641,6 +641,125 @@ def test_terms_agg_with_metric(spark, docs, docs_pdf):
     np.testing.assert_allclose(got["avg_turn"], want["avg_turn"], rtol=1e-12)
 
 
+def test_stats_metric_bare_and_in_bucket(spark, docs, docs_pdf):
+    """ES `stats` metric: one pass -> count/min/max/avg/sum, flattened
+    to <name>_<stat> columns; bare and inside a terms bucket."""
+    sel = docs_pdf[_hot_mask(docs_pdf)]
+    q = {"query": {"match": {"text": {"query": "the_hot_term",
+                                      "operator": "and"}}}}
+    got = dsl_aggregate(docs, {
+        **q, "aggs": {"ti": {"stats": {"field": "turn_idx"}}},
+    }).toPandas()
+    assert list(got.columns) == [f"ti_{s}" for s in
+                                 ("count", "min", "max", "avg", "sum")]
+    assert int(got["ti_count"][0]) == len(sel)
+    assert int(got["ti_min"][0]) == sel["turn_idx"].min()
+    assert int(got["ti_max"][0]) == sel["turn_idx"].max()
+    np.testing.assert_allclose(got["ti_avg"][0], sel["turn_idx"].mean())
+    assert int(got["ti_sum"][0]) == sel["turn_idx"].sum()
+
+    got2 = dsl_aggregate(docs, {
+        **q, "aggs": {"by_role": {
+            "terms": {"field": "role", "size": 10},
+            "aggs": {"ti": {"stats": {"field": "turn_idx"}}}}},
+    }).toPandas()
+    want = (sel.groupby("role")
+            .agg(doc_count=("role", "size"), ti_min=("turn_idx", "min"),
+                 ti_sum=("turn_idx", "sum"))
+            .reset_index()
+            .sort_values(["doc_count", "role"], ascending=[False, True]))
+    assert got2["key"].tolist() == want["role"].tolist()
+    assert got2["ti_min"].tolist() == want["ti_min"].tolist()
+    assert got2["ti_sum"].tolist() == want["ti_sum"].tolist()
+
+
+def test_range_agg_multi_membership(spark, docs, docs_pdf):
+    """ES range buckets: from inclusive / to exclusive, open ends,
+    OVERLAPPING ranges put one doc in every matching bucket, definition
+    order kept, default ES key format."""
+    req = {"aggs": {"by_ti": {
+        "range": {"field": "turn_idx", "ranges": [
+            {"to": 5},
+            {"from": 2, "to": 10},          # overlaps the first
+            {"from": 10, "key": "tail"},    # explicit key override
+        ]},
+        "aggs": {"mx": {"max": {"field": "turn_idx"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    ti = docs_pdf["turn_idx"]
+    want = [("*-5.0", (ti < 5).sum(), ti[ti < 5].max()),
+            ("2.0-10.0", ((ti >= 2) & (ti < 10)).sum(),
+             ti[(ti >= 2) & (ti < 10)].max()),
+            ("tail", (ti >= 10).sum(), ti[ti >= 10].max())]
+    assert got["key"].tolist() == [w[0] for w in want]
+    assert got["doc_count"].tolist() == [int(w[1]) for w in want]
+    assert got["mx"].tolist() == [int(w[2]) for w in want]
+    # multi-membership: bucket counts sum past the doc total
+    assert sum(r[1] for r in want) > len(docs_pdf[ti.notna()]) - 1
+
+
+def test_filters_agg_named_buckets(spark, docs, docs_pdf):
+    """ES filters agg: independent named predicate buckets (a doc may
+    land in several), definition order kept; works under a query."""
+    req = {
+        "query": {"match": {"text": {"query": "the_hot_term",
+                                     "operator": "and"}}},
+        "aggs": {"groups": {"filters": {"filters": {
+            "assistants": {"term": {"role": "assistant"}},
+            "early": {"range": {"turn_idx": {"lt": 3}}},
+            "everything": {"match_all": {}},
+        }}}},
+    }
+    got = dsl_aggregate(docs, req).toPandas()
+    sel = docs_pdf[_hot_mask(docs_pdf)]
+    want = {
+        "assistants": int((sel["role"] == "assistant").sum()),
+        "early": int((sel["turn_idx"] < 3).sum()),
+        "everything": len(sel),
+    }
+    assert got["key"].tolist() == list(want)  # definition order
+    assert got["doc_count"].tolist() == list(want.values())
+
+
+@pytest.mark.parametrize("req", [
+    {"aggs": {"a": {"range": {"field": "turn_idx",
+                              "ranges": [{"to": 5}]},
+                    "aggs": {"b": {"terms": {"field": "role"}}}}}},
+    {"aggs": {"a": {"range": {"field": "turn_idx", "ranges": []}}}},
+    {"aggs": {"a": {"range": {"field": "turn_idx", "ranges": [{}]}}}},
+    {"aggs": {"a": {"filters": {"filters": {}}}}},
+    {"aggs": {"a": {"filters": {"filters": {
+        "x": {"match": {"text": "spark"}}}}}}},
+], ids=["bucket-under-range", "empty-ranges", "open-open-range",
+        "empty-filters", "text-clause-filter"])
+def test_multibucket_agg_rejects(spark, docs, req):
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, req)
+
+
+def test_new_aggs_indexed_match_naive(spark, docs, dsl_index):
+    """stats / range / filters answered from the index (doc_stats) must
+    equal the naive corpus pass — same _apply_agg, different frame."""
+    reqs = [
+        {"query": {"match": {"text": "the_hot_term"}},
+         "aggs": {"ti": {"stats": {"field": "turn_idx"}}}},
+        {"aggs": {"r": {"range": {"field": "turn_idx", "ranges": [
+            {"to": 5}, {"from": 2, "to": 10}, {"from": 10}]},
+            "aggs": {"s": {"stats": {"field": "turn_idx"}}}}}},
+        {"query": {"match": {"text": "the_hot_term"}},
+         "aggs": {"g": {"filters": {"filters": {
+             "assistants": {"term": {"role": "assistant"}},
+             "early": {"range": {"turn_idx": {"lt": 3}}},
+         }}}}},
+    ]
+    for req in reqs:
+        a = dsl_aggregate(docs, req).toPandas()
+        b = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=False, rtol=1e-12)
+
+
 def test_date_histogram_weekly(spark, docs, docs_pdf):
     req = {
         "query": {"bool": {"filter": [{"term": {"role": "assistant"}}]}},
@@ -1321,15 +1440,22 @@ def test_msearch_amortizes_stats_scans(spark, docs):
              "query": {"match": {"text": t}}, "size": 3}
             for i, t in enumerate(["spark", "agent", "w00042",
                                    "the_hot_term"])]
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup() or [])
-    search_dsl_many(docs, reqs).collect()
-    mid = len(tracker.getJobIdsForGroup() or [])
-    for r in reqs:
-        search_dsl(docs, {"query": r["query"]}, 3).collect()
-    after = len(tracker.getJobIdsForGroup() or [])
-    batch_jobs, loop_jobs = mid - before, after - mid
-    assert batch_jobs < loop_jobs, (batch_jobs, loop_jobs)
+    # count jobs in DEDICATED job groups — deltas of the default
+    # group's id list go wrong once the UI's retained-jobs buffer
+    # rolls over in a long test session (order-dependent flake)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    try:
+        sc.setJobGroup("msearch-batch", "batch")
+        search_dsl_many(docs, reqs).collect()
+        sc.setJobGroup("msearch-loop", "loop")
+        for r in reqs:
+            search_dsl(docs, {"query": r["query"]}, 3).collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    batch_jobs = len(tracker.getJobIdsForGroup("msearch-batch") or [])
+    loop_jobs = len(tracker.getJobIdsForGroup("msearch-loop") or [])
+    assert 0 < batch_jobs < loop_jobs, (batch_jobs, loop_jobs)
 
 
 def test_msearch_rejects_bad_requests(spark, docs):
