@@ -972,7 +972,11 @@ def dsl_aggregate(
 
     - ``{"terms": {"field": f, "size": n}}`` -> (key, doc_count [, sub
       metrics]); ES bucket order: doc_count desc, key asc; size
-      defaults to 10.
+      defaults to 10. An explicit ``"order"`` takes the ES grammar —
+      ``{"_count"|"_key"|<metric-name>|"<stats-name>.<stat>":
+      "asc"|"desc"}`` — so "top N groups by cost" orders by the cost
+      sub-agg, not the doc count; the size cut applies AFTER the
+      ordering, exactly ES.
     - ``{"date_histogram": {"field": f, "calendar_interval": iv}}`` ->
       (key, doc_count [, sub metrics]) with key = date_trunc(iv, f),
       ascending (ES order); iv ∈ hour/day/week/month/quarter/year
@@ -1028,16 +1032,46 @@ _BUCKET_KINDS = ("terms", "date_histogram")
 
 
 def _bucket_key(kind: str, body: dict):
-    """One bucket agg -> (key expr, size cap or None, count-desc order?)."""
+    """One bucket agg -> (key expr, size cap or None, order spec
+    ``{target: "asc"|"desc"}`` with target ``_count`` / ``_key`` / a
+    metric sub-agg name)."""
     if kind == "terms":
+        order = body.get("order", {"_count": "desc"})  # the ES default
+        if not isinstance(order, dict) or len(order) != 1:
+            raise DslError(
+                'terms order must be a single {"target": "asc"|"desc"}')
         return (F.col(_ident(body["field"])), int(body.get("size", 10)),
-                True)
+                order)
     iv = body.get("calendar_interval")
     if iv not in _CALENDAR_INTERVALS:
         raise DslError(f"calendar_interval {iv!r} not supported")
+    if "order" in body:
+        raise DslError(
+            "date_histogram takes no order (ES: always key-ascending)")
     # ES date_histogram has no bucket cap by default
     return (F.date_trunc(iv, F.col(_ident(body["field"]))),
-            body.get("size"), False)
+            body.get("size"), {"_key": "asc"})
+
+
+def _bucket_order(order_spec: dict, count_col: str, key_col: str,
+                  metric_names: list[str]) -> list:
+    """Order spec -> sort columns. ``_count`` / metric targets break
+    ties on the key ascending (ES); a metric target must name a metric
+    sub-agg of THIS bucket level — the ES ``stats`` sub-values address
+    as ``name.avg`` etc. (mapped onto the flattened ``name_avg``)."""
+    (target, d), = order_spec.items()
+    if d not in ("asc", "desc"):
+        raise DslError(f"bucket order must be asc or desc, got {d!r}")
+    dirf = F.asc if d == "asc" else F.desc
+    if target == "_key":
+        return [dirf(key_col)]
+    if target == "_count":
+        return [dirf(count_col), F.asc(key_col)]
+    col = target.replace(".", "_")
+    if col not in metric_names:
+        raise DslError(
+            f"order target {target!r} is not a metric of this bucket")
+    return [dirf(col), F.asc(key_col)]
 
 
 def _split_sub(sub: dict):
@@ -1183,9 +1217,13 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         raise DslError(f"aggregation type {kind!r} not supported")
 
     metrics_spec, sub_bucket = _split_sub(sub)
-    pkey, psize, pdesc = _bucket_key(kind, body)
-    porder = ([F.desc("doc_count"), F.asc("key")] if pdesc
-              else [F.asc("key")])
+    pkey, psize, porder_spec = _bucket_key(kind, body)
+    # metric order targets resolve against THIS level's metrics — in
+    # nested mode the parent has none (metrics live at the leaf), so a
+    # parent metric order is out-of-grammar by construction
+    porder = _bucket_order(
+        porder_spec, "doc_count", "key",
+        _metric_out_names(metrics_spec) if sub_bucket is None else [])
 
     if sub_bucket is None:
         out = (
@@ -1203,7 +1241,9 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     smetrics, deeper = _split_sub(ssub)
     if deeper is not None:
         raise DslError("only one nested bucket level is supported")
-    ckey, csize, cdesc = _bucket_key(skind, sbody)
+    ckey, csize, corder_spec = _bucket_key(skind, sbody)
+    corder = _bucket_order(corder_spec, "sub_doc_count", "sub_key",
+                           _metric_out_names(smetrics))
 
     cells = (
         frame.where(pkey.isNotNull())  # ES: docs missing the field drop
@@ -1227,8 +1267,6 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         wp = Window.orderBy(*porder)
         cells = (cells.withColumn("__pr", F.dense_rank().over(wp))
                  .where(F.col("__pr") <= int(psize)).drop("__pr"))
-    corder = ([F.desc("sub_doc_count"), F.asc("sub_key")] if cdesc
-              else [F.asc("sub_key")])
     if csize is not None:
         wc = Window.partitionBy("key").orderBy(*corder)
         cells = (cells.withColumn("__rn", F.row_number().over(wc))

@@ -736,6 +736,60 @@ def test_multibucket_agg_rejects(spark, docs, req):
         dsl_aggregate(docs, req)
 
 
+def test_terms_order_by_metric_key_and_stats(spark, docs, docs_pdf):
+    """ES terms `order`: by a metric sub-agg (the "top N by cost"
+    idiom), by _key, and by a stats sub-value (name.avg) — size cut
+    applies AFTER the ordering."""
+    base = {"query": {"match_all": {}}}
+    by_metric = dsl_aggregate(docs, {**base, "aggs": {"by_role": {
+        "terms": {"field": "role", "size": 2,
+                  "order": {"mean_ti": "desc"}},
+        "aggs": {"mean_ti": {"avg": {"field": "turn_idx"}}}}}}).toPandas()
+    want = (docs_pdf.groupby("role")["turn_idx"].mean()
+            .sort_values(ascending=False))
+    assert by_metric["key"].tolist() == want.index[:2].tolist()
+    np.testing.assert_allclose(by_metric["mean_ti"], want.iloc[:2])
+
+    by_key = dsl_aggregate(docs, {**base, "aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10,
+                  "order": {"_key": "asc"}}}}}).toPandas()
+    assert by_key["key"].tolist() == sorted(docs_pdf["role"].unique())
+
+    by_stat = dsl_aggregate(docs, {**base, "aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10,
+                  "order": {"s.max": "asc"}},
+        "aggs": {"s": {"stats": {"field": "turn_idx"}}}}}}).toPandas()
+    assert (by_stat["s_max"].tolist()
+            == sorted(by_stat["s_max"].tolist()))
+
+    with pytest.raises(DslError):  # unknown metric target
+        dsl_aggregate(docs, {**base, "aggs": {"x": {
+            "terms": {"field": "role", "order": {"nope": "desc"}}}}})
+    with pytest.raises(DslError):  # date_histogram takes no order
+        dsl_aggregate(docs, {**base, "aggs": {"x": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week",
+                               "order": {"_key": "desc"}}}}})
+
+
+def test_nested_child_order_by_metric(spark, docs, dsl_index):
+    """Child terms inside a date_histogram ordered by a metric leaf —
+    and the indexed twin agrees."""
+    req = {"aggs": {"weekly": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"by_role": {
+            "terms": {"field": "role", "size": 2,
+                      "order": {"m": "desc"}},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}}}
+    a = dsl_aggregate(docs, req).toPandas()
+    b = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # within each parent bucket the child metric is non-increasing
+    for _, grp in a.groupby("key"):
+        ms = grp["m"].tolist()
+        assert ms == sorted(ms, reverse=True)
+        assert len(grp) <= 2
+
+
 def test_new_aggs_indexed_match_naive(spark, docs, dsl_index):
     """stats / range / filters answered from the index (doc_stats) must
     equal the naive corpus pass — same _apply_agg, different frame."""

@@ -253,6 +253,28 @@ def test_nested_aggs_one_corpus_aggregation(spark):
     assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
 
 
+def test_multibucket_agg_single_scan_no_join(spark):
+    # range/filters aggs (multi-membership buckets): the doc fans into
+    # its matching buckets MAP-SIDE (explode over per-row when()
+    # structs) — one corpus scan, one grouped aggregation with a
+    # partial_ pass, and NO join anywhere in the plan
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"aggs": {"by_len": {
+        "range": {"field": "n_chars", "ranges": [
+            {"to": 200}, {"from": 100, "to": 400}, {"from": 400}]},
+        "aggs": {"s": {"stats": {"field": "n_chars"}}}}}}
+    plan = _plan(dsl_aggregate(docs, req))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "Join" not in plan, plan
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
+    # column pruning: the text column never reaches the scan
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0], plan
+
+
 def test_msearch_single_tokenize_scan(spark):
     # the _msearch batch evaluates every query in one pass: one corpus
     # scan feeds the exploded (query_id, doc_id, score) rows, the only
