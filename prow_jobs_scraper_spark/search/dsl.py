@@ -97,6 +97,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import math
+import re as _re
 from dataclasses import dataclass, field as _field
 from functools import reduce
 
@@ -980,7 +981,9 @@ def dsl_aggregate(
     - ``{"date_histogram": {"field": f, "calendar_interval": iv}}`` ->
       (key, doc_count [, sub metrics]) with key = date_trunc(iv, f),
       ascending (ES order); iv ∈ hour/day/week/month/quarter/year
-      (week is ISO/Monday-based, matching ES).
+      (week is ISO/Monday-based, matching ES). ``fixed_interval``
+      (``"30m"``, ``"12h"``, ``"7d"`` — s/m/h/d units) buckets on exact
+      epoch-anchored multiples instead, exactly one of the two.
     - a bare metric ``{"avg"|"sum"|"min"|"max"|"value_count":
       {"field": f}}`` -> one row, one column named after the agg; the
       ``stats`` metric -> one row, five ``<name>_<stat>`` columns
@@ -1043,14 +1046,40 @@ def _bucket_key(kind: str, body: dict):
         return (F.col(_ident(body["field"])), int(body.get("size", 10)),
                 order)
     iv = body.get("calendar_interval")
-    if iv not in _CALENDAR_INTERVALS:
-        raise DslError(f"calendar_interval {iv!r} not supported")
+    fx = body.get("fixed_interval")
+    if (iv is None) == (fx is None):
+        raise DslError("date_histogram needs exactly one of "
+                       "calendar_interval / fixed_interval")
     if "order" in body:
         raise DslError(
             "date_histogram takes no order (ES: always key-ascending)")
+    col = F.col(_ident(body["field"]))
+    if iv is not None:
+        if iv not in _CALENDAR_INTERVALS:
+            raise DslError(f"calendar_interval {iv!r} not supported")
+        key = F.date_trunc(iv, col)
+    else:
+        # ES fixed_interval: exact multiples of a unit, buckets anchored
+        # at the 1970 UTC epoch — floor(epoch/secs)*secs
+        secs = _fixed_interval_seconds(fx)
+        key = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col) / F.lit(secs)).cast("long")
+            * F.lit(secs))
     # ES date_histogram has no bucket cap by default
-    return (F.date_trunc(iv, F.col(_ident(body["field"]))),
-            body.get("size"), {"_key": "asc"})
+    return (key, body.get("size"), {"_key": "asc"})
+
+
+_FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(s) -> int:
+    """'90m' -> 5400. ES fixed_interval units s/m/h/d (ms stays
+    out-of-grammar — the engine's timestamps are second-resolution)."""
+    if isinstance(s, str):
+        m = _re.fullmatch(r"(\d+)(s|m|h|d)", s)
+        if m and int(m.group(1)) > 0:
+            return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
+    raise DslError(f"fixed_interval {s!r} not supported (Ns/Nm/Nh/Nd)")
 
 
 def _bucket_order(order_spec: dict, count_col: str, key_col: str,

@@ -771,6 +771,40 @@ def test_terms_order_by_metric_key_and_stats(spark, docs, docs_pdf):
                                "order": {"_key": "desc"}}}}})
 
 
+def test_fixed_interval_histogram(spark, docs, docs_pdf, dsl_index):
+    """ES fixed_interval: exact epoch-anchored multiples (here 12h) —
+    checked against a DuckDB epoch-floor replica and the indexed twin;
+    validation pins the one-of-two interval rule and the unit grammar."""
+    import duckdb
+
+    req = {"aggs": {"halfdays": {"date_histogram": {
+        "field": "ts", "fixed_interval": "12h"}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf[["ts"]])
+    want = con.sql("""
+        SELECT to_timestamp(floor(epoch(ts) / 43200) * 43200) AS key,
+               count(*) AS doc_count
+        FROM t GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    assert (pd.to_datetime(got["key"]).tolist()
+            == pd.to_datetime(want["key"]).dt.tz_localize(None).tolist())
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(got, gi, check_dtype=False)
+
+    for bad in (
+        {"field": "ts"},                                    # neither
+        {"field": "ts", "calendar_interval": "week",
+         "fixed_interval": "12h"},                          # both
+        {"field": "ts", "fixed_interval": "10x"},           # bad unit
+        {"field": "ts", "fixed_interval": "0d"},            # zero
+        {"field": "ts", "fixed_interval": "500ms"},         # sub-second
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {"h": {"date_histogram": bad}}})
+
+
 def test_nested_child_order_by_metric(spark, docs, dsl_index):
     """Child terms inside a date_histogram ordered by a metric leaf —
     and the indexed twin agrees."""

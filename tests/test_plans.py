@@ -253,6 +253,34 @@ def test_nested_aggs_one_corpus_aggregation(spark):
     assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
 
 
+def test_pii_scrub_stays_jvm_side(spark):
+    # PII scrubbing is pure Catalyst: regexp chains inside codegen, no
+    # Python anywhere, and only the consumed columns reach the scan
+    from prow_jobs_scraper_spark.operators.textqc import pii_scrub
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = pii_scrub(docs).select("doc_id", "n_emails", "text_scrubbed")
+    plan = _plan(out)
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan  # embarrassingly parallel
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
+def test_span_dedup_one_scan_one_keyfirst_window(spark):
+    # span dedup: map-side chunk explode off ONE corpus scan, the
+    # keep-first decision is a window (no self-join), no Python
+    from prow_jobs_scraper_spark.operators.textqc import span_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(span_dedup(docs, chunk_tokens=20))
+    assert "EvalPython" not in plan, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
 def test_multibucket_agg_single_scan_no_join(spark):
     # range/filters aggs (multi-membership buckets): the doc fans into
     # its matching buckets MAP-SIDE (explode over per-row when()
