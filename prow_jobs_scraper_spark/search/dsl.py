@@ -23,6 +23,9 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
     meta         := {"term": {field: value}} | {"terms": {field: [value...]}}
                  |  {"range": {field: {"gte"|"gt"|"lte"|"lt": value, ...}}}
                  |  {"exists": {"field": field}}
+                 |  {"prefix": {field: str | {"value": str}}}
+                 |  {"wildcard": {field: pattern}}   -- * and ? only
+                 |  {"ids": {"values": [int...]}}    -- engine doc_ids
     dis_max      := {"dis_max": {"queries": [match|match_phrase ...],
                                  "tie_breaker": float}}
     multi_match  := {"multi_match": {"query": text, "fields": [field...],
@@ -262,6 +265,38 @@ def _compile_meta(kind: str, body: dict) -> str:
         return "(" + " AND ".join(parts) + ")"
     if kind == "exists":
         return f"{_ident(body['field'])} IS NOT NULL"
+    if kind == "prefix":
+        (fld, v), = body.items()
+        if isinstance(v, dict):  # ES long form {"value": v}
+            v = v.get("value")
+        if not isinstance(v, str) or not v:
+            raise DslError("prefix needs a non-empty string value")
+        # left(f, n) = v instead of LIKE: the same predicate string must
+        # parse identically in Spark SQL and DuckDB, and LIKE-escape
+        # rules differ between the two (Spark escapes backslash in both
+        # the literal and the pattern; DuckDB in neither)
+        return f"left({_ident(fld)}, {len(v)}) = {_sql_lit(v)}"
+    if kind == "wildcard":
+        (fld, v), = body.items()
+        if isinstance(v, dict):
+            v = v.get("value")
+        if not isinstance(v, str) or not v:
+            raise DslError("wildcard needs a non-empty string value")
+        if any(ch in v for ch in ("%", "_", "\\")):
+            # would need LIKE escaping, which Spark and DuckDB parse
+            # differently — out-of-grammar, documented
+            raise DslError(
+                "wildcard values containing % _ or \\ are not supported")
+        pat = v.replace("*", "%").replace("?", "_")
+        return f"{_ident(fld)} LIKE {_sql_lit(pat)}"
+    if kind == "ids":
+        vals = body.get("values")
+        if not isinstance(vals, (list, tuple)) or not vals \
+                or not all(isinstance(x, int) and not isinstance(x, bool)
+                           for x in vals):
+            raise DslError("ids needs a non-empty integer values list")
+        inner = ", ".join(str(int(x)) for x in vals)
+        return f"doc_id IN ({inner})"
     raise DslError(f"unsupported clause {kind!r}")
 
 
@@ -368,7 +403,7 @@ def parse_query(q: dict) -> QuerySpec:
     if kind in ("match", "match_phrase"):
         spec.must.append(_parse_text(kind, body))
         return spec
-    if kind in ("term", "terms", "range", "exists"):
+    if kind in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
         spec.filter_sql.append(_compile_meta(kind, body))
         return spec
     if kind in ("dis_max", "multi_match"):
@@ -424,7 +459,7 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should.append(tc)
                 else:
                     spec.must_not.append(tc)
-            elif ck in ("term", "terms", "range", "exists"):
+            elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
                 pred = _compile_meta(ck, cb)
                 if ctx in ("must", "filter"):
                     spec.filter_sql.append(pred)
@@ -1190,7 +1225,7 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             (ck, cb), = clause.items()
             if ck == "match_all":
                 cond = F.lit(True)
-            elif ck in ("term", "terms", "range", "exists"):
+            elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
                 cond = F.coalesce(F.expr(_compile_meta(ck, cb)),
                                   F.lit(False))
             else:

@@ -550,6 +550,38 @@ def test_msm_above_live_should_is_empty(spark, docs, dsl_index):
     assert search_dsl_indexed(spark, dsl_index, q, 10).count() == 0
 
 
+def test_prefix_wildcard_ids_clauses(spark, docs, docs_pdf, dsl_index):
+    """prefix / wildcard / ids metadata clauses: left()-based prefix and
+    escape-free LIKE translation parse identically in Spark SQL and the
+    DuckDB oracle; ids resolves against engine doc_ids. Naive, oracle,
+    and indexed all agree; ungrammatical values raise."""
+    q1 = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark",
+                                     "operator": "or"}}}],
+        "filter": [{"prefix": {"role": {"value": "assis"}}}]}}}
+    q2 = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark",
+                                     "operator": "or"}}}],
+        "filter": [{"wildcard": {"tool": "b*h"}}]}}}  # bash, not browser
+    ids = sorted(docs_pdf["doc_id"].tolist())[:3]
+    q3 = {"query": {"bool": {"filter": [{"ids": {"values": ids}}]}}}
+    for label, q in (("prefix", q1), ("wildcard", q2), ("ids", q3)):
+        got = search_dsl(docs, q, 10).toPandas()
+        want = dsl_oracle(docs_pdf, q, 10)
+        _assert_rank_identical(got, want, label)
+        gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                                docs_df=docs).toPandas()
+        _assert_rank_identical(gi, want, f"{label}-indexed")
+    assert search_dsl(docs, q3, 10).count() == 3
+
+    with pytest.raises(DslError):  # % would need LIKE escaping
+        parse_query({"wildcard": {"role": "100%*"}})
+    with pytest.raises(DslError):
+        parse_query({"ids": {"values": [1.5]}})
+    with pytest.raises(DslError):
+        parse_query({"prefix": {"role": ""}})
+
+
 def test_parse_dismax_and_multi_match_validation():
     with pytest.raises(DslError):
         parse_query({"dis_max": {"queries": []}})
@@ -1572,7 +1604,8 @@ _VOCAB = ["spark", "agent", "the_hot_term", "w00042", "w00099", "w00005",
 
 
 def _leaf_clause(draw):
-    kind = draw(st.sampled_from(["match", "match_phrase", "term", "range"]))
+    kind = draw(st.sampled_from(["match", "match_phrase", "term", "range",
+                                 "prefix", "wildcard"]))
     if kind == "match":
         terms = draw(st.lists(st.sampled_from(_VOCAB), min_size=1,
                               max_size=2))
@@ -1584,8 +1617,22 @@ def _leaf_clause(draw):
     if kind == "term":
         return {"term": {"role": draw(st.sampled_from(
             ["user", "assistant", "tool", "system"]))}}
+    if kind == "prefix":
+        return {"prefix": {"role": draw(st.sampled_from(
+            ["a", "us", "to", "sys", "zz"]))}}
+    if kind == "wildcard":
+        # `tool` carries NULLs: exercises the null-guard rules too
+        return {"wildcard": {"tool": draw(st.sampled_from(
+            ["b*h", "*er", "s??rch", "py*", "*zzz*"]))}}
     return {"range": {"turn_idx": {"gte": draw(
         st.integers(min_value=0, max_value=60))}}}
+
+
+def _dismax_clause(draw):
+    kids = [_leaf_clause_text(draw)
+            for _ in range(draw(st.integers(min_value=1, max_value=2)))]
+    return {"dis_max": {"queries": kids, "tie_breaker": draw(
+        st.sampled_from([0.0, 0.3, 1.0]))}}
 
 
 def _bool_query(draw, depth):
@@ -1596,12 +1643,10 @@ def _bool_query(draw, depth):
         for _ in range(n):
             if depth > 0 and draw(st.booleans()):
                 clauses.append({"bool": _bool_query(draw, depth - 1)})
+            elif draw(st.integers(min_value=0, max_value=4)) == 0:
+                clauses.append(_dismax_clause(draw))
             else:
-                c = _leaf_clause(draw)
-                if ctx == "should" and list(c)[0] in ("term", "range"):
-                    c = _leaf_clause_text(draw)  # meta-in-should is
-                    # out-of-grammar; substitute a text clause
-                clauses.append(c)
+                clauses.append(_leaf_clause(draw))
         if clauses:
             body[ctx] = clauses
     if "should" in body and draw(st.booleans()):
