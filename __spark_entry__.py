@@ -602,7 +602,7 @@ def _span_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = (d.where(F.col("doc_id") < 50)
-              .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+              .select((F.col("doc_id") + (1 << 40)).alias("doc_id"), "text"))
     out = span_dedup(d.unionByName(copies), chunk_tokens=20)
     return out.select("doc_id", "n_chunks", "n_dup_chunks",
                       F.md5("text_deduped").alias("dedup_md5"))
@@ -1485,11 +1485,12 @@ SELECT 'filters', f.key, f.doc_count,
        NULL::DOUBLE
 FROM (
   SELECT 'errors' AS key, count(*) AS doc_count FROM events
-  WHERE event_type = 'error'
+  WHERE event_type = 'error' HAVING count(*) > 0
   UNION ALL
   SELECT 'big', count(*) FROM events WHERE value >= 100
+  HAVING count(*) > 0
   UNION ALL
-  SELECT 'all', count(*) FROM events) f
+  SELECT 'all', count(*) FROM events HAVING count(*) > 0) f
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
@@ -1541,7 +1542,7 @@ _SPAN_DEDUP_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+  SELECT doc_id + 1099511627776, text FROM documents WHERE doc_id < 50),
 toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
 nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 ch AS (SELECT doc_id, (start / 20)::BIGINT AS chunk_idx,

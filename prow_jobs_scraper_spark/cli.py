@@ -117,13 +117,15 @@ def cmd_search(args) -> dict:
                 "count": int(n),
                 "latency_sec": round(time.time() - t0, 4),
             }
-        if "aggs" in qjson:  # ES _search with an aggs block
+        if "aggs" in qjson:  # ES _search with an aggs block — routed
+            # through the library's _search endpoint so the CLI can
+            # never diverge from execute_request_indexed's dispatch
             from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
-                dsl_aggregate_indexed,
+                execute_request_indexed,
             )
 
-            out = dsl_aggregate_indexed(spark, dirs, qjson,
-                                        docs_df=corpus_df)
+            out = execute_request_indexed(spark, dirs, qjson,
+                                          docs_df=corpus_df)
             return {
                 "dsl": qjson,
                 "latency_sec": round(time.time() - t0, 4),

@@ -230,7 +230,8 @@ def _sql_lit(v) -> str:
 
 def _ident(field: str) -> str:
     """Field name -> SQL identifier (dotted struct access passes through)."""
-    if not field or any(ch in field for ch in " ;'\""):
+    if not isinstance(field, str) or not field \
+            or any(ch in field for ch in " ;'\"^"):
         raise DslError(f"bad field name {field!r}")
     return field
 
@@ -365,6 +366,12 @@ def _parse_multi_match(body: dict) -> DisMax | "QuerySpec":
     operator = body.get("operator", "or")
     if operator not in ("and", "or"):
         raise DslError(f"match operator {operator!r} not supported")
+    for f in fields:
+        if not isinstance(f, str):
+            raise DslError(f"multi_match fields must be strings, got {f!r}")
+        if "^" in f:
+            raise DslError(
+                "per-field boosts (field^n) are not supported")
     clauses = [TextClause(field=_ident(f), text=text, operator=operator)
                for f in fields]
     if mtype == "best_fields":
@@ -1989,15 +1996,23 @@ def _qualify_indexed(
         if fr is not None:
             should_frames.append(fr.select("doc_id", "score"))
             n_scoring_should += 1
-    for pred in spec.should_sql:
+    n_live_should = n_scoring_should + len(spec.should_sql)
+    if spec.should_sql:
         # meta-in-should: resolves against doc_stats, counts toward
         # minimum_should_match at score 0 (module docstring); null-
-        # guarded — a NULL field does not match the clause
+        # guarded — a NULL field does not match the clause. ALL the
+        # predicates evaluate in ONE doc_stats scan (explode over
+        # per-row when() tags — one row per matched clause, exactly
+        # the per-clause union the old N-scan form produced)
+        tags = F.array(*[
+            F.when(F.coalesce(F.expr(p), F.lit(False)), F.lit(i))
+            for i, p in enumerate(spec.should_sql)])
         should_frames.append(
             _doc_stats_union(spark, dirs)
-            .where(F.coalesce(F.expr(pred), F.lit(False)))
+            .select("doc_id", F.explode(tags).alias("__m"))
+            .where(F.col("__m").isNotNull())
             .select("doc_id", F.lit(0.0).alias("score")))
-    if msm > 0 and len(should_frames) < msm:
+    if msm > 0 and n_live_should < msm:
         return None, False
     if should_frames:
         su = reduce(DataFrame.unionByName, should_frames)

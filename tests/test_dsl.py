@@ -595,6 +595,11 @@ def test_parse_dismax_and_multi_match_validation():
     with pytest.raises(DslError):
         parse_query({"multi_match": {"query": "x", "fields": ["text"],
                                      "type": "cross_fields"}})
+    with pytest.raises(DslError):  # non-string field: DslError, never
+        parse_query({"multi_match": {"query": "x", "fields": [3]}})
+    with pytest.raises(DslError):  # ES boost syntax is out-of-grammar
+        parse_query({"multi_match": {"query": "x",
+                                     "fields": ["text^2"]}})
     # meta-in-should parses and counts toward the ES default msm
     spec = parse_query({"bool": {"should": [{"term": {"role": "user"}}]}})
     assert spec.should_sql and spec.minimum_should_match() == 1
