@@ -13,8 +13,10 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
     clause       := {"match_all": {}} | match | match_phrase | bool | meta
                  |  dis_max | multi_match
     match        := {"match": {field: text | {"query": text,
-                                              "operator": "and"|"or"}}}
-    match_phrase := {"match_phrase": {field: text | {"query": text}}}
+                                              "operator": "and"|"or",
+                                              "boost": number}}}
+    match_phrase := {"match_phrase": {field: text | {"query": text,
+                                                     "boost": number}}}
     bool         := {"bool": {"must": clause|[clause...],
                               "filter": clause|[clause...],
                               "should": clause|[clause...],
@@ -129,12 +131,15 @@ from prow_jobs_scraper_spark.index.build import (
 
 @dataclass(frozen=True)
 class TextClause:
-    """One scoring/matching full-text clause (match or match_phrase)."""
+    """One scoring/matching full-text clause (match or match_phrase).
+    ``boost`` multiplies the clause's BM25 score (the ES per-clause
+    boost); qualification is boost-independent."""
 
     field: str
     text: str
     operator: str = "or"  # ES `match` default
     phrase: bool = False
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -303,17 +308,22 @@ def _compile_meta(kind: str, body: dict) -> str:
 
 def _parse_text(kind: str, body: dict) -> TextClause:
     (fld, spec), = body.items()
+    boost = 1.0
     if isinstance(spec, str):
         text, operator = spec, "or"
     elif isinstance(spec, dict):
         text = spec["query"]
         operator = spec.get("operator", "or")
+        boost = spec.get("boost", 1.0)
+        if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+                or not boost > 0:
+            raise DslError(f"boost must be a positive number, got {boost!r}")
     else:
         raise DslError(f"bad {kind} body {spec!r}")
     if operator not in ("and", "or"):
         raise DslError(f"match operator {operator!r} not supported")
     return TextClause(field=fld, text=text, operator=operator,
-                      phrase=(kind == "match_phrase"))
+                      phrase=(kind == "match_phrase"), boost=float(boost))
 
 
 def _as_list(v) -> list:
@@ -683,6 +693,8 @@ def _compile_specs(
             matched = hits == len(live)
         else:
             matched = hits > 0
+        if c.boost != 1.0:
+            score = score * F.lit(c.boost)
         return True, score, matched
 
     def dismax_exprs(dm: DisMax):
@@ -1393,7 +1405,10 @@ def _clause_frame_indexed(
             return None
         q_term_ids = [tid_of[t] for t in live]
     idfs = {
-        tid_of[t]: math.log(
+        # the ES per-clause boost folds into the idf — scores AND the
+        # kernel's block-max bounds are linear in it, so pruning and
+        # scoring stay exact under scaling
+        tid_of[t]: c.boost * math.log(
             1.0 + (n_docs - df_of_tid[tid_of[t]] + 0.5)
             / (df_of_tid[tid_of[t]] + 0.5))
         for t in live
@@ -1487,7 +1502,10 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.must_dismax or spec.should_dismax):
         return False
     cls = spec.must + spec.should
-    if not cls or any(c.phrase for c in cls):
+    if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
+        # boosted clauses take the exact score-all path: the batch
+        # kernels key their stats on the raw term, and one term may
+        # appear under different boosts across clauses
         return False
     if not spec.must and spec.minimum_should_match() < 1:
         return False

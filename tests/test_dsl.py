@@ -103,7 +103,7 @@ def _clause_eval(pdf, fstats, n, clause):
         matched = hits == len(live)
     else:
         matched = hits > 0
-    return score, matched
+    return score * clause.boost, matched
 
 
 def _pred_mask(pdf: pd.DataFrame, pred: str) -> np.ndarray:
@@ -490,6 +490,17 @@ DSL_QUERIES = [
     }}}),
     ("multi-match-best-single-field", {"query": {"multi_match": {
         "query": "spark agent", "fields": ["text"]}}}),
+    # per-clause boost: the boosted rare term outweighs the hot one —
+    # rank order must differ from the unboosted twin (checked below)
+    ("boosted-should", {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "the_hot_term", "boost": 0.25}}},
+        {"match": {"text": {"query": "w00042", "boost": 4}}},
+    ]}}}),
+    ("boost-in-must-with-filter", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or", "boost": 2.5}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}),
     ("multi-match-most-single-field", {"query": {"multi_match": {
         "query": "spark agent", "fields": ["text"],
         "type": "most_fields"}}}),
@@ -1666,7 +1677,42 @@ def _leaf_clause_text(draw):
     terms = draw(st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=2))
     return {"match": {"text": {"query": " ".join(terms),
                                "operator": draw(
-                                   st.sampled_from(["and", "or"]))}}}
+                                   st.sampled_from(["and", "or"])),
+                               "boost": draw(st.sampled_from(
+                                   [1, 1, 2, 0.5]))}}}
+
+
+def test_boost_scales_scores_and_flips_rank(spark, docs, docs_pdf,
+                                            dsl_index):
+    """boost multiplies the clause score in BOTH executors (the
+    indexed path folds it into the idf), and a boosted rare term can
+    outrank the unboosted hot ranking."""
+    plain = {"query": {"bool": {"should": [
+        {"match": {"text": "the_hot_term"}},
+        {"match": {"text": "w00042"}}]}}}
+    boosted = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "the_hot_term", "boost": 0.25}}},
+        {"match": {"text": {"query": "w00042", "boost": 4}}}]}}}
+    a = search_dsl(docs, plain, 10).toPandas()
+    b = search_dsl(docs, boosted, 10).toPandas()
+    # boosting changes the score surface (top-k membership is corpus-
+    # dependent, so pin the scores, not the order)
+    assert not np.allclose(a["score"], b["score"])
+    gi = search_dsl_indexed(spark, dsl_index, boosted, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, b, "boosted-indexed")
+    # a single boosted match scales scores EXACTLY linearly
+    one = {"query": {"match": {"text": {"query": "spark agent"}}}}
+    two = {"query": {"match": {"text": {"query": "spark agent",
+                                        "boost": 3.0}}}}
+    s1 = search_dsl(docs, one, 10).toPandas()
+    s2 = search_dsl(docs, two, 10).toPandas()
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()
+    np.testing.assert_allclose(s2["score"], s1["score"] * 3.0, rtol=1e-12)
+    with pytest.raises(DslError):
+        parse_query({"match": {"text": {"query": "x", "boost": 0}}})
+    with pytest.raises(DslError):
+        parse_query({"match": {"text": {"query": "x", "boost": "2"}}})
 
 
 @settings(max_examples=15, deadline=None)
