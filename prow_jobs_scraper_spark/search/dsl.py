@@ -249,6 +249,9 @@ def _compile_meta(kind: str, body: dict) -> str:
     if kind == "term":
         (fld, v), = body.items()
         if isinstance(v, dict):  # ES long form {"value": v}
+            if set(v) != {"value"}:
+                raise DslError(
+                    f"unsupported term options {sorted(set(v) - {'value'})}")
             v = v["value"]
         return f"{_ident(fld)} = {_sql_lit(v)}"
     if kind == "terms":
@@ -274,6 +277,10 @@ def _compile_meta(kind: str, body: dict) -> str:
     if kind == "prefix":
         (fld, v), = body.items()
         if isinstance(v, dict):  # ES long form {"value": v}
+            if set(v) != {"value"}:
+                raise DslError(
+                    f"unsupported prefix options "
+                    f"{sorted(set(v) - {'value'})}")
             v = v.get("value")
         if not isinstance(v, str) or not v:
             raise DslError("prefix needs a non-empty string value")
@@ -285,6 +292,10 @@ def _compile_meta(kind: str, body: dict) -> str:
     if kind == "wildcard":
         (fld, v), = body.items()
         if isinstance(v, dict):
+            if set(v) != {"value"}:
+                raise DslError(
+                    f"unsupported wildcard options "
+                    f"{sorted(set(v) - {'value'})}")
             v = v.get("value")
         if not isinstance(v, str) or not v:
             raise DslError("wildcard needs a non-empty string value")
@@ -312,6 +323,13 @@ def _parse_text(kind: str, body: dict) -> TextClause:
     if isinstance(spec, str):
         text, operator = spec, "or"
     elif isinstance(spec, dict):
+        # unknown options must FAIL, not silently drop — an ignored
+        # "fuzziness"/"minimum_should_match"/"analyzer" would return
+        # silently-different results than the user's ES cluster
+        unknown = set(spec) - {"query", "operator", "boost"}
+        if unknown:
+            raise DslError(
+                f"unsupported {kind} options {sorted(unknown)}")
         text = spec["query"]
         operator = spec.get("operator", "or")
         boost = spec.get("boost", 1.0)
@@ -344,6 +362,9 @@ def _parse_dismax(body: dict) -> DisMax:
     arbitrary child queries stay out-of-grammar."""
     if not isinstance(body, dict) or "queries" not in body:
         raise DslError("dis_max needs a queries list")
+    unknown = set(body) - {"queries", "tie_breaker"}
+    if unknown:
+        raise DslError(f"unsupported dis_max options {sorted(unknown)}")
     kids = []
     for c in _as_list(body["queries"]):
         if not isinstance(c, dict) or len(c) != 1:
@@ -370,6 +391,10 @@ def _parse_multi_match(body: dict) -> DisMax | "QuerySpec":
     if not isinstance(text, str) or not isinstance(fields, list) \
             or not fields:
         raise DslError("multi_match needs query text and a fields list")
+    unknown = set(body) - {"query", "fields", "type", "operator",
+                           "tie_breaker"}
+    if unknown:
+        raise DslError(f"unsupported multi_match options {sorted(unknown)}")
     mtype = body.get("type", "best_fields")
     if mtype not in ("best_fields", "most_fields"):
         raise DslError(f"multi_match type {mtype!r} not supported")

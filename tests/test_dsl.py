@@ -1715,6 +1715,27 @@ def test_boost_scales_scores_and_flips_rank(spark, docs, docs_pdf,
         parse_query({"match": {"text": {"query": "x", "boost": "2"}}})
 
 
+def test_unknown_clause_options_fail_loud():
+    """Unsupported ES options must raise DslError, never silently drop
+    — an ignored fuzziness/analyzer would return silently-different
+    results than the user's ES cluster."""
+    for q in (
+        {"match": {"text": {"query": "x", "fuzziness": "AUTO"}}},
+        {"match": {"text": {"query": "x", "analyzer": "standard"}}},
+        {"match_phrase": {"text": {"query": "x", "slop": 2}}},
+        {"multi_match": {"query": "x", "fields": ["text"],
+                         "fuzziness": 1}},
+        {"dis_max": {"queries": [{"match": {"text": "x"}}],
+                     "boost": 2}},
+        {"term": {"role": {"value": "user", "case_insensitive": True}}},
+        {"prefix": {"role": {"value": "us", "rewrite": "top_terms_10"}}},
+        {"wildcard": {"role": {"value": "u*",
+                               "case_insensitive": True}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query(q)
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.data())
 def test_random_nested_bool_naive_matches_oracle(spark, docs, docs_pdf,
