@@ -932,6 +932,22 @@ def search_dsl_many(
 
 DEFAULT_SIZE = 10  # the ES `_search` default
 
+# _search body keys the engine honors, plus keys that are SAFE to
+# ignore (they shape response metadata/payload we don't emit, never the
+# result VALUES). Anything else — sort, highlight, collapse, rescore,
+# min_score... — would silently change results and must fail loud.
+_REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs"}
+_REQUEST_NOOP_KEYS = {"track_total_hits", "_source"}
+
+
+def _validate_request_keys(request: dict) -> None:
+    unknown = set(request) - _REQUEST_KEYS - _REQUEST_NOOP_KEYS
+    if unknown:
+        raise DslError(
+            f"unsupported _search options {sorted(unknown)} (honored: "
+            f"{sorted(_REQUEST_KEYS)}; ignored metadata: "
+            f"{sorted(_REQUEST_NOOP_KEYS)})")
+
 
 def execute_request(
     docs_df: DataFrame,
@@ -947,6 +963,7 @@ def execute_request(
     """
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
+    _validate_request_keys(request)
     if "aggs" in request:
         return dsl_aggregate(docs_df, request, params)
     size = int(request.get("size", DEFAULT_SIZE))
@@ -2181,6 +2198,7 @@ def execute_request_indexed(
     """
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
+    _validate_request_keys(request)
     if "aggs" in request:
         return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
     size = int(request.get("size", DEFAULT_SIZE))

@@ -1736,6 +1736,25 @@ def test_unknown_clause_options_fail_loud():
             parse_query(q)
 
 
+def test_unknown_request_options_fail_loud(spark, docs, dsl_index):
+    """_search body keys the engine can't honor (sort, highlight, ...)
+    raise; response-metadata keys (track_total_hits, _source) pass."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    base = {"query": {"match": {"text": "spark"}}, "size": 3}
+    ok = execute_request(docs, {**base, "track_total_hits": True,
+                                "_source": ["text"]})
+    assert ok.count() == 3
+    with pytest.raises(DslError):
+        execute_request(docs, {**base, "sort": [{"ts": "desc"}]})
+    with pytest.raises(DslError):
+        execute_request_indexed(spark, dsl_index,
+                                {**base, "highlight": {}})
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.data())
 def test_random_nested_bool_naive_matches_oracle(spark, docs, docs_pdf,
