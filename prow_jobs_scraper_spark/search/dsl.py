@@ -934,10 +934,56 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 
 # _search body keys the engine honors, plus keys that are SAFE to
 # ignore (they shape response metadata/payload we don't emit, never the
-# result VALUES). Anything else — sort, highlight, collapse, rescore,
+# result VALUES). Anything else — highlight, collapse, rescore,
 # min_score... — would silently change results and must fail loud.
-_REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs"}
+_REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort"}
 _REQUEST_NOOP_KEYS = {"track_total_hits", "_source"}
+
+
+def _parse_sort(sort) -> list[tuple[str, bool]]:
+    """ES ``sort`` -> [(field | "_score", ascending?)]. Accepts the
+    string shorthand and the ``{field: "asc"|"desc"}`` /
+    ``{field: {"order": ...}}`` forms; ES defaults: fields ascending,
+    ``_score`` descending."""
+    out = []
+    for s in _as_list(sort):
+        if isinstance(s, str):
+            fld, d = s, ("desc" if s == "_score" else "asc")
+        elif isinstance(s, dict) and len(s) == 1:
+            (fld, d), = s.items()
+            if isinstance(d, dict):
+                unknown = set(d) - {"order"}
+                if unknown:
+                    raise DslError(
+                        f"unsupported sort options {sorted(unknown)}")
+                d = d.get("order", "desc" if fld == "_score" else "asc")
+        else:
+            raise DslError(f"bad sort entry {s!r}")
+        if d not in ("asc", "desc"):
+            raise DslError(f"sort order must be asc or desc, got {d!r}")
+        if fld != "_score":
+            _ident(fld)
+        out.append((fld, d == "asc"))
+    if not out:
+        raise DslError("sort must name at least one key")
+    return out
+
+
+def _sorted_hits(frame: DataFrame, score_col: str, sort,
+                 size: int, frm: int) -> DataFrame:
+    """Order a qualifying-set frame by a parsed ES ``sort`` ->
+    ``(doc_id, score)`` page. ES leaves ties in index order; the engine
+    appends a doc_id-ascending tiebreak so pages are deterministic
+    (documented deviation)."""
+    order = []
+    for fld, asc in _parse_sort(sort):
+        col = F.col(score_col) if fld == "_score" else F.col(_ident(fld))
+        order.append(col.asc() if asc else col.desc())
+    order.append(F.col("doc_id").asc())
+    out = (frame.orderBy(*order)
+           .select("doc_id", F.col(score_col).alias("score"))
+           .limit(frm + size))
+    return out.offset(frm) if frm else out
 
 
 def _validate_request_keys(request: dict) -> None:
@@ -956,10 +1002,15 @@ def execute_request(
 ) -> DataFrame:
     """The ES ``_search`` endpoint shape, whole-request: honors
     ``{"query": ..., "size": n, "from": m}`` (ES defaults size=10,
-    from=0) and dispatches ``{"aggs": ...}`` requests to
-    :func:`dsl_aggregate`. Pagination = one top-k of depth from+size,
+    from=0), dispatches ``{"aggs": ...}`` requests to
+    :func:`dsl_aggregate`, and takes ``"sort"`` (field keys asc by
+    default, ``"_score"`` desc, ``{field: "asc"|"desc"}`` /
+    ``{field: {"order": ...}}`` forms; a doc_id-ascending tiebreak is
+    appended so pages are deterministic — documented deviation from
+    ES's index-order ties). Pagination = one top-k of depth from+size,
     then an offset — the standard deep-paging trade (ES bounds it with
     index.max_result_window for the same reason; keep from shallow).
+    ``search_after`` cursors cover the DEFAULT sort only.
     """
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
@@ -971,6 +1022,20 @@ def execute_request(
     if size < 0 or frm < 0:
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
+    sort = request.get("sort")
+    if sort is not None:
+        # ES custom sort: order the qualifying set by field / _score
+        # keys (scores still computed, as ES does under track_scores)
+        if request.get("search_after") is not None:
+            raise DslError(
+                "search_after with a custom sort is not supported "
+                "(cursors cover the default _score/doc_id sort)")
+        spec = parse_query(query)
+        mf = _matched_frame(docs_df, spec, params or BM25Params())
+        if mf is None:
+            return docs_df.sparkSession.createDataFrame(
+                [], "doc_id long, score double")
+        return _sorted_hits(mf[0], "__dsl_score", sort, size, frm)
     after = request.get("search_after")
     if after is not None:
         if frm:
@@ -2206,6 +2271,31 @@ def execute_request_indexed(
     if size < 0 or frm < 0:
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
+    sort = request.get("sort")
+    if sort is not None:
+        # indexed custom sort: the anchor carries (doc_id, score) only,
+        # so field keys join in from doc_stats (the doc-values analogue)
+        if request.get("search_after") is not None:
+            raise DslError(
+                "search_after with a custom sort is not supported "
+                "(cursors cover the default _score/doc_id sort)")
+        spec = parse_query(query)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+        if n_docs == 0:
+            return empty
+        anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs,
+                                           avgdl, spec, docs_df)
+        if anchor is None:
+            return empty
+        fields = sorted({f for f, _ in _parse_sort(sort)
+                         if f != "_score"})
+        frame = anchor
+        if fields:
+            frame = anchor.join(
+                _doc_stats_union(spark, dirs).select("doc_id", *fields),
+                "doc_id")
+        return _sorted_hits(frame, "score", sort, size, frm)
     after = request.get("search_after")
     if after is not None:
         if frm:

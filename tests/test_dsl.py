@@ -1749,10 +1749,47 @@ def test_unknown_request_options_fail_loud(spark, docs, dsl_index):
                                 "_source": ["text"]})
     assert ok.count() == 3
     with pytest.raises(DslError):
-        execute_request(docs, {**base, "sort": [{"ts": "desc"}]})
+        execute_request(docs, {**base, "collapse": {"field": "role"}})
     with pytest.raises(DslError):
         execute_request_indexed(spark, dsl_index,
                                 {**base, "highlight": {}})
+
+
+def test_custom_sort_field_and_score(spark, docs, docs_pdf, dsl_index):
+    """ES `sort`: field keys (asc default) and _score (desc default),
+    paged with size/from; indexed twin joins field keys from doc_stats
+    and matches the naive executor row-for-row. search_after with a
+    custom sort is out-of-grammar."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    req = {"query": {"match": {"text": "spark"}},
+           "sort": [{"turn_idx": "desc"}, "_score"], "size": 7}
+    a = execute_request(docs, req).toPandas()
+    b = execute_request_indexed(spark, dsl_index, req,
+                                docs_df=docs).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-9)
+    # oracle: score every match, sort by (turn_idx desc, score desc,
+    # doc_id asc) — the engine's documented deterministic tiebreak
+    want = dsl_oracle(docs_pdf, {"query": req["query"]}, len(docs_pdf))
+    merged = want.merge(docs_pdf[["doc_id", "turn_idx"]], on="doc_id")
+    merged = merged.sort_values(
+        ["turn_idx", "score", "doc_id"],
+        ascending=[False, False, True], kind="mergesort").head(7)
+    assert a["doc_id"].tolist() == merged["doc_id"].tolist()
+
+    # from-offset pages through the same ordering
+    p2 = execute_request(docs, {**req, "size": 3, "from": 3}).toPandas()
+    assert p2["doc_id"].tolist() == a["doc_id"].tolist()[3:6]
+
+    with pytest.raises(DslError):
+        execute_request(docs, {**req, "search_after": [1.0, 2]})
+    with pytest.raises(DslError):
+        execute_request(docs, {"query": req["query"],
+                               "sort": [{"ts": {"order": "down"}}]})
 
 
 @settings(max_examples=15, deadline=None)
