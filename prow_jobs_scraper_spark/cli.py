@@ -117,26 +117,36 @@ def cmd_search(args) -> dict:
                 "count": int(n),
                 "latency_sec": round(time.time() - t0, 4),
             }
-        if "aggs" in qjson:  # ES _search with an aggs block — routed
-            # through the library's _search endpoint so the CLI can
-            # never diverge from execute_request_indexed's dispatch
-            from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
-                execute_request_indexed,
-            )
+        # EVERY request shape routes through the library's _search
+        # endpoint (execute_request_indexed) so the CLI can never
+        # diverge from its dispatch: sort/size/from/search_after are
+        # honored and unsupported body keys fail loud. A bare clause
+        # gets the envelope; --k supplies size only when absent.
+        from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+            execute_request_indexed,
+        )
 
-            out = execute_request_indexed(spark, dirs, qjson,
-                                          docs_df=corpus_df)
+        if "query" in qjson or any(
+                k in qjson for k in ("aggs", "size", "from",
+                                     "search_after", "sort")):
+            request = dict(qjson)
+        else:
+            request = {"query": qjson}
+        if "aggs" not in request:
+            request.setdefault("size", args.k)
+        out = execute_request_indexed(spark, dirs, request,
+                                      docs_df=corpus_df)
+        if "aggs" in request:
             return {
                 "dsl": qjson,
                 "latency_sec": round(time.time() - t0, 4),
                 "buckets": [r.asDict(recursive=True)
                             for r in out.collect()],
             }
-        rows = search_dsl_indexed(spark, dirs, qjson, args.k,
-                                  docs_df=corpus_df).collect()
+        rows = out.collect()
         return {
             "dsl": qjson,
-            "k": args.k,
+            "k": int(request["size"]),
             "latency_sec": round(time.time() - t0, 4),
             "hits": [{"doc_id": r["doc_id"], "score": r["score"]}
                      for r in rows],

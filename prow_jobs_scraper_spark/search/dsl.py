@@ -330,6 +330,8 @@ def _parse_text(kind: str, body: dict) -> TextClause:
         if unknown:
             raise DslError(
                 f"unsupported {kind} options {sorted(unknown)}")
+        if "query" not in spec or not isinstance(spec["query"], str):
+            raise DslError(f"{kind} needs query text, got {spec!r}")
         text = spec["query"]
         operator = spec.get("operator", "or")
         boost = spec.get("boost", 1.0)
@@ -852,6 +854,12 @@ def _parse_msearch(requests: list[dict]):
     for r in requests:
         if not isinstance(r, dict) or "query_id" not in r:
             raise DslError(f"bad _msearch request {r!r}")
+        unknown = set(r) - {"query_id", "query", "size"}
+        if unknown:
+            # same fail-loud rule as single _search bodies: a silently
+            # dropped sort/from would return different results than ES
+            raise DslError(
+                f"unsupported _msearch request options {sorted(unknown)}")
         qid = str(r["query_id"])
         if qid in sizes:
             raise DslError(f"duplicate query_id {qid!r}")
@@ -974,11 +982,14 @@ def _sorted_hits(frame: DataFrame, score_col: str, sort,
     """Order a qualifying-set frame by a parsed ES ``sort`` ->
     ``(doc_id, score)`` page. ES leaves ties in index order; the engine
     appends a doc_id-ascending tiebreak so pages are deterministic
-    (documented deviation)."""
+    (documented deviation). Docs MISSING a sort field go last in either
+    direction — the ES ``missing: "_last"`` default (Spark's bare
+    ``asc()`` would put NULLs first)."""
     order = []
     for fld, asc in _parse_sort(sort):
         col = F.col(score_col) if fld == "_score" else F.col(_ident(fld))
-        order.append(col.asc() if asc else col.desc())
+        order.append(col.asc_nulls_last() if asc
+                     else col.desc_nulls_last())
     order.append(F.col("doc_id").asc())
     out = (frame.orderBy(*order)
            .select("doc_id", F.col(score_col).alias("score"))
@@ -1016,6 +1027,9 @@ def execute_request(
         raise DslError("request must be a dict")
     _validate_request_keys(request)
     if "aggs" in request:
+        if "sort" in request or "search_after" in request:
+            raise DslError("aggs requests return buckets only; "
+                           "sort/search_after cannot be honored")
         return dsl_aggregate(docs_df, request, params)
     size = int(request.get("size", DEFAULT_SIZE))
     frm = int(request.get("from", 0))
@@ -2265,6 +2279,9 @@ def execute_request_indexed(
         raise DslError("request must be a dict")
     _validate_request_keys(request)
     if "aggs" in request:
+        if "sort" in request or "search_after" in request:
+            raise DslError("aggs requests return buckets only; "
+                           "sort/search_after cannot be honored")
         return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
     size = int(request.get("size", DEFAULT_SIZE))
     frm = int(request.get("from", 0))
@@ -2288,13 +2305,21 @@ def execute_request_indexed(
                                            avgdl, spec, docs_df)
         if anchor is None:
             return empty
+        # doc_id lives on the anchor itself; the indexed text field is
+        # NOT in doc_stats (only non-text columns persist) — reject it
+        # as a grammar error rather than an opaque unresolved column
         fields = sorted({f for f, _ in _parse_sort(sort)
-                         if f != "_score"})
+                         if f not in ("_score", "doc_id")})
         frame = anchor
         if fields:
-            frame = anchor.join(
-                _doc_stats_union(spark, dirs).select("doc_id", *fields),
-                "doc_id")
+            stats = _doc_stats_union(spark, dirs)
+            missing = [f for f in fields if f not in stats.columns]
+            if missing:
+                raise DslError(
+                    f"sort fields {missing} are not in doc_stats (the "
+                    f"index persists every non-text input column)")
+            frame = anchor.join(stats.select("doc_id", *fields),
+                                "doc_id")
         return _sorted_hits(frame, "score", sort, size, frm)
     after = request.get("search_after")
     if after is not None:

@@ -1792,6 +1792,55 @@ def test_custom_sort_field_and_score(spark, docs, docs_pdf, dsl_index):
                                "sort": [{"ts": {"order": "down"}}]})
 
 
+def test_sort_nulls_last_docid_and_grammar_edges(spark, docs, docs_pdf,
+                                                 dsl_index):
+    """ES missing=_last: NULL sort fields go last in either direction;
+    doc_id sorts work on the indexed path (no doc_stats join needed);
+    un-joinable sort fields, aggs+sort, msearch extras, and a
+    query-less match body all fail as DslError."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+        search_dsl_many,
+    )
+
+    # `tool` carries NULLs: ascending sort must put them LAST
+    req = {"query": {"match": {"text": "spark"}},
+           "sort": [{"tool": "asc"}], "size": 2000}
+    a = execute_request(docs, req).toPandas()
+    b = execute_request_indexed(spark, dsl_index, req,
+                                docs_df=docs).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    tool_of = docs_pdf.set_index("doc_id")["tool"]
+    vals = tool_of.loc[a["doc_id"]].tolist()
+    nulls = [i for i, v in enumerate(vals) if v is None or v != v]
+    assert nulls and nulls == list(range(len(vals) - len(nulls),
+                                         len(vals)))
+
+    # doc_id as a sort key works on BOTH paths
+    req2 = {"query": {"match": {"text": "spark"}},
+            "sort": ["doc_id"], "size": 5}
+    a2 = execute_request(docs, req2).toPandas()
+    b2 = execute_request_indexed(spark, dsl_index, req2,
+                                 docs_df=docs).toPandas()
+    assert a2["doc_id"].tolist() == b2["doc_id"].tolist()
+    assert a2["doc_id"].is_monotonic_increasing
+
+    with pytest.raises(DslError):  # text is not in doc_stats
+        execute_request_indexed(spark, dsl_index,
+                                {**req2, "sort": ["text"]})
+    with pytest.raises(DslError):  # aggs returns buckets only
+        execute_request(docs, {
+            "query": req2["query"], "sort": ["doc_id"],
+            "aggs": {"g": {"terms": {"field": "role"}}}})
+    with pytest.raises(DslError):  # msearch bodies fail loud too
+        search_dsl_many(docs, [{"query_id": "a",
+                                "query": req2["query"],
+                                "sort": ["doc_id"]}])
+    with pytest.raises(DslError):  # boost-only match body: no query
+        parse_query({"match": {"text": {"boost": 2.0}}})
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.data())
 def test_random_nested_bool_naive_matches_oracle(spark, docs, docs_pdf,
