@@ -351,6 +351,9 @@ def build_index(
     cfg = cfg or BuildConfig()
     paths = IndexPaths(out_dir)
     t0 = time.time()
+    stage_sec: dict[str, float] = {}  # wall time per build stage — the
+    # scaling bench embeds these per sample so a slow run shows WHICH
+    # stage ate the difference (doc_stats scan vs encode shuffle)
     persist_flat = cfg.persist_flat if cfg.persist_flat is not None else cfg.n_chunks > 1
 
     # ---- stage 1: doc_stats. Tokenize runs here and again for the flat
@@ -373,6 +376,8 @@ def build_index(
             )
             .write.mode("overwrite").parquet(paths.doc_stats)
         )
+
+    stage_sec["doc_stats"] = round(time.time() - t0, 3)
 
     agg = spark.read.parquet(paths.doc_stats).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -421,6 +426,9 @@ def build_index(
             .write.mode("overwrite").partitionBy("tb").parquet(paths.terms)
         )
         open(os.path.join(paths.terms, "_SUCCESS"), "a").close()
+
+    stage_sec["terms_dim"] = round(
+        time.time() - t0 - sum(stage_sec.values()), 3)
 
     # ---- stage 2: flat occurrence stream (optionally persisted, tb-pruned)
     flat = _flat_occurrences(docs, cfg)
@@ -536,6 +544,7 @@ def build_index(
         ).parquet(paths.manifest)
 
     total = time.time() - t0
+    stage_sec["encode_commit"] = round(total - sum(stage_sec.values()), 3)
     n_postings = sum(m["n_postings"] for m in metrics_rows)
     return {
         **meta,
@@ -546,6 +555,7 @@ def build_index(
         "turns_per_sec": n_docs / max(total, 1e-9),
         "postings_per_sec": n_postings / max(total, 1e-9),
         "skew_ratio_max": max((m["skew_ratio"] for m in metrics_rows), default=1.0),
+        "stage_sec": stage_sec,
     }
 
 
