@@ -112,23 +112,41 @@ def _bm25_filtered_topk(spark, sf_dir):
 
 
 def _phrase_match(spark, sf_dir):
-    """ES ``match_phrase`` shape, oracle-checked: docs containing the
-    phrase tokens ADJACENT and IN ORDER, scored by BM25 over the
-    phrase's distinct terms (corpus-global stats). Adjacency = substring
-    containment over the space-joined token array — replicated exactly
-    in the DuckDB oracle via array_to_string + position(). The
-    index-accelerated twin (search_phrase: conjunctive candidates from
-    the compressed index -> corpus adjacency re-check) is pytest-gated
-    rank-identical to this plan."""
+    """ES ``match_phrase`` shape, oracle-checked — BOTH variants in one
+    union frame, tagged by ``mode``:
+
+    - ``exact``: phrase tokens ADJACENT and IN ORDER (slop 0);
+      adjacency = substring containment over the space-joined token
+      array — replicated exactly in the DuckDB oracle via
+      array_to_string + position().
+    - ``slop2``: ES ``"slop": 2`` — the Lucene sloppy-phrase rule (an
+      assignment of positions to phrase slots with displacement range
+      <= 2; transposed terms qualify, the ES-documented example) via
+      the shared nested-exists predicate
+      (search/compressed.py sloppy_exists_expr); the DuckDB oracle
+      replays the same rule with nested list_filter lambdas.
+
+    Scoring is slop-independent (BM25 over the phrase's distinct terms,
+    corpus-global stats). The index-accelerated twins (search_phrase /
+    search_dsl_indexed, corpus re-check AND positions-sidecar paths)
+    are pytest-gated rank-identical to these plans (tests/test_dsl.py
+    sloppy-phrase entries)."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
     from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
 
     docs = _t(spark, sf_dir, "documents")
-    topk = naive_phrase_topk(docs, "table hash", 10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id", F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"),
-    )
+    exact = naive_phrase_topk(docs, "table hash", 10).select(
+        F.lit("exact").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    sloppy_q = {"query": {"match_phrase": {
+        "text": {"query": "table hash", "slop": 2}}}}
+    sloppy = search_dsl(docs, sloppy_q, 10).select(
+        F.lit("slop2").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    return exact.unionByName(sloppy)
 
 
 _BOOL_DSL_QUERY = {"query": {"bool": {
@@ -1641,8 +1659,13 @@ FROM f ORDER BY f.rrf_score DESC, doc_id LIMIT 10
 """.replace("{toks}", _TOKS)
 
 # match_phrase twin: BM25 scoring over the phrase's distinct terms
-# (identical CTE shape), gated on the exact adjacency-in-order check —
-# the same space-joined-tokens substring predicate the engine uses
+# (identical CTE shape), gated on (a) the exact adjacency-in-order
+# check — the same space-joined-tokens substring predicate the engine
+# uses — and (b) the slop-2 sloppy-phrase rule, replayed with nested
+# list_filter lambdas: positions p0 of 'table' (slot 0) and p1 of
+# 'hash' (slot 1) exist with displacement range
+# greatest(p0-0, p1-1) - least(p0-0, p1-1) <= 2 (the Lucene rule the
+# engine's sloppy_exists_expr implements)
 _PHRASE_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
@@ -1656,17 +1679,31 @@ ph AS (
   SELECT doc_id FROM toks
   WHERE position(' table hash ' IN
                  ' ' || array_to_string(t, ' ') || ' ') > 0),
+ph2 AS (
+  SELECT doc_id FROM toks
+  WHERE len(list_filter(
+          list_filter(range(1, len(t)+1), i -> t[i] = 'table'),
+          p0 -> len(list_filter(
+                  list_filter(range(1, len(t)+1), j -> t[j] = 'hash'),
+                  p1 -> greatest(p0 - 0, p1 - 1)
+                        - least(p0 - 0, p1 - 1) <= 2)) > 0)) > 0),
 sc AS (
   SELECT tf.doc_id,
          sum(ln(1+(s.n-df.df+0.5)/(df.df+0.5))
              * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score
   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
   GROUP BY 1)
-SELECT doc_id,
-       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-       round(score, 4) AS score
-FROM sc WHERE doc_id IN (SELECT doc_id FROM ph)
-ORDER BY sc.score DESC, doc_id LIMIT 10
+(SELECT 'exact' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc WHERE doc_id IN (SELECT doc_id FROM ph)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'slop2' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc WHERE doc_id IN (SELECT doc_id FROM ph2)
+ ORDER BY score DESC, doc_id LIMIT 10)
 """
 
 _FLAKINESS_SQL = """

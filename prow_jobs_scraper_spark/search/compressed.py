@@ -1159,6 +1159,61 @@ def search_topk_many(
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
 
+def sloppy_exists_expr(pos_cols: list, seq_keys: list, slop: int):
+    """Catalyst predicate: does an assignment of positions to phrase
+    slots exist within ``slop``? — the Lucene sloppy-phrase rule
+    (public: Lucene SloppyPhraseMatcher / ES ``match_phrase`` ``slop``,
+    "transposed terms have a slop of 2").
+
+    A doc matches phrase slots 0..n-1 with slop s iff positions
+    ``p_i ∈ pos_cols[i]`` exist (distinct positions for slots sharing a
+    term) such that ``max_i(p_i - i) - min_i(p_i - i) <= s`` — slop 0
+    degenerates to adjacency-in-order (all displacements equal).
+
+    ``pos_cols[i]`` = array<int> of slot i's term positions in the doc;
+    ``seq_keys[i]`` identifies the slot's term (equal keys ⇒ the
+    distinctness constraint applies). Built as NESTED ``F.exists``
+    lambdas — whole-stage-codegen, short-circuiting; worst case
+    O(Π|pos_i|) per doc, fine for human-length phrases (n ≤ ~6) and
+    documented as the trade for staying JVM-side (the alternative — a
+    per-doc priority-queue walk — would drop to a pandas UDF).
+    """
+    n = len(seq_keys)
+    if n == 1:
+        return F.size(pos_cols[0]) > 0
+
+    def build(i: int, chosen: list):
+        if i == n:
+            disp = [chosen[j] - F.lit(j) for j in range(n)]
+            cond = (F.greatest(*disp) - F.least(*disp)) <= F.lit(slop)
+            for j in range(n):
+                for kk in range(j + 1, n):
+                    if seq_keys[j] == seq_keys[kk]:
+                        cond = cond & (chosen[j] != chosen[kk])
+            return cond
+        return F.exists(pos_cols[i], lambda p: build(i + 1, chosen + [p]))
+
+    return build(0, [])
+
+
+def sloppy_tokens_expr(toks_col, ordered_terms: list[str], slop: int):
+    """:func:`sloppy_exists_expr` over a tokenized TEXT column (the
+    corpus-fallback twin of the positions-sidecar path): per-term
+    position arrays are derived in-expression —
+    ``filter(transform(toks, (x, i) -> if(x = t, i, -1)), p -> p >= 0)``
+    — then fed to the same nested-exists predicate, so both verify
+    paths share one semantics definition."""
+    pos_of = {}
+    for t in set(ordered_terms):
+        idx = F.transform(
+            toks_col,
+            (lambda tt: lambda x, i:
+             F.when(x == F.lit(tt), i).otherwise(F.lit(-1)))(t))
+        pos_of[t] = F.filter(idx, lambda p: p >= 0)
+    return sloppy_exists_expr(
+        [pos_of[t] for t in ordered_terms], ordered_terms, slop)
+
+
 def phrase_verify_from_positions(
     spark: SparkSession,
     dirs: list[str],
@@ -1166,9 +1221,12 @@ def phrase_verify_from_positions(
     cand: DataFrame,
     q_term_ids: list[int],
     tid_seq: list[int],
+    slop: int = 0,
 ) -> DataFrame:
     """doc_ids from ``cand`` where the phrase's terms appear adjacent
-    in order, proven from the positions sidecar alone (ES
+    in order (``slop=0``) or within ``slop`` position moves (ES
+    ``match_phrase`` ``slop`` — :func:`sloppy_exists_expr` semantics),
+    proven from the positions sidecar alone (ES
     ``index_options: positions``) — no corpus access.
 
     ``tid_seq`` is the phrase's term_ids in token order (duplicates
@@ -1180,9 +1238,10 @@ def phrase_verify_from_positions(
     Plan shape: bucket+term pruned parquet read → join to the (small)
     candidate set (AQE broadcasts it) → one-shuffle pivot to a per-doc
     ``map<term_id, positions>`` → a Catalyst ``exists(P_0, p -> ∀i
-    array_contains(P_i, p+i))`` predicate, fully whole-stage-codegen.
-    The read is bounded by the phrase terms' posting sizes — at 10^12
-    turns that is index I/O, not a corpus probe.
+    array_contains(P_i, p+i))`` predicate (slop 0; the sloppy variant
+    nests one exists per slot), fully whole-stage-codegen. The read is
+    bounded by the phrase terms' posting sizes — at 10^12 turns that is
+    index I/O, not a corpus probe.
     """
     pos = None
     for d, m in zip(dirs, metas):
@@ -1206,9 +1265,16 @@ def phrase_verify_from_positions(
     def _key(tid):  # map keys are bigint; small literals infer int
         return F.lit(tid).cast("long")
 
-    # exists p in P(term_0): every later token i sits at p+i —
-    # duplicate phrase tokens resolve to the same term's list, so
-    # repeats ("a b a") verify correctly.
+    if slop > 0:
+        pred = sloppy_exists_expr(
+            [F.element_at("pm", _key(tid)) for tid in tid_seq],
+            tid_seq, slop)
+        return pivoted.where(pred).select("doc_id")
+
+    # slop=0 fast path — exists p in P(term_0): every later token i
+    # sits at p+i (duplicate phrase tokens resolve to the same term's
+    # list, so repeats ("a b a") verify correctly); linear in |P_0|
+    # instead of the sloppy nest's product bound.
     def adjacent(p):
         cond = F.lit(True)
         for i, tid in enumerate(tid_seq[1:], start=1):
@@ -1229,6 +1295,7 @@ def search_phrase(
     docs_df: DataFrame | None,
     phrase_text: str,
     k: int,
+    slop: int = 0,
 ) -> DataFrame:
     """Phrase top-k (ES ``match_phrase`` shape) from the compressed
     index + adjacency verification.
@@ -1238,7 +1305,10 @@ def search_phrase(
        all phrase terms, scored, with NO top-k cut (a phrase doc may sit
        arbitrarily deep in the match ranking, so cutting early would be
        wrong);
-    2. adjacency-in-order verification, one of two exact paths:
+    2. adjacency-in-order (``slop=0``) or within-``slop`` verification
+       (ES ``match_phrase`` ``slop``, :func:`sloppy_exists_expr`
+       semantics — qualification only; scoring is slop-independent),
+       one of two exact paths:
        - ``docs_df is None`` (requires an index built with
          ``store_positions=True`` — ES ``index_options: positions`` /
          Lucene's .pos file): the positions sidecar is read pruned to
@@ -1318,17 +1388,24 @@ def search_phrase(
                 "positions sidecar")
         tid_seq = [tid_of[t] for t in phrase_terms]
         verified = phrase_verify_from_positions(
-            spark, [index_dir], [meta], cand, q_term_ids, tid_seq)
+            spark, [index_dir], [meta], cand, q_term_ids, tid_seq,
+            slop=slop)
     else:
         if "doc_id" not in docs_df.columns:
             docs_df = with_doc_ids(docs_df)
-        joined = F.concat(
-            F.lit(" "),
-            F.array_join(tokenize_column(F.col("text")), " "), F.lit(" "))
-        needle = " " + " ".join(phrase_terms) + " "
+        if slop > 0:
+            pred = sloppy_tokens_expr(
+                tokenize_column(F.col("text")), phrase_terms, slop)
+        else:
+            joined = F.concat(
+                F.lit(" "),
+                F.array_join(tokenize_column(F.col("text")), " "),
+                F.lit(" "))
+            needle = " " + " ".join(phrase_terms) + " "
+            pred = F.instr(joined, needle) > 0
         verified = (
             docs_df.join(cand.select("doc_id"), "doc_id", "left_semi")
-            .where(F.instr(joined, needle) > 0)
+            .where(pred)
             .select("doc_id")
         )
     return (

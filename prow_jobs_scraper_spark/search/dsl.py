@@ -16,7 +16,8 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                                               "operator": "and"|"or",
                                               "boost": number}}}
     match_phrase := {"match_phrase": {field: text | {"query": text,
-                                                     "boost": number}}}
+                                                     "boost": number,
+                                                     "slop": int}}}
     bool         := {"bool": {"must": clause|[clause...],
                               "filter": clause|[clause...],
                               "should": clause|[clause...],
@@ -45,7 +46,14 @@ Semantics (ES-faithful; deviations called out):
   term, ``"or"`` (the ES default) = at least one.
 - ``match_phrase`` qualifies on adjacency-in-order and scores BM25 over
   the phrase's distinct terms — the engine's documented phrase scoring
-  (:func:`..compressed.search_phrase`).
+  (:func:`..compressed.search_phrase`). ``slop`` relaxes qualification
+  to the Lucene sloppy-phrase rule (an assignment of positions to
+  phrase slots with displacement range ≤ slop — transposed terms match
+  at slop 2, the ES-documented example;
+  :func:`..compressed.sloppy_exists_expr`); scoring stays
+  slop-independent (ES weights sloppy matches by 1/(distance+1) inside
+  phrase freq — a documented deviation, same family as the
+  metadata-scores-0 rule).
 - metadata clauses (term/terms/range/exists/match_all) qualify but score
   0 wherever they appear. (ES gives a ``term`` inside ``must`` a small
   constant score; the reference only ever uses them in filter context,
@@ -140,6 +148,7 @@ class TextClause:
     operator: str = "or"  # ES `match` default
     phrase: bool = False
     boost: float = 1.0
+    slop: int = 0  # ES match_phrase slop (qualification only)
 
 
 @dataclass(frozen=True)
@@ -320,13 +329,18 @@ def _compile_meta(kind: str, body: dict) -> str:
 def _parse_text(kind: str, body: dict) -> TextClause:
     (fld, spec), = body.items()
     boost = 1.0
+    slop = 0
     if isinstance(spec, str):
         text, operator = spec, "or"
     elif isinstance(spec, dict):
         # unknown options must FAIL, not silently drop — an ignored
         # "fuzziness"/"minimum_should_match"/"analyzer" would return
         # silently-different results than the user's ES cluster
-        unknown = set(spec) - {"query", "operator", "boost"}
+        allowed = {"query", "operator", "boost"}
+        if kind == "match_phrase":
+            allowed = {"query", "boost", "slop"}  # ES: phrase takes no
+            # operator; slop is phrase-only
+        unknown = set(spec) - allowed
         if unknown:
             raise DslError(
                 f"unsupported {kind} options {sorted(unknown)}")
@@ -338,12 +352,17 @@ def _parse_text(kind: str, body: dict) -> TextClause:
         if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
                 or not boost > 0:
             raise DslError(f"boost must be a positive number, got {boost!r}")
+        slop = spec.get("slop", 0)
+        if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
+            raise DslError(
+                f"slop must be a non-negative int, got {slop!r}")
     else:
         raise DslError(f"bad {kind} body {spec!r}")
     if operator not in ("and", "or"):
         raise DslError(f"match operator {operator!r} not supported")
     return TextClause(field=fld, text=text, operator=operator,
-                      phrase=(kind == "match_phrase"), boost=float(boost))
+                      phrase=(kind == "match_phrase"), boost=float(boost),
+                      slop=int(slop))
 
 
 def _as_list(v) -> list:
@@ -711,7 +730,16 @@ def _compile_specs(
             ).cast("double")
             score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
             hits = hits + (tf > 0).cast("int")
-        if c.phrase:
+        if c.phrase and c.slop > 0:
+            # ES sloppy phrase: qualification via the shared nested-
+            # exists predicate (compressed.sloppy_exists_expr semantics);
+            # scoring stays slop-independent (module docstring)
+            from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                sloppy_tokens_expr,
+            )
+            matched = sloppy_tokens_expr(toks, tokenize_text(c.text),
+                                         c.slop)
+        elif c.phrase:
             ordered = tokenize_text(c.text)  # adjacency keeps duplicates
             needle = " " + " ".join(ordered) + " "
             hay = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
@@ -1578,18 +1606,26 @@ def _clause_frame_indexed(
 
             verified = phrase_verify_from_positions(
                 spark, dirs, metas, frame,
-                q_term_ids, [tid_of[t] for t in ordered])
+                q_term_ids, [tid_of[t] for t in ordered], slop=c.slop)
         else:
             if "doc_id" not in docs_df.columns:
                 docs_df = with_doc_ids(docs_df)
-            needle = " " + " ".join(ordered) + " "
-            hay = F.concat(
-                F.lit(" "),
-                F.array_join(tokenize_column(F.col(c.field)), " "),
-                F.lit(" "))
+            if c.slop > 0:
+                from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                    sloppy_tokens_expr,
+                )
+                pred = sloppy_tokens_expr(
+                    tokenize_column(F.col(c.field)), ordered, c.slop)
+            else:
+                needle = " " + " ".join(ordered) + " "
+                hay = F.concat(
+                    F.lit(" "),
+                    F.array_join(tokenize_column(F.col(c.field)), " "),
+                    F.lit(" "))
+                pred = F.instr(hay, needle) > 0
             verified = (
                 docs_df.join(frame.select("doc_id"), "doc_id", "left_semi")
-                .where(F.instr(hay, needle) > 0)
+                .where(pred)
                 .select("doc_id")
             )
         frame = frame.join(verified, "doc_id")

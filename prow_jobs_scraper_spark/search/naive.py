@@ -122,17 +122,23 @@ def naive_phrase_topk(
     phrase_text: str,
     k: int,
     params: BM25Params | None = None,
+    slop: int = 0,
 ) -> DataFrame:
     """Phrase match (ES ``match_phrase`` shape): top-k docs containing
-    the query tokens ADJACENT and IN ORDER, scored by BM25 over the
+    the query tokens ADJACENT and IN ORDER (``slop=0``) or within
+    ``slop`` position moves (the Lucene sloppy-phrase rule —
+    :func:`..compressed.sloppy_exists_expr`), scored by BM25 over the
     phrase's distinct terms (corpus-global stats, same formula as
     ``match`` — the engine's documented phrase-scoring semantics; it
-    does not reproduce ES's position-based phrase frequency).
+    does not reproduce ES's position-based phrase frequency, and
+    scoring is slop-independent).
 
-    Adjacency is a pure Catalyst predicate: tokens joined on single
-    spaces and wrapped in sentinels, then a substring containment —
-    exact because tokens never contain spaces. Like the match path,
-    scoring is map-side; the only exchange is the top-k merge.
+    Qualification is a pure Catalyst predicate: at slop 0, tokens
+    joined on single spaces and wrapped in sentinels, then a substring
+    containment — exact because tokens never contain spaces; at
+    slop > 0, the shared nested-exists positions predicate. Like the
+    match path, scoring is map-side; the only exchange is the top-k
+    merge.
     """
     params = params or BM25Params()
     spark = docs_df.sparkSession
@@ -175,8 +181,15 @@ def naive_phrase_topk(
                      (lambda tt: (lambda x: x == F.lit(tt)))(t))
         ).cast("double")
         score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
+    if slop > 0:
+        from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+            sloppy_tokens_expr,
+        )
+        qualifies = sloppy_tokens_expr(F.col("tokens"), phrase_terms, slop)
+    else:
+        qualifies = F.instr(joined, needle) > 0
     return (
-        base.where(F.instr(joined, needle) > 0)
+        base.where(qualifies)
         .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

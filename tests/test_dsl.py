@@ -95,7 +95,11 @@ def _clause_eval(pdf, fstats, n, clause):
         idf = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
         score += idf * tf[t] * (K1 + 1.0) / (tf[t] + denom)
         hits += (tf[t] > 0).astype(np.int64)
-    if clause.phrase:
+    if clause.phrase and getattr(clause, "slop", 0) > 0:
+        seq = tokenize_text(clause.text)
+        matched = np.array(
+            [_sloppy_match_py(lst, seq, clause.slop) for lst in toks])
+    elif clause.phrase:
         needle = " " + " ".join(tokenize_text(clause.text)) + " "
         hay = (" " + pd.Series([" ".join(x) for x in toks]) + " ")
         matched = hay.str.contains(needle, regex=False).to_numpy()
@@ -104,6 +108,27 @@ def _clause_eval(pdf, fstats, n, clause):
     else:
         matched = hits > 0
     return score * clause.boost, matched
+
+
+def _sloppy_match_py(tokens: list[str], seq: list[str], slop: int) -> bool:
+    """Brute-force Lucene sloppy-phrase rule, independent of the
+    engine: an assignment of doc positions to phrase slots exists
+    (distinct positions for repeated terms) with displacement range
+    max(p_i - i) - min(p_i - i) <= slop."""
+    from itertools import product
+    pos = {t: [i for i, x in enumerate(tokens) if x == t]
+           for t in set(seq)}
+    if any(not pos[t] for t in seq):
+        return False
+    for choice in product(*[pos[t] for t in seq]):
+        # repeated terms must occupy distinct positions
+        if any(seq[j] == seq[kk] and choice[j] == choice[kk]
+               for j in range(len(seq)) for kk in range(j + 1, len(seq))):
+            continue
+        disp = [p - j for j, p in enumerate(choice)]
+        if max(disp) - min(disp) <= slop:
+            return True
+    return False
 
 
 def _pred_mask(pdf: pd.DataFrame, pred: str) -> np.ndarray:
@@ -504,6 +529,19 @@ DSL_QUERIES = [
     ("multi-match-most-single-field", {"query": {"multi_match": {
         "query": "spark agent", "fields": ["text"],
         "type": "most_fields"}}}),
+    # ---- sloppy phrase (round 5): slop relaxes qualification to the
+    # Lucene displacement-range rule; scoring stays slop-independent
+    ("sloppy-phrase-1", {"query": {"match_phrase": {
+        "text": {"query": "the_hot_term spark", "slop": 1}}}}),
+    ("sloppy-phrase-transposed", {"query": {"match_phrase": {
+        "text": {"query": "spark the_hot_term", "slop": 2}}}}),
+    ("sloppy-phrase-in-bool", {"query": {"bool": {
+        "must": [{"match_phrase": {"text": {"query": "spark agent",
+                                            "slop": 3}}}],
+        "filter": [{"term": {"role": "assistant"}}],
+    }}}),
+    ("sloppy-phrase-repeated-term", {"query": {"match_phrase": {
+        "text": {"query": "the the", "slop": 4}}}}),
 ]
 
 
@@ -1127,6 +1165,85 @@ def test_dsl_phrase_from_positions_multi_segment(spark, docs,
         search_dsl_indexed(spark, [d1, d3], q, 10).toPandas()
 
 
+def test_sloppy_phrase_handcrafted_semantics(spark):
+    """The Lucene sloppy-phrase rule on pinned cases (ES docs:
+    'transposed terms have a slop of 2'): displacement-range
+    qualification, distinct positions for repeated terms, slop 0 ==
+    exact adjacency."""
+    rows = [
+        (0, "a b"),        # exact
+        (1, "a x b"),      # one gap -> slop 1
+        (2, "b a"),        # transposed -> slop 2
+        (3, "b x x a"),    # transposed + gaps -> slop 4
+        (4, "a"),          # missing term -> never
+        (5, "a a"),        # for the repeated-term phrase "a a"
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hits(q):
+        return sorted(search_dsl(docs, q, 100).toPandas()["doc_id"])
+
+    def phrase(text, slop):
+        return {"query": {"match_phrase": {"text": {"query": text,
+                                                    "slop": slop}}}}
+
+    assert hits(phrase("a b", 0)) == [0]
+    assert hits(phrase("a b", 1)) == [0, 1]
+    assert hits(phrase("a b", 2)) == [0, 1, 2]
+    assert hits(phrase("a b", 3)) == [0, 1, 2]
+    assert hits(phrase("a b", 4)) == [0, 1, 2, 3]
+    # repeated term needs two DISTINCT positions: doc 5 only
+    assert hits(phrase("a a", 1)) == [5]
+    assert hits(phrase("a a", 4)) == [5]
+    # brute-force oracle agrees on every case
+    for text, slop in (("a b", 0), ("a b", 1), ("a b", 2), ("a b", 4),
+                       ("a a", 1)):
+        seq = tokenize_text(text)
+        want = sorted(d for d, t in rows
+                      if _sloppy_match_py(tokenize_text(t), seq, slop))
+        assert hits(phrase(text, slop)) == want, (text, slop)
+
+
+def test_sloppy_phrase_indexed_and_positions(spark, docs, dsl_index,
+                                             tmp_path_factory):
+    """slop in the indexed executor: corpus-fallback (docs_df) AND the
+    positions sidecar (docs_df=None) must be rank+score identical to
+    the naive plan; slop widens the exact-phrase result set."""
+    q1 = {"query": {"match_phrase": {
+        "text": {"query": "the_hot_term spark", "slop": 2}}}}
+    q0 = {"query": {"match_phrase": {"text": "the_hot_term spark"}}}
+
+    want = search_dsl(docs, q1, 10).toPandas()
+    got = search_dsl_indexed(spark, dsl_index, q1, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(got, want, "slop-indexed-fallback")
+
+    d = str(tmp_path_factory.mktemp("dsl_slop_pos"))
+    build_index(spark, docs, d,
+                BuildConfig(n_ranges=8, n_buckets=4, store_positions=True))
+    gp = search_dsl_indexed(spark, d, q1, 10).toPandas()
+    _assert_rank_identical(gp, want, "slop-positions")
+
+    # slop-2 qualifiers are a superset of exact-phrase qualifiers
+    exact = set(search_dsl(docs, q0, 10_000).toPandas()["doc_id"])
+    sloppy = set(search_dsl(docs, q1, 10_000).toPandas()["doc_id"])
+    assert exact <= sloppy
+
+    # search_phrase slop param: positions and corpus paths agree
+    from prow_jobs_scraper_spark.search.compressed import search_phrase
+    a = search_phrase(spark, d, None, "the_hot_term spark", 10,
+                      slop=2).toPandas()
+    b = search_phrase(spark, d, docs, "the_hot_term spark", 10,
+                      slop=2).toPandas()
+    _assert_rank_identical(a, b, "search_phrase-slop-paths")
+    _assert_rank_identical(a, want, "search_phrase-vs-dsl")
+
+    from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
+    nv = naive_phrase_topk(docs, "the_hot_term spark", 10,
+                           slop=2).toPandas()
+    _assert_rank_identical(nv, want, "naive_phrase_topk-slop")
+
+
 def test_dsl_multi_segment_pure_filter(spark, docs, dsl_segments):
     q = {"query": {"bool": {"filter": [{"term": {"role": "tool"}}]}}}
     got = search_dsl_indexed(spark, dsl_segments, q, 10).toPandas()
@@ -1629,7 +1746,13 @@ def _leaf_clause(draw):
         return {"match": {"text": {"query": " ".join(terms),
                                    "operator": op}}}
     if kind == "match_phrase":
-        return {"match_phrase": {"text": draw(st.sampled_from(_VOCAB))}}
+        terms = draw(st.lists(st.sampled_from(_VOCAB), min_size=1,
+                              max_size=2))
+        slop = draw(st.sampled_from([0, 0, 1, 2, 4]))
+        if slop == 0 and len(terms) == 1:
+            return {"match_phrase": {"text": terms[0]}}
+        return {"match_phrase": {"text": {"query": " ".join(terms),
+                                          "slop": slop}}}
     if kind == "term":
         return {"term": {"role": draw(st.sampled_from(
             ["user", "assistant", "tool", "system"]))}}
@@ -1722,7 +1845,14 @@ def test_unknown_clause_options_fail_loud():
     for q in (
         {"match": {"text": {"query": "x", "fuzziness": "AUTO"}}},
         {"match": {"text": {"query": "x", "analyzer": "standard"}}},
-        {"match_phrase": {"text": {"query": "x", "slop": 2}}},
+        # slop is SUPPORTED since round 5; other phrase options and a
+        # malformed slop still fail loud
+        {"match_phrase": {"text": {"query": "x", "analyzer": "standard"}}},
+        {"match_phrase": {"text": {"query": "x", "zero_terms_query": "all"}}},
+        {"match_phrase": {"text": {"query": "x", "operator": "and"}}},
+        {"match_phrase": {"text": {"query": "x", "slop": -1}}},
+        {"match_phrase": {"text": {"query": "x", "slop": 1.5}}},
+        {"match": {"text": {"query": "x", "slop": 2}}},
         {"multi_match": {"query": "x", "fields": ["text"],
                          "fuzziness": 1}},
         {"dis_max": {"queries": [{"match": {"text": "x"}}],
