@@ -149,6 +149,42 @@ def _phrase_match(spark, sf_dir):
     return exact.unionByName(sloppy)
 
 
+def _query_string_topk(spark, sf_dir):
+    """ES ``query_string`` + ``simple_query_string`` (round 5),
+    oracle-checked — one union frame, tagged by ``mode``:
+
+    - ``qs``: ``key AND (agg OR hash) -"table hash"`` — explicit AND,
+      parenthesized OR group, Lucene-flat phrase negation (group-level
+      must_not). Desugars (search/query_string.py) to must=[key,
+      bool-should(agg|hash)] + must_not=[phrase] on the engine's own
+      bool grammar, so scoring = bm25(key) + matched-should
+      contributions, qualification excludes adjacent "table hash".
+    - ``sqs``: ``key +agg | hash`` (simple_query_string: ``+``=AND,
+      ``|``=OR) — should=[bool-must(key,agg), hash] with
+      minimum_should_match 1.
+
+    Both run the naive one-pass executor; the indexed twin is
+    pytest-gated rank-identical (tests/test_dsl.py query-string
+    entries)."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    qs = {"query": {"query_string": {
+        "query": 'key AND (agg OR hash) -"table hash"'}}}
+    sqs = {"query": {"simple_query_string": {
+        "query": "key +agg | hash", "fields": ["text"]}}}
+    a = search_dsl(docs, qs, 10).select(
+        F.lit("qs").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    b = search_dsl(docs, sqs, 10).select(
+        F.lit("sqs").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    return a.unionByName(b)
+
+
 _BOOL_DSL_QUERY = {"query": {"bool": {
     "must": [{"match": {"text": {"query": "key agg", "operator": "or"}}}],
     "should": [{"match": {"text": "hash"}}],
@@ -1243,7 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _bm25_topk,
         "bm25_compressed_topk": _bm25_compressed_topk,
-        "bm25_topk_or": _bm25_topk_or,
+        "query_string_topk": _query_string_topk,
         "bm25_filtered_topk": _bm25_filtered_topk,
         "phrase_match": _phrase_match,
         "bool_dsl_topk": _bool_dsl_topk,
@@ -1311,6 +1347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_paths": _url_paths,
         "customer_ids_derived": _customer_ids_derived,
         "distinct_users": _distinct_users,
+        # P11' OR-match: displaced to the tail round 5 to make room for
+        # query_string_topk — the or-operator shape stays value-checked
+        # IN-WINDOW by bool_dsl_topk (operator:or must), dismax_topk and
+        # multi_match_topk; this naive-executor row keeps its pytest +
+        # replica coverage
+        "bm25_topk_or": _bm25_topk_or,
     }
 
 
@@ -2010,10 +2052,69 @@ SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= 10
 """
 
 
+# query_string / simple_query_string twin: per-term BM25 pivot over the
+# three query terms, then the two desugared bool shapes —
+#   qs : key AND (agg OR hash) -"table hash"
+#        -> must key, must (agg|hash), must_not adjacent-phrase;
+#        score = s_key + matched should contributions
+#   sqs: key +agg | hash  ->  should [(key AND agg), hash] msm 1;
+#        score = (key&agg ? s_key+s_agg : 0) + (hash ? s_hash : 0)
+_QUERY_STRING_SQL = f"""
+WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
+tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN ('key','agg','hash') GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
+df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+             * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS sco
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'key'  THEN sco END) AS s_key,
+         max(CASE WHEN term = 'agg'  THEN sco END) AS s_agg,
+         max(CASE WHEN term = 'hash' THEN sco END) AS s_hash
+  FROM sc GROUP BY 1),
+ph AS (
+  SELECT doc_id FROM toks
+  WHERE position(' table hash ' IN
+                 ' ' || array_to_string(t, ' ') || ' ') > 0),
+qs AS (
+  SELECT doc_id,
+         s_key + coalesce(s_agg, 0) + coalesce(s_hash, 0) AS score
+  FROM piv
+  WHERE s_key IS NOT NULL
+    AND (s_agg IS NOT NULL OR s_hash IS NOT NULL)
+    AND doc_id NOT IN (SELECT doc_id FROM ph)),
+sqs AS (
+  SELECT doc_id,
+         CASE WHEN s_key IS NOT NULL AND s_agg IS NOT NULL
+              THEN s_key + s_agg ELSE 0 END
+         + coalesce(s_hash, 0) AS score
+  FROM piv
+  WHERE (s_key IS NOT NULL AND s_agg IS NOT NULL)
+     OR s_hash IS NOT NULL)
+(SELECT 'qs' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM qs ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'sqs' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sqs ORDER BY score DESC, doc_id LIMIT 10)
+""".replace("{toks}", _TOKS)
+
+
 def oracle_sql() -> dict[str, str]:
     o = {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_or": _BM25_OR_SQL,
+        "query_string_topk": _QUERY_STRING_SQL,
         "bm25_filtered_topk": _BM25_FILTERED_SQL,
         # same oracle as bm25_topk: the compressed entry must reproduce
         # the naive plan's rows exactly (build→codec→block-max scoring)

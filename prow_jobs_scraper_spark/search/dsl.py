@@ -35,6 +35,16 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                                      "type": "best_fields"|"most_fields",
                                      "operator": "and"|"or",
                                      "tie_breaker": float}}
+    query_string := {"query_string": {"query": str,
+                                      "default_field": field,
+                                      "default_operator": "and"|"or"}}
+                 |  {"simple_query_string": {"query": str,
+                                             "fields": [field],
+                                             "default_operator": ...}}
+                 -- AND/OR/NOT/- / +|- / quoted phrases (with ~N slop) /
+                 -- parens / field: overrides, desugared onto this very
+                 -- grammar (search/query_string.py); fuzzy~, wildcards,
+                 -- ranges, boosts stay fail-loud
 
 Semantics (ES-faithful; deviations called out):
 
@@ -477,6 +487,14 @@ def parse_query(q: dict) -> QuerySpec:
         else:
             spec.must_bool.append(parsed)
         return spec
+    if kind in ("query_string", "simple_query_string"):
+        # desugars onto THIS grammar (search/query_string.py), so every
+        # executor and context supports it with no new execution code
+        from prow_jobs_scraper_spark.search.query_string import (  # noqa: PLC0415
+            parse_query_string,
+        )
+        return parse_query(
+            parse_query_string(body, simple=(kind == "simple_query_string")))
     if kind != "bool":
         raise DslError(f"unsupported top-level clause {kind!r}")
 
@@ -505,6 +523,14 @@ def parse_query(q: dict) -> QuerySpec:
             (ck, cb), = c.items()
             if ck == "bool":
                 child = parse_query({"bool": cb})
+                getattr(spec, f"{ctx}_bool").append(child)
+                continue
+            if ck in ("query_string", "simple_query_string"):
+                from prow_jobs_scraper_spark.search.query_string import (  # noqa: PLC0415
+                    parse_query_string,
+                )
+                child = parse_query(parse_query_string(
+                    cb, simple=(ck == "simple_query_string")))
                 getattr(spec, f"{ctx}_bool").append(child)
                 continue
             if ck == "match_all":
@@ -1632,6 +1658,24 @@ def _clause_frame_indexed(
     return frame
 
 
+# the build tokenizes exactly one column (index/build.py
+# tokenized_docs): postings carry no field tag, so the indexed
+# executors can answer text clauses ONLY on this field. Anything else
+# must fail loud — scoring a `match` on another column against text
+# postings would silently return wrong results (caught round 5 when
+# query_string's field: override landed).
+_INDEXED_TEXT_FIELD = "text"
+
+
+def _require_indexed_field(spec: QuerySpec) -> None:
+    other = {c.field for c in spec.text_clauses()} - {_INDEXED_TEXT_FIELD}
+    if other:
+        raise DslError(
+            f"the compressed index holds the {_INDEXED_TEXT_FIELD!r} "
+            f"field only; text clauses target {sorted(other)} — use the "
+            f"naive executor (search_dsl) for non-indexed text fields")
+
+
 def _doc_stats_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
     """Union of the segments' doc_stats (each doc lives in exactly one
     segment — the ingest dedup guarantee); attribute columns may differ
@@ -1830,6 +1874,7 @@ def search_dsl_indexed(
     the single indexed text field.
     """
     spec = parse_query(query)
+    _require_indexed_field(spec)
     empty = spark.createDataFrame([], "doc_id long, score double")
     if k <= 0:
         return empty
@@ -1887,6 +1932,7 @@ def search_dsl_many_indexed(
     fallback = []    # (qid, raw query)
     all_tids: set[int] = set()
     for qid, q, spec in zip(qids, queries_raw, specs):
+        _require_indexed_field(spec)
         if sizes[qid] == 0:
             continue
         if not _prunable_for_topk(spec) or spec.filter_sql \
@@ -2075,10 +2121,7 @@ def _qualify_indexed(
     frame and combines by doc_id join (semi/anti/score-add), so nesting
     costs one extra postings-sized join per level, never a corpus scan.
     """
-    text_fields = {c.field for c in spec.text_clauses()}
-    if len(text_fields) > 1:
-        raise DslError(
-            f"index holds one text field; query targets {sorted(text_fields)}")
+    _require_indexed_field(spec)
 
     def clause_frame(c: TextClause) -> DataFrame | None:
         return _clause_frame_indexed(spark, dirs, metas, n_docs, avgdl,

@@ -542,6 +542,21 @@ DSL_QUERIES = [
     }}}),
     ("sloppy-phrase-repeated-term", {"query": {"match_phrase": {
         "text": {"query": "the the", "slop": 4}}}}),
+    # ---- query_string / simple_query_string (round 5): desugared onto
+    # the bool grammar, so the same oracle + indexed identity applies
+    ("query-string-mixed", {"query": {"query_string": {
+        "query": "the_hot_term AND (agent OR tool_call) -w00042"}}}),
+    ("query-string-phrase-slop", {"query": {"query_string": {
+        "query": '"the_hot_term spark"~1 OR w00005'}}}),
+    ("query-string-default-and", {"query": {"query_string": {
+        "query": "spark agent", "default_operator": "AND"}}}),
+    ("query-string-in-bool-filter", {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "filter": [{"query_string": {"query": "agent OR tool_call"}}],
+    }}}),
+    ("simple-query-string", {"query": {"simple_query_string": {
+        "query": 'spark + agent | "the_hot_term spark"',
+        "fields": ["text"]}}}),
 ]
 
 
@@ -1163,6 +1178,71 @@ def test_dsl_phrase_from_positions_multi_segment(spark, docs,
     build_index(spark, b, d3, BuildConfig(n_ranges=4, n_buckets=2))
     with pytest.raises(DslError, match="store_positions"):
         search_dsl_indexed(spark, [d1, d3], q, 10).toPandas()
+
+
+def test_query_string_desugar_and_validation(spark, docs, docs_pdf,
+                                             dsl_index):
+    """query_string / simple_query_string (round 5): the desugared
+    string equals the hand-written bool; field: overrides work on the
+    naive executor and FAIL LOUD on the indexed one (the compressed
+    index holds one text field — scoring a role-match against text
+    postings would be silently wrong); out-of-grammar syntax raises."""
+    from prow_jobs_scraper_spark.search.query_string import (
+        parse_query_string,
+    )
+
+    # pinned desugaring
+    got = parse_query_string({"query": "a AND b -c"})
+    assert got == {"bool": {
+        "must": [{"match": {"text": {"query": "a", "operator": "or"}}},
+                 {"match": {"text": {"query": "b", "operator": "or"}}}],
+        "must_not": [{"match": {"text": {"query": "c",
+                                         "operator": "or"}}}]}}
+    assert parse_query_string({"query": '"a b"~2'}) == {"bool": {"must": [
+        {"match_phrase": {"text": {"query": "a b", "slop": 2}}}]}}
+
+    # string form == hand-written bool, end-to-end on both executors
+    qs = {"query": {"query_string": {
+        "query": "the_hot_term AND (agent OR tool_call) -w00042"}}}
+    hand = {"query": {"bool": {
+        "must": [
+            {"match": {"text": {"query": "the_hot_term",
+                                "operator": "or"}}},
+            {"bool": {"should": [{"match": {"text": "agent"}},
+                                 {"match": {"text": "tool_call"}}],
+                      "minimum_should_match": 1}}],
+        "must_not": [{"match": {"text": "w00042"}}]}}}
+    a = search_dsl(docs, qs, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    _assert_rank_identical(a, b, "query_string==bool")
+
+    # field: override runs on the naive executor...
+    qf = {"query": {"query_string": {"query": "spark AND role:assistant"}}}
+    got = search_dsl(docs, qf, 10).toPandas()
+    want = dsl_oracle(docs_pdf, qf, 10)
+    _assert_rank_identical(got, want, "query_string-field-override")
+    # ...and fails loud on the indexed one (single indexed text field)
+    with pytest.raises(DslError, match="text clauses target"):
+        search_dsl_indexed(spark, dsl_index, qf, 10,
+                           docs_df=docs).toPandas()
+
+    # out-of-grammar syntax / options raise
+    for body, simple in (
+        ({"query": "ha*sh"}, False),
+        ({"query": "a~2"}, False),
+        ({"query": "a +b"}, False),
+        ({"query": "role:x"}, True),
+        ({"query": "(a"}, False),
+        ({"query": 'a"unbalanced'}, False),
+        ({"query": "a", "fuzziness": 1}, False),
+        ({"query": "a", "fields": ["x", "y"]}, True),
+        ({"query": "a", "fields": ["text^2"]}, False),
+        ({"query": "   "}, False),
+        ({"query": "AND a"}, False),
+    ):
+        kind = "simple_query_string" if simple else "query_string"
+        with pytest.raises(DslError):
+            parse_query({kind: body})
 
 
 def test_sloppy_phrase_handcrafted_semantics(spark):
