@@ -639,6 +639,10 @@ def _pii_scrub(spark, sf_dir):
                         F.lit(".7"))).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 7 == 0,
                F.lit(" call 555-000-1234")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" or (555) 000-9876")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" cell +1 555.222.3333")).otherwise(F.lit("")),
     ).alias("text"))
     return pii_scrub(aug).select(
         "doc_id", "n_emails", "n_urls", "n_ipv4s", "n_phones",
@@ -697,7 +701,25 @@ def _search_aggs_range(spark, sf_dir):
         F.lit(None).cast("long").alias("v_count"),
         *[F.lit(None).cast("double").alias(c)
           for c in ("v_min", "v_max", "v_avg", "v_sum")])
-    return r1.unionByName(r2)
+    # terms `missing` + `min_doc_count` (round 5): NULLs are synthesized
+    # on a doc_id residue class (the sf tables carry none), bucketed
+    # under "none", and min_doc_count 30 prunes every real source (25
+    # docs each at sf0.01) while keeping the missing bucket — both knobs
+    # discriminate
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("source")))
+    r3 = dsl_aggregate(d, {
+        "aggs": {"by_source": {"terms": {
+            "field": "source", "size": 100, "missing": "none",
+            "min_doc_count": 30}}},
+    }).select(
+        F.lit("terms_missing").alias("shape"), "key", "doc_count",
+        F.lit(None).cast("long").alias("v_count"),
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("v_min", "v_max", "v_avg", "v_sum")])
+    return r1.unionByName(r2).unionByName(r3)
 
 
 def _similarity_topk(spark, sf_dir):
@@ -1551,6 +1573,14 @@ FROM (
   HAVING count(*) > 0
   UNION ALL
   SELECT 'all', count(*) FROM events HAVING count(*) > 0) f
+UNION ALL
+SELECT 'terms_missing', t.key, t.doc_count,
+       NULL::BIGINT, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       NULL::DOUBLE
+FROM (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'none' ELSE source END AS key,
+         count(*) AS doc_count
+  FROM documents GROUP BY 1 HAVING count(*) >= 30) t
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
@@ -1569,6 +1599,8 @@ WITH aug AS (
             THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
             ELSE '' END
     || CASE WHEN doc_id % 7 = 0 THEN ' call 555-000-1234' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' or (555) 000-9876' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' cell +1 555.222.3333' ELSE '' END
       AS s0
   FROM documents),
 e AS (SELECT doc_id,
@@ -1587,9 +1619,9 @@ i AS (SELECT doc_id, n_emails, n_urls,
         regexp_replace(s2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                        '<IP>', 'g') AS s3 FROM u)
 SELECT doc_id, n_emails, n_urls, n_ipv4s,
-       len(regexp_extract_all(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b'))::INT
+       len(regexp_extract_all(s3, '(\+1[-. ]?)?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'))::INT
          AS n_phones,
-       md5(regexp_replace(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b',
+       md5(regexp_replace(s3, '(\+1[-. ]?)?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b',
                           '<PHONE>', 'g')) AS scrub_md5
 FROM i
 """

@@ -177,7 +177,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
      "<EMAIL>"),
     ("url", r"https?://[^\s]+", "<URL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    # US-style phone formats: optional +1, (NNN) or NNN area code,
+    # -/./space separators — (555) 123-4567, 555.123.4567,
+    # +1 555-123-4567, 555 123 4567. Bare 10-digit runs (5551234567)
+    # are deliberately NOT matched: numeric IDs in logs/corpora make
+    # them a false-positive trap (documented coverage boundary).
+    ("phone",
+     r"(\+1[-. ]?)?(\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
 ]
 
 

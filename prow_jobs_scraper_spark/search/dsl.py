@@ -187,6 +187,10 @@ class QuerySpec:
     filter_sql: list[str] = _field(default_factory=list)
     must_not_sql: list[str] = _field(default_factory=list)
     should_sql: list[str] = _field(default_factory=list)
+    # top-level doc_stats columns the *_sql predicates read, in clause
+    # order (captured at parse time so the indexed executors can
+    # validate them against the doc_stats schema and fail loud)
+    sql_fields: set = _field(default_factory=set)
     must_dismax: list[DisMax] = _field(default_factory=list)
     should_dismax: list[DisMax] = _field(default_factory=list)
     must_bool: list["QuerySpec"] = _field(default_factory=list)
@@ -215,6 +219,16 @@ class QuerySpec:
                           or self.filter_text or self.filter_bool
                           or self.filter_sql or self.match_all)
         return 0 if has_anchor else (1 if n_should else 0)
+
+    def all_sql_fields(self) -> set:
+        """Every doc_stats column any *_sql predicate in the TREE reads
+        (self + nested bools) — the indexed executors validate these
+        against the doc_stats schema."""
+        out = set(self.sql_fields)
+        for child in (self.must_bool + self.filter_bool + self.should_bool
+                      + self.must_not_bool):
+            out |= child.all_sql_fields()
+        return out
 
     def text_clauses(self) -> list[TextClause]:
         """Every text clause in the tree (self + nested bools +
@@ -263,8 +277,17 @@ def _ident(field: str) -> str:
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
 
-def _compile_meta(kind: str, body: dict) -> str:
-    """term/terms/range/exists -> one SQL predicate string."""
+def _meta_field(fld: str) -> str:
+    """Top-level column a meta clause reads (dotted struct access
+    resolves against its root column)."""
+    return _ident(fld).split(".")[0]
+
+
+def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
+    """term/terms/range/exists -> (SQL predicate string, the top-level
+    column it reads — the indexed executors validate it against the
+    doc_stats schema so a typo'd field raises DslError instead of an
+    opaque AnalysisException)."""
     if kind == "term":
         (fld, v), = body.items()
         if isinstance(v, dict):  # ES long form {"value": v}
@@ -272,13 +295,13 @@ def _compile_meta(kind: str, body: dict) -> str:
                 raise DslError(
                     f"unsupported term options {sorted(set(v) - {'value'})}")
             v = v["value"]
-        return f"{_ident(fld)} = {_sql_lit(v)}"
+        return f"{_ident(fld)} = {_sql_lit(v)}", _meta_field(fld)
     if kind == "terms":
         (fld, vals), = body.items()
         if not isinstance(vals, (list, tuple)) or not vals:
             raise DslError("terms clause needs a non-empty value list")
         inner = ", ".join(_sql_lit(v) for v in vals)
-        return f"{_ident(fld)} IN ({inner})"
+        return f"{_ident(fld)} IN ({inner})", _meta_field(fld)
     if kind == "range":
         (fld, ops), = body.items()
         parts = []
@@ -290,9 +313,10 @@ def _compile_meta(kind: str, body: dict) -> str:
             parts.append(f"{_ident(fld)} {_RANGE_OPS[op]} {_sql_lit(v)}")
         if not parts:
             raise DslError("range clause has no bounds")
-        return "(" + " AND ".join(parts) + ")"
+        return "(" + " AND ".join(parts) + ")", _meta_field(fld)
     if kind == "exists":
-        return f"{_ident(body['field'])} IS NOT NULL"
+        return (f"{_ident(body['field'])} IS NOT NULL",
+                _meta_field(body["field"]))
     if kind == "prefix":
         (fld, v), = body.items()
         if isinstance(v, dict):  # ES long form {"value": v}
@@ -307,7 +331,8 @@ def _compile_meta(kind: str, body: dict) -> str:
         # parse identically in Spark SQL and DuckDB, and LIKE-escape
         # rules differ between the two (Spark escapes backslash in both
         # the literal and the pattern; DuckDB in neither)
-        return f"left({_ident(fld)}, {len(v)}) = {_sql_lit(v)}"
+        return (f"left({_ident(fld)}, {len(v)}) = {_sql_lit(v)}",
+                _meta_field(fld))
     if kind == "wildcard":
         (fld, v), = body.items()
         if isinstance(v, dict):
@@ -324,7 +349,7 @@ def _compile_meta(kind: str, body: dict) -> str:
             raise DslError(
                 "wildcard values containing % _ or \\ are not supported")
         pat = v.replace("*", "%").replace("?", "_")
-        return f"{_ident(fld)} LIKE {_sql_lit(pat)}"
+        return f"{_ident(fld)} LIKE {_sql_lit(pat)}", _meta_field(fld)
     if kind == "ids":
         vals = body.get("values")
         if not isinstance(vals, (list, tuple)) or not vals \
@@ -332,7 +357,7 @@ def _compile_meta(kind: str, body: dict) -> str:
                            for x in vals):
             raise DslError("ids needs a non-empty integer values list")
         inner = ", ".join(str(int(x)) for x in vals)
-        return f"doc_id IN ({inner})"
+        return f"doc_id IN ({inner})", "doc_id"
     raise DslError(f"unsupported clause {kind!r}")
 
 
@@ -477,7 +502,9 @@ def parse_query(q: dict) -> QuerySpec:
         spec.must.append(_parse_text(kind, body))
         return spec
     if kind in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
-        spec.filter_sql.append(_compile_meta(kind, body))
+        pred, fld = _compile_meta(kind, body)
+        spec.filter_sql.append(pred)
+        spec.sql_fields.add(fld)
         return spec
     if kind in ("dis_max", "multi_match"):
         parsed = (_parse_dismax(body) if kind == "dis_max"
@@ -549,7 +576,8 @@ def parse_query(q: dict) -> QuerySpec:
                 else:
                     spec.must_not.append(tc)
             elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
-                pred = _compile_meta(ck, cb)
+                pred, fld = _compile_meta(ck, cb)
+                spec.sql_fields.add(fld)
                 if ctx in ("must", "filter"):
                     spec.filter_sql.append(pred)
                 elif ctx == "must_not":
@@ -1155,6 +1183,20 @@ _METRIC_FNS = {
 _CALENDAR_INTERVALS = {"hour", "day", "week", "month", "quarter", "year"}
 
 
+def _metric_field(kind: str, body) -> str:
+    """Validate a metric body -> its field. Unknown options FAIL — a
+    silently-ignored ``missing``/``script`` would return different
+    numbers than the user's ES cluster (the same rule clause bodies and
+    _search requests already enforce)."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"{kind} metric needs a field, got {body!r}")
+    unknown = set(body) - {"field"}
+    if unknown:
+        raise DslError(
+            f"unsupported {kind} metric options {sorted(unknown)}")
+    return _ident(body["field"])
+
+
 def _stats_exprs(name: str, field: str) -> list:
     """The ES ``stats`` metric — count/min/max/avg/sum in one pass —
     FLATTENED to five ``<name>_<stat>`` columns (ES nests them under the
@@ -1178,12 +1220,13 @@ def _metric_exprs(sub_aggs: dict) -> list:
             raise DslError(f"bad sub-aggregation {name!r}")
         (kind, body), = spec.items()
         if kind == "stats":
-            cols.extend(_stats_exprs(name, body["field"]))
+            cols.extend(_stats_exprs(name, _metric_field(kind, body)))
             continue
         if kind not in _METRIC_FNS:
             raise DslError(
                 f"sub-aggregation {kind!r} not supported (metrics only)")
-        cols.append(_METRIC_FNS[kind](_ident(body["field"])).alias(name))
+        cols.append(
+            _METRIC_FNS[kind](_metric_field(kind, body)).alias(name))
     return cols
 
 
@@ -1263,17 +1306,53 @@ def _parse_aggs_block(request: dict):
 _BUCKET_KINDS = ("terms", "date_histogram")
 
 
+def _parse_min_doc_count(body: dict) -> int:
+    """ES ``min_doc_count``: buckets below it are pruned (BEFORE the
+    size cut). Default 1. 0 would require emitting EMPTY buckets —
+    the engine's documented empty-bucket deviation says those vanish,
+    so 0 stays out-of-grammar instead of silently behaving like 1."""
+    mdc = body.get("min_doc_count", 1)
+    if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
+        raise DslError(
+            f"min_doc_count must be an int >= 1 (0 would emit empty "
+            f"buckets, which the engine's flattened output drops — "
+            f"documented deviation), got {mdc!r}")
+    return mdc
+
+
 def _bucket_key(kind: str, body: dict):
     """One bucket agg -> (key expr, size cap or None, order spec
     ``{target: "asc"|"desc"}`` with target ``_count`` / ``_key`` / a
-    metric sub-agg name)."""
+    metric sub-agg name, min_doc_count). Unknown body options FAIL
+    (ES-divergence rule: a silently-ignored ``missing``/``time_zone``
+    would return different buckets than the user's cluster)."""
     if kind == "terms":
+        unknown = set(body) - {"field", "size", "order", "min_doc_count",
+                               "missing"}
+        if unknown:
+            raise DslError(f"unsupported terms options {sorted(unknown)}")
         order = body.get("order", {"_count": "desc"})  # the ES default
         if not isinstance(order, dict) or len(order) != 1:
             raise DslError(
                 'terms order must be a single {"target": "asc"|"desc"}')
-        return (F.col(_ident(body["field"])), int(body.get("size", 10)),
-                order)
+        key = F.col(_ident(body["field"]))
+        if "missing" in body:
+            # ES terms `missing`: NULL-field docs bucket under this
+            # value instead of being dropped
+            mv = body["missing"]
+            if not isinstance(mv, (str, int, float)) \
+                    or isinstance(mv, bool):
+                raise DslError(f"missing must be a scalar, got {mv!r}")
+            key = F.coalesce(key, F.lit(mv))
+        size = body.get("size", 10)
+        if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+            raise DslError(f"terms size must be an int >= 1, got {size!r}")
+        return key, size, order, _parse_min_doc_count(body)
+    unknown = set(body) - {"field", "calendar_interval", "fixed_interval",
+                           "min_doc_count", "order"}
+    if unknown:
+        raise DslError(
+            f"unsupported date_histogram options {sorted(unknown)}")
     iv = body.get("calendar_interval")
     fx = body.get("fixed_interval")
     if (iv is None) == (fx is None):
@@ -1295,7 +1374,7 @@ def _bucket_key(kind: str, body: dict):
             F.floor(F.unix_timestamp(col) / F.lit(secs)).cast("long")
             * F.lit(secs))
     # ES date_histogram has no bucket cap by default
-    return (key, body.get("size"), {"_key": "asc"})
+    return key, body.get("size"), {"_key": "asc"}, _parse_min_doc_count(body)
 
 
 _FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
@@ -1392,6 +1471,10 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
 
     buckets: list[tuple[int, str, object]] = []  # (rank, key, cond)
     if kind == "range":
+        unknown = set(body) - {"field", "ranges"}
+        if unknown:
+            raise DslError(
+                f"unsupported range-agg options {sorted(unknown)}")
         col = F.col(_ident(body["field"]))
         ranges = body.get("ranges")
         if not isinstance(ranges, list) or not ranges:
@@ -1399,6 +1482,10 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
         for i, r in enumerate(ranges):
             if not isinstance(r, dict):
                 raise DslError(f"bad range {r!r}")
+            if set(r) - {"from", "to", "key"}:
+                raise DslError(
+                    f"unsupported range-bucket options "
+                    f"{sorted(set(r) - {'from', 'to', 'key'})}")
             frm, to = r.get("from"), r.get("to")
             if frm is None and to is None:
                 raise DslError("range bucket needs from and/or to")
@@ -1410,6 +1497,10 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             key = r.get("key") or f"{_es_bound(frm)}-{_es_bound(to)}"
             buckets.append((i, key, cond))
     else:  # filters
+        unknown = set(body) - {"filters"}
+        if unknown:
+            raise DslError(
+                f"unsupported filters-agg options {sorted(unknown)}")
         named = body.get("filters")
         if not isinstance(named, dict) or not named:
             raise DslError("filters aggregation needs named filters")
@@ -1420,7 +1511,7 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             if ck == "match_all":
                 cond = F.lit(True)
             elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
-                cond = F.coalesce(F.expr(_compile_meta(ck, cb)),
+                cond = F.coalesce(F.expr(_compile_meta(ck, cb)[0]),
                                   F.lit(False))
             else:
                 raise DslError(
@@ -1466,16 +1557,16 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     over bucket-cardinality rows; no second corpus scan."""
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
-            _METRIC_FNS[kind](_ident(body["field"])).alias(agg_name))
+            _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))
     if kind == "stats" and not sub:
-        return frame.agg(*_stats_exprs(agg_name, body["field"]))
+        return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
     if kind in ("range", "filters"):
         return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")
 
     metrics_spec, sub_bucket = _split_sub(sub)
-    pkey, psize, porder_spec = _bucket_key(kind, body)
+    pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
     # metric order targets resolve against THIS level's metrics — in
     # nested mode the parent has none (metrics live at the leaf), so a
     # parent metric order is out-of-grammar by construction
@@ -1488,8 +1579,10 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
             frame.groupBy(pkey.alias("key"))
             .agg(F.count(F.lit(1)).alias("doc_count"),
                  *_metric_exprs(metrics_spec))
-            .orderBy(*porder)
         )
+        if pmdc > 1:  # ES: prune BEFORE ordering + the size cut
+            out = out.where(F.col("doc_count") >= pmdc)
+        out = out.orderBy(*porder)
         return out.limit(int(psize)) if psize is not None else out
 
     if metrics_spec:
@@ -1499,7 +1592,7 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     smetrics, deeper = _split_sub(ssub)
     if deeper is not None:
         raise DslError("only one nested bucket level is supported")
-    ckey, csize, corder_spec = _bucket_key(skind, sbody)
+    ckey, csize, corder_spec, cmdc = _bucket_key(skind, sbody)
     corder = _bucket_order(corder_spec, "sub_doc_count", "sub_key",
                            _metric_out_names(smetrics))
 
@@ -1516,6 +1609,12 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         "doc_count",
         F.sum("sub_doc_count").over(Window.partitionBy("key")))
     cells = cells.where(F.col("sub_key").isNotNull())
+    # min_doc_count prunes BEFORE the size cuts (ES): parent on the
+    # parent's total, child on the cell count
+    if pmdc > 1:
+        cells = cells.where(F.col("doc_count") >= pmdc)
+    if cmdc > 1:
+        cells = cells.where(F.col("sub_doc_count") >= cmdc)
     if psize is not None:
         # parent-size cut via dense_rank over the AGGREGATED cells —
         # (doc_count desc, key) totally orders parents, so the rank is
@@ -1674,6 +1773,27 @@ def _require_indexed_field(spec: QuerySpec) -> None:
             f"the compressed index holds the {_INDEXED_TEXT_FIELD!r} "
             f"field only; text clauses target {sorted(other)} — use the "
             f"naive executor (search_dsl) for non-indexed text fields")
+
+
+def _validate_sql_fields(spark: SparkSession, dirs: list[str],
+                         spec: QuerySpec) -> None:
+    """Metadata predicates resolve against doc_stats — a clause naming
+    a column no segment persisted would surface as an opaque Spark
+    AnalysisException mid-plan; raise a friendly DslError instead (the
+    same check the _search sort path applies to sort fields). A column
+    present in ANY segment is fine: the union reads it as NULL
+    elsewhere (allowMissingColumns)."""
+    wanted = spec.all_sql_fields() - {"doc_id"}
+    if not wanted:
+        return
+    have: set = set()
+    for d in dirs:
+        have.update(spark.read.parquet(IndexPaths(d).doc_stats).columns)
+    missing = sorted(wanted - have)
+    if missing:
+        raise DslError(
+            f"metadata clauses reference field(s) {missing} not present "
+            f"in any segment's doc_stats (available: {sorted(have)})")
 
 
 def _doc_stats_union(spark: SparkSession, dirs: list[str]) -> DataFrame:
@@ -1879,6 +1999,7 @@ def search_dsl_indexed(
     if k <= 0:
         return empty
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    _validate_sql_fields(spark, dirs, spec)
     if n_docs == 0:
         return empty
 
@@ -1924,6 +2045,8 @@ def search_dsl_many_indexed(
     out_schema = "query_id string, doc_id long, score double"
     empty = spark.createDataFrame([], out_schema)
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    for sp in specs:
+        _validate_sql_fields(spark, dirs, sp)
     if n_docs == 0:
         return empty
     k1, b = float(metas[0]["k1"]), float(metas[0]["b"])
@@ -2329,6 +2452,7 @@ def dsl_aggregate_indexed(
     agg_name, kind, body, sub = _parse_aggs_block(request)
     spec = parse_query(request.get("query", {"match_all": {}}))
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    _validate_sql_fields(spark, dirs, spec)
     stats = _doc_stats_union(spark, dirs)
     if n_docs == 0:
         return _apply_agg(stats.where(F.lit(False)),
@@ -2438,6 +2562,7 @@ def scan_dsl_indexed(
     """
     spec = parse_query(query)
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+    _validate_sql_fields(spark, dirs, spec)
     stats = _doc_stats_union(spark, dirs)
     if n_docs == 0:
         return stats.where(F.lit(False))

@@ -742,6 +742,73 @@ def test_terms_agg_with_metric(spark, docs, docs_pdf):
     np.testing.assert_allclose(got["avg_turn"], want["avg_turn"], rtol=1e-12)
 
 
+def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
+                                             dsl_index):
+    """ES terms `missing` buckets NULL-field docs under the given value;
+    `min_doc_count` prunes buckets BEFORE the size cut; min_doc_count 0
+    (empty buckets) and unknown agg options fail loud. Both executors."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"by_tool": {"terms": {
+        "field": "tool", "size": 100, "missing": "N/A"}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = (docs_pdf.assign(tool=docs_pdf["tool"].fillna("N/A"))
+            .groupby("tool").size().reset_index(name="n")
+            .sort_values(["n", "tool"], ascending=[False, True]))
+    assert got["key"].tolist() == want["tool"].tolist()
+    assert got["doc_count"].tolist() == want["n"].tolist()
+    assert "N/A" in got["key"].tolist()  # NULL tools bucketed
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    assert gi["key"].tolist() == got["key"].tolist()
+    assert gi["doc_count"].tolist() == got["doc_count"].tolist()
+
+    # min_doc_count prunes small buckets (before the size cut)
+    cut = int(want["n"].median())
+    req2 = {"aggs": {"by_tool": {"terms": {
+        "field": "tool", "size": 100, "min_doc_count": cut}}}}
+    got2 = dsl_aggregate(docs, req2).toPandas()
+    want2 = (docs_pdf.dropna(subset=["tool"]).groupby("tool").size()
+             .reset_index(name="n"))
+    want2 = want2[want2["n"] >= cut].sort_values(
+        ["n", "tool"], ascending=[False, True])
+    assert got2["key"].tolist() == want2["tool"].tolist()
+    assert got2["doc_count"].tolist() == want2["n"].tolist()
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    assert gi2["key"].tolist() == got2["key"].tolist()
+
+    # nested: child min_doc_count prunes cells
+    req3 = {"aggs": {"by_role": {"terms": {"field": "role", "size": 10},
+                     "aggs": {"by_tool": {"terms": {
+                         "field": "tool", "size": 100,
+                         "min_doc_count": 2}}}}}}
+    got3 = dsl_aggregate(docs, req3).toPandas()
+    assert (got3["sub_doc_count"] >= 2).all()
+
+    # fail-loud: min_doc_count 0, unknown options, bad metric options
+    for bad in (
+        {"aggs": {"a": {"terms": {"field": "tool", "min_doc_count": 0}}}},
+        {"aggs": {"a": {"terms": {"field": "tool", "shard_size": 50}}}},
+        {"aggs": {"a": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week",
+            "time_zone": "America/New_York"}}}},
+        {"aggs": {"a": {"terms": {"field": "role"},
+                        "aggs": {"m": {"avg": {"field": "turn_idx",
+                                               "missing": 0}}}}}},
+        {"aggs": {"a": {"stats": {"field": "turn_idx", "missing": 0}}}},
+        {"aggs": {"a": {"range": {"field": "turn_idx", "keyed": True,
+                                  "ranges": [{"to": 5}]}}}},
+        {"aggs": {"a": {"range": {"field": "turn_idx",
+                                  "ranges": [{"to": 5, "frm": 1}]}}}},
+        {"aggs": {"a": {"filters": {"other_bucket": True, "filters": {
+            "x": {"match_all": {}}}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, bad)
+
+
 def test_stats_metric_bare_and_in_bucket(spark, docs, docs_pdf):
     """ES `stats` metric: one pass -> count/min/max/avg/sum, flattened
     to <name>_<stat> columns; bare and inside a terms bucket."""
@@ -1243,6 +1310,53 @@ def test_query_string_desugar_and_validation(spark, docs, docs_pdf,
         kind = "simple_query_string" if simple else "query_string"
         with pytest.raises(DslError):
             parse_query({kind: body})
+
+
+def test_indexed_meta_fields_validated_against_doc_stats(spark, docs,
+                                                         dsl_index):
+    """A metadata clause naming a column no segment persisted raises a
+    friendly DslError naming the field (ADVICE r4) instead of an opaque
+    AnalysisException — in every indexed entry point and context
+    (filter, should, must_not, nested), and in the aggs/scan twins."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        count_dsl_indexed,
+        dsl_aggregate_indexed,
+        scan_dsl_indexed,
+        search_dsl_many_indexed,
+    )
+
+    base_must = [{"match": {"text": "spark"}}]
+    shapes = [
+        {"bool": {"must": base_must,
+                  "filter": [{"term": {"nope_col": "x"}}]}},
+        {"bool": {"must": base_must,
+                  "should": [{"range": {"ghost": {"gte": 1}}}],
+                  "minimum_should_match": 0}},
+        {"bool": {"must": base_must,
+                  "must_not": [{"exists": {"field": "missing_col"}}]}},
+        {"bool": {"must": [{"bool": {
+            "filter": [{"prefix": {"typo_field": "a"}}]}}]}},
+    ]
+    for q in shapes:
+        with pytest.raises(DslError, match="doc_stats"):
+            search_dsl_indexed(spark, dsl_index, {"query": q}, 5,
+                               docs_df=docs).toPandas()
+    q = {"query": shapes[0]}
+    with pytest.raises(DslError, match="nope_col"):
+        scan_dsl_indexed(spark, dsl_index, q).toPandas()
+    with pytest.raises(DslError, match="nope_col"):
+        count_dsl_indexed(spark, dsl_index, q).toPandas()
+    with pytest.raises(DslError, match="nope_col"):
+        dsl_aggregate_indexed(spark, dsl_index, {
+            **q, "aggs": {"a": {"terms": {"field": "role"}}}}).toPandas()
+    with pytest.raises(DslError, match="nope_col"):
+        search_dsl_many_indexed(spark, dsl_index, [
+            {"query_id": "a", "query": q["query"], "size": 3}]).toPandas()
+    # dotted access validates the ROOT column; a valid field still works
+    ok = {"query": {"bool": {"must": base_must,
+                             "filter": [{"term": {"role": "user"}}]}}}
+    assert search_dsl_indexed(spark, dsl_index, ok, 5,
+                              docs_df=docs).count() >= 0
 
 
 def test_sloppy_phrase_handcrafted_semantics(spark):

@@ -53,19 +53,26 @@ def test_pii_scrub_matches_duckdb(spark):
     import pandas as pd
 
     pdf = pd.DataFrame({
-        "doc_id": [0, 1, 2, 3, 4],
+        "doc_id": [0, 1, 2, 3, 4, 5, 6],
         "text": [
             "write bob@x.co or visit https://a.b/c?d=1 now",
             "server 10.0.0.1 and 255.1.2.3, call 555-123-4567",
             "mail a.b+c@my-host.org via http://10.1.1.1/path x",
             "",
             None,
+            # round-5 phone formats: parens / dots / +1; bare 10-digit
+            # stays unmatched (documented false-positive boundary)
+            "call (555) 123-4567 or +1 555.987.6543 maybe 555 111 2222",
+            "ticket 5551234567 stays, but 555-123-4567 masks",
         ],
     })
     got = (Q.pii_scrub(spark.createDataFrame(pdf))
            .orderBy("doc_id").toPandas())
     assert got.loc[2, "n_emails"] == 1 and got.loc[2, "n_urls"] == 1
     assert got.loc[2, "n_ipv4s"] == 0  # the IP is inside the URL mask
+    assert got.loc[5, "n_phones"] == 3  # (NNN) / +1 dots / spaces
+    assert got.loc[6, "n_phones"] == 1  # bare 10-digit run unmatched
+    assert "5551234567" in got.loc[6, "text_scrubbed"]
     con = duckdb.connect()
     con.register("t", pdf)
     sql = "SELECT doc_id, coalesce(text, '') AS s FROM t"
