@@ -1205,19 +1205,61 @@ def _lsh_ann_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    """Multimodal plumbing, oracle-checked: media rows derived from the
-    documents table (payload = UTF-8 text bytes) run through the real
-    binary-column mapInPandas decode/feature path; the emitted byte
-    counts and kinds are reproducible in SQL (octet_length(encode(..)))
-    so the driver value-checks the Arrow batch path end to end."""
+    """Multimodal plumbing, oracle-checked. Image/video rows derive from
+    the documents table (payload = UTF-8 text bytes) and value-check the
+    Arrow binary path by byte count (octet_length(encode(..)) in SQL).
+    Audio rows (round 5) carry REAL RIFF/WAVE PCM16 payloads — a
+    deterministic integer signal derived from doc_id, containerized by
+    encode_wav — decoded for real by the strict path
+    (operators/multimodal.py decode_wav / audio_feature_vector), so the
+    driver value-checks true duration/RMS/peak. Every arithmetic step
+    (integer sums of squares < 2^53, divisions by powers of two, one
+    rounded division + sqrt, final float32 quantization) is
+    order-independent IEEE, so the DuckDB twin reproduces the doubles
+    bit-exactly from the closed form."""
     from prow_jobs_scraper_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
         extract_features,
         media_from_docs,
     )
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return extract_features(media_from_docs(d)).select(
-        "media_id", "kind", "n_bytes")
+    media = media_from_docs(d)
+    nulls = [F.lit(None).cast("double").alias(c)
+             for c in ("dur_sec", "rms", "peak")]
+    base = extract_features(media.where(F.col("kind") != "audio")).select(
+        "media_id", "kind", "n_bytes", *nulls)
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 160 + mid % 160          # Python % is nonnegative,
+                a = mid % 251 + 2            # matching the oracle's
+                c = mid % 97                 # ((x % m) + m) % m
+                k = np.arange(n, dtype=np.int64)
+                s = ((a * k + c) % 20001 - 10000).astype(np.int16)
+                rows.append((mid, "audio",
+                             bytearray(encode_wav(s, 16000)),
+                             {"width": 0, "height": 0,
+                              "sample_rate": 16000, "n_frames": 1}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"])
+
+    audio_media = (media.where(F.col("kind") == "audio")
+                   .select("media_id", "kind", "payload", "meta")
+                   .mapInPandas(gen, schema=MEDIA_SCHEMA))
+    audio = extract_features(
+        audio_media, deterministic_fake=False).select(
+        "media_id", "kind", "n_bytes",
+        F.element_at("feat", 1).cast("double").alias("dur_sec"),
+        F.element_at("feat", 2).cast("double").alias("rms"),
+        F.element_at("feat", 3).cast("double").alias("peak"))
+    return base.unionByName(audio)
 
 
 def _bm25_compressed_topk(spark, sf_dir):
@@ -2276,13 +2318,40 @@ WHERE rn = 1
         "minhash_candidates": _jaccard_sql(0.5, shingle_n=3),
         "simhash_pairs": _SIMHASH_SQL,
         "doc_fingerprints": _FINGERPRINT_SQL,
+        # image/video rows: byte-count check on the text payload; audio
+        # rows: REAL WAV decode replayed closed-form — n samples of
+        # ((a*k + c) % 20001) - 10000 give integer sum-of-squares
+        # (exact in float64 in any order), so duration/RMS/peak match
+        # the engine's float32 features bit-exactly after the REAL cast
         "media_features": """
             SELECT doc_id AS media_id,
                    CASE ((doc_id % 3) + 3) % 3
-                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                        ELSE 'video' END AS kind,
-                   octet_length(encode(text)) AS n_bytes
-            FROM documents
+                        WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   NULL::DOUBLE AS dur_sec, NULL::DOUBLE AS rms,
+                   NULL::DOUBLE AS peak
+            FROM documents WHERE ((doc_id % 3) + 3) % 3 <> 1
+            UNION ALL
+            SELECT media_id, 'audio' AS kind, 44 + 2 * n AS n_bytes,
+                   CAST(CAST(n / 16000.0 AS REAL) AS DOUBLE) AS dur_sec,
+                   CAST(CAST(sqrt((ss / n::DOUBLE)) / 32768.0 AS REAL)
+                        AS DOUBLE) AS rms,
+                   CAST(CAST(mx / 32768.0 AS REAL) AS DOUBLE) AS peak
+            FROM (
+              SELECT media_id, any_value(n) AS n,
+                     sum(s * s) AS ss, max(abs(s)) AS mx
+              FROM (
+                SELECT media_id, n, ((a * k + c) % 20001) - 10000 AS s
+                FROM (
+                  SELECT doc_id AS media_id,
+                         160 + ((doc_id % 160) + 160) % 160 AS n,
+                         ((doc_id % 251) + 251) % 251 + 2 AS a,
+                         ((doc_id % 97) + 97) % 97 AS c,
+                         unnest(range(0,
+                           160 + ((doc_id % 160) + 160) % 160)) AS k
+                  FROM documents
+                  WHERE ((doc_id % 3) + 3) % 3 = 1))
+              GROUP BY media_id)
         """,
         "token_counts": f"""
             SELECT doc_id,

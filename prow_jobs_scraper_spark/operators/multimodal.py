@@ -6,15 +6,22 @@ Decode boundary, by format:
 - **netpbm (P6 RGB / P5 gray)** — REAL decode, pure numpy
   (:func:`decode_ppm`): the public netpbm spec needs no codec library,
   so these payloads produce true pixel tensors end-to-end.
-- **JPEG/PNG/audio codecs** — the libraries are not present in this
-  container, so that decode is STUBBED: :func:`_decode_image_stub`
-  raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
+- **RIFF/WAVE integer PCM (8/16-bit)** — REAL decode, pure numpy
+  (:func:`decode_wav`, round 5): the WAVE container is a public
+  fixed-layout spec (chunk walk + ``np.frombuffer``), so audio
+  payloads produce true sample tensors and real features (duration,
+  RMS, peak, ZCR — :func:`audio_feature_vector`).
+- **JPEG/PNG / compressed audio codecs (MP3, AAC, IEEE-float WAVE,
+  ADPCM)** — the libraries are not present in this container, so that
+  decode is STUBBED: :func:`_decode_image_stub` raises
+  ``NotImplementedError`` unless ``deterministic_fake=True``, in
   which case it derives a deterministic fake pixel tensor from the
   bytes (the Spark-side pipeline — schema, partitioning, UDF signature,
   Arrow batch shape — is identical either way and tested end-to-end).
 
 :func:`decode_image` dispatches by magic bytes: netpbm decodes for
-real, anything else hits the stub boundary.
+real, anything else hits the stub boundary; :func:`extract_features`
+additionally routes ``RIFF`` payloads through the real WAV path.
 
 Schema contract:
 
@@ -98,6 +105,93 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return img
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
+               n_channels: int = 1) -> bytes:
+    """int16 PCM samples -> canonical RIFF/WAVE bytes (44-byte header +
+    data chunk), per the public WAVE spec. Pure numpy — test/synth
+    helper and the round-trip twin of :func:`decode_wav`. Interleaved
+    input for multi-channel (frame-major)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    import struct  # noqa: PLC0415
+    byte_rate = sample_rate * n_channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels,
+                                   sample_rate, byte_rate,
+                                   n_channels * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy decoder for RIFF/WAVE PCM (the public fixed-layout
+    spec — no codec library needed): walks the chunk list, requires
+    ``fmt `` audio_format 1 (integer PCM) with 8- or 16-bit samples,
+    returns ``(float64 samples in [-1, 1] shaped (n_frames, n_channels),
+    sample_rate)``. Compressed WAVE variants (IEEE float, ADPCM, ...)
+    raise — the same fail-loud boundary as the other codecs."""
+    import struct  # noqa: PLC0415
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(
+            f"only integer PCM 8/16-bit WAVE is supported (public "
+            f"fixed-layout spec); got format={audio_format} bits={bits}")
+    if bits == 16:
+        usable = len(data) - (len(data) % (2 * n_channels))
+        s = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+        s /= 32768.0
+    else:  # 8-bit WAVE is UNSIGNED per spec
+        usable = len(data) - (len(data) % n_channels)
+        s = np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64)
+        s = (s - 128.0) / 128.0
+    return s.reshape(-1, n_channels), sample_rate
+
+
+def audio_feature_vector(payload: bytes, feat_dim: int = 8) -> np.ndarray:
+    """REAL audio features from a RIFF/WAVE payload: duration (sec),
+    RMS, peak, zero-crossing rate, mean, std, min, max — float32,
+    truncated/padded to ``feat_dim`` (the same vector-shape contract as
+    the image path, so both modalities ride one FEATURE_SCHEMA)."""
+    s, sr = decode_wav(payload)
+    mono = s.mean(axis=1)
+    nf = len(mono)
+    if nf == 0:
+        v = np.zeros(8)
+    else:
+        zcr = (float(np.count_nonzero(np.signbit(mono[1:])
+                                      != np.signbit(mono[:-1])))
+               / max(nf - 1, 1))
+        v = np.array([
+            nf / sr,
+            float(np.sqrt(np.mean(mono ** 2))),
+            float(np.max(np.abs(mono))),
+            zcr,
+            float(mono.mean()), float(mono.std()),
+            float(mono.min()), float(mono.max()),
+        ])
+    out = np.zeros(feat_dim, dtype=np.float32)
+    out[:min(feat_dim, len(v))] = v[:feat_dim].astype(np.float32)
+    return out
+
+
 def decode_image(payload: bytes, width: int, height: int,
                  deterministic_fake: bool = False) -> np.ndarray:
     """Decode dispatch: netpbm payloads (magic P6/P5) decode for REAL
@@ -134,13 +228,21 @@ def extract_features(media: DataFrame, deterministic_fake: bool = True,
                      feat_dim: int = 8) -> DataFrame:
     """Decode + feature-extract per media row (mapInPandas, Arrow batches).
 
-    The 'feature' is channel-wise mean/std pooling of the (fake-)decoded
+    Dispatch by magic bytes: ``RIFF`` payloads take the REAL WAV path
+    (:func:`audio_feature_vector` — duration/RMS/peak/ZCR from true
+    PCM samples); everything else takes the image path, where the
+    'feature' is channel-wise mean/std pooling of the (fake-)decoded
     tensor — the real model call slots into the same batch loop."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":
+                    feats.append(
+                        audio_feature_vector(payload, feat_dim).tolist())
+                    continue
                 w = int(meta["width"] or 4)
                 h = int(meta["height"] or 4)
                 img = decode_image(payload, w, h, deterministic_fake)
@@ -259,6 +361,15 @@ def synth_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             # REAL binary PPM payload: the image path decodes true pixels
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_ppm(px)
+        elif kind == "audio":
+            # REAL RIFF/WAVE PCM16 payload: the audio path decodes true
+            # samples (sine + noise, deterministic per rng state)
+            nf = int(rng.integers(160, 800))
+            t = np.arange(nf) / 16000.0
+            sig = (0.5 * np.sin(2 * np.pi * 440.0 * t)
+                   + 0.1 * rng.standard_normal(nf))
+            payload = encode_wav(
+                np.clip(sig * 32767, -32768, 32767).astype(np.int16))
         else:
             payload = rng.bytes(64 + int(rng.integers(0, 64)))
         rows.append((
