@@ -722,6 +722,46 @@ def _search_aggs_range(spark, sf_dir):
     return r1.unionByName(r2).unionByName(r3)
 
 
+def _search_aggs_metrics(spark, sf_dir):
+    """Round-5 aggs surface in one oracle-checked union frame, all over
+    a query window expressed in ES DATE MATH (``2024-01-08||/w`` /
+    ``+1w/w`` — resolved at compile time to portable literals,
+    search/dsl.py _resolve_date_math):
+
+    - ``histogram`` buckets (interval 50, ``min_doc_count`` 2 — prunes
+      real buckets at sf0.01) — shape='histogram';
+    - ``percentiles`` (EXACT interpolated, flattened then unpivoted;
+      ES is TDigest-approximate — documented deviation) —
+      shape='percentile', DuckDB twin = quantile_cont;
+    - ``cardinality`` (EXACT distinct count; ES is HLL-approximate) —
+      shape='cardinality', DuckDB twin = count(DISTINCT ..).
+    """
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    q = {"query": {"range": {"ts": {"gte": "2024-01-08||/w",
+                                    "lt": "2024-01-20||+1w/w"}}}}
+    nd = F.lit(None).cast("double")
+    h = dsl_aggregate(ev, {**q, "aggs": {"h": {"histogram": {
+        "field": "value", "interval": 50, "min_doc_count": 2}}}}).select(
+        F.lit("histogram").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        "doc_count", nd.alias("val"))
+    p = dsl_aggregate(ev, {**q, "aggs": {"v": {"percentiles": {
+        "field": "value", "percents": [25, 50, 75, 95]}}}}).select(
+        F.expr("stack(4, 'p25', v_p25, 'p50', v_p50, 'p75', v_p75, "
+               "'p95', v_p95) AS (key, val)")).select(
+        F.lit("percentile").alias("shape"), "key",
+        F.lit(None).cast("long").alias("doc_count"),
+        F.round("val", 6).alias("val"))
+    c = dsl_aggregate(ev, {**q, "aggs": {"u": {"cardinality": {
+        "field": "user_id"}}}}).select(
+        F.lit("cardinality").alias("shape"),
+        F.lit("user_id").alias("key"),
+        F.col("u").cast("long").alias("doc_count"), nd.alias("val"))
+    return h.unionByName(p).unionByName(c)
+
+
 def _similarity_topk(spark, sf_dir):
     from prow_jobs_scraper_spark.operators.similarity import brute_force_topk
 
@@ -1357,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_aggs_weekly": _search_aggs_weekly,
         "search_aggs_indexed": _search_aggs_indexed,
         "search_aggs_range": _search_aggs_range,
+        "search_aggs_metrics": _search_aggs_metrics,
         "doc_fingerprints": _doc_fingerprints,
         "pricing_summary": _pricing_summary,
         "top_failing_users": _top_failing_users,
@@ -1378,7 +1419,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _language_id,
         "pii_scrub": _pii_scrub,
         "span_dedup": _span_dedup,
-        "similarity_topk": _similarity_topk,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
         "enrich_orders": _enrich_orders,
         "first_match_enrich": _first_match_enrich,
@@ -1411,6 +1451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_paths": _url_paths,
         "customer_ids_derived": _customer_ids_derived,
         "distinct_users": _distinct_users,
+        # ANN brute-force cosine baseline: displaced to the tail round 5
+        # to make room for search_aggs_metrics — the ANN component stays
+        # value-checked IN-WINDOW by lsh_ann_topk / ivf_ann_topk /
+        # ivfpq_ann_topk / embedding_dedup_pairs / hybrid_rrf_topk
+        "similarity_topk": _similarity_topk,
         # P11' OR-match: displaced to the tail round 5 to make room for
         # query_string_topk — the or-operator shape stays value-checked
         # IN-WINDOW by bool_dsl_topk (operator:or must), dismax_topk and
@@ -1623,6 +1668,34 @@ FROM (
   SELECT CASE WHEN doc_id % 5 = 0 THEN 'none' ELSE source END AS key,
          count(*) AS doc_count
   FROM documents GROUP BY 1 HAVING count(*) >= 30) t
+"""
+
+# histogram / percentiles / cardinality twin of _search_aggs_metrics —
+# the date-math window resolves to [2024-01-08, 2024-01-22) (Mondays;
+# /w truncation, +1w then /w), percentiles replay as quantile_cont
+# (both engines compute exact linear interpolation; round(6) absorbs
+# last-ulp interpolation-order differences), cardinality as
+# count(DISTINCT ..)
+_AGGS_METRICS_SQL = """
+WITH w AS (
+  SELECT * FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-22 00:00:00')
+SELECT 'histogram' AS shape,
+       CAST(floor(value / 50.0) * 50.0 AS VARCHAR) AS key,
+       count(*) AS doc_count, NULL::DOUBLE AS val
+FROM w GROUP BY 2 HAVING count(*) >= 2
+UNION ALL
+SELECT 'percentile', k, NULL::BIGINT, round(v, 6)
+FROM (
+  SELECT unnest(['p25', 'p50', 'p75', 'p95']) AS k,
+         unnest([quantile_cont(value, 0.25), quantile_cont(value, 0.50),
+                 quantile_cont(value, 0.75), quantile_cont(value, 0.95)])
+           AS v
+  FROM w)
+UNION ALL
+SELECT 'cardinality', 'user_id', count(DISTINCT user_id), NULL::DOUBLE
+FROM w
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
@@ -2399,6 +2472,7 @@ WHERE rn = 1
         "pii_scrub": _PII_SCRUB_SQL,
         "span_dedup": _SPAN_DEDUP_SQL,
         "search_aggs_range": _AGGS_RANGE_SQL,
+        "search_aggs_metrics": _AGGS_METRICS_SQL,
         "enrich_orders": """
             SELECT o_orderkey, c_name, c_mktsegment,
                    round(o_totalprice, 2) AS totalprice

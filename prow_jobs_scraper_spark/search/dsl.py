@@ -25,6 +25,10 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                               "minimum_should_match": int}}
     meta         := {"term": {field: value}} | {"terms": {field: [value...]}}
                  |  {"range": {field: {"gte"|"gt"|"lte"|"lt": value, ...}}}
+                 --  range values take ES date math: "<iso>||<math>" or
+                 --  "now<math>" with +N/-N of y M w d h H m s and /unit
+                 --  rounding (down for gte/lt, up for gt/lte — the ES
+                 --  range rule), resolved at compile time to a literal
                  |  {"exists": {"field": field}}
                  |  {"prefix": {field: str | {"value": str}}}
                  |  {"wildcard": {field: pattern}}   -- * and ? only
@@ -276,6 +280,92 @@ def _ident(field: str) -> str:
 
 _RANGE_OPS = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
 
+# ---- ES date math in range values (round 5) --------------------------
+# `"gte": "2025-06-01||+1w/d"` and `"lt": "now-6h"` resolve at
+# query-COMPILE time into a plain TIMESTAMP literal, so the predicate
+# string stays engine-portable (Spark SQL == DuckDB) and pushdown-able.
+# ES resolves `now` at shard-query time — compile time is the same
+# moment for an immediately-executed DataFrame plan (documented).
+# Tests freeze `now` by monkeypatching _NOW_FN.
+
+_NOW_FN = _dt.datetime.utcnow  # engine session TZ is pinned UTC
+
+_DATE_MATH_OP = _re.compile(r"([+-])(\d+)([yMwdhHms])|/([yMwdhHms])")
+_UNIT_DELTAS = {"w": _dt.timedelta(weeks=1), "d": _dt.timedelta(days=1),
+                "h": _dt.timedelta(hours=1), "H": _dt.timedelta(hours=1),
+                "m": _dt.timedelta(minutes=1),
+                "s": _dt.timedelta(seconds=1)}
+
+
+def _add_months(t: _dt.datetime, n: int) -> _dt.datetime:
+    import calendar  # noqa: PLC0415
+    y, m = divmod(t.year * 12 + (t.month - 1) + n, 12)
+    day = min(t.day, calendar.monthrange(y, m + 1)[1])  # ES clamps
+    return t.replace(year=y, month=m + 1, day=day)
+
+
+def _trunc_unit(t: _dt.datetime, u: str) -> _dt.datetime:
+    if u == "y":
+        return t.replace(month=1, day=1, hour=0, minute=0, second=0,
+                         microsecond=0)
+    if u == "M":
+        return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if u == "w":  # ES date-math weeks start Monday
+        d = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        return d - _dt.timedelta(days=d.weekday())
+    if u == "d":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if u in ("h", "H"):
+        return t.replace(minute=0, second=0, microsecond=0)
+    if u == "m":
+        return t.replace(second=0, microsecond=0)
+    return t.replace(microsecond=0)
+
+
+def _bump_unit(t: _dt.datetime, u: str, n: int) -> _dt.datetime:
+    if u == "y":
+        return _add_months(t, 12 * n)
+    if u == "M":
+        return _add_months(t, n)
+    return t + n * _UNIT_DELTAS[u]
+
+
+def _resolve_date_math(v, range_op: str):
+    """``"<anchor>||<math>"`` / ``"now<math>"`` -> datetime literal, or
+    the value unchanged when it isn't date math. ES rounding rule for
+    ``/unit`` in range context: ``gte``/``lt`` round DOWN (start of the
+    unit), ``gt``/``lte`` round UP (end of the unit — ES's last
+    millisecond; the engine's timestamps are second-resolution, so end
+    = start of the next unit minus 1 s, a documented deviation).
+    Malformed math fails loud."""
+    if not isinstance(v, str):
+        return v
+    if v.startswith("now"):
+        anchor, expr = _NOW_FN().replace(microsecond=0), v[3:]
+    elif "||" in v:
+        a, expr = v.split("||", 1)
+        try:
+            anchor = _dt.datetime.fromisoformat(a)
+        except ValueError:
+            raise DslError(f"bad date-math anchor {a!r}") from None
+    else:
+        return v  # plain value — compare as-is
+    pos, t = 0, anchor
+    while pos < len(expr):
+        m = _DATE_MATH_OP.match(expr, pos)
+        if not m:
+            raise DslError(f"bad date math {v!r} at {expr[pos:]!r}")
+        if m.group(4):  # /unit — direction depends on the comparison
+            u = m.group(4)
+            t = _trunc_unit(t, u)
+            if range_op in ("gt", "lte"):
+                t = _bump_unit(t, u, 1) - _dt.timedelta(seconds=1)
+        else:
+            sign = 1 if m.group(1) == "+" else -1
+            t = _bump_unit(t, m.group(3), sign * int(m.group(2)))
+        pos = m.end()
+    return t
+
 
 def _meta_field(fld: str) -> str:
     """Top-level column a meta clause reads (dotted struct access
@@ -310,6 +400,7 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
                 continue
             if op not in _RANGE_OPS:
                 raise DslError(f"range operator {op!r} not supported")
+            v = _resolve_date_math(v, op)
             parts.append(f"{_ident(fld)} {_RANGE_OPS[op]} {_sql_lit(v)}")
         if not parts:
             raise DslError("range clause has no bounds")
@@ -1024,10 +1115,49 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 
 # _search body keys the engine honors, plus keys that are SAFE to
 # ignore (they shape response metadata/payload we don't emit, never the
-# result VALUES). Anything else — highlight, collapse, rescore,
-# min_score... — would silently change results and must fail loud.
-_REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort"}
+# result VALUES). Anything else — highlight, rescore, min_score... —
+# would silently change results and must fail loud.
+_REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
+                 "collapse"}
 _REQUEST_NOOP_KEYS = {"track_total_hits", "_source"}
+
+
+def _parse_collapse(request: dict) -> str | None:
+    """ES ``collapse``: ``{"field": f}`` -> the collapse field, or None.
+    ``inner_hits``/``max_concurrent_group_searches`` stay out-of-grammar
+    (they shape a response payload the engine doesn't emit)."""
+    c = request.get("collapse")
+    if c is None:
+        return None
+    if not isinstance(c, dict) or "field" not in c:
+        raise DslError("collapse needs {'field': <name>}")
+    unknown = set(c) - {"field"}
+    if unknown:
+        raise DslError(f"unsupported collapse options {sorted(unknown)}")
+    return _ident(c["field"])
+
+
+def _apply_collapse(frame: DataFrame, field: str, score_col: str,
+                    sort) -> DataFrame:
+    """Keep the TOP hit per collapse-key according to the request sort
+    (default: _score desc), doc_id-ascending tiebreak — the ES field
+    collapse rule. NULL keys collapse into one group (ES expects a
+    single-valued keyword/numeric field; the engine's documented NULL
+    rule). One window shuffle keyed by the collapse field — at 10^12
+    turns that is the same shape as the engine's keep-first dedup."""
+    if sort is None:
+        order = [F.col(score_col).desc(), F.col("doc_id").asc()]
+    else:
+        order = []
+        for fld, asc in _parse_sort(sort):
+            col = (F.col(score_col) if fld == "_score"
+                   else F.col(_ident(fld)))
+            order.append(col.asc_nulls_last() if asc
+                         else col.desc_nulls_last())
+        order.append(F.col("doc_id").asc())
+    w = Window.partitionBy(F.col(field)).orderBy(*order)
+    return (frame.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") == 1).drop("__cr"))
 
 
 def _parse_sort(sort) -> list[tuple[str, bool]]:
@@ -1108,11 +1238,15 @@ def execute_request(
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
     _validate_request_keys(request)
+    collapse = _parse_collapse(request)
     if "aggs" in request:
-        if "sort" in request or "search_after" in request:
+        if "sort" in request or "search_after" in request \
+                or collapse is not None:
             raise DslError("aggs requests return buckets only; "
-                           "sort/search_after cannot be honored")
+                           "sort/search_after/collapse cannot be honored")
         return dsl_aggregate(docs_df, request, params)
+    if collapse is not None and request.get("search_after") is not None:
+        raise DslError("collapse with search_after is not supported")
     size = int(request.get("size", DEFAULT_SIZE))
     frm = int(request.get("from", 0))
     if size < 0 or frm < 0:
@@ -1131,7 +1265,22 @@ def execute_request(
         if mf is None:
             return docs_df.sparkSession.createDataFrame(
                 [], "doc_id long, score double")
-        return _sorted_hits(mf[0], "__dsl_score", sort, size, frm)
+        frame = mf[0]
+        if collapse is not None:
+            frame = _apply_collapse(frame, collapse, "__dsl_score", sort)
+        return _sorted_hits(frame, "__dsl_score", sort, size, frm)
+    if collapse is not None:
+        spec = parse_query(query)
+        mf = _matched_frame(docs_df, spec, params or BM25Params())
+        if mf is None:
+            return docs_df.sparkSession.createDataFrame(
+                [], "doc_id long, score double")
+        frame = _apply_collapse(mf[0], collapse, "__dsl_score", None)
+        out = (frame.select("doc_id",
+                            F.col("__dsl_score").alias("score"))
+               .orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(frm + size))
+        return out.offset(frm) if frm else out
     after = request.get("search_after")
     if after is not None:
         if frm:
@@ -1179,6 +1328,12 @@ def _search_after_pred(scored: bool, after):
 _METRIC_FNS = {
     "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
     "value_count": F.count,
+    # ES `cardinality` is HLL-APPROXIMATE (precision_threshold); the
+    # engine computes the EXACT distinct count — a documented deviation
+    # in the user's favor (Catalyst's partial-aggregated countDistinct
+    # scales fine, and exactness is what the DuckDB oracle can check).
+    # precision_threshold is accordingly rejected as an unknown option.
+    "cardinality": F.countDistinct,
 }
 _CALENDAR_INTERVALS = {"hour", "day", "week", "month", "quarter", "year"}
 
@@ -1212,6 +1367,47 @@ def _stats_exprs(name: str, field: str) -> list:
     ]
 
 
+# the ES default percents list (percentiles agg docs)
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _percents_of(body) -> list[float]:
+    """Validated ``percents`` list of a percentiles body."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"percentiles metric needs a field, got {body!r}")
+    unknown = set(body) - {"field", "percents"}
+    if unknown:
+        raise DslError(
+            f"unsupported percentiles options {sorted(unknown)}")
+    ps = body.get("percents", list(_DEFAULT_PERCENTS))
+    if not isinstance(ps, list) or not ps or any(
+            isinstance(p, bool) or not isinstance(p, (int, float))
+            or not 0 < p < 100 for p in ps):
+        raise DslError(
+            f"percents must be numbers strictly between 0 and 100, "
+            f"got {ps!r}")
+    return [float(p) for p in ps]
+
+
+def _pct_label(p: float) -> str:
+    return ("%g" % p).replace(".", "_")
+
+
+def _percentile_exprs(name: str, body: dict) -> list:
+    """ES ``percentiles`` — FLATTENED to ``<name>_p<pct>`` columns
+    (97.5 -> ``_p97_5``), same flattening rule as ``stats``. ES computes
+    TDigest APPROXIMATIONS; the engine computes EXACT
+    linear-interpolated percentiles (Catalyst ``percentile``) — the
+    same exactness deviation as ``cardinality``, and what the DuckDB
+    oracle (``quantile_cont``) can check."""
+    ps = _percents_of(body)
+    f = F.col(_ident(body["field"]))
+    return [
+        F.percentile(f, F.lit(p / 100.0)).alias(f"{name}_p{_pct_label(p)}")
+        for p in ps
+    ]
+
+
 def _metric_exprs(sub_aggs: dict) -> list:
     """{name: {"avg": {"field": f}}, ...} -> aliased agg columns."""
     cols = []
@@ -1221,6 +1417,9 @@ def _metric_exprs(sub_aggs: dict) -> list:
         (kind, body), = spec.items()
         if kind == "stats":
             cols.extend(_stats_exprs(name, _metric_field(kind, body)))
+            continue
+        if kind == "percentiles":
+            cols.extend(_percentile_exprs(name, body))
             continue
         if kind not in _METRIC_FNS:
             raise DslError(
@@ -1256,10 +1455,20 @@ def dsl_aggregate(
       (week is ISO/Monday-based, matching ES). ``fixed_interval``
       (``"30m"``, ``"12h"``, ``"7d"`` — s/m/h/d units) buckets on exact
       epoch-anchored multiples instead, exactly one of the two.
-    - a bare metric ``{"avg"|"sum"|"min"|"max"|"value_count":
+    - a bare metric ``{"avg"|"sum"|"min"|"max"|"value_count"|"cardinality":
       {"field": f}}`` -> one row, one column named after the agg; the
       ``stats`` metric -> one row, five ``<name>_<stat>`` columns
-      (count/min/max/avg/sum).
+      (count/min/max/avg/sum); ``percentiles`` -> ``<name>_p<pct>``
+      columns (EXACT interpolated — ES is TDigest-approximate;
+      ``cardinality`` is likewise exact where ES is HLL-approximate —
+      both documented deviations in the user's favor).
+    - ``{"histogram": {"field": f, "interval": n, "offset": o?}}`` ->
+      (key, doc_count [, sub metrics]) with key =
+      floor((v - o)/n)*n + o, ascending; ``min_doc_count``/``missing``
+      on terms, ``min_doc_count`` on histogram/date_histogram (>= 1;
+      0 would emit empty buckets, which the flattened output drops).
+      Docs missing a bucket field are dropped (ES), never a NULL
+      bucket.
     - ``{"range": {"field": f, "ranges": [{"from": a, "to": b,
       "key": k?}, ...]}}`` -> (key, doc_count [, sub metrics]) in range
       definition order; from inclusive / to exclusive, open ends
@@ -1303,7 +1512,7 @@ def _parse_aggs_block(request: dict):
     return agg_name, kinds[0], agg_spec[kinds[0]], sub
 
 
-_BUCKET_KINDS = ("terms", "date_histogram")
+_BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 
 
 def _parse_min_doc_count(body: dict) -> int:
@@ -1326,6 +1535,8 @@ def _bucket_key(kind: str, body: dict):
     metric sub-agg name, min_doc_count). Unknown body options FAIL
     (ES-divergence rule: a silently-ignored ``missing``/``time_zone``
     would return different buckets than the user's cluster)."""
+    if kind == "histogram":
+        return _histogram_key(body)
     if kind == "terms":
         unknown = set(body) - {"field", "size", "order", "min_doc_count",
                                "missing"}
@@ -1375,6 +1586,27 @@ def _bucket_key(kind: str, body: dict):
             * F.lit(secs))
     # ES date_histogram has no bucket cap by default
     return key, body.get("size"), {"_key": "asc"}, _parse_min_doc_count(body)
+
+
+def _histogram_key(body: dict):
+    """ES numeric ``histogram``: key = floor((v - offset) / interval) *
+    interval + offset, key-ascending, no bucket cap. Empty buckets in
+    gaps vanish (the documented empty-bucket deviation —
+    min_doc_count 0 stays out-of-grammar)."""
+    unknown = set(body) - {"field", "interval", "offset", "min_doc_count"}
+    if unknown:
+        raise DslError(
+            f"unsupported histogram options {sorted(unknown)}")
+    iv = body.get("interval")
+    if isinstance(iv, bool) or not isinstance(iv, (int, float)) or iv <= 0:
+        raise DslError(f"histogram interval must be > 0, got {iv!r}")
+    off = body.get("offset", 0)
+    if isinstance(off, bool) or not isinstance(off, (int, float)):
+        raise DslError(f"histogram offset must be a number, got {off!r}")
+    col = F.col(_ident(body["field"])).cast("double")
+    key = (F.floor((col - F.lit(float(off))) / F.lit(float(iv)))
+           * F.lit(float(iv)) + F.lit(float(off)))
+    return key, None, {"_key": "asc"}, _parse_min_doc_count(body)
 
 
 _FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
@@ -1438,10 +1670,13 @@ def _metric_out_names(sub_aggs: dict) -> list[str]:
     flattens to five ``<name>_<stat>`` columns)."""
     names: list[str] = []
     for name, spec in sub_aggs.items():
-        (kind, _), = spec.items()
+        (kind, body), = spec.items()
         if kind == "stats":
             names.extend(f"{name}_{s}"
                          for s in ("count", "min", "max", "avg", "sum"))
+        elif kind == "percentiles":
+            names.extend(f"{name}_p{_pct_label(p)}"
+                         for p in _percents_of(body))
         else:
             names.append(name)
     return names
@@ -1560,6 +1795,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
             _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))
     if kind == "stats" and not sub:
         return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
+    if kind == "percentiles" and not sub:
+        return frame.agg(*_percentile_exprs(agg_name, body))
     if kind in ("range", "filters"):
         return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:
@@ -1575,8 +1812,12 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         _metric_out_names(metrics_spec) if sub_bucket is None else [])
 
     if sub_bucket is None:
+        # ES drops docs missing the bucket field (a `missing` option has
+        # already coalesced NULLs away when given); Spark's groupBy
+        # would otherwise emit a NULL-key bucket ES never returns
         out = (
-            frame.groupBy(pkey.alias("key"))
+            frame.where(pkey.isNotNull())
+            .groupBy(pkey.alias("key"))
             .agg(F.count(F.lit(1)).alias("doc_count"),
                  *_metric_exprs(metrics_spec))
         )
@@ -2481,20 +2722,25 @@ def execute_request_indexed(
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
     _validate_request_keys(request)
+    collapse = _parse_collapse(request)
     if "aggs" in request:
-        if "sort" in request or "search_after" in request:
+        if "sort" in request or "search_after" in request \
+                or collapse is not None:
             raise DslError("aggs requests return buckets only; "
-                           "sort/search_after cannot be honored")
+                           "sort/search_after/collapse cannot be honored")
         return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
+    if collapse is not None and request.get("search_after") is not None:
+        raise DslError("collapse with search_after is not supported")
     size = int(request.get("size", DEFAULT_SIZE))
     frm = int(request.get("from", 0))
     if size < 0 or frm < 0:
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
     sort = request.get("sort")
-    if sort is not None:
-        # indexed custom sort: the anchor carries (doc_id, score) only,
-        # so field keys join in from doc_stats (the doc-values analogue)
+    if sort is not None or collapse is not None:
+        # indexed custom sort / collapse: the anchor carries (doc_id,
+        # score) only, so field keys join in from doc_stats (the
+        # doc-values analogue)
         if request.get("search_after") is not None:
             raise DslError(
                 "search_after with a custom sort is not supported "
@@ -2511,19 +2757,31 @@ def execute_request_indexed(
         # doc_id lives on the anchor itself; the indexed text field is
         # NOT in doc_stats (only non-text columns persist) — reject it
         # as a grammar error rather than an opaque unresolved column
-        fields = sorted({f for f, _ in _parse_sort(sort)
-                         if f not in ("_score", "doc_id")})
+        fields = sorted(
+            {f for f, _ in _parse_sort(sort)
+             if f not in ("_score", "doc_id")} if sort is not None
+            else set())
+        if collapse is not None and collapse != "doc_id":
+            fields = sorted(set(fields) | {collapse})
         frame = anchor
         if fields:
             stats = _doc_stats_union(spark, dirs)
             missing = [f for f in fields if f not in stats.columns]
             if missing:
                 raise DslError(
-                    f"sort fields {missing} are not in doc_stats (the "
-                    f"index persists every non-text input column)")
+                    f"sort/collapse fields {missing} are not in "
+                    f"doc_stats (the index persists every non-text "
+                    f"input column)")
             frame = anchor.join(stats.select("doc_id", *fields),
                                 "doc_id")
-        return _sorted_hits(frame, "score", sort, size, frm)
+        if collapse is not None:
+            frame = _apply_collapse(frame, collapse, "score", sort)
+        if sort is not None:
+            return _sorted_hits(frame, "score", sort, size, frm)
+        out = (frame.select("doc_id", "score")
+               .orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(frm + size))
+        return out.offset(frm) if frm else out
     after = request.get("search_after")
     if after is not None:
         if frm:

@@ -809,6 +809,114 @@ def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
             dsl_aggregate(docs, bad)
 
 
+def test_histogram_percentiles_and_null_buckets(spark, docs, docs_pdf,
+                                                dsl_index):
+    """Round-5 aggs: numeric `histogram` (floor((v-offset)/interval)*
+    interval+offset, key-ascending), `percentiles` (EXACT interpolated
+    — documented deviation from ES TDigest, flattened <name>_p<pct>),
+    and the ES null rule: docs missing the bucket field are DROPPED —
+    no NULL-key bucket (Spark's groupBy would otherwise emit one)."""
+    import numpy as np
+
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    # histogram on turn_idx, interval 7, offset 2
+    req = {"aggs": {"h": {"histogram": {
+        "field": "turn_idx", "interval": 7, "offset": 2}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    ti = docs_pdf["turn_idx"].astype(float)
+    want = (np.floor((ti - 2) / 7) * 7 + 2).value_counts().sort_index()
+    assert got["key"].tolist() == want.index.tolist()
+    assert got["doc_count"].tolist() == want.tolist()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    assert gi["key"].tolist() == got["key"].tolist()
+
+    # histogram with a metric leaf + min_doc_count
+    got2 = dsl_aggregate(docs, {"aggs": {"h": {
+        "histogram": {"field": "turn_idx", "interval": 10,
+                      "min_doc_count": 5},
+        "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}).toPandas()
+    assert (got2["doc_count"] >= 5).all()
+    assert (got2["m"] >= got2["key"]).all()
+
+    # percentiles: bare and inside a terms bucket, exact vs numpy
+    got3 = dsl_aggregate(docs, {"aggs": {"ti": {"percentiles": {
+        "field": "turn_idx", "percents": [25, 50, 97.5]}}}}).toPandas()
+    assert list(got3.columns) == ["ti_p25", "ti_p50", "ti_p97_5"]
+    for col, p in (("ti_p25", 25), ("ti_p50", 50), ("ti_p97_5", 97.5)):
+        np.testing.assert_allclose(
+            got3[col][0], np.percentile(ti, p), rtol=1e-12)
+    got4 = dsl_aggregate(docs, {"aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10},
+        "aggs": {"ti": {"percentiles": {"field": "turn_idx",
+                                        "percents": [50]}}}}}}).toPandas()
+    for _, row in got4.iterrows():
+        sel = docs_pdf[docs_pdf["role"] == row["key"]]["turn_idx"]
+        np.testing.assert_allclose(row["ti_p50"], np.percentile(sel, 50),
+                                   rtol=1e-12)
+
+    # ES null rule: terms on the NULL-bearing tool column emits no
+    # NULL-key bucket (and the indexed twin agrees)
+    req5 = {"aggs": {"t": {"terms": {"field": "tool", "size": 100}}}}
+    got5 = dsl_aggregate(docs, req5).toPandas()
+    assert got5["key"].notna().all()
+    assert got5["doc_count"].sum() == docs_pdf["tool"].notna().sum()
+    gi5 = dsl_aggregate_indexed(spark, dsl_index, req5).toPandas()
+    assert gi5["key"].tolist() == got5["key"].tolist()
+
+    for bad in (
+        {"aggs": {"h": {"histogram": {"field": "turn_idx"}}}},
+        {"aggs": {"h": {"histogram": {"field": "turn_idx",
+                                      "interval": 0}}}},
+        {"aggs": {"h": {"histogram": {"field": "turn_idx", "interval": 5,
+                                      "hard_bounds": {}}}}},
+        {"aggs": {"p": {"percentiles": {"field": "turn_idx",
+                                        "percents": []}}}},
+        {"aggs": {"p": {"percentiles": {"field": "turn_idx",
+                                        "percents": [0]}}}},
+        {"aggs": {"p": {"percentiles": {"field": "turn_idx",
+                                        "tdigest": {}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, bad)
+
+
+def test_cardinality_metric(spark, docs, docs_pdf, dsl_index):
+    """ES `cardinality` (round 5): the engine computes the EXACT
+    distinct count (ES is HLL-approximate — documented deviation);
+    bare, inside a terms bucket, and on the indexed twin;
+    precision_threshold fails loud like every unknown option."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    got = dsl_aggregate(docs, {
+        "aggs": {"n_convs": {"cardinality": {"field": "conv_id"}}},
+    }).toPandas()
+    assert int(got["n_convs"][0]) == docs_pdf["conv_id"].nunique()
+
+    req = {"aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10},
+        "aggs": {"n_convs": {"cardinality": {"field": "conv_id"}}}}}}
+    got2 = dsl_aggregate(docs, req).toPandas()
+    want = (docs_pdf.groupby("role")
+            .agg(doc_count=("role", "size"),
+                 n_convs=("conv_id", "nunique")).reset_index()
+            .sort_values(["doc_count", "role"], ascending=[False, True]))
+    assert got2["key"].tolist() == want["role"].tolist()
+    assert got2["n_convs"].tolist() == want["n_convs"].tolist()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    assert gi["n_convs"].tolist() == got2["n_convs"].tolist()
+
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"aggs": {"n": {"cardinality": {
+            "field": "conv_id", "precision_threshold": 100}}}})
+
+
 def test_stats_metric_bare_and_in_bucket(spark, docs, docs_pdf):
     """ES `stats` metric: one pass -> count/min/max/avg/sum, flattened
     to <name>_<stat> columns; bare and inside a terms bucket."""
@@ -1310,6 +1418,66 @@ def test_query_string_desugar_and_validation(spark, docs, docs_pdf,
         kind = "simple_query_string" if simple else "query_string"
         with pytest.raises(DslError):
             parse_query({kind: body})
+
+
+def test_range_date_math(spark, docs, docs_pdf, dsl_index):
+    """ES date math in range values (round 5): anchored form
+    `<iso>||<math>` and `now<math>` resolve at compile time to plain
+    timestamp literals (engine-portable, pushdown-able); /unit rounds
+    DOWN for gte/lt and UP for gt/lte (the ES range rule; engine
+    rounds to second resolution). Malformed math fails loud."""
+    import datetime as dt
+
+    from prow_jobs_scraper_spark.search import dsl as dsl_mod
+    from prow_jobs_scraper_spark.search.dsl import _resolve_date_math
+
+    # pinned resolution semantics
+    assert _resolve_date_math("2025-06-01||+1w", "gte") == \
+        dt.datetime(2025, 6, 8)
+    assert _resolve_date_math("2025-06-15||/M", "gte") == \
+        dt.datetime(2025, 6, 1)
+    assert _resolve_date_math("2025-06-15||/M", "lte") == \
+        dt.datetime(2025, 6, 30, 23, 59, 59)
+    assert _resolve_date_math("2025-06-11||/w", "lt") == \
+        dt.datetime(2025, 6, 9)  # Monday
+    assert _resolve_date_math("2025-01-31||+1M", "gte") == \
+        dt.datetime(2025, 2, 28)  # ES clamps month-end
+    assert _resolve_date_math("2025-06-10T12:34:56||-90m/h", "gt") == \
+        dt.datetime(2025, 6, 10, 11, 59, 59)
+    assert _resolve_date_math(42, "gte") == 42  # non-strings untouched
+    assert _resolve_date_math("2025-06-01", "gte") == "2025-06-01"
+
+    # `now` resolves through the injectable clock
+    old = dsl_mod._NOW_FN
+    dsl_mod._NOW_FN = lambda: dt.datetime(2025, 6, 10, 12, 0, 0)
+    try:
+        assert _resolve_date_math("now-1d/d", "gte") == \
+            dt.datetime(2025, 6, 9)
+        # end-to-end: now-anchored window == the explicit window, on
+        # both executors and vs the oracle
+        qm = {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"range": {"ts": {"gte": "now-7d/d",
+                                         "lt": "now/d"}}}]}}}
+        qe = {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"range": {"ts": {
+                "gte": "2025-06-03", "lt": "2025-06-10"}}}]}}}
+        a = search_dsl(docs, qm, 10).toPandas()
+        b = search_dsl(docs, qe, 10).toPandas()
+        _assert_rank_identical(a, b, "date-math==explicit")
+        want = dsl_oracle(docs_pdf, qm, 10)
+        _assert_rank_identical(a, want, "date-math-vs-oracle")
+        gi = search_dsl_indexed(spark, dsl_index, qm, 10,
+                                docs_df=docs).toPandas()
+        _assert_rank_identical(gi, want, "date-math-indexed")
+    finally:
+        dsl_mod._NOW_FN = old
+
+    for bad in ("2025-06-01||+1x", "2025-06-01||1d", "nowish",
+                "not-a-date||/d", "2025-06-01||/q", "now-1d extra"):
+        with pytest.raises(DslError):
+            parse_query({"range": {"ts": {"gte": bad}}})
 
 
 def test_indexed_meta_fields_validated_against_doc_stats(spark, docs,
@@ -2114,6 +2282,77 @@ def test_custom_sort_field_and_score(spark, docs, docs_pdf, dsl_index):
     with pytest.raises(DslError):
         execute_request(docs, {"query": req["query"],
                                "sort": [{"ts": {"order": "down"}}]})
+
+
+def test_collapse_field(spark, docs, docs_pdf, dsl_index):
+    """ES `collapse` (round 5): top hit per collapse-key by the request
+    sort (default _score desc, doc_id tiebreak), then size/from; NULL
+    keys form one group (documented); indexed twin joins the collapse
+    field from doc_stats; inner_hits / collapse+search_after /
+    collapse+aggs fail loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    req = {"query": {"match": {"text": "spark"}},
+           "collapse": {"field": "role"}, "size": 10}
+    a = execute_request(docs, req).toPandas()
+    b = execute_request_indexed(spark, dsl_index, req,
+                                docs_df=docs).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-9)
+    # oracle: best-scoring doc per role, ordered by score desc
+    want = dsl_oracle(docs_pdf, {"query": req["query"]}, len(docs_pdf))
+    merged = want.merge(docs_pdf[["doc_id", "role"]], on="doc_id")
+    merged = merged.sort_values(["score", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+    top = merged.groupby("role", dropna=False).head(1).sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    assert a["doc_id"].tolist() == top["doc_id"].tolist()
+    assert len(a) == docs_pdf[
+        docs_pdf["doc_id"].isin(want["doc_id"])]["role"].nunique()
+
+    # collapse under a custom sort keeps the sort's best per group
+    req2 = {"query": {"match": {"text": "spark"}},
+            "collapse": {"field": "role"},
+            "sort": [{"turn_idx": "asc"}], "size": 10}
+    a2 = execute_request(docs, req2).toPandas()
+    b2 = execute_request_indexed(spark, dsl_index, req2,
+                                 docs_df=docs).toPandas()
+    assert a2["doc_id"].tolist() == b2["doc_id"].tolist()
+    m2 = want.merge(docs_pdf[["doc_id", "role", "turn_idx"]], on="doc_id")
+    m2 = m2.sort_values(["turn_idx", "doc_id"], kind="mergesort")
+    top2 = m2.groupby("role", dropna=False).head(1).sort_values(
+        ["turn_idx", "doc_id"])
+    assert a2["doc_id"].tolist() == top2["doc_id"].tolist()
+
+    # NULL collapse keys form one group (tool carries NULLs)
+    req3 = {"query": {"match": {"text": "spark"}},
+            "collapse": {"field": "tool"}, "size": 100}
+    a3 = execute_request(docs, req3).toPandas()
+    m3 = want.merge(docs_pdf[["doc_id", "tool"]], on="doc_id")
+    assert len(a3) == m3["tool"].nunique(dropna=False)
+    b3 = execute_request_indexed(spark, dsl_index, req3,
+                                 docs_df=docs).toPandas()
+    assert a3["doc_id"].tolist() == b3["doc_id"].tolist()
+
+    for bad in (
+        {"query": req["query"], "collapse": {"field": "role",
+                                             "inner_hits": {}}},
+        {"query": req["query"], "collapse": {"fld": "role"}},
+        {"query": req["query"], "collapse": {"field": "role"},
+         "search_after": [1.0, 2]},
+        {"query": req["query"], "collapse": {"field": "role"},
+         "aggs": {"a": {"terms": {"field": "role"}}}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(docs, bad)
+    with pytest.raises(DslError, match="doc_stats"):
+        execute_request_indexed(
+            spark, dsl_index,
+            {"query": req["query"],
+             "collapse": {"field": "no_such_col"}}).toPandas()
 
 
 def test_sort_nulls_last_docid_and_grammar_edges(spark, docs, docs_pdf,
