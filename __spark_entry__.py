@@ -268,21 +268,40 @@ _DISMAX_QUERY = {"query": {"bool": {
 
 
 def _dismax_topk(spark, sf_dir):
-    """ES dis_max + metadata-in-should, oracle-checked: score = best
-    matched child + 0.3 x the other (search/dsl.py DisMax — the rule
-    multi_match type=best_fields desugars into), and the range clause
-    in should gates qualification via minimum_should_match without
-    touching scores. Still ONE map-side scoring pass; the indexed twin
-    is pytest-gated rank-identical (tests/test_dsl.py)."""
+    """ES disjunction-max scoring, oracle-checked — two modes in one
+    union frame:
+
+    - ``dismax``: dis_max + metadata-in-should — score = best matched
+      child + 0.3 x the other (search/dsl.py DisMax — the rule
+      multi_match type=best_fields desugars into), the range clause in
+      should gating via minimum_should_match without touching scores.
+    - ``fuzzy`` (round 5): ``{"fuzzy": {"text": {"value": "mash",
+      "fuzziness": 2}}}`` — expansions from the corpus vocabulary
+      within Levenshtein 2 ('hash' at 1, 'fast' at 2 — two terms with
+      DIFFERENT scores, so the dis_max-over-expansions rule
+      discriminates), scored as the best matched expansion
+      (search/dsl.py FuzzyClause/_resolve_fuzzy; deviation from
+      Lucene's blended-freq rewrite documented there). The DuckDB twin
+      computes the expansion set with ITS OWN levenshtein over the
+      distinct tokens.
+
+    Still ONE map-side scoring pass each; the indexed twins are
+    pytest-gated rank-identical (tests/test_dsl.py)."""
     from prow_jobs_scraper_spark.search.dsl import search_dsl
 
     docs = _t(spark, sf_dir, "documents")
-    topk = search_dsl(docs, _DISMAX_QUERY, 10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id", F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"),
-    )
+    a = search_dsl(docs, _DISMAX_QUERY, 10).select(
+        F.lit("dismax").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    fq = {"query": {"fuzzy": {"text": {"value": "mash",
+                                       "fuzziness": 2}}}}
+    b = search_dsl(docs, fq, 10).select(
+        F.lit("fuzzy").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    return a.unionByName(b)
 
 
 _MULTI_MATCH_QUERY = {"query": {"multi_match": {
@@ -1578,11 +1597,32 @@ dm AS (
                 THEN greatest(s1, s2) + 0.3*(s1 + s2 - greatest(s1, s2))
               WHEN m1 > 0 THEN s1 ELSE s2 END AS score
   FROM sc JOIN documents d ON sc.doc_id = d.doc_id
-  WHERE (m1 > 0 OR m2 > 0) AND d.n_chars >= 400)
-SELECT doc_id,
-       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-       round(score, 4) AS score
-FROM dm ORDER BY score DESC, doc_id LIMIT 10
+  WHERE (m1 > 0 OR m2 > 0) AND d.n_chars >= 400),
+exps AS (
+  SELECT x AS term
+  FROM (SELECT DISTINCT unnest(t) AS x FROM toks)
+  WHERE levenshtein(x, 'mash') <= 2),
+tf2 AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN (SELECT term FROM exps) GROUP BY 1, 2),
+df2 AS (SELECT term, count(*)::DOUBLE df FROM tf2 GROUP BY 1),
+fz AS (
+  SELECT tf2.doc_id,
+         max(ln(1+(s.n-df2.df+0.5)/(df2.df+0.5))
+             * tf2.tf*2.2/(tf2.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)))
+           AS score
+  FROM tf2 JOIN df2 USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1)
+(SELECT 'dismax' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM dm ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'fuzzy' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM fz ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

@@ -35,6 +35,16 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  |  {"ids": {"values": [int...]}}    -- engine doc_ids
     dis_max      := {"dis_max": {"queries": [match|match_phrase ...],
                                  "tie_breaker": float}}
+    fuzzy        := {"fuzzy": {field: term | {"value": term,
+                                              "fuzziness": int|"AUTO",
+                                              "prefix_length": int,
+                                              "max_expansions": int}}}
+                 -- expansions from the vocabulary (corpus tokens /
+                 -- the index terms dim) within Levenshtein distance,
+                 -- capped by (distance, term); scored as a dis_max of
+                 -- the expansions (tie_breaker 0 — best expansion wins;
+                 -- Lucene's blended-freq rewrite deviation documented
+                 -- on FuzzyClause)
     multi_match  := {"multi_match": {"query": text, "fields": [field...],
                                      "type": "best_fields"|"most_fields",
                                      "operator": "and"|"or",
@@ -166,6 +176,25 @@ class TextClause:
 
 
 @dataclass(frozen=True)
+class FuzzyClause:
+    """ES ``fuzzy`` leaf (term-level): matches terms within Levenshtein
+    ``fuzziness`` of ``value``. Resolution is DATA-dependent (the
+    expansion set comes from the corpus vocabulary / the index terms
+    dim), so parse keeps the clause symbolic and each executor resolves
+    it into a :class:`DisMax` over the expansions (tie_breaker 0 — the
+    best-matching expansion scores; Lucene's top_terms_blended_freqs
+    rewrite blends doc freqs instead, a documented deviation).
+    Expansions cap at ``max_expansions`` by (edit distance, term) —
+    the ES default 50."""
+
+    field: str
+    value: str
+    fuzziness: int
+    prefix_length: int = 0
+    max_expansions: int = 50
+
+
+@dataclass(frozen=True)
 class DisMax:
     """ES ``dis_max``: best-matching child wins, others contribute via
     ``tie_breaker`` (score = best + tie_breaker * sum(other matched
@@ -197,6 +226,9 @@ class QuerySpec:
     sql_fields: set = _field(default_factory=set)
     must_dismax: list[DisMax] = _field(default_factory=list)
     should_dismax: list[DisMax] = _field(default_factory=list)
+    # unresolved fuzzy leaves as (context, clause); executors resolve
+    # them against their vocabulary via _resolve_fuzzy before compiling
+    fuzzy: list = _field(default_factory=list)
     must_bool: list["QuerySpec"] = _field(default_factory=list)
     filter_bool: list["QuerySpec"] = _field(default_factory=list)
     should_bool: list["QuerySpec"] = _field(default_factory=list)
@@ -221,8 +253,23 @@ class QuerySpec:
             return self.msm
         has_anchor = bool(self.must or self.must_bool or self.must_dismax
                           or self.filter_text or self.filter_bool
-                          or self.filter_sql or self.match_all)
+                          or self.filter_sql or self.match_all
+                          or any(ctx in ("must", "filter")
+                                 for ctx, _ in self.fuzzy))
         return 0 if has_anchor else (1 if n_should else 0)
+
+    def has_fuzzy(self) -> bool:
+        return bool(self.fuzzy) or any(
+            ch.has_fuzzy()
+            for ch in (self.must_bool + self.filter_bool
+                       + self.should_bool + self.must_not_bool))
+
+    def fuzzy_fields(self) -> set:
+        out = {fc.field for _, fc in self.fuzzy}
+        for ch in (self.must_bool + self.filter_bool + self.should_bool
+                   + self.must_not_bool):
+            out |= ch.fuzzy_fields()
+        return out
 
     def all_sql_fields(self) -> set:
         """Every doc_stats column any *_sql predicate in the TREE reads
@@ -491,6 +538,45 @@ def _parse_text(kind: str, body: dict) -> TextClause:
                       slop=int(slop))
 
 
+def _parse_fuzzy(body: dict) -> FuzzyClause:
+    """ES ``fuzzy`` body -> :class:`FuzzyClause`. The value is a TERM
+    (ES fuzzy is term-level, not analyzed) — the engine normalizes it
+    through the analyzer and requires exactly one token. ``fuzziness``
+    takes an int or ES "AUTO" (0 below 3 chars, 1 for 3-5, 2 from 6 —
+    the AUTO:3,6 defaults); ``rewrite``/``transpositions`` stay
+    out-of-grammar (the engine's expansion scoring is dis_max,
+    documented)."""
+    (fld, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"value": spec}
+    if not isinstance(spec, dict) or "value" not in spec             or not isinstance(spec["value"], str):
+        raise DslError(f"fuzzy needs a string value, got {spec!r}")
+    unknown = set(spec) - {"value", "fuzziness", "prefix_length",
+                           "max_expansions"}
+    if unknown:
+        raise DslError(f"unsupported fuzzy options {sorted(unknown)}")
+    toks = tokenize_text(spec["value"])
+    if len(toks) != 1:
+        raise DslError(
+            f"fuzzy value must analyze to exactly one term, "
+            f"{spec['value']!r} gave {toks!r}")
+    value = toks[0]
+    fz = spec.get("fuzziness", "AUTO")
+    if fz == "AUTO":
+        fz = 0 if len(value) < 3 else (1 if len(value) <= 5 else 2)
+    if isinstance(fz, bool) or not isinstance(fz, int) or fz < 0:
+        raise DslError(f"fuzziness must be an int >= 0 or 'AUTO', "
+                       f"got {spec.get('fuzziness')!r}")
+    pl = spec.get("prefix_length", 0)
+    if isinstance(pl, bool) or not isinstance(pl, int) or pl < 0:
+        raise DslError(f"prefix_length must be an int >= 0, got {pl!r}")
+    mx = spec.get("max_expansions", 50)
+    if isinstance(mx, bool) or not isinstance(mx, int) or mx < 1:
+        raise DslError(f"max_expansions must be an int >= 1, got {mx!r}")
+    return FuzzyClause(field=_ident(fld), value=value, fuzziness=fz,
+                       prefix_length=pl, max_expansions=mx)
+
+
 def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
@@ -574,6 +660,95 @@ def _dismax_as_bool(dm: DisMax) -> "QuerySpec":
     return child
 
 
+def _resolve_fuzzy(spec: QuerySpec, expand_fn) -> QuerySpec:
+    """Resolve every :class:`FuzzyClause` in the tree against a
+    vocabulary -> a NEW spec where each fuzzy leaf became a
+    :class:`DisMax` over its expansions (score contexts) or a
+    qualification-only bool-should (filter/must_not context). An empty
+    expansion set behaves exactly like a match on absent terms:
+    unsatisfiable in must/filter, silently never-matching in should,
+    a no-op in must_not. ``expand_fn(FuzzyClause) -> list[str]``."""
+    if not spec.has_fuzzy():
+        return spec
+    import copy  # noqa: PLC0415
+    sp = copy.deepcopy(spec)
+    _resolve_fuzzy_inplace(sp, expand_fn)
+    return sp
+
+
+def _resolve_fuzzy_inplace(sp: QuerySpec, expand_fn) -> None:
+    for ctx, fc in sp.fuzzy:
+        dm = DisMax(children=tuple(
+            TextClause(field=fc.field, text=t) for t in expand_fn(fc)))
+        if ctx == "must":
+            sp.must_dismax.append(dm)
+        elif ctx == "should":
+            sp.should_dismax.append(dm)
+        elif ctx == "filter":
+            sp.filter_bool.append(_dismax_as_bool(dm))
+        else:  # must_not
+            sp.must_not_bool.append(_dismax_as_bool(dm))
+    sp.fuzzy = []
+    for ch in (sp.must_bool + sp.filter_bool + sp.should_bool
+               + sp.must_not_bool):
+        _resolve_fuzzy_inplace(ch, expand_fn)
+
+
+def _expand_from_vocab(vocab_df: DataFrame, fc: FuzzyClause) -> list[str]:
+    """Terms of a (term)-column frame within Levenshtein distance of
+    the clause value -> capped expansion list by (distance, term).
+    Length bounds + the prefix_length constraint prune BEFORE the
+    levenshtein — the scan is vocabulary-sized (the terms dim /
+    distinct tokens), never corpus-sized."""
+    v, fz = fc.value, fc.fuzziness
+    t = F.col("term")
+    cond = ((F.length(t) >= len(v) - fz) & (F.length(t) <= len(v) + fz)
+            & (F.levenshtein(t, F.lit(v)) <= fz))
+    if fc.prefix_length:
+        pre = v[:fc.prefix_length]
+        cond = cond & (F.substring(t, 1, fc.prefix_length) == F.lit(pre))
+    rows = (vocab_df.where(cond)
+            .select(t.alias("term"),
+                    F.levenshtein(t, F.lit(v)).alias("d"))
+            .collect())
+    ranked = sorted(rows, key=lambda r: (int(r["d"]), r["term"]))
+    return [r["term"] for r in ranked[:fc.max_expansions]]
+
+
+def _token_vocab_expander(docs_df: DataFrame):
+    """Naive-executor expansion: distinct analyzed tokens per field
+    (cached across clauses of one query)."""
+    cache: dict[str, DataFrame] = {}
+
+    def expand(fc: FuzzyClause) -> list[str]:
+        if fc.field not in cache:
+            cache[fc.field] = (
+                docs_df.select(F.explode(
+                    tokenize_column(F.col(fc.field))).alias("term"))
+                .distinct())
+        return _expand_from_vocab(cache[fc.field], fc)
+
+    return expand
+
+
+def _terms_dim_expander(spark: SparkSession, dirs: list[str]):
+    """Indexed-executor expansion: the segments' terms dim (the ONLY
+    place term strings persist — |vocab|-sized, bucket-partitioned;
+    a fuzzy expansion cannot bucket-prune, so it scans the dim, which
+    is index metadata, not the corpus)."""
+    vocab = None
+
+    def expand(fc: FuzzyClause) -> list[str]:
+        nonlocal vocab
+        if vocab is None:
+            frames = [spark.read.parquet(IndexPaths(d).terms)
+                      .select("term") for d in dirs]
+            vocab = reduce(DataFrame.unionByName, frames).distinct()
+        return _expand_from_vocab(vocab, fc)
+
+    return expand
+
+
 def parse_query(q: dict) -> QuerySpec:
     """ES query JSON (with or without the ``{"query": ...}`` envelope)
     -> :class:`QuerySpec`. Raises :class:`DslError` out-of-grammar."""
@@ -604,6 +779,9 @@ def parse_query(q: dict) -> QuerySpec:
             spec.must_dismax.append(parsed)
         else:
             spec.must_bool.append(parsed)
+        return spec
+    if kind == "fuzzy":
+        spec.fuzzy.append(("must", _parse_fuzzy(body)))
         return spec
     if kind in ("query_string", "simple_query_string"):
         # desugars onto THIS grammar (search/query_string.py), so every
@@ -678,6 +856,8 @@ def parse_query(q: dict) -> QuerySpec:
                     # minimum_should_match; scores 0 (the engine's
                     # metadata-scores-0 deviation, module docstring)
                     spec.should_sql.append(pred)
+            elif ck == "fuzzy":
+                spec.fuzzy.append((ctx, _parse_fuzzy(cb)))
             elif ck in ("dis_max", "multi_match"):
                 parsed = (_parse_dismax(cb) if ck == "dis_max"
                           else _parse_multi_match(cb))
@@ -812,6 +992,10 @@ def _compile_specs(
             and {"conv_id", "turn_idx"} <= set(docs_df.columns)):
         docs_df = with_doc_ids(docs_df)  # aggs never need an id; attach
         # the engine key only when the transcript key columns exist
+
+    if any(sp.has_fuzzy() for sp in specs):
+        expander = _token_vocab_expander(docs_df)
+        specs = [_resolve_fuzzy(sp, expander) for sp in specs]
 
     text_clauses = [c for sp in specs for c in sp.text_clauses()]
     fields = sorted({c.field for c in text_clauses})
@@ -2008,7 +2192,8 @@ _INDEXED_TEXT_FIELD = "text"
 
 
 def _require_indexed_field(spec: QuerySpec) -> None:
-    other = {c.field for c in spec.text_clauses()} - {_INDEXED_TEXT_FIELD}
+    other = ({c.field for c in spec.text_clauses()}
+             | spec.fuzzy_fields()) - {_INDEXED_TEXT_FIELD}
     if other:
         raise DslError(
             f"the compressed index holds the {_INDEXED_TEXT_FIELD!r} "
@@ -2061,7 +2246,7 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
     if (spec.filter_text or spec.must_not or spec.must_bool
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool or spec.should_sql
-            or spec.must_dismax or spec.should_dismax):
+            or spec.must_dismax or spec.should_dismax or spec.fuzzy):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
@@ -2486,6 +2671,8 @@ def _qualify_indexed(
     costs one extra postings-sized join per level, never a corpus scan.
     """
     _require_indexed_field(spec)
+    if spec.has_fuzzy():
+        spec = _resolve_fuzzy(spec, _terms_dim_expander(spark, dirs))
 
     def clause_frame(c: TextClause) -> DataFrame | None:
         return _clause_frame_indexed(spark, dirs, metas, n_docs, avgdl,

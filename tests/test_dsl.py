@@ -2240,8 +2240,12 @@ def test_unknown_request_options_fail_loud(spark, docs, dsl_index):
     ok = execute_request(docs, {**base, "track_total_hits": True,
                                 "_source": ["text"]})
     assert ok.count() == 3
+    # collapse is SUPPORTED since round 5; rescore/min_score/highlight
+    # still fail loud
     with pytest.raises(DslError):
-        execute_request(docs, {**base, "collapse": {"field": "role"}})
+        execute_request(docs, {**base, "rescore": {}})
+    with pytest.raises(DslError):
+        execute_request(docs, {**base, "min_score": 0.5})
     with pytest.raises(DslError):
         execute_request_indexed(spark, dsl_index,
                                 {**base, "highlight": {}})
@@ -2282,6 +2286,98 @@ def test_custom_sort_field_and_score(spark, docs, docs_pdf, dsl_index):
     with pytest.raises(DslError):
         execute_request(docs, {"query": req["query"],
                                "sort": [{"ts": {"order": "down"}}]})
+
+
+def test_fuzzy_query(spark, docs, docs_pdf, dsl_index):
+    """ES `fuzzy` (round 5): expansions from the corpus vocabulary /
+    terms dim within Levenshtein fuzziness (AUTO: 0/<3, 1/3-5, 2/>=6),
+    capped by (distance, term) at max_expansions, scored as dis_max
+    over the expansions (documented deviation from Lucene's
+    blended-freq rewrite). Identity: fuzzy == the hand-desugared
+    dis_max; naive == indexed; filter/must_not contexts qualify-only;
+    empty expansions behave like absent terms; bad options raise."""
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    vocab = sorted({t for lst in tokenize_pandas(docs_pdf["text"])
+                    for t in lst})
+    exp = sorted((t for t in vocab
+                  if lev(t, "w00042") <= 1 and t.startswith("w00")),
+                 key=lambda t: (lev(t, "w00042"), t))[:10]
+    assert len(exp) > 3  # the synthetic vocab has many 1-edit neighbors
+
+    fq = {"query": {"fuzzy": {"text": {
+        "value": "w00042", "fuzziness": 1, "prefix_length": 3,
+        "max_expansions": 10}}}}
+    hand = {"query": {"dis_max": {"queries": [
+        {"match": {"text": t}} for t in exp]}}}
+    a = search_dsl(docs, fq, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    _assert_rank_identical(a, b, "fuzzy==dismax")
+    gi = search_dsl_indexed(spark, dsl_index, fq, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "fuzzy-indexed")
+
+    # AUTO fuzziness: 6+ chars -> 2 edits
+    qa = {"query": {"fuzzy": {"text": "w00042"}}}
+    exp2 = sorted((t for t in vocab if lev(t, "w00042") <= 2),
+                  key=lambda t: (lev(t, "w00042"), t))[:50]
+    hand2 = {"query": {"dis_max": {"queries": [
+        {"match": {"text": t}} for t in exp2]}}}
+    a2 = search_dsl(docs, qa, 10).toPandas()
+    b2 = search_dsl(docs, hand2, 10).toPandas()
+    _assert_rank_identical(a2, b2, "fuzzy-auto")
+
+    # filter context: qualification only, scores from the must clause
+    qf = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"fuzzy": {"text": {"value": "w00042",
+                                       "fuzziness": 1}}}]}}}
+    hf = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"bool": {
+            "should": [{"match": {"text": t}}
+                       for t in sorted(t for t in vocab
+                                       if lev(t, "w00042") <= 1)[:50]],
+            "minimum_should_match": 1}}]}}}
+    af = search_dsl(docs, qf, 10).toPandas()
+    bf = search_dsl(docs, hf, 10).toPandas()
+    _assert_rank_identical(af, bf, "fuzzy-filter")
+    gf = search_dsl_indexed(spark, dsl_index, qf, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gf, af, "fuzzy-filter-indexed")
+
+    # must_not: excludes any doc containing an expansion
+    qn = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "must_not": [{"fuzzy": {"text": {"value": "w00042",
+                                         "fuzziness": 0}}}]}}}
+    an = search_dsl(docs, qn, 10_000).toPandas()
+    hits = set(an["doc_id"])
+    w42 = {d for d, lst in zip(docs_pdf["doc_id"],
+                               tokenize_pandas(docs_pdf["text"]))
+           if "w00042" in lst}
+    assert not (hits & w42)
+
+    # empty expansion set == absent term
+    assert search_dsl(docs, {"query": {"fuzzy": {"text": {
+        "value": "zzzzzzzz", "fuzziness": 1}}}}, 10).count() == 0
+
+    for bad in (
+        {"fuzzy": {"text": {"value": "x", "rewrite": "top_terms_10"}}},
+        {"fuzzy": {"text": {"value": "x", "fuzziness": -1}}},
+        {"fuzzy": {"text": {"value": "two words"}}},
+        {"fuzzy": {"text": {"value": "x", "max_expansions": 0}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query(bad)
 
 
 def test_collapse_field(spark, docs, docs_pdf, dsl_index):
