@@ -299,8 +299,11 @@ def test_parse_match_all():
 
 
 def test_parse_rejects_unknown():
+    # fuzzy is SUPPORTED since round 5; genuinely unknown leaves raise
     with pytest.raises(DslError):
-        parse_query({"fuzzy": {"text": "x"}})
+        parse_query({"span_near": {"clauses": []}})
+    with pytest.raises(DslError):
+        parse_query({"bool": {"must": [{"more_like_this": {}}]}})
     with pytest.raises(DslError):
         parse_query({"bool": {"must": [{"match": {"text": {
             "query": "x", "operator": "xor"}}}]}})
