@@ -32,6 +32,16 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  |  {"exists": {"field": field}}
                  |  {"prefix": {field: str | {"value": str}}}
                  |  {"wildcard": {field: pattern}}   -- * and ? only
+                 |  {"regexp": {field: pat | {"value": pat}}}
+                 --  Lucene-anchored (the WHOLE value must match, the ES
+                 --  rule); the accepted pattern language is the
+                 --  Java/RE2 shared subset (literals, ., ?, +, *, |,
+                 --  {m,n}, [...], (...)). Lucene's optional operators
+                 --  (~ & < > # @, ON by default in ES), backslash
+                 --  escapes, and (?...) extensions FAIL LOUD — their
+                 --  semantics differ across Lucene/Java/RE2, and a
+                 --  silently-reinterpreted pattern would diverge from
+                 --  the user's ES cluster
                  |  {"ids": {"values": [int...]}}    -- engine doc_ids
     dis_max      := {"dis_max": {"queries": [match|match_phrase ...],
                                  "tie_breaker": float}}
@@ -49,6 +59,25 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                                      "type": "best_fields"|"most_fields",
                                      "operator": "and"|"or",
                                      "tie_breaker": float}}
+    match_phrase_prefix := {"match_phrase_prefix":
+                            {field: text | {"query": text,
+                                            "max_expansions": int,
+                                            "slop": int,
+                                            "boost": number}}}
+                 -- the analyzed query's LAST term is a prefix; it
+                 -- expands against the vocabulary to the first
+                 -- max_expansions terms in term order (the ES rule)
+                 -- and desugars to a dis_max of exact phrases
+                 -- (tie_breaker 0; Lucene's MultiPhrase blended
+                 -- scoring is a documented deviation — see
+                 -- PhrasePrefixClause)
+    constant_score := {"constant_score": {"filter": clause,
+                                          "boost": number}}
+                 -- every matching doc scores exactly ``boost`` (the ES
+                 -- rule); the wrapped clause runs in filter context
+                 -- (never BM25-scored). In a parent bool's filter /
+                 -- must_not context the boost is irrelevant, exactly
+                 -- as in ES.
     query_string := {"query_string": {"query": str,
                                       "default_field": field,
                                       "default_operator": "and"|"or"}}
@@ -195,6 +224,28 @@ class FuzzyClause:
 
 
 @dataclass(frozen=True)
+class PhrasePrefixClause:
+    """ES ``match_phrase_prefix``: the analyzed query's LAST term is a
+    PREFIX. Resolution is data-dependent exactly like
+    :class:`FuzzyClause` — the prefix expands against the vocabulary
+    (corpus tokens / the index terms dim) to the first
+    ``max_expansions`` terms in term order (the ES/Lucene rule), and
+    the clause desugars to a dis_max of exact ``match_phrase`` clauses
+    over the expansions (tie_breaker 0 — the best expansion wins;
+    Lucene's MultiPhrase blended scoring is a documented deviation,
+    same family as the fuzzy rewrite). A single-term query degenerates
+    to a dis_max of plain term matches (a SCORED prefix — what the
+    metadata ``prefix`` clause, score-0, cannot express)."""
+
+    field: str
+    lead: tuple  # tokens before the prefix, analyzer output
+    prefix: str
+    max_expansions: int = 50
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMax:
     """ES ``dis_max``: best-matching child wins, others contribute via
     ``tie_breaker`` (score = best + tie_breaker * sum(other matched
@@ -235,6 +286,9 @@ class QuerySpec:
     must_not_bool: list["QuerySpec"] = _field(default_factory=list)
     msm: int | str | None = None  # None -> ES default rule
     match_all: bool = False
+    # ES constant_score: when set, the spec's qualifying docs ALL score
+    # exactly this value (the wrapped clause sits in filter context)
+    const_boost: float | None = None
 
     def minimum_should_match(self) -> int:
         n_should = (len(self.should) + len(self.should_bool)
@@ -414,6 +468,56 @@ def _resolve_date_math(v, range_op: str):
     return t
 
 
+def _validate_regex_subset(pat: str) -> None:
+    """Gate a ``regexp`` clause pattern to the Lucene/Java/RE2 SHARED
+    subset — the predicate string executes verbatim in Spark SQL (Java
+    regex) and the DuckDB oracle (RE2), and Lucene's own syntax is a
+    third dialect, so anything the three disagree on fails loud:
+
+    - ``\\``: Lucene escapes ANY char; Java gives ``\\d``/``\\w``/...
+      class meanings RE2 mostly shares but Lucene lacks
+    - ``~ & < > # @``: Lucene optional operators (complement,
+      intersection, interval, empty, any-string) — ON by default in ES,
+      plain literals in Java/RE2
+    - ``^ $`` outside a character class: anchors in Java/RE2, but
+      Lucene regexps are implicitly anchored and give them no meaning
+    - ``(?``: Java/RE2 group extensions (lookaround, flags, named
+      groups) — not Lucene syntax, and lookaround isn't RE2 either
+    """
+    in_class = False
+    prev = ""
+    for ch in pat:
+        if ch == "\\":
+            raise DslError(
+                "regexp backslash escapes are not supported (Lucene, "
+                "Java and RE2 disagree on their meaning)")
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch in "~&<>#@":
+            raise DslError(
+                f"regexp operator {ch!r} (a Lucene optional operator, "
+                f"on by default in ES) is not supported")
+        elif ch in "^$":
+            raise DslError(
+                f"regexp {ch!r} is not supported (Lucene regexps are "
+                f"implicitly anchored; {ch!r} would anchor in Java/RE2 "
+                f"but not in ES)")
+        elif ch == "?" and prev == "(":
+            raise DslError(
+                "regexp (?... ) group extensions are not supported "
+                "(not Lucene syntax)")
+        prev = ch
+    if in_class:
+        raise DslError("regexp has an unterminated character class")
+    try:
+        _re.compile("^(?:" + pat + ")$")
+    except _re.error as e:
+        raise DslError(f"invalid regexp pattern {pat!r}: {e}") from None
+
+
 def _meta_field(fld: str) -> str:
     """Top-level column a meta clause reads (dotted struct access
     resolves against its root column)."""
@@ -488,6 +592,28 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
                 "wildcard values containing % _ or \\ are not supported")
         pat = v.replace("*", "%").replace("?", "_")
         return f"{_ident(fld)} LIKE {_sql_lit(pat)}", _meta_field(fld)
+    if kind == "regexp":
+        (fld, v), = body.items()
+        if isinstance(v, dict):
+            # ES long form; flags/case_insensitive/rewrite/
+            # max_determinized_states would change MATCH SEMANTICS if
+            # ignored -> out-of-grammar, fail loud
+            if set(v) != {"value"}:
+                raise DslError(
+                    f"unsupported regexp options "
+                    f"{sorted(set(v) - {'value'})}")
+            v = v.get("value")
+        if not isinstance(v, str) or not v:
+            raise DslError("regexp needs a non-empty string value")
+        _validate_regex_subset(v)
+        # Lucene regexps are ANCHORED (the whole value must match);
+        # Java/RE2 are not -> wrap. regexp_extract(col, pat, 0) = col
+        # is the anchored-match idiom that parses identically in Spark
+        # SQL and DuckDB (neither shares a boolean regex function name
+        # with the other).
+        pat = "^(?:" + v + ")$"
+        return (f"regexp_extract({_ident(fld)}, {_sql_lit(pat)}, 0) "
+                f"= {_ident(fld)}", _meta_field(fld))
     if kind == "ids":
         vals = body.get("values")
         if not isinstance(vals, (list, tuple)) or not vals \
@@ -577,6 +703,43 @@ def _parse_fuzzy(body: dict) -> FuzzyClause:
                        prefix_length=pl, max_expansions=mx)
 
 
+def _parse_phrase_prefix(body: dict) -> PhrasePrefixClause:
+    """ES ``match_phrase_prefix`` body -> :class:`PhrasePrefixClause`.
+    The query analyzes through the engine tokenizer; it must yield at
+    least one term (an all-punctuation query is out-of-grammar, the
+    fail-loud twin of ES's silent match-none)."""
+    (fld, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    if not isinstance(spec, dict):
+        raise DslError(f"bad match_phrase_prefix body {spec!r}")
+    unknown = set(spec) - {"query", "max_expansions", "slop", "boost"}
+    if unknown:
+        raise DslError(
+            f"unsupported match_phrase_prefix options {sorted(unknown)}")
+    if "query" not in spec or not isinstance(spec["query"], str):
+        raise DslError(
+            f"match_phrase_prefix needs query text, got {spec!r}")
+    toks = tokenize_text(spec["query"])
+    if not toks:
+        raise DslError(
+            f"match_phrase_prefix query must analyze to at least one "
+            f"term, {spec['query']!r} gave none")
+    mx = spec.get("max_expansions", 50)
+    if isinstance(mx, bool) or not isinstance(mx, int) or mx < 1:
+        raise DslError(f"max_expansions must be an int >= 1, got {mx!r}")
+    slop = spec.get("slop", 0)
+    if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
+        raise DslError(f"slop must be a non-negative int, got {slop!r}")
+    boost = spec.get("boost", 1.0)
+    if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+            or not boost > 0:
+        raise DslError(f"boost must be a positive number, got {boost!r}")
+    return PhrasePrefixClause(
+        field=_ident(fld), lead=tuple(toks[:-1]), prefix=toks[-1],
+        max_expansions=mx, slop=int(slop), boost=float(boost))
+
+
 def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
@@ -651,6 +814,30 @@ def _parse_multi_match(body: dict) -> DisMax | "QuerySpec":
     return child
 
 
+def _parse_constant_score(body: dict) -> QuerySpec:
+    """ES ``constant_score`` -> a :class:`QuerySpec` whose qualifying
+    docs ALL score exactly ``boost`` (ES default 1.0). The wrapped
+    clause parses recursively and sits in filter context — its own
+    scores never surface, the ES rule."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad constant_score body {body!r}")
+    unknown = set(body) - {"filter", "boost"}
+    if unknown:
+        raise DslError(
+            f"unsupported constant_score options {sorted(unknown)}")
+    if "filter" not in body:
+        raise DslError("constant_score needs a filter clause")
+    boost = body.get("boost", 1.0)
+    if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+            or not boost > 0:
+        raise DslError(
+            f"constant_score boost must be a positive number, "
+            f"got {boost!r}")
+    spec = QuerySpec(const_boost=float(boost))
+    spec.filter_bool.append(parse_query(body["filter"]))
+    return spec
+
+
 def _dismax_as_bool(dm: DisMax) -> "QuerySpec":
     """dis_max reduced to qualification only (filter / must_not
     context): any-child-matches == a bool-should with msm 1."""
@@ -678,8 +865,21 @@ def _resolve_fuzzy(spec: QuerySpec, expand_fn) -> QuerySpec:
 
 def _resolve_fuzzy_inplace(sp: QuerySpec, expand_fn) -> None:
     for ctx, fc in sp.fuzzy:
-        dm = DisMax(children=tuple(
-            TextClause(field=fc.field, text=t) for t in expand_fn(fc)))
+        if isinstance(fc, PhrasePrefixClause):
+            # each expansion completes the phrase; a single-term query
+            # degenerates to plain term matches (slop is meaningless
+            # without a second position)
+            children = tuple(
+                TextClause(field=fc.field,
+                           text=" ".join(fc.lead + (t,)),
+                           operator="and", phrase=bool(fc.lead),
+                           boost=fc.boost,
+                           slop=fc.slop if fc.lead else 0)
+                for t in expand_fn(fc))
+        else:
+            children = tuple(
+                TextClause(field=fc.field, text=t) for t in expand_fn(fc))
+        dm = DisMax(children=children)
         if ctx == "must":
             sp.must_dismax.append(dm)
         elif ctx == "should":
@@ -694,12 +894,22 @@ def _resolve_fuzzy_inplace(sp: QuerySpec, expand_fn) -> None:
         _resolve_fuzzy_inplace(ch, expand_fn)
 
 
-def _expand_from_vocab(vocab_df: DataFrame, fc: FuzzyClause) -> list[str]:
-    """Terms of a (term)-column frame within Levenshtein distance of
-    the clause value -> capped expansion list by (distance, term).
-    Length bounds + the prefix_length constraint prune BEFORE the
-    levenshtein — the scan is vocabulary-sized (the terms dim /
-    distinct tokens), never corpus-sized."""
+def _expand_from_vocab(vocab_df: DataFrame, fc) -> list[str]:
+    """Terms of a (term)-column frame matching an expandable clause ->
+    capped expansion list. Fuzzy: within Levenshtein distance, ranked
+    by (distance, term); phrase_prefix: prefix match, FIRST
+    ``max_expansions`` in term order (the Lucene term-dict rule,
+    TakeOrdered — no full collect). Either way the scan is
+    vocabulary-sized (the terms dim / distinct tokens), never
+    corpus-sized."""
+    if isinstance(fc, PhrasePrefixClause):
+        t = F.col("term")
+        rows = (vocab_df
+                .where(F.substring(t, 1, len(fc.prefix))
+                       == F.lit(fc.prefix))
+                .select(t.alias("term"))
+                .orderBy("term").limit(fc.max_expansions).collect())
+        return [r["term"] for r in rows]
     v, fz = fc.value, fc.fuzziness
     t = F.col("term")
     cond = ((F.length(t) >= len(v) - fz) & (F.length(t) <= len(v) + fz)
@@ -767,11 +977,14 @@ def parse_query(q: dict) -> QuerySpec:
     if kind in ("match", "match_phrase"):
         spec.must.append(_parse_text(kind, body))
         return spec
-    if kind in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
+    if kind in ("term", "terms", "range", "exists", "prefix", "wildcard",
+                "regexp", "ids"):
         pred, fld = _compile_meta(kind, body)
         spec.filter_sql.append(pred)
         spec.sql_fields.add(fld)
         return spec
+    if kind == "constant_score":
+        return _parse_constant_score(body)
     if kind in ("dis_max", "multi_match"):
         parsed = (_parse_dismax(body) if kind == "dis_max"
                   else _parse_multi_match(body))
@@ -782,6 +995,9 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind == "fuzzy":
         spec.fuzzy.append(("must", _parse_fuzzy(body)))
+        return spec
+    if kind == "match_phrase_prefix":
+        spec.fuzzy.append(("must", _parse_phrase_prefix(body)))
         return spec
     if kind in ("query_string", "simple_query_string"):
         # desugars onto THIS grammar (search/query_string.py), so every
@@ -844,7 +1060,15 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should.append(tc)
                 else:
                     spec.must_not.append(tc)
-            elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
+            elif ck == "constant_score":
+                # score matters in must/should (adds `boost` when the
+                # wrapped filter matches); in filter/must_not only
+                # qualification survives — both are exactly the child-
+                # bool semantics, so it rides the *_bool lists
+                getattr(spec, f"{ctx}_bool").append(
+                    _parse_constant_score(cb))
+            elif ck in ("term", "terms", "range", "exists", "prefix",
+                        "wildcard", "regexp", "ids"):
                 pred, fld = _compile_meta(ck, cb)
                 spec.sql_fields.add(fld)
                 if ctx in ("must", "filter"):
@@ -858,6 +1082,8 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should_sql.append(pred)
             elif ck == "fuzzy":
                 spec.fuzzy.append((ctx, _parse_fuzzy(cb)))
+            elif ck == "match_phrase_prefix":
+                spec.fuzzy.append((ctx, _parse_phrase_prefix(cb)))
             elif ck in ("dis_max", "multi_match"):
                 parsed = (_parse_dismax(cb) if ck == "dis_max"
                           else _parse_multi_match(cb))
@@ -1198,6 +1424,10 @@ def _compile_specs(
             # ES: must_not against a missing/NULL field MATCHES the doc —
             # null-guard so ~NULL doesn't silently exclude it
             qual = qual & ~F.coalesce(F.expr(pred), F.lit(False))
+        if sp.const_boost is not None:
+            # ES constant_score: every qualifying doc scores exactly
+            # `boost`, whatever the wrapped clause would have scored
+            return True, F.lit(sp.const_boost), qual, True
         return True, score, qual, scored
 
     return base, [spec_exprs(sp) for sp in specs]
@@ -1929,7 +2159,8 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             (ck, cb), = clause.items()
             if ck == "match_all":
                 cond = F.lit(True)
-            elif ck in ("term", "terms", "range", "exists", "prefix", "wildcard", "ids"):
+            elif ck in ("term", "terms", "range", "exists", "prefix",
+                        "wildcard", "regexp", "ids"):
                 cond = F.coalesce(F.expr(_compile_meta(ck, cb)[0]),
                                   F.lit(False))
             else:
@@ -2246,7 +2477,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
     if (spec.filter_text or spec.must_not or spec.must_bool
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool or spec.should_sql
-            or spec.must_dismax or spec.should_dismax or spec.fuzzy):
+            or spec.must_dismax or spec.should_dismax or spec.fuzzy
+            or spec.const_boost is not None):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
@@ -2850,6 +3082,11 @@ def _qualify_indexed(
         if fr is not None:
             anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
 
+    if spec.const_boost is not None:
+        # ES constant_score: the qualifying set is whatever the wrapped
+        # filter resolved to above — pin every doc's score to `boost`
+        return (anchor.select(
+            "doc_id", F.lit(spec.const_boost).alias("score")), True)
     return anchor, scored
 
 

@@ -235,6 +235,9 @@ def _spec_eval(pdf, fstats, n, spec):
         # ES: must_not on a NULL field matches the doc -> the doc only
         # drops when the predicate POSITIVELY matched
         qual = qual & ~_pred_mask(pdf, p)
+    if spec.const_boost is not None:
+        # ES constant_score: every qualifying doc scores exactly boost
+        return True, np.full(n, spec.const_boost), qual, True
     return True, total, qual, scored
 
 
@@ -560,6 +563,38 @@ DSL_QUERIES = [
     ("simple-query-string", {"query": {"simple_query_string": {
         "query": 'spark + agent | "the_hot_term spark"',
         "fields": ["text"]}}}),
+    # ---- regexp leaf (round 5): Lucene-anchored, shared Java/RE2
+    # pattern subset; the SAME predicate string runs in Spark SQL and
+    # the DuckDB oracle (regexp_extract(col, pat, 0) = col)
+    ("regexp-top-level", {"query": {"regexp": {"role": "(user|to[a-z]+)"}}}),
+    ("regexp-filter-null-field", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark", "operator": "or"}}}],
+        "filter": [{"regexp": {"tool": "ba.*"}}],  # tool has NULLs
+    }}}),
+    ("regexp-in-must-not", {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "must_not": [{"regexp": {"role": "assis[a-z]{4}"}}],
+    }}}),
+    # ---- constant_score (round 5): every qualifying doc scores boost
+    ("constant-score-top-level", {"query": {"constant_score": {
+        "filter": {"match": {"text": "spark"}}, "boost": 2.5}}}),
+    ("constant-score-meta-filter", {"query": {"constant_score": {
+        "filter": {"term": {"role": "tool"}}}}}),  # ES default boost 1
+    ("constant-score-in-should", {"query": {"bool": {
+        "should": [
+            {"constant_score": {"filter": {"term": {"role": "tool"}},
+                                "boost": 3.0}},
+            {"match": {"text": "w00042"}},
+        ],
+        "minimum_should_match": 1,
+    }}}),
+    ("constant-score-in-must", {"query": {"bool": {
+        "must": [
+            {"match": {"text": {"query": "spark", "operator": "or"}}},
+            {"constant_score": {"filter": {"regexp": {"role": "[a-z]+r"}},
+                                "boost": 0.7}},
+        ],
+    }}}),
 ]
 
 
@@ -647,6 +682,49 @@ def test_prefix_wildcard_ids_clauses(spark, docs, docs_pdf, dsl_index):
         parse_query({"ids": {"values": [1.5]}})
     with pytest.raises(DslError):
         parse_query({"prefix": {"role": ""}})
+
+
+def test_regexp_and_constant_score_validation():
+    """Out-of-grammar regexp syntax (Lucene operators, escapes, Java
+    extensions, anchors) and malformed constant_score bodies fail loud
+    instead of silently diverging from the user's ES cluster."""
+    for bad in ("a~b", "a&b", "<1-9>", "a#", "a@", "a\\d",
+                "(?i)abc", "(?=x)y", "^abc", "abc$", "[a-z", "a{2,1}"):
+        with pytest.raises(DslError):
+            parse_query({"regexp": {"role": bad}})
+    with pytest.raises(DslError):
+        parse_query({"regexp": {"role": ""}})
+    with pytest.raises(DslError):  # flags would change match semantics
+        parse_query({"regexp": {"role": {"value": "a.c",
+                                         "flags": "ALL"}}})
+    # ^ inside a character class is NEGATION in all three dialects
+    spec = parse_query({"regexp": {"role": "[^x]+"}})
+    assert spec.filter_sql and "regexp_extract" in spec.filter_sql[0]
+
+    with pytest.raises(DslError):  # filter is mandatory
+        parse_query({"constant_score": {"boost": 2.0}})
+    with pytest.raises(DslError):
+        parse_query({"constant_score": {"filter": {"match_all": {}},
+                                        "boost": -1}})
+    with pytest.raises(DslError):  # unknown options fail loud
+        parse_query({"constant_score": {"filter": {"match_all": {}},
+                                        "_name": "x"}})
+    spec = parse_query({"constant_score": {
+        "filter": {"term": {"role": "user"}}, "boost": 4.0}})
+    assert spec.const_boost == 4.0 and len(spec.filter_bool) == 1
+
+
+def test_constant_score_pins_scores(spark, docs, docs_pdf, dsl_index):
+    """Every hit of a constant_score query carries exactly boost; the
+    wrapped clause's BM25 scores never surface (the ES rule)."""
+    q = {"query": {"constant_score": {
+        "filter": {"match": {"text": "spark"}}, "boost": 2.5}}}
+    got = search_dsl(docs, q, 10).toPandas()
+    assert len(got) > 0 and (got["score"] == 2.5).all()
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    assert got["doc_id"].tolist() == gi["doc_id"].tolist()
+    assert (gi["score"] == 2.5).all()
 
 
 def test_parse_dismax_and_multi_match_validation():
@@ -2378,6 +2456,97 @@ def test_fuzzy_query(spark, docs, docs_pdf, dsl_index):
         {"fuzzy": {"text": {"value": "x", "fuzziness": -1}}},
         {"fuzzy": {"text": {"value": "two words"}}},
         {"fuzzy": {"text": {"value": "x", "max_expansions": 0}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query(bad)
+
+
+def test_match_phrase_prefix(spark, docs, docs_pdf, dsl_index):
+    """ES `match_phrase_prefix` (round 5): the analyzed query's last
+    term is a prefix, expanded against the vocabulary to the FIRST
+    max_expansions terms in term order (the Lucene term-dict rule),
+    desugared to a dis_max of exact phrases (documented deviation from
+    MultiPhrase blended scoring). Identity: phrase_prefix == the
+    hand-desugared dis_max; naive == indexed; single-term degenerates
+    to scored term matches; filter context qualifies only; bad options
+    raise."""
+    vocab = sorted({t for lst in tokenize_pandas(docs_pdf["text"])
+                    for t in lst})
+
+    # multi-term: "the_hot_term w0000*" -> phrases over the expansions
+    exp = [t for t in vocab if t.startswith("w0000")][:50]
+    assert len(exp) >= 5  # w00000.. are the hottest Zipf ranks
+    q = {"query": {"match_phrase_prefix": {"text": "the_hot_term w0000"}}}
+    hand = {"query": {"dis_max": {"queries": [
+        {"match_phrase": {"text": f"the_hot_term {t}"}} for t in exp]}}}
+    a = search_dsl(docs, q, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    assert len(a) > 0
+    _assert_rank_identical(a, b, "phrase_prefix==dismax")
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "phrase_prefix-indexed")
+
+    # max_expansions caps IN TERM ORDER (not by score/frequency)
+    q2 = {"query": {"match_phrase_prefix": {"text": {
+        "query": "the_hot_term w0000", "max_expansions": 3}}}}
+    hand2 = {"query": {"dis_max": {"queries": [
+        {"match_phrase": {"text": f"the_hot_term {t}"}}
+        for t in exp[:3]]}}}
+    _assert_rank_identical(search_dsl(docs, q2, 10).toPandas(),
+                           search_dsl(docs, hand2, 10).toPandas(),
+                           "phrase_prefix-capped")
+
+    # slop rides the expanded phrases
+    qs = {"query": {"match_phrase_prefix": {"text": {
+        "query": "the_hot_term w0000", "slop": 2}}}}
+    hands = {"query": {"dis_max": {"queries": [
+        {"match_phrase": {"text": {"query": f"the_hot_term {t}",
+                                   "slop": 2}}} for t in exp]}}}
+    _assert_rank_identical(search_dsl(docs, qs, 10).toPandas(),
+                           search_dsl(docs, hands, 10).toPandas(),
+                           "phrase_prefix-slop")
+
+    # single-term: a SCORED prefix — dis_max of plain term matches
+    q3 = {"query": {"match_phrase_prefix": {"text": {
+        "query": "w0004", "max_expansions": 5}}}}
+    exp3 = [t for t in vocab if t.startswith("w0004")][:5]
+    hand3 = {"query": {"dis_max": {"queries": [
+        {"match": {"text": t}} for t in exp3]}}}
+    a3 = search_dsl(docs, q3, 10).toPandas()
+    _assert_rank_identical(a3, search_dsl(docs, hand3, 10).toPandas(),
+                           "phrase_prefix-single-term")
+    assert (a3["score"] > 0).all()  # scored, unlike the metadata prefix
+    gi3 = search_dsl_indexed(spark, dsl_index, q3, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gi3, a3, "phrase_prefix-single-indexed")
+
+    # filter context: qualification only, scores from the must clause
+    qf = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"match_phrase_prefix": {"text": "the_hot_term w0000"}}],
+    }}}
+    af = search_dsl(docs, qf, 10).toPandas()
+    hf = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"dis_max": {"queries": [
+            {"match_phrase": {"text": f"the_hot_term {t}"}}
+            for t in exp]}}],
+    }}}
+    _assert_rank_identical(af, search_dsl(docs, hf, 10).toPandas(),
+                           "phrase_prefix-filter")
+
+    # no vocabulary term carries the prefix == absent term
+    assert search_dsl(docs, {"query": {"match_phrase_prefix": {
+        "text": "the_hot_term zzzz"}}}, 10).count() == 0
+
+    for bad in (
+        {"match_phrase_prefix": {"text": {"query": "x",
+                                          "analyzer": "std"}}},
+        {"match_phrase_prefix": {"text": {"query": "x",
+                                          "max_expansions": 0}}},
+        {"match_phrase_prefix": {"text": {"query": "x", "slop": -1}}},
+        {"match_phrase_prefix": {"text": "...!!!"}},  # analyzes to none
     ):
         with pytest.raises(DslError):
             parse_query(bad)
