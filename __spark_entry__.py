@@ -284,6 +284,22 @@ def _dismax_topk(spark, sf_dir):
       Lucene's blended-freq rewrite documented there). The DuckDB twin
       computes the expansion set with ITS OWN levenshtein over the
       distinct tokens.
+    - ``regexp`` (round 5): a Lucene-anchored ``regexp`` leaf in
+      filter context gating a scored match — the predicate string
+      (``regexp_extract(col, '^(?:...)$', 0) = col``) is dialect-shared
+      on purpose, so the DuckDB twin replays it VERBATIM
+      (search/dsl.py _compile_meta/_validate_regex_subset).
+    - ``cscore`` (round 5): ``constant_score`` pinning every
+      qualifying doc (token membership AND a regexp on ``lang``) to
+      exactly boost=2.5 — rank degenerates to doc_id order, so the
+      value check is the qualifying SET + the pinned score.
+    - ``pprefix`` (round 5): ``match_phrase_prefix`` — 'hash s' with
+      max_expansions=4 expands against the vocabulary to the FIRST
+      four 's*' terms in term order (the Lucene term-dict rule) and
+      scores as the best completed exact phrase (search/dsl.py
+      PhrasePrefixClause). The DuckDB twin derives the SAME expansion
+      set from its own distinct-token scan and replays the
+      adjacency-gated BM25 max.
 
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
@@ -291,17 +307,31 @@ def _dismax_topk(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    a = search_dsl(docs, _DISMAX_QUERY, 10).select(
-        F.lit("dismax").alias("mode"), "doc_id",
-        F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"))
-    fq = {"query": {"fuzzy": {"text": {"value": "mash",
-                                       "fuzziness": 2}}}}
-    b = search_dsl(docs, fq, 10).select(
-        F.lit("fuzzy").alias("mode"), "doc_id",
-        F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"))
-    return a.unionByName(b)
+
+    def mode(name, q):
+        return search_dsl(docs, q, 10).select(
+            F.lit(name).alias("mode"), "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.round("score", 4).alias("score"))
+
+    out = mode("dismax", _DISMAX_QUERY)
+    out = out.unionByName(mode("fuzzy", {"query": {"fuzzy": {
+        "text": {"value": "mash", "fuzziness": 2}}}}))
+    out = out.unionByName(mode("regexp", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "key agg",
+                                     "operator": "or"}}}],
+        "filter": [{"regexp": {"source": "src1[0-9]"}}],
+    }}}))
+    out = out.unionByName(mode("cscore", {"query": {"constant_score": {
+        "filter": {"bool": {"filter": [
+            {"match": {"text": "hash"}},
+            {"regexp": {"lang": "(en|e[a-z])"}},
+        ]}},
+        "boost": 2.5}}}))
+    out = out.unionByName(mode("pprefix", {"query": {
+        "match_phrase_prefix": {"text": {"query": "hash s",
+                                         "max_expansions": 4}}}}))
+    return out
 
 
 _MULTI_MATCH_QUERY = {"query": {"multi_match": {
@@ -1613,6 +1643,56 @@ fz AS (
              * tf2.tf*2.2/(tf2.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)))
            AS score
   FROM tf2 JOIN df2 USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  GROUP BY 1),
+rx AS (
+  -- regexp leaf in filter context: the engine's anchored predicate
+  -- string replayed VERBATIM (shared Java/RE2 subset by design)
+  SELECT sc.doc_id, s1 AS score
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+  WHERE m1 > 0
+    AND regexp_extract(d.source, '^(?:src1[0-9])$', 0) = d.source),
+cs AS (
+  -- constant_score: qualification only (token membership + lang
+  -- regexp); every hit is pinned to boost=2.5 in the final select
+  SELECT tk.doc_id
+  FROM toks tk JOIN documents d ON tk.doc_id = d.doc_id
+  WHERE list_contains(tk.t, 'hash')
+    AND regexp_extract(d.lang, '^(?:(en|e[a-z]))$', 0) = d.lang),
+pexp AS (
+  -- match_phrase_prefix expansion set: FIRST 4 's*' vocabulary terms
+  -- in term order (the Lucene term-dict rule the engine implements)
+  SELECT x AS term
+  FROM (SELECT DISTINCT unnest(t) AS x FROM toks)
+  WHERE x LIKE 's%' ORDER BY x LIMIT 4),
+tf3 AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok IN (SELECT term FROM pexp) GROUP BY 1, 2),
+df3 AS (SELECT term, count(*)::DOUBLE df FROM tf3 GROUP BY 1),
+hb AS (
+  SELECT tf.doc_id,
+         ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+         * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS score
+  FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+  WHERE tf.term = 'hash'),
+pp AS (
+  -- best completed phrase: adjacency-gated BM25 over the phrase's
+  -- terms ('hash' + the expansion), max over matching expansions
+  -- (dis_max tie_breaker 0 — the engine's documented desugaring)
+  SELECT tk.doc_id,
+         max(hb.score
+             + ln(1+(s.n-df3.df+0.5)/(df3.df+0.5))
+               * tf3.tf*2.2/(tf3.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)))
+           AS score
+  FROM toks tk
+  JOIN pexp e
+    ON position(' hash ' || e.term || ' '
+                IN ' ' || array_to_string(tk.t, ' ') || ' ') > 0
+  JOIN hb ON hb.doc_id = tk.doc_id
+  JOIN tf3 ON tf3.doc_id = tk.doc_id AND tf3.term = e.term
+  JOIN df3 ON df3.term = e.term
+  JOIN dl ON dl.doc_id = tk.doc_id
+  CROSS JOIN s
   GROUP BY 1)
 (SELECT 'dismax' AS mode, doc_id,
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
@@ -1623,6 +1703,21 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM fz ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'regexp' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM rx ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'cscore' AS mode, doc_id,
+        row_number() OVER (ORDER BY doc_id) AS rank,
+        2.5::DOUBLE AS score
+ FROM cs ORDER BY doc_id LIMIT 10)
+UNION ALL
+(SELECT 'pprefix' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM pp ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored
