@@ -300,6 +300,11 @@ def _dismax_topk(spark, sf_dir):
       PhrasePrefixClause). The DuckDB twin derives the SAME expansion
       set from its own distinct-token scan and replays the
       adjacency-gated BM25 max.
+    - ``boosting`` (round 5): demote-without-exclude — docs matching
+      'key agg' (or) keep their BM25 score, multiplied by 0.3 when
+      they ALSO contain 'hash' (search/dsl.py QuerySpec.boosting;
+      must_not could only DROP them). The twin reuses the same
+      per-term score CTE: score = s1 * CASE WHEN m2>0 THEN 0.3 END.
 
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
@@ -331,6 +336,11 @@ def _dismax_topk(spark, sf_dir):
     out = out.unionByName(mode("pprefix", {"query": {
         "match_phrase_prefix": {"text": {"query": "hash s",
                                          "max_expansions": 4}}}}))
+    out = out.unionByName(mode("boosting", {"query": {"boosting": {
+        "positive": {"match": {"text": {"query": "key agg",
+                                        "operator": "or"}}},
+        "negative": {"match": {"text": "hash"}},
+        "negative_boost": 0.3}}}))
     return out
 
 
@@ -1718,6 +1728,14 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM pp ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'boosting' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (SELECT doc_id,
+              s1 * CASE WHEN m2 > 0 THEN 0.3 ELSE 1.0 END AS score
+       FROM sc WHERE m1 > 0)
+ ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

@@ -71,6 +71,15 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  -- (tie_breaker 0; Lucene's MultiPhrase blended
                  -- scoring is a documented deviation — see
                  -- PhrasePrefixClause)
+    boosting     := {"boosting": {"positive": clause,
+                                  "negative": clause,
+                                  "negative_boost": number}}
+                 -- docs qualify by POSITIVE only, scored by positive;
+                 -- a doc that ALSO matches negative keeps its score
+                 -- multiplied by negative_boost in [0, 1] (demotion
+                 -- without exclusion — the ES rule). The negative
+                 -- clause evaluates in filter context (its scores
+                 -- never surface).
     constant_score := {"constant_score": {"filter": clause,
                                           "boost": number}}
                  -- every matching doc scores exactly ``boost`` (the ES
@@ -289,6 +298,23 @@ class QuerySpec:
     # ES constant_score: when set, the spec's qualifying docs ALL score
     # exactly this value (the wrapped clause sits in filter context)
     const_boost: float | None = None
+    # ES boosting query: (positive_spec, negative_spec, negative_boost)
+    # — docs qualify by POSITIVE only; a doc that ALSO matches negative
+    # keeps its positive score multiplied by negative_boost (demotion
+    # without exclusion, the thing must_not cannot express)
+    boosting: tuple | None = None
+
+    def child_specs(self) -> list["QuerySpec"]:
+        """Every nested QuerySpec one level down — the four bool
+        context lists plus the boosting positive/negative pair. All
+        tree traversals (fuzzy resolution, field collection, text
+        clause collection) recurse through THIS, so a new child-spec
+        container only needs wiring here."""
+        out = (self.must_bool + self.filter_bool + self.should_bool
+               + self.must_not_bool)
+        if self.boosting is not None:
+            out = out + [self.boosting[0], self.boosting[1]]
+        return out
 
     def minimum_should_match(self) -> int:
         n_should = (len(self.should) + len(self.should_bool)
@@ -314,14 +340,11 @@ class QuerySpec:
 
     def has_fuzzy(self) -> bool:
         return bool(self.fuzzy) or any(
-            ch.has_fuzzy()
-            for ch in (self.must_bool + self.filter_bool
-                       + self.should_bool + self.must_not_bool))
+            ch.has_fuzzy() for ch in self.child_specs())
 
     def fuzzy_fields(self) -> set:
         out = {fc.field for _, fc in self.fuzzy}
-        for ch in (self.must_bool + self.filter_bool + self.should_bool
-                   + self.must_not_bool):
+        for ch in self.child_specs():
             out |= ch.fuzzy_fields()
         return out
 
@@ -330,8 +353,7 @@ class QuerySpec:
         (self + nested bools) — the indexed executors validate these
         against the doc_stats schema."""
         out = set(self.sql_fields)
-        for child in (self.must_bool + self.filter_bool + self.should_bool
-                      + self.must_not_bool):
+        for child in self.child_specs():
             out |= child.all_sql_fields()
         return out
 
@@ -341,8 +363,7 @@ class QuerySpec:
         out = (self.must + self.should + self.filter_text + self.must_not)
         for dm in self.must_dismax + self.should_dismax:
             out.extend(dm.children)
-        for child in (self.must_bool + self.filter_bool + self.should_bool
-                      + self.must_not_bool):
+        for child in self.child_specs():
             out.extend(child.text_clauses())
         return out
 
@@ -838,6 +859,30 @@ def _parse_constant_score(body: dict) -> QuerySpec:
     return spec
 
 
+def _parse_boosting(body: dict) -> QuerySpec:
+    """ES ``boosting`` -> a :class:`QuerySpec` carrying the
+    (positive, negative, negative_boost) triple. All three keys are
+    required (the ES rule); negative_boost must sit in [0, 1] — a
+    value above 1 would PROMOTE on the negative match, which ES
+    rejects, and silently accepting it would diverge."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad boosting body {body!r}")
+    unknown = set(body) - {"positive", "negative", "negative_boost"}
+    if unknown:
+        raise DslError(f"unsupported boosting options {sorted(unknown)}")
+    for k in ("positive", "negative", "negative_boost"):
+        if k not in body:
+            raise DslError(f"boosting needs {k!r}")
+    nb = body["negative_boost"]
+    if isinstance(nb, bool) or not isinstance(nb, (int, float)) \
+            or not 0 <= nb <= 1:
+        raise DslError(
+            f"negative_boost must be a number in [0, 1], got {nb!r}")
+    return QuerySpec(boosting=(parse_query(body["positive"]),
+                               parse_query(body["negative"]),
+                               float(nb)))
+
+
 def _dismax_as_bool(dm: DisMax) -> "QuerySpec":
     """dis_max reduced to qualification only (filter / must_not
     context): any-child-matches == a bool-should with msm 1."""
@@ -889,8 +934,7 @@ def _resolve_fuzzy_inplace(sp: QuerySpec, expand_fn) -> None:
         else:  # must_not
             sp.must_not_bool.append(_dismax_as_bool(dm))
     sp.fuzzy = []
-    for ch in (sp.must_bool + sp.filter_bool + sp.should_bool
-               + sp.must_not_bool):
+    for ch in sp.child_specs():
         _resolve_fuzzy_inplace(ch, expand_fn)
 
 
@@ -985,6 +1029,8 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind == "constant_score":
         return _parse_constant_score(body)
+    if kind == "boosting":
+        return _parse_boosting(body)
     if kind in ("dis_max", "multi_match"):
         parsed = (_parse_dismax(body) if kind == "dis_max"
                   else _parse_multi_match(body))
@@ -1060,13 +1106,15 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should.append(tc)
                 else:
                     spec.must_not.append(tc)
-            elif ck == "constant_score":
-                # score matters in must/should (adds `boost` when the
-                # wrapped filter matches); in filter/must_not only
-                # qualification survives — both are exactly the child-
-                # bool semantics, so it rides the *_bool lists
+            elif ck in ("constant_score", "boosting"):
+                # score matters in must/should (constant_score adds
+                # `boost`; boosting adds the demoted positive score);
+                # in filter/must_not only qualification survives —
+                # both are exactly the child-bool semantics, so they
+                # ride the *_bool lists
                 getattr(spec, f"{ctx}_bool").append(
-                    _parse_constant_score(cb))
+                    _parse_constant_score(cb) if ck == "constant_score"
+                    else _parse_boosting(cb))
             elif ck in ("term", "terms", "range", "exists", "prefix",
                         "wildcard", "regexp", "ids"):
                 pred, fld = _compile_meta(ck, cb)
@@ -1336,6 +1384,19 @@ def _compile_specs(
         means provably empty (a required clause can never match). Child
         bools recurse — still row expressions, so the whole TREE stays a
         single map-side pass (no extra scans or joins per nesting level)."""
+        if sp.boosting is not None:
+            # ES boosting: qualify by POSITIVE only; demote (never
+            # exclude) docs the negative clause also matches. Still
+            # row expressions — no extra pass.
+            pos, neg, nb = sp.boosting
+            pok, psc, pq, pscored = spec_exprs(pos)
+            if not pok:
+                return False, None, None, False
+            nok, _, nq, _ = spec_exprs(neg)
+            if nok:
+                nq = F.coalesce(nq, F.lit(False))
+                psc = F.when(nq, psc * F.lit(nb)).otherwise(psc)
+            return True, psc, pq, pscored
         qual = F.lit(True)
         score = F.lit(0.0)
         scored = False
@@ -1532,7 +1593,86 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 # result VALUES). Anything else — highlight, rescore, min_score... —
 # would silently change results and must fail loud.
 _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
-                 "collapse"}
+                 "collapse", "rescore"}
+
+
+def _parse_rescore(request: dict):
+    """ES ``rescore``: -> None or ``(window_size, rescore_query_raw,
+    query_weight, rescore_query_weight, score_mode)``. window_size is
+    None when absent (the caller defaults it to from+size, the ES
+    rule). Multiple rescore stages and unknown options fail loud."""
+    r = request.get("rescore")
+    if r is None:
+        return None
+    if isinstance(r, list):
+        raise DslError("multiple rescore stages are not supported")
+    if not isinstance(r, dict):
+        raise DslError(f"bad rescore body {r!r}")
+    unknown = set(r) - {"window_size", "query"}
+    if unknown:
+        raise DslError(f"unsupported rescore options {sorted(unknown)}")
+    if "query" not in r:
+        raise DslError("rescore needs a query block")
+    q = r["query"]
+    if not isinstance(q, dict):
+        raise DslError(f"bad rescore query block {q!r}")
+    unknown = set(q) - {"rescore_query", "query_weight",
+                        "rescore_query_weight", "score_mode"}
+    if unknown:
+        raise DslError(
+            f"unsupported rescore query options {sorted(unknown)}")
+    if "rescore_query" not in q:
+        raise DslError("rescore needs rescore_query")
+    window = r.get("window_size")
+    if window is not None and (isinstance(window, bool)
+                               or not isinstance(window, int)
+                               or window < 0):
+        raise DslError(
+            f"window_size must be a non-negative int, got {window!r}")
+    qw = q.get("query_weight", 1.0)
+    rqw = q.get("rescore_query_weight", 1.0)
+    for v in (qw, rqw):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise DslError(f"rescore weights must be numbers, got {v!r}")
+    mode = q.get("score_mode", "total")
+    if mode not in ("total", "multiply", "avg", "max", "min"):
+        raise DslError(f"unsupported rescore score_mode {mode!r}")
+    return (window, q["rescore_query"], float(qw), float(rqw), mode)
+
+
+def _apply_rescore(base: DataFrame, rs: DataFrame | None, window: int,
+                   qw: float, rqw: float, mode: str, size: int,
+                   frm: int) -> DataFrame:
+    """Combine a base top-k frame ``(doc_id, score)`` with a rescore
+    score frame ``(doc_id, __rs)``: the top ``window`` base hits
+    re-sort by the combined score (Lucene QueryRescorer rule — a doc
+    the rescore query does not match keeps ``query_weight * base``);
+    hits beyond the window keep their ORIGINAL score and always rank
+    below the rescored window, exactly as in ES. The base frame is
+    already top-k-sized, so the rank window and the rescore join are
+    k-row operations, never corpus-sized."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = base.select("doc_id", "score",
+                         F.row_number().over(w).alias("__rk"))
+    if rs is not None:
+        ranked = ranked.join(rs, "doc_id", "left")
+    else:
+        ranked = ranked.withColumn("__rs", F.lit(None).cast("double"))
+    b = F.col("score") * F.lit(qw)
+    r = F.col("__rs") * F.lit(rqw)
+    comb = {"total": b + r, "multiply": b * r,
+            "avg": (b + r) / F.lit(2.0),
+            "max": F.greatest(b, r), "min": F.least(b, r)}[mode]
+    comb = F.when(F.col("__rs").isNotNull(), comb).otherwise(b)
+    in_w = F.col("__rk") <= F.lit(window)
+    out = ranked.select(
+        "doc_id",
+        F.when(in_w, comb).otherwise(F.col("score")).alias("score"),
+        F.when(in_w, F.lit(0)).otherwise(F.lit(1)).alias("__tier"))
+    out = (out.orderBy(F.asc("__tier"), F.desc("score"),
+                       F.asc("doc_id"))
+           .limit(frm + size).select("doc_id", "score"))
+    return out.offset(frm) if frm else out
 _REQUEST_NOOP_KEYS = {"track_total_hits", "_source"}
 
 
@@ -1653,11 +1793,13 @@ def execute_request(
         raise DslError("request must be a dict")
     _validate_request_keys(request)
     collapse = _parse_collapse(request)
+    rescore = _parse_rescore(request)
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
-                or collapse is not None:
-            raise DslError("aggs requests return buckets only; "
-                           "sort/search_after/collapse cannot be honored")
+                or collapse is not None or rescore is not None:
+            raise DslError("aggs requests return buckets only; sort/"
+                           "search_after/collapse/rescore cannot be "
+                           "honored")
         return dsl_aggregate(docs_df, request, params)
     if collapse is not None and request.get("search_after") is not None:
         raise DslError("collapse with search_after is not supported")
@@ -1667,6 +1809,23 @@ def execute_request(
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
     sort = request.get("sort")
+    if rescore is not None:
+        if sort is not None or collapse is not None \
+                or request.get("search_after") is not None:
+            raise DslError("rescore cannot be combined with sort/"
+                           "collapse/search_after (ES rejects rescore "
+                           "with sort; cursors/collapse would see two "
+                           "different orderings)")
+        window, rq, qw, rqw, mode = rescore
+        if window is None:
+            window = frm + size  # the ES default
+        depth = max(window, frm + size)
+        base = search_dsl(docs_df, query, depth, params)
+        mf = _matched_frame(docs_df, parse_query(rq),
+                            params or BM25Params())
+        rs = (mf[0].select("doc_id", F.col("__dsl_score").alias("__rs"))
+              if mf is not None else None)
+        return _apply_rescore(base, rs, window, qw, rqw, mode, size, frm)
     if sort is not None:
         # ES custom sort: order the qualifying set by field / _score
         # keys (scores still computed, as ES does under track_scores)
@@ -2478,7 +2637,7 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool or spec.should_sql
             or spec.must_dismax or spec.should_dismax or spec.fuzzy
-            or spec.const_boost is not None):
+            or spec.const_boost is not None or spec.boosting is not None):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
@@ -2914,6 +3073,27 @@ def _qualify_indexed(
         return _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                 child, docs_df)
 
+    if spec.boosting is not None:
+        # ES boosting from the index: positive resolves to its own
+        # qualifying frame; the negative's doc set left-joins on to
+        # demote scores — one postings-sized join, never a corpus scan
+        pos, neg, nb = spec.boosting
+        fr, scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                      pos, docs_df)
+        if fr is None:
+            return None, False
+        nfr, _ = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
+                                  neg, docs_df)
+        if nfr is not None:
+            neg_ids = nfr.select("doc_id", F.lit(True).alias("__neg"))
+            fr = (fr.join(neg_ids, "doc_id", "left")
+                  .select("doc_id",
+                          F.when(F.coalesce(F.col("__neg"),
+                                            F.lit(False)),
+                                 F.col("score") * F.lit(nb))
+                          .otherwise(F.col("score")).alias("score")))
+        return fr, scored
+
     def dismax_frame(dm: DisMax) -> DataFrame | None:
         """ES dis_max from the index: union the children's score
         frames, combine per doc as best + tie_breaker * (sum - best)
@@ -3147,11 +3327,13 @@ def execute_request_indexed(
         raise DslError("request must be a dict")
     _validate_request_keys(request)
     collapse = _parse_collapse(request)
+    rescore = _parse_rescore(request)
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
-                or collapse is not None:
-            raise DslError("aggs requests return buckets only; "
-                           "sort/search_after/collapse cannot be honored")
+                or collapse is not None or rescore is not None:
+            raise DslError("aggs requests return buckets only; sort/"
+                           "search_after/collapse/rescore cannot be "
+                           "honored")
         return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
     if collapse is not None and request.get("search_after") is not None:
         raise DslError("collapse with search_after is not supported")
@@ -3161,6 +3343,29 @@ def execute_request_indexed(
         raise DslError("size/from must be non-negative")
     query = request.get("query", {"match_all": {}})
     sort = request.get("sort")
+    if rescore is not None:
+        if sort is not None or collapse is not None \
+                or request.get("search_after") is not None:
+            raise DslError("rescore cannot be combined with sort/"
+                           "collapse/search_after (ES rejects rescore "
+                           "with sort; cursors/collapse would see two "
+                           "different orderings)")
+        window, rq, qw, rqw, mode = rescore
+        if window is None:
+            window = frm + size  # the ES default
+        depth = max(window, frm + size)
+        base = search_dsl_indexed(spark, index_dir, query, depth, docs_df)
+        rs_spec = parse_query(rq)
+        dirs, metas, n_docs, avgdl = _load_segments(index_dir)
+        rs = None
+        if n_docs:
+            _validate_sql_fields(spark, dirs, rs_spec)
+            anchor, _ = _qualify_indexed(spark, dirs, metas, n_docs,
+                                         avgdl, rs_spec, docs_df)
+            if anchor is not None:
+                rs = anchor.select("doc_id",
+                                   F.col("score").alias("__rs"))
+        return _apply_rescore(base, rs, window, qw, rqw, mode, size, frm)
     if sort is not None or collapse is not None:
         # indexed custom sort / collapse: the anchor carries (doc_id,
         # score) only, so field keys join in from doc_stats (the

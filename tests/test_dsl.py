@@ -160,6 +160,17 @@ def _dismax_eval(pdf, fstats, n, dm):
 def _spec_eval(pdf, fstats, n, spec):
     """One (sub)bool -> (ok, score, qual, scored) numpy arrays —
     recursive, mirrors ES semantics independently of the Spark plans."""
+    if spec.boosting is not None:
+        # ES boosting: qualify by positive only; demote (never
+        # exclude) docs the negative also matches
+        pos, neg, nb = spec.boosting
+        ok, s, q, sc = _spec_eval(pdf, fstats, n, pos)
+        if not ok:
+            return False, None, None, False
+        nok, _, nq, _ = _spec_eval(pdf, fstats, n, neg)
+        if nok:
+            s = np.where(nq, s * nb, s)
+        return True, s, q, sc
     total = np.zeros(n)
     qual = np.ones(n, dtype=bool)
     scored = False
@@ -595,6 +606,43 @@ DSL_QUERIES = [
                                 "boost": 0.7}},
         ],
     }}}),
+    # ---- boosting (round 5): demote-without-exclude; docs qualify by
+    # positive only, negative matches multiply the score by nb
+    ("boosting-top-level", {"query": {"boosting": {
+        "positive": {"match": {"text": {"query": "spark agent",
+                                        "operator": "or"}}},
+        "negative": {"match": {"text": "the_hot_term"}},
+        "negative_boost": 0.4}}}),
+    ("boosting-meta-negative", {"query": {"boosting": {
+        "positive": {"match": {"text": "spark"}},
+        "negative": {"term": {"role": "tool"}},
+        "negative_boost": 0.2}}}),
+    ("boosting-nested-bool", {"query": {"boosting": {
+        "positive": {"bool": {
+            "must": [{"match": {"text": {"query": "spark agent",
+                                         "operator": "or"}}}],
+            "filter": [{"range": {"turn_idx": {"gte": 1}}}]}},
+        "negative": {"bool": {
+            "must": [{"match": {"text": "the_hot_term"}}],
+            "filter": [{"term": {"role": "user"}}]}},
+        "negative_boost": 0.0}}}),  # nb=0: demoted to score 0, KEPT
+    ("boosting-in-should", {"query": {"bool": {
+        "should": [
+            {"boosting": {"positive": {"match": {"text": "spark"}},
+                          "negative": {"term": {"role": "tool"}},
+                          "negative_boost": 0.5}},
+            {"match": {"text": "w00042"}},
+        ],
+        "minimum_should_match": 1,
+    }}}),
+    ("boosting-in-filter", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}}],
+        "filter": [{"boosting": {
+            "positive": {"match": {"text": "spark"}},
+            "negative": {"term": {"role": "tool"}},
+            "negative_boost": 0.1}}],  # filter ctx: qualification only
+    }}}),
 ]
 
 
@@ -712,6 +760,60 @@ def test_regexp_and_constant_score_validation():
     spec = parse_query({"constant_score": {
         "filter": {"term": {"role": "user"}}, "boost": 4.0}})
     assert spec.const_boost == 4.0 and len(spec.filter_bool) == 1
+
+
+def test_boosting_validation():
+    """Malformed boosting bodies fail loud: all three keys are
+    mandatory, negative_boost must sit in [0, 1] (above 1 would
+    PROMOTE on a negative match), unknown options raise."""
+    good_pos, good_neg = {"match": {"text": "x"}}, {"term": {"role": "y"}}
+    for bad in (
+        {"positive": good_pos, "negative": good_neg},  # nb missing
+        {"positive": good_pos, "negative_boost": 0.5},
+        {"negative": good_neg, "negative_boost": 0.5},
+        {"positive": good_pos, "negative": good_neg,
+         "negative_boost": 1.5},
+        {"positive": good_pos, "negative": good_neg,
+         "negative_boost": -0.1},
+        {"positive": good_pos, "negative": good_neg,
+         "negative_boost": True},
+        {"positive": good_pos, "negative": good_neg,
+         "negative_boost": 0.5, "_name": "x"},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"boosting": bad})
+    spec = parse_query({"boosting": {
+        "positive": good_pos, "negative": good_neg,
+        "negative_boost": 0.3}})
+    assert spec.boosting is not None and spec.boosting[2] == 0.3
+    # the tree walkers see THROUGH the boosting pair
+    assert len(spec.text_clauses()) == 1
+    assert spec.all_sql_fields() == {"role"}
+
+
+def test_boosting_demotes_not_excludes(spark, docs, docs_pdf, dsl_index):
+    """A doc matching both positive and negative stays in the result
+    with its score multiplied by negative_boost — never dropped."""
+    pos = {"query": {"match": {"text": {"query": "spark agent",
+                                        "operator": "or"}}}}
+    q = {"query": {"boosting": {
+        "positive": pos["query"], "negative": {"match": {
+            "text": "the_hot_term"}}, "negative_boost": 0.4}}}
+    base = search_dsl(docs, pos, 10_000).toPandas().set_index("doc_id")
+    got = search_dsl(docs, q, 10_000).toPandas().set_index("doc_id")
+    # same qualifying SET as positive alone
+    assert sorted(got.index) == sorted(base.index)
+    neg_ids = set(search_dsl(
+        docs, {"query": {"match": {"text": "the_hot_term"}}},
+        10_000).toPandas()["doc_id"])
+    assert neg_ids & set(got.index)  # the demotion actually fires
+    for d in got.index:
+        want = base.loc[d, "score"] * (0.4 if d in neg_ids else 1.0)
+        assert abs(got.loc[d, "score"] - want) < 1e-9
+    gi = search_dsl_indexed(spark, dsl_index, q, 10, docs_df=docs)
+    _assert_rank_identical(gi.toPandas(),
+                           search_dsl(docs, q, 10).toPandas(),
+                           "boosting-indexed")
 
 
 def test_constant_score_pins_scores(spark, docs, docs_pdf, dsl_index):
@@ -2744,3 +2846,112 @@ def test_msearch_indexed_matches_per_query(spark, docs, dsl_index,
             _assert_rank_identical(got, want,
                                    f"msearch-indexed:{r['query_id']}")
             assert len(got) > 0, r["query_id"]
+
+
+# --------------------------------------------------------------------------
+# rescore (round 5)
+# --------------------------------------------------------------------------
+
+def _rescore_oracle(pdf, req):
+    """Independent pandas replay of ES rescore: base top-depth ranking,
+    window re-sorted by the combined score (Lucene QueryRescorer:
+    unmatched docs keep query_weight * base), beyond-window docs keep
+    their ORIGINAL score below the window."""
+    r = req["rescore"]
+    qblk = r["query"]
+    size, frm = req.get("size", 10), req.get("from", 0)
+    window = r.get("window_size", frm + size)
+    qw = qblk.get("query_weight", 1.0)
+    rqw = qblk.get("rescore_query_weight", 1.0)
+    mode = qblk.get("score_mode", "total")
+    depth = max(window, frm + size)
+    base = dsl_oracle(pdf, {"query": req["query"]}, depth)
+    rspec = parse_query({"query": qblk["rescore_query"]})
+    rst = _field_stats(pdf, {c.field for c in rspec.text_clauses()})
+    rok, rtot, rqual, _ = _spec_eval(pdf, rst, len(pdf), rspec)
+    rs = (dict(zip(pdf["doc_id"].to_numpy()[rqual], rtot[rqual]))
+          if rok else {})
+
+    def combine(b, x):
+        return {"total": b + x, "multiply": b * x, "avg": (b + x) / 2,
+                "max": max(b, x), "min": min(b, x)}[mode]
+
+    rows = []
+    for i, (d, s) in enumerate(zip(base["doc_id"], base["score"])):
+        if i < window:
+            c = (combine(qw * s, rqw * rs[d]) if d in rs else qw * s)
+            rows.append((0, c, int(d)))
+        else:
+            rows.append((1, s, int(d)))
+    rows.sort(key=lambda t: (t[0], -t[1], t[2]))
+    sel = rows[frm:frm + size]
+    return pd.DataFrame({"doc_id": [d for _, _, d in sel],
+                         "score": [s for _, s, _ in sel]})
+
+
+def test_rescore(spark, docs, docs_pdf, dsl_index):
+    """ES rescore: phrase rescoring over an or-match window — naive vs
+    the pandas oracle, indexed vs naive, every score_mode, windowed
+    tier behavior, the from+size default window, and fail-loud
+    validation."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    base_q = {"match": {"text": {"query": "spark agent",
+                                 "operator": "or"}}}
+    resc_q = {"match_phrase": {"text": "the_hot_term spark"}}
+
+    for extra in ({"rescore_query_weight": 2.0},
+                  {"score_mode": "multiply"},
+                  {"score_mode": "max", "query_weight": 0.7},
+                  {"score_mode": "min"},
+                  {"score_mode": "avg"}):
+        req = {"query": base_q, "size": 10,
+               "rescore": {"window_size": 30,
+                           "query": {"rescore_query": resc_q, **extra}}}
+        got = execute_request(docs, req).toPandas()
+        want = _rescore_oracle(docs_pdf, req)
+        _assert_rank_identical(got, want, f"rescore-{extra}")
+        gi = execute_request_indexed(spark, dsl_index, req,
+                                     docs_df=docs).toPandas()
+        _assert_rank_identical(gi, got, f"rescore-indexed-{extra}")
+
+    # the demotion-resistant tier: window=3 of a 10-row page — ranks
+    # 4..10 keep their ORIGINAL base score and order below the window
+    req3 = {"query": base_q, "size": 10,
+            "rescore": {"window_size": 3,
+                        "query": {"rescore_query": resc_q,
+                                  "query_weight": 0.0}}}
+    got3 = execute_request(docs, req3).toPandas()
+    base10 = search_dsl(docs, {"query": base_q}, 10).toPandas()
+    assert got3["doc_id"].tolist()[3:] == base10["doc_id"].tolist()[3:]
+    np.testing.assert_allclose(got3["score"].to_numpy()[3:],
+                               base10["score"].to_numpy()[3:])
+    _assert_rank_identical(got3, _rescore_oracle(docs_pdf, req3),
+                           "rescore-window3")
+
+    # window_size defaults to from+size (the ES rule)
+    reqd = {"query": base_q, "size": 5, "from": 2,
+            "rescore": {"query": {"rescore_query": resc_q}}}
+    _assert_rank_identical(execute_request(docs, reqd).toPandas(),
+                           _rescore_oracle(docs_pdf, reqd),
+                           "rescore-default-window")
+
+    for bad in (
+        {"rescore": [{"query": {"rescore_query": resc_q}}]},  # stages
+        {"rescore": {"query": {"rescore_query": resc_q},
+                     "window": 5}},                  # unknown option
+        {"rescore": {"query": {"rescore_query": resc_q,
+                               "score_mode": "sum"}}},
+        {"rescore": {"query": {}}},                  # no rescore_query
+        {"rescore": {"query": {"rescore_query": resc_q}},
+         "sort": [{"n_chars": "desc"}]},             # rescore + sort
+        {"rescore": {"query": {"rescore_query": resc_q}},
+         "search_after": [1.0, 5]},
+        {"rescore": {"query": {"rescore_query": resc_q}},
+         "aggs": {"x": {"value_count": {"field": "doc_id"}}}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(docs, {"query": base_q, **bad})
