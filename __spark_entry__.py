@@ -349,21 +349,46 @@ _MULTI_MATCH_QUERY = {"query": {"multi_match": {
     "type": "most_fields"}}}
 
 
+_MLT_QUERY = {"query": {"more_like_this": {
+    # tf>=2 candidates: hash/join/data (scan and the fall out at tf=1);
+    # every survivor clears min_doc_freq=5 in this corpus, so the
+    # DuckDB twin's selection CTE must reproduce the same three-term
+    # tf*idf ranking before any score agrees
+    "fields": ["text"],
+    "like": "hash hash join join scan the data data",
+}}}
+
+
 def _multi_match_topk(spark, sf_dir):
-    """ES multi_match type=most_fields over TWO fields, oracle-checked:
-    per-field BM25 with each field's OWN corpus stats (df/avgdl), summed
-    when matched — the ES-documented bool-should desugaring
-    (search/dsl.py _parse_multi_match). 'src3' only matches in `source`,
-    'key' only in `text`, so the check is genuinely cross-field."""
+    """Cross-field and like-text retrieval, oracle-checked — two modes
+    in one union frame:
+
+    - ``fields``: ES multi_match type=most_fields over TWO fields —
+      per-field BM25 with each field's OWN corpus stats (df/avgdl),
+      summed when matched — the ES-documented bool-should desugaring
+      (search/dsl.py _parse_multi_match). 'src3' only matches in
+      `source`, 'key' only in `text`, so the check is genuinely
+      cross-field.
+    - ``mlt`` (round 5): ES more_like_this — the like-text's
+      distinctive terms (tf >= min_term_freq, df >= min_doc_freq,
+      tf*idf-ranked, capped) resolve against corpus stats and desugar
+      to a bool-should under minimum_should_match (search/dsl.py
+      MltClause/_resolve_mlt). The DuckDB twin replays the ENTIRE
+      selection pipeline in SQL — like-bag tf, corpus df, the idf
+      ranking, the msm floor — then the BM25 should-sum."""
     from prow_jobs_scraper_spark.search.dsl import search_dsl
 
     docs = _t(spark, sf_dir, "documents")
-    topk = search_dsl(docs, _MULTI_MATCH_QUERY, 10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id", F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"),
-    )
+    a = search_dsl(docs, _MULTI_MATCH_QUERY, 10).select(
+        F.lit("fields").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    b = search_dsl(docs, _MLT_QUERY, 10).select(
+        F.lit("mlt").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score"))
+    return a.unionByName(b)
 
 
 _SCAN_QUERY = {"query": {"bool": {
@@ -1776,11 +1801,46 @@ sc2 AS (
   GROUP BY 1),
 u AS (
   SELECT doc_id, coalesce(sc1.score, 0) + coalesce(sc2.score, 0) AS score
-  FROM sc1 FULL OUTER JOIN sc2 USING (doc_id))
-SELECT doc_id,
-       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-       round(score, 4) AS score
-FROM u ORDER BY score DESC, doc_id LIMIT 10
+  FROM sc1 FULL OUTER JOIN sc2 USING (doc_id)),
+likebag AS (
+  -- the analyzed like-text of _MLT_QUERY, verbatim
+  SELECT unnest(['hash','hash','join','join','scan','the',
+                 'data','data']) AS term),
+ltf AS (SELECT term, count(*)::INT tf FROM likebag GROUP BY 1),
+cdf AS (
+  SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE df
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tt) GROUP BY 1),
+msel AS (
+  -- the MltClause selection rule: tf/df bounds, tf*idf rank
+  -- (score desc, term asc), max_query_terms cap
+  SELECT lt.term
+  FROM ltf lt JOIN cdf USING (term) CROSS JOIN s1
+  WHERE lt.tf >= 2 AND cdf.df >= 5
+  ORDER BY lt.tf * ln(1 + (s1.n - cdf.df + 0.5) / (cdf.df + 0.5))
+             DESC, lt.term
+  LIMIT 25),
+mtf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM tt)
+  WHERE tok IN (SELECT term FROM msel) GROUP BY 1, 2),
+mu AS (
+  -- msm resolves to max(1, floor(0.3*n_sel)) = 1 here: any doc with
+  -- >=1 matched selected term qualifies, scored by the BM25 sum
+  SELECT mtf.doc_id,
+         sum(ln(1+(s1.n-cdf.df+0.5)/(cdf.df+0.5))
+             * mtf.tf*2.2/(mtf.tf+1.2*(0.25+0.75*dl1.dl/s1.avgdl)))
+           AS score
+  FROM mtf JOIN cdf USING(term) JOIN dl1 USING(doc_id) CROSS JOIN s1
+  GROUP BY 1)
+(SELECT 'fields' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM u ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'mlt' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM mu ORDER BY score DESC, doc_id LIMIT 10)
 """
 
 # range/filters/stats aggs twin of _search_aggs_range: the range part

@@ -71,6 +71,16 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  -- (tie_breaker 0; Lucene's MultiPhrase blended
                  -- scoring is a documented deviation — see
                  -- PhrasePrefixClause)
+    more_like_this := {"more_like_this":
+                        {"fields": [field], "like": text | [texts],
+                         "max_query_terms": int, "min_term_freq": int,
+                         "min_doc_freq": int, "max_doc_freq": int,
+                         "minimum_should_match": int | "N%"}}
+                 -- data-dependent like fuzzy: the like-text's most
+                 -- distinctive terms (tf/df-bounded, tf*idf-ranked,
+                 -- capped) resolve against the executor's df stats
+                 -- and desugar to a bool-should of term matches under
+                 -- minimum_should_match (see MltClause)
     boosting     := {"boosting": {"positive": clause,
                                   "negative": clause,
                                   "negative_boost": number}}
@@ -255,6 +265,32 @@ class PhrasePrefixClause:
 
 
 @dataclass(frozen=True)
+class MltClause:
+    """ES ``more_like_this``: select the most distinctive terms of the
+    ``like`` text and search with them. Resolution is data-dependent
+    like :class:`FuzzyClause` — term selection needs per-term document
+    frequencies — so the executors resolve it against their own stats
+    source (a one-pass corpus agg naively; the terms dim + postings
+    df cache indexed). Selection (the Lucene MoreLikeThis rule):
+    analyzed like-tokens with ``tf_in_like >= min_term_freq`` and
+    ``min_doc_freq <= df <= max_doc_freq``, ranked by ``tf * idf``
+    desc (idf = the engine's BM25 idf, ``ln(1+(N-df+.5)/(df+.5))`` — a
+    documented deviation from Lucene MLT's ``1+log(N/(df+1))``; both
+    are monotone in df so selection differs only at extreme ties),
+    capped at ``max_query_terms`` with (score desc, term asc)
+    determinism. Desugars to a bool-should of plain term matches under
+    ``minimum_should_match`` (ES default "30%")."""
+
+    field: str
+    like_tokens: tuple
+    max_query_terms: int = 25
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+    max_doc_freq: int | None = None
+    msm: int | str = "30%"
+
+
+@dataclass(frozen=True)
 class DisMax:
     """ES ``dis_max``: best-matching child wins, others contribute via
     ``tie_breaker`` (score = best + tie_breaker * sum(other matched
@@ -289,6 +325,9 @@ class QuerySpec:
     # unresolved fuzzy leaves as (context, clause); executors resolve
     # them against their vocabulary via _resolve_fuzzy before compiling
     fuzzy: list = _field(default_factory=list)
+    # unresolved more_like_this leaves as (context, MltClause);
+    # executors resolve them against their df stats via _resolve_mlt
+    mlt: list = _field(default_factory=list)
     must_bool: list["QuerySpec"] = _field(default_factory=list)
     filter_bool: list["QuerySpec"] = _field(default_factory=list)
     should_bool: list["QuerySpec"] = _field(default_factory=list)
@@ -335,12 +374,24 @@ class QuerySpec:
                           or self.filter_text or self.filter_bool
                           or self.filter_sql or self.match_all
                           or any(ctx in ("must", "filter")
-                                 for ctx, _ in self.fuzzy))
+                                 for ctx, _ in self.fuzzy)
+                          or any(ctx in ("must", "filter")
+                                 for ctx, _ in self.mlt))
         return 0 if has_anchor else (1 if n_should else 0)
 
     def has_fuzzy(self) -> bool:
         return bool(self.fuzzy) or any(
             ch.has_fuzzy() for ch in self.child_specs())
+
+    def has_mlt(self) -> bool:
+        return bool(self.mlt) or any(
+            ch.has_mlt() for ch in self.child_specs())
+
+    def mlt_fields(self) -> set:
+        out = {mc.field for _, mc in self.mlt}
+        for ch in self.child_specs():
+            out |= ch.mlt_fields()
+        return out
 
     def fuzzy_fields(self) -> set:
         out = {fc.field for _, fc in self.fuzzy}
@@ -835,6 +886,167 @@ def _parse_multi_match(body: dict) -> DisMax | "QuerySpec":
     return child
 
 
+def _validate_msm(msm) -> None:
+    """The ES minimum_should_match grammar: an int (negative = "all
+    but |n|") or a percentage string "75%" / "-25%"."""
+    if isinstance(msm, str):
+        core = msm[1:] if msm.startswith("-") else msm
+        if not (core.endswith("%") and core[:-1].isdigit()):
+            raise DslError(
+                f"minimum_should_match string must be a percentage "
+                f"like '75%' or '-25%', got {msm!r}")
+    elif isinstance(msm, bool) or not isinstance(msm, int):
+        raise DslError(
+            f"minimum_should_match must be an int or a percentage "
+            f"string, got {msm!r}")
+
+
+def _parse_mlt(body: dict) -> MltClause:
+    """ES ``more_like_this`` body -> :class:`MltClause`. ``fields``
+    must name exactly ONE field (multi-field MLT would need per-field
+    stats fan-out — out of grammar, fail loud) and ``like`` must be
+    text (a str, or a list of strs analyzed as one bag — ES's
+    multi-like tf summing); document references (``{"_id": ...}``)
+    are out of grammar."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad more_like_this body {body!r}")
+    unknown = set(body) - {"fields", "like", "max_query_terms",
+                           "min_term_freq", "min_doc_freq",
+                           "max_doc_freq", "minimum_should_match"}
+    if unknown:
+        raise DslError(
+            f"unsupported more_like_this options {sorted(unknown)}")
+    flds = body.get("fields")
+    if not isinstance(flds, (list, tuple)) or len(flds) != 1 \
+            or not isinstance(flds[0], str):
+        raise DslError(
+            "more_like_this needs fields: [<one field>] (multi-field "
+            "MLT is not supported)")
+    like = body.get("like")
+    if isinstance(like, str):
+        like = [like]
+    if not isinstance(like, (list, tuple)) or not like \
+            or not all(isinstance(x, str) for x in like):
+        raise DslError(
+            "more_like_this needs like: <text> or [<texts>] (document "
+            "references are not supported)")
+    toks: list[str] = []
+    for x in like:
+        toks.extend(tokenize_text(x))
+    if not toks:
+        raise DslError(
+            "more_like_this like-text must analyze to at least one "
+            "term")
+    ints = {}
+    for k, dflt, lo in (("max_query_terms", 25, 1),
+                        ("min_term_freq", 2, 1),
+                        ("min_doc_freq", 5, 1)):
+        v = body.get(k, dflt)
+        if isinstance(v, bool) or not isinstance(v, int) or v < lo:
+            raise DslError(f"{k} must be an int >= {lo}, got {v!r}")
+        ints[k] = v
+    mx = body.get("max_doc_freq")
+    if mx is not None and (isinstance(mx, bool)
+                           or not isinstance(mx, int) or mx < 1):
+        raise DslError(f"max_doc_freq must be an int >= 1, got {mx!r}")
+    msm = body.get("minimum_should_match", "30%")
+    _validate_msm(msm)
+    return MltClause(field=_ident(flds[0]), like_tokens=tuple(toks),
+                     max_query_terms=ints["max_query_terms"],
+                     min_term_freq=ints["min_term_freq"],
+                     min_doc_freq=ints["min_doc_freq"],
+                     max_doc_freq=mx, msm=msm)
+
+
+def _select_mlt_terms(mc: MltClause, n_docs: int,
+                      df_by_term: dict) -> list[str]:
+    """The Lucene MoreLikeThis selection over resolved stats: qualify
+    by tf/df bounds, rank by tf*idf desc with (score desc, term asc)
+    determinism, cap at max_query_terms. Pure driver-side arithmetic
+    over at most |like-tokens| candidates."""
+    from collections import Counter  # noqa: PLC0415
+    cands = []
+    for t, tf in Counter(mc.like_tokens).items():
+        if tf < mc.min_term_freq:
+            continue
+        df = int(df_by_term.get(t, 0))
+        if df < mc.min_doc_freq:
+            continue
+        if mc.max_doc_freq is not None and df > mc.max_doc_freq:
+            continue
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        cands.append((-(tf * idf), t))
+    cands.sort()
+    return [t for _, t in cands[:mc.max_query_terms]]
+
+
+def _mlt_child_spec(mc: MltClause, terms: list[str]) -> QuerySpec:
+    """Selected terms -> the desugared bool-should child. The msm
+    resolves HERE (against the selected-term count) and floors at 1:
+    Lucene's MLT disjunction needs at least one matching term even
+    when "30%" of few terms rounds to 0 — the engine's explicit-msm-0
+    match-all semantics would diverge. An empty selection yields an
+    UNSATISFIABLE spec (msm=1 with no live should — Lucene's empty
+    boolean query matches nothing): empty result in must/filter,
+    never-matching in should, a no-op in must_not."""
+    n = len(terms)
+    msm = mc.msm
+    if isinstance(msm, str):
+        pct = int(msm.rstrip("%"))
+        resolved = (n * pct) // 100 if pct >= 0 \
+            else n - (n * (-pct)) // 100
+    elif msm < 0:
+        resolved = max(0, n + msm)
+    else:
+        resolved = msm
+    child = QuerySpec(msm=max(1, resolved))
+    for t in terms:
+        child.should.append(TextClause(field=mc.field, text=t))
+    return child
+
+
+def _resolve_mlt(spec: QuerySpec, stats_fn) -> QuerySpec:
+    """Resolve every :class:`MltClause` in the tree -> a NEW spec where
+    each leaf became its desugared bool-should child in the same
+    context. ``stats_fn(field, terms) -> (n_docs, {term: df})``."""
+    if not spec.has_mlt():
+        return spec
+    import copy  # noqa: PLC0415
+    sp = copy.deepcopy(spec)
+    _resolve_mlt_inplace(sp, stats_fn)
+    return sp
+
+
+def _resolve_mlt_inplace(sp: QuerySpec, stats_fn) -> None:
+    for ctx, mc in sp.mlt:
+        cand = sorted({t for t in mc.like_tokens
+                       if mc.like_tokens.count(t) >= mc.min_term_freq})
+        n_docs, df_by_term = stats_fn(mc.field, cand)
+        child = _mlt_child_spec(
+            mc, _select_mlt_terms(mc, n_docs, df_by_term))
+        getattr(sp, f"{ctx}_bool").append(child)
+    sp.mlt = []
+    for ch in sp.child_specs():
+        _resolve_mlt_inplace(ch, stats_fn)
+
+
+def _corpus_mlt_stats(docs_df: DataFrame):
+    """Naive-executor MLT stats: ONE corpus agg per (field, term-set)
+    — n_docs plus per-term df via array_contains sums (the same shape
+    as the main per-clause stats job; MLT adds exactly one extra scan
+    because selection must finish before the scoring pass compiles)."""
+    def stats(field: str, terms: list[str]):
+        tok = tokenize_column(F.col(field))
+        exprs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.array_contains(tok, t).cast("int")).alias(f"__d{i}")
+            for i, t in enumerate(terms)]
+        row = docs_df.agg(*exprs).collect()[0]
+        return (int(row["__n"]),
+                {t: int(row[f"__d{i}"] or 0)
+                 for i, t in enumerate(terms)})
+    return stats
+
+
 def _parse_constant_score(body: dict) -> QuerySpec:
     """ES ``constant_score`` -> a :class:`QuerySpec` whose qualifying
     docs ALL score exactly ``boost`` (ES default 1.0). The wrapped
@@ -1045,6 +1257,9 @@ def parse_query(q: dict) -> QuerySpec:
     if kind == "match_phrase_prefix":
         spec.fuzzy.append(("must", _parse_phrase_prefix(body)))
         return spec
+    if kind == "more_like_this":
+        spec.mlt.append(("must", _parse_mlt(body)))
+        return spec
     if kind in ("query_string", "simple_query_string"):
         # desugars onto THIS grammar (search/query_string.py), so every
         # executor and context supports it with no new execution code
@@ -1061,17 +1276,7 @@ def parse_query(q: dict) -> QuerySpec:
         raise DslError(f"unsupported bool keys {sorted(set(body) - known)}")
     msm = body.get("minimum_should_match")
     if msm is not None:
-        if isinstance(msm, str):
-            # ES percentage form, positive or negative: "75%", "-25%"
-            core = msm[1:] if msm.startswith("-") else msm
-            if not (core.endswith("%") and core[:-1].isdigit()):
-                raise DslError(
-                    f"minimum_should_match string must be a percentage "
-                    f"like '75%' or '-25%', got {msm!r}")
-        elif isinstance(msm, bool) or not isinstance(msm, int):
-            raise DslError(
-                f"minimum_should_match must be an int or a percentage "
-                f"string, got {msm!r}")
+        _validate_msm(msm)
     spec.msm = msm
 
     for ctx in ("must", "filter", "should", "must_not"):
@@ -1132,6 +1337,8 @@ def parse_query(q: dict) -> QuerySpec:
                 spec.fuzzy.append((ctx, _parse_fuzzy(cb)))
             elif ck == "match_phrase_prefix":
                 spec.fuzzy.append((ctx, _parse_phrase_prefix(cb)))
+            elif ck == "more_like_this":
+                spec.mlt.append((ctx, _parse_mlt(cb)))
             elif ck in ("dis_max", "multi_match"):
                 parsed = (_parse_dismax(cb) if ck == "dis_max"
                           else _parse_multi_match(cb))
@@ -1270,6 +1477,9 @@ def _compile_specs(
     if any(sp.has_fuzzy() for sp in specs):
         expander = _token_vocab_expander(docs_df)
         specs = [_resolve_fuzzy(sp, expander) for sp in specs]
+    if any(sp.has_mlt() for sp in specs):
+        stats_fn = _corpus_mlt_stats(docs_df)
+        specs = [_resolve_mlt(sp, stats_fn) for sp in specs]
 
     text_clauses = [c for sp in specs for c in sp.text_clauses()]
     fields = sorted({c.field for c in text_clauses})
@@ -2583,7 +2793,8 @@ _INDEXED_TEXT_FIELD = "text"
 
 def _require_indexed_field(spec: QuerySpec) -> None:
     other = ({c.field for c in spec.text_clauses()}
-             | spec.fuzzy_fields()) - {_INDEXED_TEXT_FIELD}
+             | spec.fuzzy_fields() | spec.mlt_fields()) \
+        - {_INDEXED_TEXT_FIELD}
     if other:
         raise DslError(
             f"the compressed index holds the {_INDEXED_TEXT_FIELD!r} "
@@ -2637,7 +2848,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool or spec.should_sql
             or spec.must_dismax or spec.should_dismax or spec.fuzzy
-            or spec.const_boost is not None or spec.boosting is not None):
+            or spec.mlt or spec.const_boost is not None
+            or spec.boosting is not None):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
@@ -3064,6 +3276,15 @@ def _qualify_indexed(
     _require_indexed_field(spec)
     if spec.has_fuzzy():
         spec = _resolve_fuzzy(spec, _terms_dim_expander(spark, dirs))
+    if spec.has_mlt():
+        def _index_mlt_stats(field, terms):
+            # per-term df through the driver-side postings df cache —
+            # |like-tokens| lookups, never a corpus scan
+            dfm = _df_stats_multi(spark, dirs, metas,
+                                  [term_id_py(t) for t in terms])
+            return n_docs, {t: dfm.get(term_id_py(t), 0)
+                            for t in terms}
+        spec = _resolve_mlt(spec, _index_mlt_stats)
 
     def clause_frame(c: TextClause) -> DataFrame | None:
         return _clause_frame_indexed(spark, dirs, metas, n_docs, avgdl,

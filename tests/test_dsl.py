@@ -2955,3 +2955,137 @@ def test_rescore(spark, docs, docs_pdf, dsl_index):
     ):
         with pytest.raises(DslError):
             execute_request(docs, {"query": base_q, **bad})
+
+
+# --------------------------------------------------------------------------
+# more_like_this (round 5)
+# --------------------------------------------------------------------------
+
+def test_more_like_this(spark, docs, docs_pdf, dsl_index):
+    """ES more_like_this: term selection (tf/df bounds, tf*idf rank,
+    max_query_terms cap) replayed by hand from pandas stats, then the
+    desugared bool-should compared rank-identically — naive and
+    indexed; filter context; empty selection; validation."""
+    from collections import Counter
+
+    from prow_jobs_scraper_spark.search.dsl import MltClause, parse_query
+
+    tok_lists = tokenize_pandas(docs_pdf["text"])
+    n_docs = len(docs_pdf)
+    df_of = Counter(t for lst in tok_lists for t in set(lst))
+
+    def hand_select(like, max_terms=25, min_tf=2, min_df=5, max_df=None):
+        cnt = Counter(tokenize_text(like))
+        cands = []
+        for t, tf in cnt.items():
+            df = df_of.get(t, 0)
+            if tf < min_tf or df < min_df:
+                continue
+            if max_df is not None and df > max_df:
+                continue
+            idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            cands.append((-(tf * idf), t))
+        cands.sort()
+        return [t for _, t in cands[:max_terms]]
+
+    like = ("the_hot_term spark agent the_hot_term spark w00031 "
+            "w00031 w00077 table")
+    sel = hand_select(like)
+    assert len(sel) >= 3  # the_hot_term / spark / w00031 pass tf>=2
+    q = {"query": {"more_like_this": {
+        "fields": ["text"], "like": like}}}
+    hand = {"query": {"bool": {
+        "should": [{"match": {"text": t}} for t in sel],
+        "minimum_should_match": max(1, (len(sel) * 30) // 100)}}}
+    a = search_dsl(docs, q, 15).toPandas()
+    assert len(a) > 0
+    _assert_rank_identical(a, search_dsl(docs, hand, 15).toPandas(),
+                           "mlt==hand-desugar")
+    gi = search_dsl_indexed(spark, dsl_index, q, 15,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "mlt-indexed")
+
+    # max_doc_freq drops the hot term; max_query_terms caps by rank
+    sel2 = hand_select(like, max_terms=2,
+                       max_df=df_of["the_hot_term"] - 1)
+    assert "the_hot_term" not in sel2 and len(sel2) == 2
+    q2 = {"query": {"more_like_this": {
+        "fields": ["text"], "like": like, "max_query_terms": 2,
+        "max_doc_freq": df_of["the_hot_term"] - 1,
+        "minimum_should_match": 1}}}
+    hand2 = {"query": {"bool": {
+        "should": [{"match": {"text": t}} for t in sel2],
+        "minimum_should_match": 1}}}
+    a2 = search_dsl(docs, q2, 15).toPandas()
+    _assert_rank_identical(a2, search_dsl(docs, hand2, 15).toPandas(),
+                           "mlt-capped")
+    _assert_rank_identical(
+        search_dsl_indexed(spark, dsl_index, q2, 15,
+                           docs_df=docs).toPandas(),
+        a2, "mlt-capped-indexed")
+
+    # multi-like: one analyzed bag (tf sums across the texts)
+    qm = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": ["the_hot_term spark", "spark the_hot_term agent"]}}}
+    selm = hand_select("the_hot_term spark spark the_hot_term agent")
+    handm = {"query": {"bool": {
+        "should": [{"match": {"text": t}} for t in selm],
+        "minimum_should_match": max(1, (len(selm) * 30) // 100)}}}
+    _assert_rank_identical(search_dsl(docs, qm, 10).toPandas(),
+                           search_dsl(docs, handm, 10).toPandas(),
+                           "mlt-multi-like")
+
+    # filter context: qualification only
+    qf = {"query": {"bool": {
+        "must": [{"match": {"text": "agent"}}],
+        "filter": [{"more_like_this": {
+            "fields": ["text"], "like": like,
+            "minimum_should_match": 1}}]}}}
+    handf = {"query": {"bool": {
+        "must": [{"match": {"text": "agent"}}],
+        "filter": [{"bool": {
+            "should": [{"match": {"text": t}} for t in sel],
+            "minimum_should_match": 1}}]}}}
+    _assert_rank_identical(search_dsl(docs, qf, 10).toPandas(),
+                           search_dsl(docs, handf, 10).toPandas(),
+                           "mlt-filter-ctx")
+
+    # every like-term below min_doc_freq -> unsatisfiable -> 0 rows
+    qe = {"query": {"more_like_this": {
+        "fields": ["text"],
+        "like": "zzz_absent zzz_absent qqq_absent qqq_absent"}}}
+    assert search_dsl(docs, qe, 10).count() == 0
+    assert search_dsl_indexed(spark, dsl_index, qe, 10,
+                              docs_df=docs).count() == 0
+    # ...but in must_not it's a no-op, and in should it never matches
+    qn = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "must_not": [{"more_like_this": {
+            "fields": ["text"], "like": "zzz_absent zzz_absent"}}]}}}
+    _assert_rank_identical(
+        search_dsl(docs, qn, 10).toPandas(),
+        search_dsl(docs, {"query": {"match": {"text": "spark"}}},
+                   10).toPandas(),
+        "mlt-empty-must-not")
+
+    for bad in (
+        {"like": "x y"},                                 # fields missing
+        {"fields": ["text", "role"], "like": "x"},        # multi-field
+        {"fields": ["text"]},                             # like missing
+        {"fields": ["text"], "like": [{"_id": 3}]},       # doc ref
+        {"fields": ["text"], "like": "..."},              # no tokens
+        {"fields": ["text"], "like": "x", "min_term_freq": 0},
+        {"fields": ["text"], "like": "x", "max_doc_freq": 0},
+        {"fields": ["text"], "like": "x", "unlike": "y"},
+        {"fields": ["text"], "like": "x",
+         "minimum_should_match": "abc"},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"more_like_this": bad})
+
+    # parse-level wiring: clause lands in spec.mlt with analyzer output
+    spec = parse_query({"more_like_this": {
+        "fields": ["text"], "like": "Spark SPARK agent"}})
+    assert len(spec.mlt) == 1 and isinstance(spec.mlt[0][1], MltClause)
+    assert spec.mlt[0][1].like_tokens == ("spark", "spark", "agent")
