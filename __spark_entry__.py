@@ -62,15 +62,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _bm25_topk(spark, sf_dir):
+    """Flagship BM25 top-k, BOTH match semantics in one union frame
+    (in-window coverage for P11 and its disjunctive variant): mode
+    'and' = every query term required (the reference's operator:and,
+    query.py:47-74); mode 'or' = ES match default, any term scores.
+    The compressed path answers 'or' with MaxScore/block-max pruning
+    (search/compressed.py::_wand_or_topk, rank-identity pytest-gated);
+    this oracle-checked entry runs the naive DataFrame plans."""
     from prow_jobs_scraper_spark.search.naive import naive_bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    topk = naive_bm25_topk(docs, "key agg", 10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id", F.row_number().over(w).alias("rank"),
-        F.round("score", 4).alias("score"),
-    )
+    parts = []
+    for op in ("and", "or"):
+        topk = naive_bm25_topk(docs, "key agg", 10, operator=op)
+        parts.append(topk.select(
+            F.lit(op).alias("mode"), "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.round("score", 4).alias("score")))
+    return parts[0].unionByName(parts[1])
 
 
 def _bm25_topk_or(spark, sf_dir):
@@ -1309,23 +1319,34 @@ def _lsh_ann_topk(spark, sf_dir):
     ≤ multi_probe of the query signature (partition-pruned), then exact
     cosine rescoring. The oracle recomputes the same signatures in SQL
     from the seeded hyperplane literals, so the driver verifies the full
-    ANN semantics — bucketing + pruning + rescoring."""
+    ANN semantics — bucketing + pruning + rescoring. Mode 'brute'
+    (round 5, in-window again after the queries() growth pushed the
+    standalone similarity_topk past the driver's 50-row cap) is the
+    exact brute-force cosine baseline over the same query vector —
+    the recall yardstick every ANN variant is measured against."""
     import tempfile  # noqa: PLC0415
 
     from prow_jobs_scraper_spark.operators.similarity import (
+        brute_force_topk,
         build_lsh_index,
         lsh_probe_topk,
     )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = [float(x) for x in q]
     d = tempfile.mkdtemp(prefix="entry_lsh_")
     build_lsh_index(e, d, n_planes=10, seed=42)
-    topk = lsh_probe_topk(spark, d, [float(x) for x in q], 10,
-                          multi_probe=2)
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return topk.select("vec_id", F.row_number().over(w).alias("rank"),
-                       F.round("cosine", 4).alias("cosine"))
+    a = lsh_probe_topk(spark, d, qv, 10, multi_probe=2).select(
+        F.lit("lsh").alias("mode"), "vec_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("cosine", 4).alias("cosine"))
+    b = brute_force_topk(e, qv, 10).select(
+        F.lit("brute").alias("mode"), "vec_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("cosine", 4).alias("cosine"))
+    return a.unionByName(b)
 
 
 def _media_features(spark, sf_dir):
@@ -1406,10 +1427,17 @@ def _bm25_compressed_topk(spark, sf_dir):
         F.lit(0).alias("turn_idx"), "text")
     d = tempfile.mkdtemp(prefix="entry_cidx_")
     build_index(spark, docs, d, BuildConfig(n_ranges=8, n_buckets=4))
-    topk = search_topk(spark, d, "key agg", 10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select("doc_id", F.row_number().over(w).alias("rank"),
-                       F.round("score", 4).alias("score"))
+    parts = []
+    for op in ("and", "or"):
+        # 'and' = block-max conjunctive kernel; 'or' = MaxScore
+        # disjunctive kernel — BOTH compressed paths value-checked
+        topk = search_topk(spark, d, "key agg", 10, operator=op)
+        parts.append(topk.select(
+            F.lit(op).alias("mode"), "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.round("score", 4).alias("score")))
+    return parts[0].unionByName(parts[1])
 
 
 def _search_aggs_indexed(spark, sf_dir):
@@ -1555,7 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 
-_BM25_SQL = f"""
+_BM25_CORE = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 s AS (SELECT count(*)::DOUBLE n, avg(len(t))::DOUBLE avgdl FROM toks),
 tf AS (
@@ -1570,7 +1598,32 @@ sc AS (
              * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))) AS score,
          count(*) AS nt
   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
-  GROUP BY 1)
+  GROUP BY 1)"""
+
+# both match semantics from the one score CTE: 'and' requires every
+# query term (nt = 2), 'or' is the ES match default (any term)
+_BM25_SQL = _BM25_CORE + """
+(SELECT 'and' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'or' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+"""
+
+# standalone disjunctive form (the tail bm25_topk_or entry)
+_BM25_OR_SQL = _BM25_CORE + """
+SELECT doc_id,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+       round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# standalone conjunctive form — the base the filtered twin derives from
+_BM25_AND_SQL = _BM25_CORE + """
 SELECT doc_id,
        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
        round(score, 4) AS score
@@ -1578,13 +1631,9 @@ FROM sc WHERE nt = 2
 ORDER BY sc.score DESC, doc_id LIMIT 10
 """
 
-# disjunctive twin of _BM25_SQL: any doc containing >=1 query term
-# qualifies (no nt filter) — ES `match` default semantics
-_BM25_OR_SQL = _BM25_SQL.replace("FROM sc WHERE nt = 2", "FROM sc")
-
 # ES bool twin: scoring CTEs identical (stats corpus-global), the filter
 # applies between scoring and the top-k — exactly ES filter context
-_BM25_FILTERED_SQL = _BM25_SQL.replace(
+_BM25_FILTERED_SQL = _BM25_AND_SQL.replace(
     "FROM sc WHERE nt = 2",
     "FROM sc WHERE doc_id IN (SELECT doc_id FROM documents "
     "WHERE lang = 'en')")
@@ -2258,8 +2307,18 @@ def _lsh_ann_sql(n_planes: int = 10, seed: int = 42, multi_probe: int = 2,
           WHERE bit_count(xor(sig, (SELECT qsig FROM q))) <= {multi_probe}),
         rk AS (SELECT vec_id, c,
                       row_number() OVER (ORDER BY c DESC, vec_id) AS rank
-               FROM cand)
-        SELECT vec_id, rank, round(c, 4) AS cosine FROM rk WHERE rank <= {k}
+               FROM cand),
+        brk AS (SELECT vec_id,
+                       list_cosine_similarity(e, (SELECT qv FROM q)) AS c,
+                       row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                           e, (SELECT qv FROM q)) DESC, vec_id) AS rank
+                FROM base)
+        SELECT 'lsh' AS mode, vec_id, rank, round(c, 4) AS cosine
+        FROM rk WHERE rank <= {k}
+        UNION ALL
+        SELECT 'brute' AS mode, vec_id, rank, round(c, 4) AS cosine
+        FROM brk WHERE rank <= {k}
     """
 
 
