@@ -74,13 +74,17 @@ def test_bm25_compressed_entry_matches_naive_entry(spark):
     # built index — rank and rounded score must agree exactly
     want = E.queries()["bm25_topk"](spark, SF_DIR).toPandas()
     got = E.queries()["bm25_compressed_topk"](spark, SF_DIR).toPandas()
-    assert list(got.columns) == ["doc_id", "rank", "score"]
-    assert got["doc_id"].tolist() == want["doc_id"].tolist()
-    assert got["score"].tolist() == want["score"].tolist()
+    assert list(got.columns) == ["mode", "doc_id", "rank", "score"]
+    for mode in ("and", "or"):  # both kernels vs both naive plans
+        g = got[got["mode"] == mode].reset_index(drop=True)
+        w = want[want["mode"] == mode].reset_index(drop=True)
+        assert len(g) > 0
+        assert g["doc_id"].tolist() == w["doc_id"].tolist(), mode
+        assert g["score"].tolist() == w["score"].tolist(), mode
 
 
 def test_entry_smoke(spark):
     df = E.entry(spark)
     pdf = df.toPandas()
     assert len(pdf) >= 0
-    assert list(pdf.columns) == ["doc_id", "rank", "score"]
+    assert list(pdf.columns) == ["mode", "doc_id", "rank", "score"]
