@@ -3089,3 +3089,148 @@ def test_more_like_this(spark, docs, docs_pdf, dsl_index):
         "fields": ["text"], "like": "Spark SPARK agent"}})
     assert len(spec.mlt) == 1 and isinstance(spec.mlt[0][1], MltClause)
     assert spec.mlt[0][1].like_tokens == ("spark", "spark", "agent")
+
+
+# --------------------------------------------------------------------------
+# term suggester (round 5)
+# --------------------------------------------------------------------------
+
+def _suggest_oracle(docs_pdf, token, opts):
+    """Independent duckdb+python replay of the term suggester rules
+    for ONE token: duckdb levenshtein over the pandas vocabulary, then
+    the Lucene similarity/sort/size rules in plain python."""
+    tok_lists = tokenize_pandas(docs_pdf["text"])
+    from collections import Counter
+    vocab = Counter(t for lst in tok_lists for t in set(lst))
+    self_df = vocab.get(token, 0)
+    if len(token) < opts.get("min_word_length", 4):
+        return []
+    if opts.get("suggest_mode", "missing") == "missing" and self_df:
+        return []
+    con = duckdb.connect()
+    vdf = pd.DataFrame({"term": list(vocab), "df": list(vocab.values())})
+    con.register("vocab", vdf)
+    rows = con.execute(
+        "SELECT term, df, levenshtein(term, ?) AS d FROM vocab "
+        "WHERE levenshtein(term, ?) <= ? AND term <> ?",
+        [token, token, opts.get("max_edits", 2), token]).fetchall()
+    pl = opts.get("prefix_length", 1)
+    out = []
+    for term, df, d in rows:
+        if pl and term[:pl] != token[:pl]:
+            continue
+        if df < opts.get("min_doc_freq", 1):
+            continue
+        if opts.get("suggest_mode", "missing") == "popular" \
+                and df <= self_df:
+            continue
+        score = 1.0 - d / min(len(term), len(token))
+        out.append((term, df, round(score, 6)))
+    if opts.get("sort", "score") == "score":
+        out.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    else:
+        out.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    return out[: opts.get("size", 5)]
+
+
+def test_term_suggester(spark, docs, docs_pdf, dsl_index):
+    """ES term suggester: every suggest_mode/sort against the duckdb
+    levenshtein oracle, naive == indexed row identity, multi-entry
+    requests, and fail-loud validation."""
+    from prow_jobs_scraper_spark.search.suggest import (
+        parse_suggest,
+        suggest_terms,
+        suggest_terms_indexed,
+    )
+
+    def run(req):
+        return suggest_terms(docs, req).toPandas()
+
+    def check(name, got, token, opts):
+        g = got[got["token"] == token]
+        want = _suggest_oracle(docs_pdf, token, opts)
+        assert g["suggestion"].tolist() == [w[0] for w in want], name
+        assert g["freq"].tolist() == [w[1] for w in want], name
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), [w[2] for w in want],
+            rtol=0, atol=1e-6, err_msg=name)
+        assert g["rank"].tolist() == list(range(1, len(want) + 1)), name
+
+    # missing mode (default): the misspelling gets corrections, the
+    # in-vocabulary token gets NONE; prefix_length=0 admits 'hash'
+    req = {"suggest": {"fix": {
+        "text": "mash spark",
+        "term": {"field": "text", "prefix_length": 0}}}}
+    got = run(req)
+    check("missing-mash", got, "mash",
+          {"prefix_length": 0})
+    assert (got["token"] == "spark").sum() == 0  # present -> silent
+    gi = suggest_terms_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  gi.reset_index(drop=True))
+
+    # always mode on a PRESENT token; frequency sort; popular mode
+    for opts in ({"suggest_mode": "always", "prefix_length": 0},
+                 {"suggest_mode": "always", "sort": "frequency",
+                  "prefix_length": 0, "size": 3},
+                 {"suggest_mode": "popular", "prefix_length": 0},
+                 {"suggest_mode": "always", "max_edits": 1,
+                  "prefix_length": 1}):
+        req = {"suggest": {"s": {"text": "term",
+                                 "term": {"field": "text", **opts}}}}
+        got = run(req)
+        check(str(opts), got, "term", opts)
+        gi = suggest_terms_indexed(spark, dsl_index, req).toPandas()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      gi.reset_index(drop=True),
+                                      obj=str(opts))
+
+    # popular on a present token only keeps strictly-more-frequent
+    # candidates; verify against the self-df bound explicitly
+    from collections import Counter
+    vocab = Counter(t for lst in tokenize_pandas(docs_pdf["text"])
+                    for t in set(lst))
+    req = {"suggest": {"p": {"text": "term", "term": {
+        "field": "text", "suggest_mode": "popular",
+        "prefix_length": 0}}}}
+    got = run(req)
+    assert (got["freq"] > vocab["term"]).all()
+
+    # min_word_length gates short tokens entirely
+    req = {"suggest": {"w": {"text": "agg mash", "term": {
+        "field": "text", "prefix_length": 0}}}}
+    got = run(req)
+    assert (got["token"] == "agg").sum() == 0
+    assert (got["token"] == "mash").sum() > 0
+
+    # two entries in one request keep their names and orders
+    req = {"suggest": {
+        "a": {"text": "mash", "term": {"field": "text",
+                                       "prefix_length": 0}},
+        "b": {"text": "tokn", "term": {"field": "text",
+                                        "suggest_mode": "always"}},
+    }}
+    got = run(req)
+    assert set(got["sugg"]) == {"a", "b"}
+    gi = suggest_terms_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  gi.reset_index(drop=True))
+
+    for bad in (
+        {},                                              # empty
+        {"x": {"term": {"field": "text"}}},              # no text
+        {"x": {"text": "y"}},                            # no term
+        {"x": {"text": "y", "term": {}}},                # no field
+        {"x": {"text": "y", "term": {"field": "text",
+                                     "max_edits": 3}}},
+        {"x": {"text": "y", "term": {"field": "text",
+                                     "sort": "rank"}}},
+        {"x": {"text": "y", "term": {"field": "text",
+                                     "suggest_mode": "all"}}},
+        {"x": {"text": "y", "term": {"field": "text",
+                                     "shard_size": 10}}},
+        {"x": {"text": "...", "term": {"field": "text"}}},
+        {"x": {"text": "y", "phrase": {"field": "text"}}},
+    ):
+        with pytest.raises(DslError):
+            parse_suggest({"suggest": bad})
