@@ -2556,6 +2556,97 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
     )
 
 
+def _apply_top_hits(frame: DataFrame, agg_name: str, kind: str,
+                    body: dict, sub: dict) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the top ``size`` documents of
+    every bucket. Output is FLATTENED — one row per (bucket, hit) with
+    ``key, doc_count, hit_rank`` + the requested ``_source`` columns.
+
+    Grammar (fail-loud subset): ``{"top_hits": {"size": n, "sort":
+    [{field: "asc"|"desc"}...], "_source": [cols]}}`` — ``sort`` and
+    ``_source`` are REQUIRED and field-based (``_score`` ordering is
+    out of grammar: the indexed executor aggregates over doc_stats
+    rows, which deliberately carry no scores — same contract in both
+    executors); a doc_id-ascending tiebreak is appended. top_hits must
+    be the only sub-aggregation and sits under a single-level bucket
+    agg.
+
+    Scale: ONE window shuffle keyed by the bucket — per-bucket
+    ``row_number`` cut map-side after the shuffle, so the post-cut
+    frame is (buckets x size) rows; the bucket-level order/size then
+    runs over that tiny frame, never the corpus."""
+    if kind not in _BUCKET_KINDS:
+        raise DslError(
+            f"top_hits requires a terms/date_histogram/histogram "
+            f"parent, got {kind!r}")
+    if len(sub) != 1:
+        raise DslError("top_hits must be the only sub-aggregation")
+    (_name, spec), = sub.items()
+    if set(spec) != {"top_hits"}:
+        raise DslError(f"bad top_hits sub-aggregation {spec!r}")
+    th = spec["top_hits"]
+    if not isinstance(th, dict):
+        raise DslError(f"bad top_hits body {th!r}")
+    unknown = set(th) - {"size", "sort", "_source"}
+    if unknown:
+        raise DslError(f"unsupported top_hits options {sorted(unknown)}")
+    size = th.get("size", 3)  # the ES default
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"top_hits size must be an int >= 1, got {size!r}")
+    sort = th.get("sort")
+    if not isinstance(sort, list) or not sort:
+        raise DslError(
+            "top_hits needs a field sort list (ES's default _score "
+            "order is out of grammar: the indexed executor aggregates "
+            "over score-free doc_stats rows)")
+    sort_exprs = []
+    for s in sort:
+        if not isinstance(s, dict) or len(s) != 1:
+            raise DslError(f"bad top_hits sort entry {s!r}")
+        (fld, d), = s.items()
+        if isinstance(d, dict):
+            if set(d) != {"order"}:
+                raise DslError(f"bad top_hits sort entry {s!r}")
+            d = d["order"]
+        if fld == "_score" or d not in ("asc", "desc"):
+            raise DslError(f"bad top_hits sort entry {s!r}")
+        if _ident(fld) not in frame.columns:
+            raise DslError(f"top_hits sort field {fld!r} is not "
+                           f"available")
+        col = F.col(_ident(fld))
+        sort_exprs.append(col.asc() if d == "asc" else col.desc())
+    sort_exprs.append(F.asc("doc_id"))
+    src = th.get("_source")
+    if not isinstance(src, list) or not src \
+            or not all(isinstance(c, str) for c in src):
+        raise DslError("top_hits needs _source: [columns]")
+    missing = [c for c in src if _ident(c) not in frame.columns]
+    if missing:
+        raise DslError(f"top_hits _source columns {missing} are not "
+                       f"available")
+
+    pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
+    porder = _bucket_order(porder_spec, "doc_count", "key", [])
+    hits = frame.where(pkey.isNotNull()).withColumn("key", pkey)
+    wb = Window.partitionBy("key")
+    out = (hits
+           .withColumn("doc_count", F.count(F.lit(1)).over(wb))
+           .withColumn("hit_rank", F.row_number().over(
+               wb.orderBy(*sort_exprs)))
+           .where(F.col("hit_rank") <= size)
+           .select("key", "doc_count", "hit_rank",
+                   *[_ident(c) for c in src]))
+    if pmdc > 1:
+        out = out.where(F.col("doc_count") >= pmdc)
+    if psize is not None:
+        # bucket-level size cut by the bucket order — dense_rank over
+        # the already-cut (buckets x size) frame, the nested-agg trick
+        out = (out.withColumn(
+            "__brk", F.dense_rank().over(Window.orderBy(*porder)))
+            .where(F.col("__brk") <= int(psize)).drop("__brk"))
+    return out.orderBy(*porder, F.asc("hit_rank"))
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                sub: dict) -> DataFrame:
     """Apply one parsed aggregation to the qualifying-set frame —
@@ -2581,6 +2672,9 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
     if kind == "percentiles" and not sub:
         return frame.agg(*_percentile_exprs(agg_name, body))
+    if sub and any(isinstance(v, dict) and "top_hits" in v
+                   for v in sub.values()):
+        return _apply_top_hits(frame, agg_name, kind, body, sub)
     if kind in ("range", "filters"):
         return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:

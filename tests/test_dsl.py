@@ -3234,3 +3234,98 @@ def test_term_suggester(spark, docs, docs_pdf, dsl_index):
     ):
         with pytest.raises(DslError):
             parse_suggest({"suggest": bad})
+
+
+# --------------------------------------------------------------------------
+# top_hits sub-aggregation (round 5)
+# --------------------------------------------------------------------------
+
+def test_top_hits(spark, docs, docs_pdf, dsl_index):
+    """ES top_hits under a terms bucket: flattened (key, doc_count,
+    hit_rank, _source...) rows vs an independent pandas replay; naive
+    == indexed; bucket size/min_doc_count interplay; validation."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"query": {"match": {"text": {"query": "spark agent",
+                                        "operator": "or"}}},
+           "aggs": {"by_role": {
+               "terms": {"field": "role", "size": 2},
+               "aggs": {"latest": {"top_hits": {
+                   "size": 3,
+                   "sort": [{"ts": "desc"}],
+                   "_source": ["conv_id", "turn_idx"]}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+
+    # pandas replay: qualifying set via the shared oracle machinery
+    spec = parse_query(req["query"])
+    fstats = _field_stats(docs_pdf, {c.field for c in spec.text_clauses()})
+    ok, _tot, qual, _sc = _spec_eval(docs_pdf, fstats, len(docs_pdf), spec)
+    assert ok
+    hits = docs_pdf[qual]
+    counts = hits.groupby("role").size()
+    want_rows = []
+    roles_ranked = sorted(counts.index,
+                          key=lambda r: (-counts[r], r))[:2]
+    for role in roles_ranked:
+        grp = (hits[hits["role"] == role]
+               .sort_values(["ts", "doc_id"], ascending=[False, True])
+               .head(3))
+        for i, (_, r) in enumerate(grp.iterrows(), 1):
+            want_rows.append((role, int(counts[role]), i,
+                              r["conv_id"], int(r["turn_idx"])))
+    want = pd.DataFrame(want_rows, columns=[
+        "key", "doc_count", "hit_rank", "conv_id", "turn_idx"])
+    got_c = got.reset_index(drop=True)
+    assert got_c["key"].tolist() == want["key"].tolist()
+    assert got_c["doc_count"].tolist() == want["doc_count"].tolist()
+    assert got_c["hit_rank"].tolist() == want["hit_rank"].tolist()
+    assert got_c["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got_c["turn_idx"].tolist() == want["turn_idx"].tolist()
+
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), gi.reset_index(drop=True),
+        check_dtype=False)
+
+    # histogram parent works too; min_doc_count prunes buckets
+    req2 = {"query": {"match_all": {}},
+            "aggs": {"by_turn": {
+                "histogram": {"field": "turn_idx", "interval": 5,
+                              "min_doc_count": 2},
+                "aggs": {"h": {"top_hits": {
+                    "size": 1, "sort": [{"ts": "asc"}],
+                    "_source": ["conv_id"]}}}}}}
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    assert (g2["doc_count"] >= 2).all()
+    assert (g2["hit_rank"] == 1).all()
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2,
+                                docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        g2.reset_index(drop=True), gi2.reset_index(drop=True),
+        check_dtype=False)
+
+    base = {"terms": {"field": "role"}}
+    for bad_sub in (
+        {"h": {"top_hits": {"sort": [{"ts": "desc"}]}}},  # no _source
+        {"h": {"top_hits": {"_source": ["conv_id"]}}},    # no sort
+        {"h": {"top_hits": {"sort": [{"_score": "desc"}],
+                            "_source": ["conv_id"]}}},
+        {"h": {"top_hits": {"sort": [{"ts": "desc"}],
+                            "_source": ["nope"]}}},
+        {"h": {"top_hits": {"sort": [{"nope": "desc"}],
+                            "_source": ["conv_id"]}}},
+        {"h": {"top_hits": {"sort": [{"ts": "desc"}],
+                            "_source": ["conv_id"],
+                            "highlight": {}}}},
+        {"h": {"top_hits": {"sort": [{"ts": "desc"}],
+                            "_source": ["conv_id"]}},
+         "m": {"avg": {"field": "turn_idx"}}},  # must be the only sub
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {
+                "query": {"match_all": {}},
+                "aggs": {"x": {**base, "aggs": bad_sub}}}).collect()
