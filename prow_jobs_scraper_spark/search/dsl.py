@@ -1803,7 +1803,108 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 # result VALUES). Anything else — highlight, rescore, min_score... —
 # would silently change results and must fail loud.
 _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
-                 "collapse", "rescore"}
+                 "collapse", "rescore", "highlight"}
+
+
+def _parse_highlight(request: dict):
+    """ES ``highlight``: -> None or ``(fields, pre_tag, post_tag)``.
+    Whole-field mode ONLY — ``number_of_fragments: 0`` must be given
+    explicitly (globally or on every field): ES's default behaviour
+    returns scored fragments, so silently returning the whole field
+    would diverge — out-of-grammar fails loud instead."""
+    h = request.get("highlight")
+    if h is None:
+        return None
+    if not isinstance(h, dict):
+        raise DslError(f"bad highlight body {h!r}")
+    unknown = set(h) - {"fields", "pre_tags", "post_tags",
+                        "number_of_fragments"}
+    if unknown:
+        raise DslError(f"unsupported highlight options {sorted(unknown)}")
+    flds = h.get("fields")
+    if not isinstance(flds, dict) or not flds:
+        raise DslError("highlight needs fields: {<field>: {...}}")
+    global_nf = h.get("number_of_fragments")
+    fields = []
+    for fld, body in flds.items():
+        if not isinstance(body, dict):
+            raise DslError(f"bad highlight field body {body!r}")
+        unknown = set(body) - {"number_of_fragments"}
+        if unknown:
+            raise DslError(
+                f"unsupported highlight field options {sorted(unknown)}")
+        nf = body.get("number_of_fragments", global_nf)
+        if nf != 0:
+            raise DslError(
+                "highlight supports number_of_fragments: 0 (whole "
+                "field) only — set it explicitly; fragmenting is out "
+                "of grammar")
+        fields.append(_ident(fld))
+
+    def tag(key, dflt):
+        v = h.get(key, [dflt])
+        if isinstance(v, str):
+            v = [v]
+        if not isinstance(v, (list, tuple)) or len(v) != 1 \
+                or not isinstance(v[0], str):
+            raise DslError(f"{key} must be a single tag")
+        return v[0]
+
+    return fields, tag("pre_tags", "<em>"), tag("post_tags", "</em>")
+
+
+def _highlight_terms(spec: QuerySpec, field: str) -> list[str]:
+    """Every term the query can POSITIVELY match on ``field`` — must/
+    should/filter text clauses and dis_max children, recursing through
+    child bools and a boosting POSITIVE arm. must_not clauses and the
+    boosting negative arm are excluded (they select *against* the
+    term; ES's highlighter likewise ignores prohibited clauses). Call
+    on a fuzzy/mlt-RESOLVED spec so expansions highlight too."""
+    out: set = set()
+    for c in spec.must + spec.should + spec.filter_text:
+        if c.field == field:
+            out |= set(_clause_terms(c))
+    for dm in spec.must_dismax + spec.should_dismax:
+        for c in dm.children:
+            if c.field == field:
+                out |= set(_clause_terms(c))
+    for ch in spec.must_bool + spec.filter_bool + spec.should_bool:
+        out |= set(_highlight_terms(ch, field))
+    if spec.boosting is not None:
+        out |= set(_highlight_terms(spec.boosting[0], field))
+    return sorted(out)
+
+
+def _apply_highlight(hits: DataFrame, docs_df: DataFrame,
+                     spec: QuerySpec, hl) -> DataFrame:
+    """Join the hit set back to the corpus rows and wrap every
+    occurrence of a highlightable term in the tags — one broadcast-
+    sized join (the hits frame is top-k rows) + codegen
+    regexp_replace; the corpus is touched only for the joined rows'
+    columns. Fields with no matched term carry NULL (ES omits the
+    field from the highlight block)."""
+    fields, pre, post = hl
+    missing = [f for f in fields if f not in docs_df.columns]
+    if missing:
+        raise DslError(f"highlight fields {missing} are not columns")
+    out = hits.join(docs_df.select("doc_id", *fields), "doc_id", "left")
+    for fld in fields:
+        terms = _highlight_terms(spec, fld)
+        col = F.col(fld)
+        if not terms:
+            expr = F.lit(None).cast("string")
+        else:
+            # terms are analyzer output ([a-z0-9_]+) — regex-safe by
+            # construction; (?i) + \b word bounds parse identically in
+            # Java (Spark) and RE2 (the DuckDB oracle replay)
+            pat = "(?i)\\b(" + "|".join(terms) + ")\\b"
+            expr = F.when(
+                col.rlike(pat),
+                F.regexp_replace(col, pat, pre + "$1" + post))
+        out = out.withColumn(f"highlight_{fld}", expr)
+    return (out.select("doc_id", "score",
+                       *[f"highlight_{f}" for f in fields])
+            .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
 def _parse_rescore(request: dict):
@@ -2004,12 +2105,19 @@ def execute_request(
     _validate_request_keys(request)
     collapse = _parse_collapse(request)
     rescore = _parse_rescore(request)
+    hl = _parse_highlight(request)
+    if hl is not None and (rescore is not None or collapse is not None
+                           or request.get("sort") is not None):
+        raise DslError("highlight cannot be combined with sort/"
+                       "collapse/rescore (the default ordering must be "
+                       "restorable after the highlight join)")
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
-                or collapse is not None or rescore is not None:
+                or collapse is not None or rescore is not None \
+                or hl is not None:
             raise DslError("aggs requests return buckets only; sort/"
-                           "search_after/collapse/rescore cannot be "
-                           "honored")
+                           "search_after/collapse/rescore/highlight "
+                           "cannot be honored")
         return dsl_aggregate(docs_df, request, params)
     if collapse is not None and request.get("search_after") is not None:
         raise DslError("collapse with search_after is not supported")
@@ -2078,10 +2186,30 @@ def execute_request(
         out = frame.select("doc_id", F.col("__dsl_score").alias("score"))
         order = ([F.desc("score"), F.asc("doc_id")] if scored
                  else [F.asc("doc_id")])
-        return (out.where(_search_after_pred(scored, after))
-                .orderBy(*order).limit(size))
+        out = (out.where(_search_after_pred(scored, after))
+               .orderBy(*order).limit(size))
+        if hl is not None:
+            out = _apply_highlight(
+                out, docs_df, _resolved_spec_naive(docs_df, query), hl)
+        return out
     out = search_dsl(docs_df, query, frm + size, params)
-    return out.offset(frm) if frm else out
+    out = out.offset(frm) if frm else out
+    if hl is not None:
+        out = _apply_highlight(
+            out, docs_df, _resolved_spec_naive(docs_df, query), hl)
+    return out
+
+
+def _resolved_spec_naive(docs_df: DataFrame, query: dict) -> QuerySpec:
+    """parse + fuzzy/mlt resolution against the corpus — the spec whose
+    text clauses are the concrete terms the executor actually matched
+    (highlighting must tag the EXPANDED terms, as ES does)."""
+    spec = parse_query(query)
+    if spec.has_fuzzy():
+        spec = _resolve_fuzzy(spec, _token_vocab_expander(docs_df))
+    if spec.has_mlt():
+        spec = _resolve_mlt(spec, _corpus_mlt_stats(docs_df))
+    return spec
 
 
 def _search_after_pred(scored: bool, after):
@@ -3643,12 +3771,22 @@ def execute_request_indexed(
     _validate_request_keys(request)
     collapse = _parse_collapse(request)
     rescore = _parse_rescore(request)
+    hl = _parse_highlight(request)
+    if hl is not None and (rescore is not None or collapse is not None
+                           or request.get("sort") is not None):
+        raise DslError("highlight cannot be combined with sort/"
+                       "collapse/rescore (the default ordering must be "
+                       "restorable after the highlight join)")
+    if hl is not None and docs_df is None:
+        raise DslError("highlight needs docs_df: the index does not "
+                       "store field text")
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
-                or collapse is not None or rescore is not None:
+                or collapse is not None or rescore is not None \
+                or hl is not None:
             raise DslError("aggs requests return buckets only; sort/"
-                           "search_after/collapse/rescore cannot be "
-                           "honored")
+                           "search_after/collapse/rescore/highlight "
+                           "cannot be honored")
         return dsl_aggregate_indexed(spark, index_dir, request, docs_df)
     if collapse is not None and request.get("search_after") is not None:
         raise DslError("collapse with search_after is not supported")
@@ -3742,10 +3880,42 @@ def execute_request_indexed(
             return empty
         order = ([F.desc("score"), F.asc("doc_id")] if scored
                  else [F.asc("doc_id")])
-        return (anchor.where(_search_after_pred(scored, after))
-                .orderBy(*order).limit(size))
+        out = (anchor.where(_search_after_pred(scored, after))
+               .orderBy(*order).limit(size))
+        if hl is not None:
+            out = _apply_highlight(
+                out, docs_df,
+                _resolved_spec_indexed(spark, index_dir, query), hl)
+        return out
     out = search_dsl_indexed(spark, index_dir, query, frm + size, docs_df)
-    return out.offset(frm) if frm else out
+    out = out.offset(frm) if frm else out
+    if hl is not None:
+        out = _apply_highlight(
+            out, docs_df,
+            _resolved_spec_indexed(spark, index_dir, query), hl)
+    return out
+
+
+def _resolved_spec_indexed(spark: SparkSession,
+                           index_dir: str | list[str],
+                           query: dict) -> QuerySpec:
+    """parse + fuzzy/mlt resolution against the INDEX (terms dim +
+    postings df cache) — the indexed twin of
+    :func:`_resolved_spec_naive`, for highlighting expanded terms."""
+    spec = parse_query(query)
+    if not (spec.has_fuzzy() or spec.has_mlt()):
+        return spec
+    dirs, metas, n_docs, _avgdl = _load_segments(index_dir)
+    if spec.has_fuzzy():
+        spec = _resolve_fuzzy(spec, _terms_dim_expander(spark, dirs))
+    if spec.has_mlt():
+        def stats(field, terms):
+            dfm = _df_stats_multi(spark, dirs, metas,
+                                  [term_id_py(t) for t in terms])
+            return n_docs, {t: dfm.get(term_id_py(t), 0)
+                            for t in terms}
+        spec = _resolve_mlt(spec, stats)
+    return spec
 
 
 def scan_dsl_indexed(

@@ -3329,3 +3329,102 @@ def test_top_hits(spark, docs, docs_pdf, dsl_index):
             dsl_aggregate(docs, {
                 "query": {"match_all": {}},
                 "aggs": {"x": {**base, "aggs": bad_sub}}}).collect()
+
+
+# --------------------------------------------------------------------------
+# highlight (round 5)
+# --------------------------------------------------------------------------
+
+def test_highlight(spark, docs, docs_pdf, dsl_index):
+    """ES highlight (whole-field mode): occurrences of every
+    positively-matchable query term wrapped in tags, verified against
+    a duckdb regexp_replace replay; fuzzy expansions highlight too;
+    naive == indexed; fail-loud validation."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    req = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}}],
+        "filter": [{"match": {"text": "the_hot_term"}}],
+        "must_not": [{"match": {"text": "w00042"}}],
+    }},
+        "size": 8,
+        "highlight": {"fields": {"text": {}},
+                      "number_of_fragments": 0}}
+    got = execute_request(docs, req).toPandas()
+    assert list(got.columns) == ["doc_id", "score", "highlight_text"]
+    assert len(got) == 8
+
+    # duckdb replay: join the hit ids to the corpus, apply the same
+    # anchored-word regexp with RE2 'gi' semantics; must_not term
+    # (w00042) must NOT be in the pattern
+    con = duckdb.connect()
+    con.register("docs", docs_pdf[["doc_id", "text"]])
+    con.register("hits", got[["doc_id"]])
+    pat = r"\b(agent|spark|the_hot_term)\b"
+    want = con.execute(
+        "SELECT h.doc_id, regexp_replace(d.text, ?, "
+        "'<em>\\1</em>', 'gi') AS hl "
+        "FROM hits h JOIN docs d USING (doc_id) ORDER BY h.doc_id",
+        [pat]).fetchdf()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert g["highlight_text"].tolist() == want["hl"].tolist()
+    assert g["highlight_text"].str.contains("<em>").all()
+
+    gi = execute_request_indexed(spark, dsl_index, req,
+                                 docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  gi.reset_index(drop=True))
+
+    # custom tags + fuzzy expansion terms get highlighted
+    reqf = {"query": {"fuzzy": {"text": {
+        "value": "w00042", "fuzziness": 1, "prefix_length": 3}}},
+        "size": 5,
+        "highlight": {"fields": {"text": {
+            "number_of_fragments": 0}},
+            "pre_tags": ["["], "post_tags": ["]"]}}
+    gf = execute_request(docs, reqf).toPandas()
+    assert len(gf) > 0
+    # the tags wrap EXPANSION terms (w00... neighbors), not the
+    # misspelled input itself
+    assert gf["highlight_text"].str.contains(r"\[w00[0-9a-z]+\]").all()
+    gfi = execute_request_indexed(spark, dsl_index, reqf,
+                                  docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(gf.reset_index(drop=True),
+                                  gfi.reset_index(drop=True))
+
+    # a hit whose highlighted field contains no positive term -> NULL
+    reqn = {"query": {"bool": {
+        "filter": [{"term": {"role": "tool"}}]}},
+        "size": 3,
+        "highlight": {"fields": {"text": {}},
+                      "number_of_fragments": 0}}
+    gn = execute_request(docs, reqn).toPandas()
+    assert gn["highlight_text"].isna().all()  # no text clause at all
+
+    for bad in (
+        {"highlight": {"fields": {"text": {}}}},          # nf missing
+        {"highlight": {"fields": {"text": {}},
+                       "number_of_fragments": 3}},
+        {"highlight": {"fields": {}}},
+        {"highlight": {"fields": {"text": {}},
+                       "number_of_fragments": 0,
+                       "fragment_size": 100}},
+        {"highlight": {"fields": {"text": {"type": "fvh"}},
+                       "number_of_fragments": 0}},
+        {"highlight": {"fields": {"text": {}},
+                       "number_of_fragments": 0},
+         "sort": [{"n_chars": "desc"}]},
+        {"highlight": {"fields": {"text": {}},
+                       "number_of_fragments": 0},
+         "rescore": {"query": {"rescore_query": {
+             "match": {"text": "x"}}}}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(docs, {
+                "query": {"match": {"text": "spark"}}, **bad})
+    with pytest.raises(DslError):  # indexed needs the corpus text
+        execute_request_indexed(spark, dsl_index, req, docs_df=None)
