@@ -159,37 +159,40 @@ def _token_frame(spark: SparkSession, entries) -> DataFrame:
 def _suggest_over_vocab(spark: SparkSession, entries,
                         vocab_df: DataFrame) -> DataFrame:
     """Shared kernel: rank candidates of a ``(term, df)`` vocabulary
-    frame per (entry, token). One broadcast join tokens x vocab with
-    length/prefix pruning BEFORE the levenshtein, then a per-token
-    window cut — candidate rows only ever number
-    |tokens| x |edit-ball|, never the corpus."""
+    frame per (entry, token). ONE broadcast join tokens x vocab per
+    entry with length/prefix pruning BEFORE the levenshtein; the
+    token's own df (suggest_mode missing/popular) rides the SAME join
+    as the distance-0 row and spreads via a per-token window — no
+    second vocabulary pass, no corpus re-scan (plan-gated). Candidate
+    rows only ever number |tokens| x |edit-ball|, never the corpus."""
     out = []
     toks_df = _token_frame(spark, entries)
-    # df of the token itself (suggest_mode missing/popular)
-    self_df = (toks_df.join(
-        vocab_df.select(F.col("term").alias("token"),
-                        F.col("df").alias("self_df")),
-        "token", "left")
-        .withColumn("self_df", F.coalesce("self_df", F.lit(0))))
     for name, _toks, opts in entries:
         mine = F.broadcast(
-            self_df.where(F.col("sugg") == name)
+            toks_df.where(F.col("sugg") == name)
             .where(F.length("token") >= opts["min_word_length"]))
-        if opts["suggest_mode"] == "missing":
-            mine = mine.where(F.col("self_df") == 0)
         t, c = F.col("token"), F.col("term")
-        cand = (vocab_df.join(
-            mine,
-            (F.length(c) >= F.length(t) - opts["max_edits"])
-            & (F.length(c) <= F.length(t) + opts["max_edits"])
-            & (c != t)
-            & ((F.substring(c, 1, opts["prefix_length"])
-                == F.substring(t, 1, opts["prefix_length"]))
-               if opts["prefix_length"] else F.lit(True)))
-            .where(F.col("df") >= opts["min_doc_freq"])
-            .withColumn("__d", F.levenshtein(c, t))
-            .where(F.col("__d") <= opts["max_edits"]))
-        if opts["suggest_mode"] == "popular":
+        # the join bounds ADMIT the token's own vocab row (distance 0)
+        # on purpose — it carries self-df for the mode filters
+        cond = ((F.length(c) >= F.length(t) - opts["max_edits"])
+                & (F.length(c) <= F.length(t) + opts["max_edits"]))
+        if opts["prefix_length"]:
+            cond = cond & (F.substring(c, 1, opts["prefix_length"])
+                           == F.substring(t, 1, opts["prefix_length"]))
+        j = (vocab_df.join(mine, cond)
+             .withColumn("__d", F.levenshtein(c, t))
+             .where(F.col("__d") <= opts["max_edits"]))
+        wp = Window.partitionBy("sugg", "token")
+        j = j.withColumn(
+            "self_df",
+            F.coalesce(
+                F.max(F.when(F.col("__d") == 0, F.col("df"))).over(wp),
+                F.lit(0)))
+        cand = (j.where(F.col("__d") >= 1)
+                .where(F.col("df") >= opts["min_doc_freq"]))
+        if opts["suggest_mode"] == "missing":
+            cand = cand.where(F.col("self_df") == 0)
+        elif opts["suggest_mode"] == "popular":
             cand = cand.where(F.col("df") > F.col("self_df"))
         score = (F.lit(1.0) - F.col("__d")
                  / F.least(F.length(t), F.length(c)).cast("double"))
@@ -197,7 +200,7 @@ def _suggest_over_vocab(spark: SparkSession, entries,
         order = ([F.desc("__score"), F.desc("df"), F.asc("term")]
                  if opts["sort"] == "score"
                  else [F.desc("df"), F.desc("__score"), F.asc("term")])
-        w = Window.partitionBy("sugg", "token").orderBy(*order)
+        w = wp.orderBy(*order)
         out.append(
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= opts["size"])

@@ -341,3 +341,59 @@ def test_pruned_dsl_filter_pushes_to_doc_stats(spark, transcripts,
     assert any("role" in ln for ln in pushed), plan
     assert any("term_id" in ln for ln in pushed), plan
     assert "FlatMapCoGroupsInPandas" in plan, plan  # the co-grouped merge
+
+
+def test_top_hits_single_window_shuffle(spark):
+    # top_hits = ONE bucket-keyed window shuffle over the qualifying
+    # set; the per-bucket cut must be a window row_number (post-shuffle
+    # map-side), never a join back to the corpus or a second scan
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"query": {"match_all": {}},
+           "aggs": {"by_lang": {
+               "terms": {"field": "lang", "size": 3},
+               "aggs": {"top": {"top_hits": {
+                   "size": 2, "sort": [{"n_chars": "desc"}],
+                   "_source": ["source"]}}}}}}
+    plan = _plan(dsl_aggregate(docs, req))
+    assert "EvalPython" not in plan, plan
+    # exactly one scan NODE of the documents parquet (formatted
+    # explain mentions each node twice: tree line + detail header)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_highlight_stays_jvm_side(spark):
+    # highlight = regexp_replace inside codegen over the top-k
+    # join-back — no Python stage, and the base ranking still cuts
+    # with TakeOrderedAndProject before the join
+    from prow_jobs_scraper_spark.search.dsl import execute_request
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"query": {"match": {"text": {"query": "key agg",
+                                       "operator": "or"}}},
+           "size": 10,
+           "highlight": {"fields": {"text": {}},
+                         "number_of_fragments": 0}}
+    plan = _plan(execute_request(docs, req))
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "regexp_replace" in plan, plan
+
+
+def test_suggest_prunes_before_levenshtein(spark):
+    # the suggester's candidate filter must apply the cheap length +
+    # prefix bounds and the levenshtein IN THE SAME codegen filter over
+    # the vocabulary aggregate — no Python stage, no corpus re-scan
+    from prow_jobs_scraper_spark.search.suggest import suggest_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"suggest": {"s": {"text": "tabel", "term": {
+        "field": "text", "prefix_length": 0}}}}
+    plan = _plan(suggest_terms(docs, req))
+    assert "EvalPython" not in plan, plan
+    assert "levenshtein" in plan, plan
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
