@@ -93,6 +93,22 @@ def cmd_search(args) -> dict:
     dirs = args.index.split(",")
     flt = getattr(args, "filter", None)
     dsl = getattr(args, "dsl", None)
+    sugg = getattr(args, "suggest", None)
+    if sugg:
+        from prow_jobs_scraper_spark.search.suggest import (  # noqa: PLC0415
+            suggest_terms_indexed,
+        )
+
+        if dsl or args.query or flt or getattr(args, "phrase", False):
+            raise SystemExit("--suggest is its own request shape")
+        req = (json.load(open(sugg[1:])) if sugg.startswith("@")
+               else json.loads(sugg))
+        rows = suggest_terms_indexed(spark, dirs, req).collect()
+        return {
+            "suggest": req,
+            "latency_sec": round(time.time() - t0, 4),
+            "suggestions": [r.asDict() for r in rows],
+        }
     if dsl:
         from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
             search_dsl_indexed,
@@ -148,8 +164,8 @@ def cmd_search(args) -> dict:
             "dsl": qjson,
             "k": int(request["size"]),
             "latency_sec": round(time.time() - t0, 4),
-            "hits": [{"doc_id": r["doc_id"], "score": r["score"]}
-                     for r in rows],
+            # asDict keeps request-shaped extras (highlight_* columns)
+            "hits": [r.asDict() for r in rows],
         }
     if not args.query:
         raise SystemExit("search needs --query (or --dsl)")
@@ -306,6 +322,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="source corpus parquet for the --phrase adjacency "
                         "re-check; optional when the index was built with "
                         "--store-positions")
+    s.add_argument("--suggest", default=None,
+                   help="ES suggest request JSON (or @file): the term "
+                        "suggester against the index vocabulary")
     s.add_argument("--count", action="store_true",
                    help="with --dsl: return the qualifying-set size "
                         "(the ES _count endpoint) instead of top-k hits")

@@ -1887,6 +1887,10 @@ def _apply_highlight(hits: DataFrame, docs_df: DataFrame,
     missing = [f for f in fields if f not in docs_df.columns]
     if missing:
         raise DslError(f"highlight fields {missing} are not columns")
+    if "doc_id" not in docs_df.columns \
+            and {"conv_id", "turn_idx"} <= set(docs_df.columns):
+        docs_df = with_doc_ids(docs_df)  # raw transcripts: attach the
+        # engine key so the top-k join-back can resolve
     out = hits.join(docs_df.select("doc_id", *fields), "doc_id", "left")
     for fld in fields:
         terms = _highlight_terms(spec, fld)

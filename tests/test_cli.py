@@ -124,6 +124,31 @@ def test_cli_dsl_search(spark, tmp_path, capsys):
     assert [b["key"] for b in rf["buckets"]] == ["assistants",
                                                  "everything"]
 
+    # --dsl with highlight: hits carry the highlight_* column (needs
+    # --corpus, the index stores no field text)
+    rh = _run(capsys, ["search", "--index", idx, "--corpus", corpus,
+                       "--dsl", json.dumps({
+                           "query": {"match": {"text": {
+                               "query": "spark agent",
+                               "operator": "or"}}},
+                           "size": 3,
+                           "highlight": {"fields": {"text": {}},
+                                         "number_of_fragments": 0}})])
+    assert rh["hits"] and all("highlight_text" in h for h in rh["hits"])
+    assert any(h["highlight_text"] and "<em>" in h["highlight_text"]
+               for h in rh["hits"])
+
+    # --suggest: the term suggester against the index vocabulary
+    rs = _run(capsys, ["search", "--index", idx, "--suggest",
+                       json.dumps({"suggest": {"fix": {
+                           "text": "agnt",
+                           "term": {"field": "text",
+                                    "prefix_length": 0}}}})])
+    assert any(s["suggestion"] == "agent" for s in rs["suggestions"])
+    with pytest.raises(SystemExit):  # mutually exclusive shapes
+        cli.main(["search", "--index", idx, "--suggest", "{}",
+                  "--dsl", "{}"])
+
     # neither --query nor --dsl is an error
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx, "--k", "5"])
