@@ -2393,6 +2393,13 @@ def dsl_aggregate(
     - ``{"filters": {"filters": {name: metadata-clause | match_all,
       ...}}}`` -> (key=name, doc_count [, sub metrics]) in definition
       order; one doc may land in several named buckets.
+    - ``{"missing": {"field": f}}`` -> one row: the qualifying docs
+      lacking the field (flattened to its doc_count; sub-aggs inside
+      the missing bucket fail loud).
+    - a bucket agg whose ONLY sub-agg is ``{"top_hits": {"size": n,
+      "sort": [{field: dir}...], "_source": [cols]}}`` -> flattened
+      (key, doc_count, hit_rank, _source...) rows — the per-bucket
+      top-N documents (see :func:`_apply_top_hits`).
 
     Bucket aggs may nest metric sub-aggs under ``"aggs"``. The match
     semantics are :func:`search_dsl`'s (scores computed but irrelevant:
@@ -2797,6 +2804,21 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     documented). Still one grouped aggregation at (parent, child)
     granularity — Catalyst partial-aggregates map-side, then a window
     over bucket-cardinality rows; no second corpus scan."""
+    if kind == "missing":
+        # ES `missing` bucket: docs of the qualifying set lacking the
+        # field. Flattened to its doc_count (sub-aggs inside the
+        # missing bucket stay out of grammar — fail loud, not silent)
+        if sub:
+            raise DslError(
+                "missing does not support sub-aggregations")
+        if not isinstance(body, dict) or set(body) != {"field"}:
+            raise DslError(f"bad missing body {body!r}")
+        fld = _ident(body["field"])
+        if fld not in frame.columns:
+            raise DslError(f"missing field {fld!r} is not available")
+        return frame.agg(
+            F.coalesce(F.sum(F.col(fld).isNull().cast("long")),
+                       F.lit(0)).alias(agg_name))
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
             _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))

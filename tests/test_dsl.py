@@ -3428,3 +3428,40 @@ def test_highlight(spark, docs, docs_pdf, dsl_index):
                 "query": {"match": {"text": "spark"}}, **bad})
     with pytest.raises(DslError):  # indexed needs the corpus text
         execute_request_indexed(spark, dsl_index, req, docs_df=None)
+
+
+def test_missing_agg(spark, docs, docs_pdf, dsl_index):
+    """ES `missing` bucket agg flattened to its doc_count: NULL-field
+    docs of the qualifying set — naive == indexed == pandas."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"query": {"match": {"text": {"query": "spark agent",
+                                        "operator": "or"}}},
+           "aggs": {"no_tool": {"missing": {"field": "tool"}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    spec = parse_query(req["query"])
+    fstats = _field_stats(docs_pdf, {c.field for c in spec.text_clauses()})
+    ok, _t, qual, _s = _spec_eval(docs_pdf, fstats, len(docs_pdf), spec)
+    want = int(docs_pdf[qual]["tool"].isna().sum())
+    assert got["no_tool"].tolist() == [want] and want > 0
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    assert gi["no_tool"].tolist() == [want]
+
+    # provably-empty query -> 0, not NULL
+    req0 = {"query": {"match": {"text": "zzz_absent"}},
+            "aggs": {"m": {"missing": {"field": "tool"}}}}
+    assert dsl_aggregate(docs, req0).toPandas()["m"].tolist() == [0]
+
+    for bad in (
+        {"m": {"missing": {"field": "nope"}}},
+        {"m": {"missing": {"field": "tool", "size": 3}}},
+        {"m": {"missing": {"field": "tool"},
+               "aggs": {"x": {"avg": {"field": "turn_idx"}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"query": {"match_all": {}},
+                                 "aggs": bad}).collect()
