@@ -130,6 +130,61 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return {name: min(v) for name, v in samples.items()}, samples
 
 
+def bench_dsl_ops(spark) -> dict[str, float]:
+    """Round-5 request-surface ops timed on the SF documents table
+    (naive executor; min-of-HEADLINE_REPS each). Kept OUT of HEADLINE
+    so the round-over-round regression check keeps comparing a stable
+    key set; reported alongside in detail + summary."""
+    from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+        dsl_aggregate,
+        execute_request,
+        search_dsl,
+    )
+    from prow_jobs_scraper_spark.search.suggest import (  # noqa: PLC0415
+        suggest_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_q = {"match": {"text": {"query": "key agg", "operator": "or"}}}
+    jobs = {
+        "rescore_search": lambda: execute_request(docs, {
+            "query": base_q, "size": 10,
+            "rescore": {"window_size": 50, "query": {
+                "rescore_query": {"match_phrase": {
+                    "text": "table hash"}},
+                "rescore_query_weight": 2.0}}}),
+        "highlight_search": lambda: execute_request(docs, {
+            "query": base_q, "size": 10,
+            "highlight": {"fields": {"text": {}},
+                          "number_of_fragments": 0}}),
+        "top_hits_agg": lambda: dsl_aggregate(docs, {
+            "query": base_q,
+            "aggs": {"by_lang": {
+                "terms": {"field": "lang", "size": 5},
+                "aggs": {"top": {"top_hits": {
+                    "size": 3, "sort": [{"n_chars": "desc"}],
+                    "_source": ["doc_id", "source"]}}}}}}),
+        "mlt_topk": lambda: search_dsl(docs, {
+            "query": {"more_like_this": {
+                "fields": ["text"],
+                "like": "hash hash join join data data"}}}, 10),
+        "suggest_terms": lambda: suggest_terms(docs, {
+            "suggest": {"s": {"text": "tabel scann",
+                              "term": {"field": "text",
+                                       "prefix_length": 0}}}}),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        best = None
+        for _ in range(max(1, HEADLINE_REPS)):
+            t0 = time.time()
+            _run_to_sink(fn())
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        out[name] = round(best, 3)
+    return out
+
+
 def _materialize_corpus(spark, path: str) -> None:
     from prow_jobs_scraper_spark.synth import synth_transcripts
 
@@ -690,6 +745,9 @@ def main() -> None:
         .selectExpr("doc_id", "lower(text) t")
     )
     queries, query_samples = bench_queries(spark)
+    dsl_ops = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_DSL_OPS") != "1":
+        dsl_ops = bench_dsl_ops(spark)
     build, query_latency = bench_flagship(spark, corpus_path)
     positions = {}
     if os.environ.get("SPARK_GRAFT_SKIP_POSITIONS") != "1":
@@ -760,12 +818,15 @@ def main() -> None:
         "positions_build": positions,
         "query_latency": query_latency,
         "ann": ann,
+        "dsl_ops": dsl_ops,
         "scaling": scaling,
         "check": check,
     }
     summary = _compact_summary(
         total, queries, headline_levels, build, build_best,
         query_latency, ann, scaling, check)
+    if dsl_ops:
+        summary["dsl_ops"] = dsl_ops
     for name, blob in (("bench_detail_last.json", detail),
                        ("bench_summary_last.json", summary)):
         try:
