@@ -2103,6 +2103,13 @@ def execute_request(
     then an offset — the standard deep-paging trade (ES bounds it with
     index.max_result_window for the same reason; keep from shallow).
     ``search_after`` cursors cover the DEFAULT sort only.
+
+    Round 5 adds ``collapse`` (top hit per field under the request
+    sort), ``rescore`` (top-window re-sort by the combined score; see
+    :func:`_parse_rescore`/:func:`_apply_rescore`) and ``highlight``
+    (whole-field term tagging; see :func:`_parse_highlight`) —
+    rescore/highlight stay on the default-ordering paths and fail loud
+    when combined with sort/collapse/each other's conflicts.
     """
     if not isinstance(request, dict):
         raise DslError("request must be a dict")
