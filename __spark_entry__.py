@@ -315,6 +315,13 @@ def _dismax_topk(spark, sf_dir):
       they ALSO contain 'hash' (search/dsl.py QuerySpec.boosting;
       must_not could only DROP them). The twin reuses the same
       per-term score CTE: score = s1 * CASE WHEN m2>0 THEN 0.3 END.
+    - ``fscore`` (round 5): ``function_score`` — the 'key agg' BM25
+      score multiplied by a per-doc factor combining (score_mode=sum)
+      a weight-2 function gated by a regexp filter on ``source`` and
+      an unfiltered ``field_value_factor`` log1p(0.01 x n_chars)
+      (search/dsl.py FunctionScore/_fscore_factor). The twin replays
+      the factor arithmetic verbatim over the same ``sc`` CTE — the
+      value SQL is dialect-shared by construction.
 
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
@@ -351,6 +358,16 @@ def _dismax_topk(spark, sf_dir):
                                         "operator": "or"}}},
         "negative": {"match": {"text": "hash"}},
         "negative_boost": 0.3}}}))
+    out = out.unionByName(mode("fscore", {"query": {"function_score": {
+        "query": {"match": {"text": {"query": "key agg",
+                                     "operator": "or"}}},
+        "functions": [
+            {"filter": {"regexp": {"source": "src1[0-9]"}},
+             "weight": 2.0},
+            {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+                                    "modifier": "log1p", "missing": 1}},
+        ],
+        "score_mode": "sum", "boost_mode": "multiply"}}}))
     return out
 
 
@@ -1759,6 +1776,18 @@ hb AS (
          * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS score
   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
   WHERE tf.term = 'hash'),
+fsq AS (
+  -- function_score twin: score_mode=sum over (regexp-filtered weight
+  -- 2, unfiltered log1p fvf), boost_mode=multiply against the 'key
+  -- agg' BM25 sum — the engine's value SQL replayed verbatim
+  SELECT sc.doc_id,
+         s1 * ((CASE WHEN regexp_extract(d.source,
+                          '^(?:src1[0-9])$', 0) = d.source
+                     THEN 2.0 ELSE 0.0 END)
+               + log10((0.01 * coalesce(cast(d.n_chars as double),
+                                        1.0)) + 1)) AS score
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+  WHERE m1 > 0),
 pp AS (
   -- best completed phrase: adjacency-gated BM25 over the phrase's
   -- terms ('hash' + the expansion), max over matching expansions
@@ -1810,6 +1839,11 @@ UNION ALL
               s1 * CASE WHEN m2 > 0 THEN 0.3 ELSE 1.0 END AS score
        FROM sc WHERE m1 > 0)
  ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'fscore' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM fsq ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

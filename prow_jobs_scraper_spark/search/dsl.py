@@ -90,6 +90,26 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  -- without exclusion — the ES rule). The negative
                  -- clause evaluates in filter context (its scores
                  -- never surface).
+    function_score := {"function_score":
+                        {"query": clause,
+                         "functions": [{"filter": meta_clause,
+                                        "weight": number,
+                                        "field_value_factor": {...},
+                                        "gauss"|"exp"|"linear": {...}}],
+                         "score_mode": "multiply"|"sum"|"avg"|"first"
+                                       |"max"|"min",
+                         "boost_mode": "multiply"|"replace"|"sum"|"avg"
+                                       |"max"|"min",
+                         "max_boost": number, "min_score": number,
+                         "boost": number}}
+                 -- per-doc score functions over METADATA columns:
+                 -- weight, field_value_factor (all ten ES modifiers),
+                 -- numeric gauss/exp/linear decay; matched functions
+                 -- combine per score_mode (none matched -> 1.0), the
+                 -- factor combines with the wrapped query's score per
+                 -- boost_mode (an unscored wrapped query contributes
+                 -- 1.0 — the ES constant-score-leaf rule);
+                 -- script_score / random_score fail loud
     constant_score := {"constant_score": {"filter": clause,
                                           "boost": number}}
                  -- every matching doc scores exactly ``boost`` (the ES
@@ -302,6 +322,41 @@ class DisMax:
     tie_breaker: float = 0.0
 
 
+@dataclass(frozen=True)
+class FScoreFn:
+    """One parsed ``function_score`` function: an optional METADATA
+    filter (dialect-shared SQL predicate, like the bool grammar's
+    *_sql lists), a ``weight`` multiplier, and a value expression
+    (``field_value_factor`` / ``gauss`` / ``exp`` / ``linear`` decay,
+    or the constant 1.0 for a weight-only function). ``value_sql``
+    stays inside the Java/DuckDB shared SQL subset so the naive
+    executor, the indexed executor (over doc_stats) and any DuckDB
+    oracle twin can all evaluate it verbatim."""
+
+    filter_sql: str | None  # None -> the function applies to every doc
+    weight: float
+    value_sql: str
+    fields: tuple  # doc/doc_stats columns the function reads
+
+
+@dataclass
+class FunctionScore:
+    """ES ``function_score``: wrapped query -> per-doc factor from the
+    matched functions (``score_mode`` combine, ``max_boost`` cap) ->
+    final score via ``boost_mode`` against the query score. A wrapped
+    query that produces no scores (match_all / pure metadata / filter
+    context) contributes query score 1.0 — the ES constant-score-leaf
+    rule. ``min_score`` drops docs below the FINAL score."""
+
+    wrapped: "QuerySpec"
+    funcs: list  # list[FScoreFn], declaration order (score_mode=first)
+    score_mode: str  # multiply|sum|avg|first|max|min
+    boost_mode: str  # multiply|replace|sum|avg|max|min
+    max_boost: float | None
+    min_score: float | None
+    boost: float
+
+
 @dataclass
 class QuerySpec:
     """Normalized bool query: text clauses by context + SQL predicates +
@@ -342,6 +397,9 @@ class QuerySpec:
     # keeps its positive score multiplied by negative_boost (demotion
     # without exclusion, the thing must_not cannot express)
     boosting: tuple | None = None
+    # ES function_score: wrapped query + per-doc score functions
+    # (see :class:`FunctionScore`)
+    fscore: "FunctionScore | None" = None
 
     def child_specs(self) -> list["QuerySpec"]:
         """Every nested QuerySpec one level down — the four bool
@@ -353,6 +411,8 @@ class QuerySpec:
                + self.must_not_bool)
         if self.boosting is not None:
             out = out + [self.boosting[0], self.boosting[1]]
+        if self.fscore is not None:
+            out = out + [self.fscore.wrapped]
         return out
 
     def minimum_should_match(self) -> int:
@@ -1095,6 +1155,285 @@ def _parse_boosting(body: dict) -> QuerySpec:
                                float(nb)))
 
 
+_FSCORE_MODIFIERS = {
+    # ES field_value_factor modifiers: applied to (factor * value),
+    # the Lucene order. SQL stays in the Spark/DuckDB shared subset.
+    "none": "{x}", "log": "log10({x})", "log1p": "log10({x} + 1)",
+    "log2p": "log10({x} + 2)", "ln": "ln({x})", "ln1p": "ln({x} + 1)",
+    "ln2p": "ln({x} + 2)", "square": "({x} * {x})", "sqrt": "sqrt({x})",
+    "reciprocal": "(1.0 / {x})",
+}
+
+_FSCORE_SCORE_MODES = ("multiply", "sum", "avg", "first", "max", "min")
+_FSCORE_BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+
+
+def _fscore_num(v, name: str, *, lo=None, hi=None,
+                lo_open=False, hi_open=False) -> float:
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise DslError(f"function_score {name} must be a number, got {v!r}")
+    x = float(v)
+    if lo is not None and (x <= lo if lo_open else x < lo):
+        raise DslError(f"function_score {name} must be "
+                       f"{'>' if lo_open else '>='} {lo}, got {v!r}")
+    if hi is not None and (x >= hi if hi_open else x > hi):
+        raise DslError(f"function_score {name} must be "
+                       f"{'<' if hi_open else '<='} {hi}, got {v!r}")
+    return x
+
+
+def _fscore_field_sql(field: str, missing) -> str:
+    """Numeric field access -> double SQL; ``missing`` fills NULLs.
+    Without ``missing`` a NULL value raises at RUN time (Spark
+    raise_error) — the ES rule is a query-time exception, and scoring
+    on silently-defaulted values would diverge unseen."""
+    ident = _ident(field)
+    if missing is not None:
+        return (f"coalesce(cast({ident} as double), "
+                f"{_sql_lit(_fscore_num(missing, 'missing'))})")
+    return (f"coalesce(cast({ident} as double), cast(raise_error("
+            f"'function_score: NULL {ident} and no missing value') "
+            f"as double))")
+
+
+def _parse_fvf(body: dict) -> tuple[str, str]:
+    """``field_value_factor`` -> (value_sql, field)."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"bad field_value_factor body {body!r}")
+    unknown = set(body) - {"field", "factor", "modifier", "missing"}
+    if unknown:
+        raise DslError(
+            f"unsupported field_value_factor options {sorted(unknown)}")
+    field = _ident(body["field"])
+    factor = _fscore_num(body.get("factor", 1.0), "factor")
+    modifier = body.get("modifier", "none")
+    if modifier not in _FSCORE_MODIFIERS:
+        raise DslError(f"field_value_factor modifier {modifier!r} not "
+                       f"supported ({sorted(_FSCORE_MODIFIERS)})")
+    x = f"({_sql_lit(factor)} * {_fscore_field_sql(field, body.get('missing'))})"
+    return _FSCORE_MODIFIERS[modifier].format(x=x), field
+
+
+def _parse_decay(kind: str, body: dict) -> tuple[str, str]:
+    """``gauss``/``exp``/``linear`` decay on a NUMERIC field ->
+    (value_sql, field). The shape constants (sigma^2 / lambda / s)
+    resolve at parse time into plain literals, the ES formulas:
+    gauss  = exp(-dist^2 / (2 sigma^2)),  sigma^2 = -scale^2/(2 ln decay)
+    exp    = exp(lambda dist),            lambda  = ln(decay)/scale
+    linear = max(0, (s - dist)/s),        s       = scale/(1 - decay)
+    with dist = max(0, |value - origin| - offset). Date/geo origins are
+    out of grammar (fail loud) — numeric covers transcript fields
+    (turn_idx, ts via cast upstream)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"bad {kind} body {body!r} (one field)")
+    (field, spec), = body.items()
+    field = _ident(field)
+    if not isinstance(spec, dict):
+        raise DslError(f"bad {kind} spec {spec!r}")
+    unknown = set(spec) - {"origin", "scale", "offset", "decay"}
+    if unknown:
+        raise DslError(f"unsupported {kind} options {sorted(unknown)}")
+    for k in ("origin", "scale"):
+        if k not in spec:
+            raise DslError(f"{kind} needs {k!r}")
+    origin = _fscore_num(spec["origin"], "origin")
+    scale = _fscore_num(spec["scale"], "scale", lo=0.0, lo_open=True)
+    offset = _fscore_num(spec.get("offset", 0.0), "offset", lo=0.0)
+    decay = _fscore_num(spec.get("decay", 0.5), "decay",
+                        lo=0.0, hi=1.0, lo_open=True, hi_open=True)
+    dist = (f"greatest(0.0, abs(cast({field} as double) "
+            f"- {_sql_lit(origin)}) - {_sql_lit(offset)})")
+    if kind == "gauss":
+        denom = -(scale * scale) / math.log(decay)  # 2*sigma^2
+        return f"exp(-(({dist}) * ({dist})) / {_sql_lit(denom)})", field
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return f"exp({_sql_lit(lam)} * ({dist}))", field
+    s = scale / (1.0 - decay)
+    return (f"greatest(0.0, ({_sql_lit(s)} - ({dist})) / {_sql_lit(s)})",
+            field)
+
+
+_FSCORE_VALUE_KINDS = ("field_value_factor", "gauss", "exp", "linear")
+
+
+def _parse_fscore_fn(fn: dict) -> FScoreFn:
+    if not isinstance(fn, dict) or not fn:
+        raise DslError(f"bad function_score function {fn!r}")
+    unknown = set(fn) - ({"filter", "weight"} | set(_FSCORE_VALUE_KINDS))
+    if unknown:
+        # script_score / random_score land here: fail loud, never guess
+        raise DslError(
+            f"unsupported function_score function keys {sorted(unknown)}")
+    kinds = [k for k in _FSCORE_VALUE_KINDS if k in fn]
+    if len(kinds) > 1:
+        raise DslError(f"a function takes at most one of "
+                       f"{_FSCORE_VALUE_KINDS}, got {kinds}")
+    if not kinds and "weight" not in fn:
+        raise DslError("a function needs a weight or a value source "
+                       f"({_FSCORE_VALUE_KINDS})")
+    weight = _fscore_num(fn.get("weight", 1.0), "weight")
+    fields: list[str] = []
+    if kinds:
+        kind = kinds[0]
+        value_sql, fld = (_parse_fvf(fn[kind]) if kind ==
+                          "field_value_factor"
+                          else _parse_decay(kind, fn[kind]))
+        fields.append(fld)
+    else:
+        value_sql = "1.0"  # weight-only function
+    filter_sql = None
+    if "filter" in fn:
+        fc = fn["filter"]
+        if not isinstance(fc, dict) or len(fc) != 1:
+            raise DslError(f"bad function filter {fc!r}")
+        (fk, fb), = fc.items()
+        if fk == "match_all":
+            filter_sql = None
+        elif fk in ("term", "terms", "range", "exists", "prefix",
+                    "wildcard", "regexp", "ids"):
+            filter_sql, ffld = _compile_meta(fk, fb)
+            fields.append(ffld)
+        else:
+            # text filters would need per-doc match state inside the
+            # score expression — metadata-only is the supported subset
+            raise DslError(f"function filters support metadata clauses "
+                           f"only, got {fk!r}")
+    return FScoreFn(filter_sql=filter_sql, weight=weight,
+                    value_sql=value_sql, fields=tuple(fields))
+
+
+def _parse_function_score(body: dict) -> QuerySpec:
+    """ES ``function_score`` -> a :class:`QuerySpec` carrying a
+    :class:`FunctionScore`. Supported: ``functions`` (or ONE inline
+    function), metadata ``filter`` per function, ``weight``,
+    ``field_value_factor``, numeric ``gauss``/``exp``/``linear``
+    decay, ``score_mode``, ``boost_mode``, ``max_boost``,
+    ``min_score``, ``boost``. ``script_score``/``random_score`` are
+    out of grammar (fail loud: scripts are arbitrary code, random is
+    non-deterministic — both would break oracle identity)."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad function_score body {body!r}")
+    known = ({"query", "functions", "score_mode", "boost_mode",
+              "max_boost", "min_score", "boost", "weight"}
+             | set(_FSCORE_VALUE_KINDS))
+    unknown = set(body) - known
+    if unknown:
+        raise DslError(
+            f"unsupported function_score options {sorted(unknown)}")
+    inline = [k for k in ("weight", *_FSCORE_VALUE_KINDS) if k in body]
+    if "functions" in body:
+        if inline:
+            raise DslError(f"function_score takes functions OR an "
+                           f"inline function, got both ({inline})")
+        raw = body["functions"]
+        if not isinstance(raw, list) or not raw:
+            raise DslError("function_score functions must be a "
+                           "non-empty list")
+        funcs = [_parse_fscore_fn(f) for f in raw]
+    elif inline:
+        funcs = [_parse_fscore_fn({k: body[k] for k in inline})]
+    else:
+        raise DslError("function_score needs functions or an inline "
+                       "function")
+    score_mode = body.get("score_mode", "multiply")
+    if score_mode not in _FSCORE_SCORE_MODES:
+        raise DslError(f"unsupported score_mode {score_mode!r} "
+                       f"({_FSCORE_SCORE_MODES})")
+    boost_mode = body.get("boost_mode", "multiply")
+    if boost_mode not in _FSCORE_BOOST_MODES:
+        raise DslError(f"unsupported boost_mode {boost_mode!r} "
+                       f"({_FSCORE_BOOST_MODES})")
+    max_boost = (None if "max_boost" not in body
+                 else _fscore_num(body["max_boost"], "max_boost"))
+    min_score = (None if "min_score" not in body
+                 else _fscore_num(body["min_score"], "min_score"))
+    boost = _fscore_num(body.get("boost", 1.0), "boost",
+                        lo=0.0, lo_open=True)
+    wrapped = (parse_query(body["query"]) if "query" in body
+               else QuerySpec(match_all=True))
+    fs = FunctionScore(wrapped=wrapped, funcs=funcs,
+                       score_mode=score_mode, boost_mode=boost_mode,
+                       max_boost=max_boost, min_score=min_score,
+                       boost=boost)
+    spec = QuerySpec(fscore=fs)
+    # surface every read column for indexed doc_stats validation
+    # (the same contract the *_sql predicate lists follow)
+    for fn in funcs:
+        spec.sql_fields.update(fn.fields)
+    return spec
+
+
+def _fscore_factor(fs: FunctionScore):
+    """The per-doc function factor as ONE row expression (shared by
+    the naive executor over the corpus frame and the indexed executor
+    over doc_stats-joined candidates): each function contributes
+    weight * value when its filter matches; matched contributions
+    combine per ``score_mode``; no function matched -> 1.0 (the ES
+    rule); ``max_boost`` caps the result."""
+    parts = []
+    for fn in fs.funcs:
+        m = (F.coalesce(F.expr(fn.filter_sql), F.lit(False))
+             if fn.filter_sql is not None else F.lit(True))
+        v = F.expr(fn.value_sql).cast("double") * F.lit(fn.weight)
+        parts.append((m, v, fn.weight))
+    mode = fs.score_mode
+    if mode == "multiply":
+        factor = F.lit(1.0)
+        for m, v, _ in parts:
+            factor = factor * F.when(m, v).otherwise(F.lit(1.0))
+    elif mode in ("sum", "avg"):
+        raw = reduce(lambda a, b: a + b,
+                     [F.when(m, v).otherwise(F.lit(0.0))
+                      for m, v, _ in parts])
+        cnt = reduce(lambda a, b: a + b,
+                     [m.cast("int") for m, _, _ in parts])
+        if mode == "sum":
+            factor = F.when(cnt > 0, raw).otherwise(F.lit(1.0))
+        else:
+            # ES avg is WEIGHTED: sum(w*v) / sum(w) over matched
+            wsum = reduce(lambda a, b: a + b,
+                          [F.when(m, F.lit(w)).otherwise(F.lit(0.0))
+                           for m, _, w in parts])
+            factor = F.when(wsum != 0.0, raw / wsum).otherwise(F.lit(1.0))
+    elif mode == "first":
+        factor = F.coalesce(*[F.when(m, v) for m, v, _ in parts],
+                            F.lit(1.0))
+    else:  # max | min — greatest/least skip NULL (unmatched) branches
+        whens = [F.when(m, v) for m, v, _ in parts]
+        best = (whens[0] if len(whens) == 1
+                else (F.greatest(*whens) if mode == "max"
+                      else F.least(*whens)))
+        factor = F.coalesce(best, F.lit(1.0))
+    if fs.max_boost is not None:
+        factor = F.least(factor, F.lit(fs.max_boost))
+    return factor
+
+
+def _fscore_combine(qscore, factor, fs: FunctionScore):
+    """``boost_mode`` combine + query-level boost -> final score."""
+    bm = fs.boost_mode
+    if bm == "multiply":
+        out = qscore * factor
+    elif bm == "replace":
+        out = factor
+    elif bm == "sum":
+        out = qscore + factor
+    elif bm == "avg":
+        out = (qscore + factor) / F.lit(2.0)
+    elif bm == "max":
+        out = F.greatest(qscore, factor)
+    else:
+        out = F.least(qscore, factor)
+    if fs.boost != 1.0:
+        out = out * F.lit(fs.boost)
+    return out
+
+
+def _fscore_fields(fs: FunctionScore) -> list[str]:
+    return sorted({f for fn in fs.funcs for f in fn.fields})
+
+
 def _dismax_as_bool(dm: DisMax) -> "QuerySpec":
     """dis_max reduced to qualification only (filter / must_not
     context): any-child-matches == a bool-should with msm 1."""
@@ -1243,6 +1582,8 @@ def parse_query(q: dict) -> QuerySpec:
         return _parse_constant_score(body)
     if kind == "boosting":
         return _parse_boosting(body)
+    if kind == "function_score":
+        return _parse_function_score(body)
     if kind in ("dis_max", "multi_match"):
         parsed = (_parse_dismax(body) if kind == "dis_max"
                   else _parse_multi_match(body))
@@ -1311,15 +1652,17 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should.append(tc)
                 else:
                     spec.must_not.append(tc)
-            elif ck in ("constant_score", "boosting"):
+            elif ck in ("constant_score", "boosting", "function_score"):
                 # score matters in must/should (constant_score adds
-                # `boost`; boosting adds the demoted positive score);
-                # in filter/must_not only qualification survives —
-                # both are exactly the child-bool semantics, so they
-                # ride the *_bool lists
+                # `boost`; boosting adds the demoted positive score;
+                # function_score adds its combined score); in filter/
+                # must_not only qualification survives — all three are
+                # exactly the child-bool semantics, so they ride the
+                # *_bool lists
                 getattr(spec, f"{ctx}_bool").append(
                     _parse_constant_score(cb) if ck == "constant_score"
-                    else _parse_boosting(cb))
+                    else _parse_boosting(cb) if ck == "boosting"
+                    else _parse_function_score(cb))
             elif ck in ("term", "terms", "range", "exists", "prefix",
                         "wildcard", "regexp", "ids"):
                 pred, fld = _compile_meta(ck, cb)
@@ -1594,6 +1937,22 @@ def _compile_specs(
         means provably empty (a required clause can never match). Child
         bools recurse — still row expressions, so the whole TREE stays a
         single map-side pass (no extra scans or joins per nesting level)."""
+        if sp.fscore is not None:
+            # ES function_score: wrapped exprs -> factor -> combine.
+            # Still row expressions — no extra pass; an unscored
+            # wrapped query contributes query score 1.0 (the ES
+            # constant-score-leaf rule, FunctionScore docstring).
+            fs = sp.fscore
+            wok, wsc, wq, wscored = spec_exprs(fs.wrapped)
+            if not wok:
+                return False, None, None, False
+            final = _fscore_combine(wsc if wscored else F.lit(1.0),
+                                    _fscore_factor(fs), fs)
+            qual = wq
+            if fs.min_score is not None:
+                qual = (F.coalesce(qual, F.lit(False))
+                        & (final >= F.lit(fs.min_score)))
+            return True, final, qual, True
         if sp.boosting is not None:
             # ES boosting: qualify by POSITIVE only; demote (never
             # exclude) docs the negative clause also matches. Still
@@ -1872,6 +2231,8 @@ def _highlight_terms(spec: QuerySpec, field: str) -> list[str]:
         out |= set(_highlight_terms(ch, field))
     if spec.boosting is not None:
         out |= set(_highlight_terms(spec.boosting[0], field))
+    if spec.fscore is not None:
+        out |= set(_highlight_terms(spec.fscore.wrapped, field))
     return sorted(out)
 
 
@@ -3104,7 +3465,7 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.must_not_bool or spec.should_sql
             or spec.must_dismax or spec.should_dismax or spec.fuzzy
             or spec.mlt or spec.const_boost is not None
-            or spec.boosting is not None):
+            or spec.boosting is not None or spec.fscore is not None):
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
@@ -3548,6 +3909,33 @@ def _qualify_indexed(
     def child_qualify(child: QuerySpec):
         return _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                 child, docs_df)
+
+    if spec.fscore is not None:
+        # ES function_score from the index: the wrapped query resolves
+        # to its own qualifying frame; the function columns join in
+        # from doc_stats (one candidate-sized join, never a corpus
+        # scan) and the factor/combine run as row expressions. Block-
+        # max pruning stays off for this shape (_prunable_for_topk):
+        # per-term score bounds don't survive arbitrary per-doc
+        # factors, so exact score-all over the candidates is the
+        # correct plan.
+        fs = spec.fscore
+        fr, wscored = _qualify_indexed(spark, dirs, metas, n_docs,
+                                       avgdl, fs.wrapped, docs_df)
+        if fr is None:
+            return None, False
+        need = _fscore_fields(fs)
+        if need:
+            fr = fr.join(
+                _doc_stats_union(spark, dirs).select("doc_id", *need),
+                "doc_id", "left")
+        final = _fscore_combine(
+            F.col("score") if wscored else F.lit(1.0),
+            _fscore_factor(fs), fs)
+        fr = fr.select("doc_id", final.alias("score"))
+        if fs.min_score is not None:
+            fr = fr.where(F.col("score") >= F.lit(fs.min_score))
+        return fr, True
 
     if spec.boosting is not None:
         # ES boosting from the index: positive resolves to its own

@@ -157,9 +157,66 @@ def _dismax_eval(pdf, fstats, n, dm):
     return best + dm.tie_breaker * (total - best), matched
 
 
+def _value_vec(pdf: pd.DataFrame, sql: str) -> np.ndarray:
+    """Per-doc value of a shared-subset SQL expression, evaluated by
+    DuckDB (an independent evaluator of the same expression string the
+    engine compiles), doc_id-aligned to the frame's row order."""
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got = con.sql(f"SELECT doc_id, ({sql}) AS v FROM t").df()
+    by_id = dict(zip(got["doc_id"], got["v"]))
+    return np.array([float(by_id[d]) for d in pdf["doc_id"]])
+
+
 def _spec_eval(pdf, fstats, n, spec):
     """One (sub)bool -> (ok, score, qual, scored) numpy arrays —
     recursive, mirrors ES semantics independently of the Spark plans."""
+    if spec.fscore is not None:
+        # ES function_score: factor from matched functions
+        # (score_mode combine, none matched -> 1), boost_mode against
+        # the wrapped score (unscored wrapped -> 1.0)
+        fs = spec.fscore
+        ok, s, q, sc = _spec_eval(pdf, fstats, n, fs.wrapped)
+        if not ok:
+            return False, None, None, False
+        qscore = s if sc else np.ones(n)
+        mats, vals, wts = [], [], []
+        for fn in fs.funcs:
+            mats.append(_pred_mask(pdf, fn.filter_sql)
+                        if fn.filter_sql is not None
+                        else np.ones(n, dtype=bool))
+            vals.append(_value_vec(pdf, fn.value_sql) * fn.weight)
+            wts.append(fn.weight)
+        M, V = np.stack(mats), np.stack(vals)
+        anym = M.any(axis=0)
+        if fs.score_mode == "multiply":
+            factor = np.where(M, V, 1.0).prod(axis=0)
+        elif fs.score_mode == "sum":
+            factor = np.where(anym, np.where(M, V, 0.0).sum(axis=0), 1.0)
+        elif fs.score_mode == "avg":
+            raw = np.where(M, V, 0.0).sum(axis=0)
+            wsum = np.where(M, np.array(wts)[:, None], 0.0).sum(axis=0)
+            factor = np.where(wsum != 0, raw / np.where(wsum != 0, wsum, 1.0),
+                              1.0)
+        elif fs.score_mode == "first":
+            factor = np.full(n, 1.0)
+            for m, v in zip(reversed(mats), reversed(vals)):
+                factor = np.where(m, v, factor)  # earliest overwrites last
+        elif fs.score_mode == "max":
+            factor = np.where(anym, np.where(M, V, -np.inf).max(axis=0), 1.0)
+        else:  # min
+            factor = np.where(anym, np.where(M, V, np.inf).min(axis=0), 1.0)
+        if fs.max_boost is not None:
+            factor = np.minimum(factor, fs.max_boost)
+        final = {"multiply": qscore * factor, "replace": factor,
+                 "sum": qscore + factor, "avg": (qscore + factor) / 2.0,
+                 "max": np.maximum(qscore, factor),
+                 "min": np.minimum(qscore, factor)}[fs.boost_mode]
+        if fs.boost != 1.0:
+            final = final * fs.boost
+        if fs.min_score is not None:
+            q = q & (final >= fs.min_score)
+        return True, final, q, True
     if spec.boosting is not None:
         # ES boosting: qualify by positive only; demote (never
         # exclude) docs the negative also matches
@@ -643,6 +700,68 @@ DSL_QUERIES = [
             "negative": {"term": {"role": "tool"}},
             "negative_boost": 0.1}}],  # filter ctx: qualification only
     }}}),
+    # ---- function_score (round 5): per-doc metadata score functions;
+    # every score_mode/boost_mode shape, filters, decay, min_score
+    ("fscore-fvf-multiply", {"query": {"function_score": {
+        "query": {"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}},
+        "field_value_factor": {"field": "turn_idx", "factor": 0.5,
+                               "modifier": "log2p", "missing": 0}}}}),
+    ("fscore-weight-filters-sum", {"query": {"function_score": {
+        "query": {"match": {"text": "the_hot_term"}},
+        "functions": [
+            {"filter": {"term": {"role": "user"}}, "weight": 3.0},
+            {"filter": {"range": {"turn_idx": {"gte": 10}}},
+             "weight": 0.5},
+        ],
+        "score_mode": "sum", "boost_mode": "multiply"}}}),
+    ("fscore-gauss-replace", {"query": {"function_score": {
+        "query": {"match": {"text": {"query": "spark",
+                                     "operator": "or"}}},
+        "gauss": {"turn_idx": {"origin": 0, "scale": 25,
+                               "offset": 2, "decay": 0.5}},
+        "boost_mode": "replace"}}}),  # recency-style rank by decay only
+    ("fscore-avg-maxboost", {"query": {"function_score": {
+        "query": {"match": {"text": {"query": "agent token",
+                                     "operator": "or"}}},
+        "functions": [
+            {"filter": {"term": {"role": "assistant"}}, "weight": 4.0,
+             "field_value_factor": {"field": "turn_idx",
+                                    "modifier": "ln1p", "missing": 0}},
+            {"weight": 2.0},
+        ],
+        "score_mode": "avg", "boost_mode": "sum", "max_boost": 3.0}}}),
+    ("fscore-first-linear", {"query": {"function_score": {
+        "query": {"match": {"text": {"query": "spark term",
+                                     "operator": "or"}}},
+        "functions": [
+            {"filter": {"term": {"tool": "bash"}}, "weight": 5.0},
+            {"linear": {"turn_idx": {"origin": 50, "scale": 40}}},
+        ],
+        "score_mode": "first", "boost_mode": "multiply",
+        "boost": 1.5}}}),
+    ("fscore-minscore-matchall", {"query": {"function_score": {
+        "exp": {"turn_idx": {"origin": 0, "scale": 30, "decay": 0.3}},
+        "boost_mode": "replace", "min_score": 0.25}}}),  # wrapped
+    # match_all: unscored wrapped -> qscore 1.0 (constant-score-leaf)
+    ("fscore-in-should", {"query": {"bool": {
+        "should": [
+            {"function_score": {
+                "query": {"match": {"text": "spark"}},
+                "field_value_factor": {"field": "turn_idx",
+                                       "modifier": "sqrt",
+                                       "missing": 0}}},
+            {"match": {"text": "w00042"}},
+        ],
+        "minimum_should_match": 1}}}),
+    ("fscore-max-mode-meta-wrapped", {"query": {"function_score": {
+        "query": {"bool": {"filter": [{"term": {"role": "user"}}]}},
+        "functions": [
+            {"filter": {"range": {"turn_idx": {"lt": 5}}},
+             "weight": 0.25},
+            {"filter": {"term": {"tool": "browser"}}, "weight": 8.0},
+        ],
+        "score_mode": "max", "boost_mode": "multiply"}}}),
 ]
 
 
@@ -789,6 +908,76 @@ def test_boosting_validation():
     # the tree walkers see THROUGH the boosting pair
     assert len(spec.text_clauses()) == 1
     assert spec.all_sql_fields() == {"role"}
+
+
+def test_function_score_validation():
+    """Malformed function_score bodies fail loud: scripts/random are
+    out of grammar, functions must be non-empty, one value source per
+    function, metadata-only filters, mode allowlists, numeric
+    constraints on decay shapes."""
+    for bad in (
+        {"random_score": {}},
+        {"query": {"match_all": {}}, "script_score": {"script": "1"}},
+        {"query": {"match_all": {}}},  # no function at all
+        {"functions": []},
+        {"functions": [{}]},
+        {"functions": [{"filter": {"term": {"role": "u"}}}]},  # no value
+        {"functions": [{"weight": 2}], "weight": 3},  # both forms
+        {"functions": [{"weight": 2,
+                        "field_value_factor": {"field": "turn_idx"},
+                        "gauss": {"turn_idx": {"origin": 0,
+                                               "scale": 1}}}]},
+        {"functions": [{"filter": {"match": {"text": "x"}},
+                        "weight": 2}]},  # text filter
+        {"functions": [{"weight": 2}], "score_mode": "median"},
+        {"functions": [{"weight": 2}], "boost_mode": "xor"},
+        {"functions": [{"weight": True}]},
+        {"field_value_factor": {"field": "turn_idx",
+                                "modifier": "cbrt"}},
+        {"field_value_factor": {"field": "turn_idx", "script": "x"}},
+        {"gauss": {"turn_idx": {"origin": 0}}},  # scale missing
+        {"gauss": {"turn_idx": {"origin": 0, "scale": 0}}},
+        {"linear": {"turn_idx": {"origin": 0, "scale": 5,
+                                 "decay": 1.0}}},
+        {"exp": {"turn_idx": {"origin": 0, "scale": 5,
+                              "offset": -1}}},
+        {"gauss": {"ts": {"origin": "now-1d", "scale": "1d"}}},  # dates
+        {"functions": [{"weight": 2}], "min_score": "high"},
+        {"functions": [{"weight": 2}], "boost": 0},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"function_score": bad})
+    spec = parse_query({"function_score": {
+        "query": {"match": {"text": "x"}},
+        "functions": [
+            {"filter": {"term": {"role": "user"}}, "weight": 2},
+            {"field_value_factor": {"field": "turn_idx", "missing": 0}},
+        ]}})
+    assert spec.fscore is not None and len(spec.fscore.funcs) == 2
+    # the tree walkers see THROUGH the wrapped query; read columns
+    # surface for indexed doc_stats validation
+    assert len(spec.text_clauses()) == 1
+    assert spec.all_sql_fields() == {"role", "turn_idx"}
+
+
+def test_function_score_null_without_missing_raises(spark):
+    """field_value_factor on a NULL value with no ``missing`` raises at
+    RUN time (the ES rule is a query-time exception; silent defaulting
+    would diverge unseen)."""
+    from pyspark.sql import Row
+    pdf = [Row(doc_id=1, text="spark x", turn_idx=None),
+           Row(doc_id=2, text="spark y", turn_idx=3)]
+    df = spark.createDataFrame(pdf, "doc_id long, text string, "
+                                    "turn_idx int")
+    q = {"query": {"function_score": {
+        "query": {"match": {"text": "spark"}},
+        "field_value_factor": {"field": "turn_idx"}}}}
+    with pytest.raises(Exception, match="NULL turn_idx"):
+        search_dsl(df, q, 5).collect()
+    ok = {"query": {"function_score": {
+        "query": {"match": {"text": "spark"}},
+        "field_value_factor": {"field": "turn_idx", "missing": 1}}}}
+    assert search_dsl(df, ok, 5).count() == 2
 
 
 def test_boosting_demotes_not_excludes(spark, docs, docs_pdf, dsl_index):
