@@ -846,6 +846,19 @@ def _search_aggs_metrics(spark, sf_dir):
       shape='percentile', DuckDB twin = quantile_cont;
     - ``cardinality`` (EXACT distinct count; ES is HLL-approximate) —
       shape='cardinality', DuckDB twin = count(DISTINCT ..).
+    - parent PIPELINE aggs (round 5): weekly date_histogram carrying
+      ``cumulative_sum`` on _count and ``derivative`` on the avg
+      metric (search/dsl.py _split_pipeline/_pipeline_path; window
+      over bucket-cardinality rows, never corpus rows) —
+      shape='pipeline', doc_count=running count, val=avg delta (first
+      bucket NULL — ES omits it); DuckDB twin = sum/lag OVER.
+    - ``composite`` (round 5): the PAGINATED multi-source bucket agg —
+      page after {et:'error', u:100} of the (event_type, user_id)
+      bucket space, size 5, with a max leaf (search/dsl.py
+      _apply_composite; the after cut is a map-side row predicate, so
+      deep pages never shuffle passed buckets) — shape='composite',
+      key='et|u'; DuckDB twin = lexicographic WHERE + GROUP BY +
+      ORDER + LIMIT.
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -870,7 +883,28 @@ def _search_aggs_metrics(spark, sf_dir):
         F.lit("cardinality").alias("shape"),
         F.lit("user_id").alias("key"),
         F.col("u").cast("long").alias("doc_count"), nd.alias("val"))
-    return h.unionByName(p).unionByName(c)
+    pl = dsl_aggregate(ev, {**q, "aggs": {"wk": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"av": {"avg": {"field": "value"}},
+                 "running": {"cumulative_sum": {"buckets_path": "_count"}},
+                 "delta": {"derivative": {"buckets_path": "av"}}}}}}
+    ).select(
+        F.lit("pipeline").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        F.col("running").cast("long").alias("doc_count"),
+        F.round("delta", 6).alias("val"))
+    co = dsl_aggregate(ev, {**q, "aggs": {"pairs": {
+        "composite": {
+            "sources": [{"et": {"terms": {"field": "event_type"}}},
+                        {"u": {"terms": {"field": "user_id"}}}],
+            "size": 5, "after": {"et": "error", "u": 100}},
+        "aggs": {"mx": {"max": {"field": "value"}}}}}}
+    ).select(
+        F.lit("composite").alias("shape"),
+        F.concat_ws("|", "et", F.col("u").cast("string")).alias("key"),
+        "doc_count", F.round("mx", 6).alias("val"))
+    return (h.unionByName(p).unionByName(c)
+            .unionByName(pl).unionByName(co))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -1992,6 +2026,27 @@ FROM (
 UNION ALL
 SELECT 'cardinality', 'user_id', count(DISTINCT user_id), NULL::DOUBLE
 FROM w
+UNION ALL
+-- pipeline twin: running count + avg delta over the weekly buckets
+-- (duckdb date_trunc('week') is a DATE — render via TIMESTAMP so the
+-- string matches Spark's 'yyyy-MM-dd HH:mm:ss' cast)
+SELECT 'pipeline', CAST(CAST(key AS TIMESTAMP) AS VARCHAR),
+       running, round(delta, 6)
+FROM (
+  SELECT key, sum(c) OVER (ORDER BY key) AS running,
+         a - lag(a) OVER (ORDER BY key) AS delta
+  FROM (SELECT date_trunc('week', ts) AS key, count(*) AS c,
+               avg(value) AS a FROM w GROUP BY 1))
+UNION ALL
+-- composite twin: lexicographic after-cut, source-order page of 5
+(SELECT 'composite', event_type || '|' || user_id::VARCHAR,
+        count(*), round(max(value), 6)
+ FROM w
+ WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+   AND (event_type > 'error'
+        OR (event_type = 'error' AND user_id > 100))
+ GROUP BY event_type, user_id
+ ORDER BY event_type, user_id LIMIT 5)
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

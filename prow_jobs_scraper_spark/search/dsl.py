@@ -2768,6 +2768,16 @@ def dsl_aggregate(
       "sort": [{field: dir}...], "_source": [cols]}}`` -> flattened
       (key, doc_count, hit_rank, _source...) rows — the per-bucket
       top-N documents (see :func:`_apply_top_hits`).
+    - histogram-family buckets may carry PARENT PIPELINE sub-aggs:
+      ``{"cumulative_sum"|"derivative": {"buckets_path": "_count" |
+      <metric-name> | "<stats-name>.<stat>"}}`` -> an extra flattened
+      column per pipeline (running sum / delta vs the previous bucket
+      in key order; the first bucket's derivative is NULL — ES omits
+      it). Terms parents fail loud (ES: pipelines need a bucket
+      SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
+    - ``{"composite": {"sources": [...], "size": n, "after": {...}}}``
+      -> paginated multi-source buckets, the scale path for
+      high-cardinality bucket spaces (see :func:`_apply_composite`).
 
     Bucket aggs may nest metric sub-aggs under ``"aggs"``. The match
     semantics are :func:`search_dsl`'s (scores computed but irrelevant:
@@ -2803,6 +2813,52 @@ def _parse_aggs_block(request: dict):
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+
+# ES parent pipeline aggregations: computed over the parent's bucket
+# SEQUENCE (hence the histogram-family-parent requirement — terms
+# buckets have no sequential order for a running sum / difference to
+# be defined over, exactly the ES restriction).
+_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+
+
+def _split_pipeline(sub: dict):
+    """Sub-agg block -> (pipeline aggs ``{name: (kind, body)}``, the
+    remaining sub-aggs). Pipelines are pulled out BEFORE
+    :func:`_split_sub` so their names can never be mistaken for metric
+    sub-aggs (whose values they reference via ``buckets_path``)."""
+    pipes, rest = {}, {}
+    for name, spec in sub.items():
+        if (isinstance(spec, dict) and len(spec) == 1
+                and next(iter(spec)) in _PIPELINE_KINDS):
+            (pk, pb), = spec.items()
+            pipes[name] = (pk, pb)
+        else:
+            rest[name] = spec
+    return pipes, rest
+
+
+def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
+    """Validate a pipeline body -> the flattened column its
+    ``buckets_path`` addresses: ``_count`` -> ``doc_count``, a metric
+    sub-agg name -> itself, ``name.stat`` -> the flattened
+    ``name_stat`` (same addressing rule as the terms order grammar).
+    Unknown options FAIL — a silently-ignored ``gap_policy`` would
+    return different values than the user's ES cluster."""
+    if not isinstance(body, dict) or "buckets_path" not in body:
+        raise DslError(f"{kind} needs a buckets_path, got {body!r}")
+    unknown = set(body) - {"buckets_path"}
+    if unknown:
+        raise DslError(f"unsupported {kind} options {sorted(unknown)}")
+    p = body["buckets_path"]
+    if p == "_count":
+        return "doc_count"
+    if not isinstance(p, str):
+        raise DslError(f"buckets_path must be a string, got {p!r}")
+    col = p.replace(".", "_")
+    if col not in metric_cols:
+        raise DslError(
+            f"buckets_path {p!r} is not a metric of this bucket")
+    return col
 
 
 def _parse_min_doc_count(body: dict) -> int:
@@ -3154,6 +3210,100 @@ def _apply_top_hits(frame: DataFrame, agg_name: str, kind: str,
     return out.orderBy(*porder, F.asc("hit_rank"))
 
 
+def _apply_composite(frame: DataFrame, agg_name: str, body: dict,
+                     sub: dict) -> DataFrame:
+    """ES ``composite`` aggregation — the PAGINATED multi-source bucket
+    agg, and the only ES way to enumerate a bucket space too large to
+    return at once (exactly the 10^12-row concern: a terms agg over a
+    high-cardinality key materializes every bucket; composite streams
+    them in key order, ``size`` at a time, resumable via ``after``)::
+
+        {"composite": {"sources": [{name: {"terms": {"field": f}}},
+                                   ...],
+                       "size": n, "after": {name: value, ...}}}
+
+    -> one row per composite bucket: the source columns (named after
+    their sources), ``doc_count``, metric sub-agg leaves; ordered by
+    the source tuple ASCENDING (the ES default; per-source ``order`` /
+    ``missing_bucket`` stay out-of-grammar — fail loud, not silent
+    divergence). Docs NULL in ANY source drop (ES
+    ``missing_bucket: false``). ``after`` keeps only buckets STRICTLY
+    greater than the given tuple in lexicographic source order — pass
+    the last row of a page verbatim to fetch the next page.
+
+    One grouped aggregation per page; the ``after`` cut happens on the
+    map side (a row predicate on the source columns, pushed into the
+    scan), so a deep page never shuffles buckets the cursor already
+    passed."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad composite body {body!r}")
+    unknown = set(body) - {"sources", "size", "after"}
+    if unknown:
+        raise DslError(f"unsupported composite options {sorted(unknown)}")
+    srcs = body.get("sources")
+    if not isinstance(srcs, list) or not srcs:
+        raise DslError("composite needs a non-empty sources list")
+    names: list[str] = []
+    cols: list = []
+    for s in srcs:
+        if not isinstance(s, dict) or len(s) != 1:
+            raise DslError(f"bad composite source {s!r}")
+        (nm, spec), = s.items()
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise DslError(f"bad composite source {nm!r}")
+        (skind, sb), = spec.items()
+        if skind != "terms":
+            raise DslError(
+                f"composite source {nm!r}: only terms sources are "
+                f"supported ({skind!r} stays out-of-grammar)")
+        if not isinstance(sb, dict) or set(sb) != {"field"}:
+            raise DslError(
+                f"composite terms source {nm!r} takes exactly a field "
+                f"(order/missing_bucket stay out-of-grammar), got {sb!r}")
+        fld = _ident(sb["field"])
+        if fld not in frame.columns:
+            raise DslError(
+                f"composite source field {fld!r} is not available")
+        if nm == "doc_count" or nm in names:
+            raise DslError(f"composite source name {nm!r} collides")
+        names.append(nm)
+        cols.append(F.col(fld))
+    size = body.get("size", 10)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"composite size must be an int >= 1, got {size!r}")
+    metrics_spec, sub_bucket = _split_sub(sub)
+    if sub_bucket is not None:
+        raise DslError(
+            "composite does not nest bucket sub-aggregations")
+
+    # ES missing_bucket=false: a doc NULL in any source drops
+    keep = reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
+    if "after" in body:
+        af = body["after"]
+        if not isinstance(af, dict) or set(af) != set(names):
+            raise DslError(
+                f"after must give exactly the source keys {names}, "
+                f"got {af!r}")
+        for nm in names:
+            v = af[nm]
+            if isinstance(v, bool) or not isinstance(v, (str, int, float)):
+                raise DslError(f"after[{nm!r}] must be a scalar, got {v!r}")
+        # strictly-greater in lexicographic source order — a row
+        # predicate, so the cut happens BEFORE the groupBy shuffle
+        gt = F.lit(False)
+        for i in range(len(names) - 1, -1, -1):
+            step = cols[i] > F.lit(af[names[i]])
+            for j in range(i):
+                step = (cols[j] == F.lit(af[names[j]])) & step
+            gt = step | gt
+        keep = keep & gt
+    out = (frame.where(keep)
+           .groupBy(*[c.alias(nm) for c, nm in zip(cols, names)])
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                *_metric_exprs(metrics_spec)))
+    return out.orderBy(*[F.asc(nm) for nm in names]).limit(size)
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                sub: dict) -> DataFrame:
     """Apply one parsed aggregation to the qualifying-set frame —
@@ -3194,6 +3344,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
     if kind == "percentiles" and not sub:
         return frame.agg(*_percentile_exprs(agg_name, body))
+    if kind == "composite":
+        return _apply_composite(frame, agg_name, body, sub)
     if sub and any(isinstance(v, dict) and "top_hits" in v
                    for v in sub.values()):
         return _apply_top_hits(frame, agg_name, kind, body, sub)
@@ -3202,7 +3354,16 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")
 
+    pipes, sub = _split_pipeline(sub)
     metrics_spec, sub_bucket = _split_sub(sub)
+    if pipes:
+        if kind not in ("date_histogram", "histogram"):
+            raise DslError(
+                "pipeline aggregations need a histogram-family parent "
+                "(ES: buckets must form a sequence)")
+        if sub_bucket is not None:
+            raise DslError("pipeline aggregations cannot combine with "
+                           "a nested bucket sub-aggregation")
     pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
     # metric order targets resolve against THIS level's metrics — in
     # nested mode the parent has none (metrics live at the leaf), so a
@@ -3223,6 +3384,28 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         )
         if pmdc > 1:  # ES: prune BEFORE ordering + the size cut
             out = out.where(F.col("doc_count") >= pmdc)
+        if pipes:
+            # ES parent pipelines run over the FINAL bucket sequence
+            # (post min_doc_count). One unpartitioned window — fine at
+            # any corpus scale: it sees bucket-cardinality rows (time
+            # range / interval bounded), never corpus rows.
+            mcols = _metric_out_names(metrics_spec)
+            taken = set(mcols) | {"key", "doc_count"}
+            seq = Window.orderBy(F.asc("key"))
+            run = seq.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+            for name, (pk, pb) in pipes.items():
+                if name in taken:
+                    raise DslError(
+                        f"pipeline aggregation name {name!r} collides "
+                        f"with an output column")
+                taken.add(name)
+                path = _pipeline_path(pk, pb, mcols)
+                if pk == "cumulative_sum":
+                    out = out.withColumn(name, F.sum(path).over(run))
+                else:  # derivative: ES omits the first bucket -> NULL
+                    out = out.withColumn(
+                        name, F.col(path) - F.lag(path).over(seq))
         out = out.orderBy(*porder)
         return out.limit(int(psize)) if psize is not None else out
 

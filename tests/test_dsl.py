@@ -1660,6 +1660,162 @@ def test_nested_aggs_terms_parent_size_cut(spark, docs, docs_pdf):
         assert grp["sub_key"].is_monotonic_increasing
 
 
+def test_pipeline_aggs_cumulative_sum_and_derivative(spark, docs,
+                                                     docs_pdf, dsl_index):
+    """ES parent pipeline aggs over a date_histogram: cumulative_sum
+    on _count + derivative on a metric path, oracle = duckdb window
+    replay; the first bucket's derivative is NULL (ES omits it); both
+    executors identical."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"per_week": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {
+            "avg_turn": {"avg": {"field": "turn_idx"}},
+            "running": {"cumulative_sum": {"buckets_path": "_count"}},
+            "delta": {"derivative": {"buckets_path": "avg_turn"}},
+        }}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('week', ts) AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS avg_turn
+          FROM t GROUP BY 1)
+        SELECT key, doc_count, avg_turn,
+               sum(doc_count) OVER (ORDER BY key) AS running,
+               avg_turn - lag(avg_turn) OVER (ORDER BY key) AS delta
+        FROM b ORDER BY key
+    """).df()
+    assert len(got) == len(want) > 1
+    assert got["key"].astype("datetime64[us]").tolist() \
+        == want["key"].astype("datetime64[us]").tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    assert got["running"].tolist() == want["running"].astype(int).tolist()
+    assert pd.isna(got["delta"].iloc[0]) and pd.isna(want["delta"].iloc[0])
+    np.testing.assert_allclose(got["delta"].iloc[1:],
+                               want["delta"].iloc[1:], rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+
+def test_pipeline_agg_rejects(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    def agg(sub, parent=None):
+        parent = parent or {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}
+        return {"aggs": {"a": {**parent, "aggs": sub}}}
+
+    # terms parent: no bucket sequence for a running sum (ES rule)
+    with pytest.raises(DslError, match="histogram-family parent"):
+        dsl_aggregate(docs, agg(
+            {"r": {"cumulative_sum": {"buckets_path": "_count"}}},
+            parent={"terms": {"field": "role"}}))
+    # silently-ignored options are the divergence failure mode
+    with pytest.raises(DslError, match="unsupported cumulative_sum"):
+        dsl_aggregate(docs, agg({"r": {"cumulative_sum": {
+            "buckets_path": "_count", "gap_policy": "skip"}}}))
+    with pytest.raises(DslError, match="not a metric"):
+        dsl_aggregate(docs, agg({"r": {"derivative": {
+            "buckets_path": "nope"}}}))
+    with pytest.raises(DslError, match="collides"):
+        dsl_aggregate(docs, agg({"doc_count": {"cumulative_sum": {
+            "buckets_path": "_count"}}}))
+    # pipelines cannot ride a nested bucket level
+    with pytest.raises(DslError, match="nested bucket"):
+        dsl_aggregate(docs, agg({
+            "r": {"cumulative_sum": {"buckets_path": "_count"}},
+            "by_role": {"terms": {"field": "role"}}}))
+
+
+def test_composite_agg_pages_cover_the_bucket_space(spark, docs,
+                                                    docs_pdf, dsl_index):
+    """Chasing the after-cursor through every page reproduces the full
+    (role, tool) bucket space in source order — NULL-source docs drop
+    (ES missing_bucket=false); metric leaves ride along; indexed page
+    equals naive page."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    def req(after=None):
+        body = {"sources": [{"r": {"terms": {"field": "role"}}},
+                            {"tl": {"terms": {"field": "tool"}}}],
+                "size": 3}
+        if after is not None:
+            body["after"] = after
+        return {"aggs": {"pairs": {"composite": body,
+                                   "aggs": {"mx": {"max": {
+                                       "field": "turn_idx"}}}}}}
+
+    pages, after = [], None
+    for _ in range(100):
+        page = dsl_aggregate(docs, req(after)).toPandas()
+        if page.empty:
+            break
+        assert len(page) <= 3
+        pages.append(page)
+        after = {"r": page["r"].iloc[-1], "tl": page["tl"].iloc[-1]}
+    else:
+        pytest.fail("composite cursor did not terminate")
+    got = pd.concat(pages, ignore_index=True)
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        SELECT role AS r, tool AS tl, count(*) AS doc_count,
+               max(turn_idx) AS mx
+        FROM t WHERE role IS NOT NULL AND tool IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["r"].tolist() == want["r"].tolist()
+    assert got["tl"].tolist() == want["tl"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].tolist()
+    assert got["mx"].tolist() == want["mx"].astype(int).tolist()
+    # every page but the last is exactly full (deterministic paging)
+    assert all(len(p) == 3 for p in pages[:-1])
+    assert len(pages) == math.ceil(len(want) / 3)
+
+    gi = dsl_aggregate_indexed(spark, dsl_index, req()).toPandas()
+    pd.testing.assert_frame_equal(gi, pages[0])
+
+
+def test_composite_agg_rejects(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    def creq(body):
+        return {"aggs": {"c": {"composite": body}}}
+
+    base = [{"r": {"terms": {"field": "role"}}}]
+    with pytest.raises(DslError, match="only terms sources"):
+        dsl_aggregate(docs, creq({"sources": [{"h": {"histogram": {
+            "field": "turn_idx", "interval": 5}}}]}))
+    with pytest.raises(DslError, match="out-of-grammar"):
+        dsl_aggregate(docs, creq({"sources": [{"r": {"terms": {
+            "field": "role", "order": "desc"}}}]}))
+    with pytest.raises(DslError, match="exactly the source keys"):
+        dsl_aggregate(docs, creq({"sources": base,
+                                  "after": {"nope": "x"}}))
+    with pytest.raises(DslError, match="unsupported composite"):
+        dsl_aggregate(docs, creq({"sources": base, "after_key": {}}))
+    with pytest.raises(DslError, match="nest bucket"):
+        dsl_aggregate(docs, {"aggs": {"c": {
+            "composite": {"sources": base},
+            "aggs": {"w": {"date_histogram": {
+                "field": "ts", "calendar_interval": "week"}}}}}})
+    with pytest.raises(DslError, match="not available"):
+        dsl_aggregate(docs, creq({"sources": [{"x": {"terms": {
+            "field": "no_such_col"}}}]}))
+
+
 # --------------------------------------------------------------------------
 # 5. multi-segment indexed execution
 # --------------------------------------------------------------------------
