@@ -859,6 +859,17 @@ def _search_aggs_metrics(spark, sf_dir):
       deep pages never shuffle passed buckets) — shape='composite',
       key='et|u'; DuckDB twin = lexicographic WHERE + GROUP BY +
       ORDER + LIMIT.
+    - SIBLING pipelines (round 5): ``avg_bucket`` on _count
+      (shape='sibling', constant val per bucket row) + ``stats_bucket``
+      on the avg metric unpivoted to five rows (shape='sibling_stats');
+      DuckDB twin = window/aggregate over the cut bucket list.
+    - ``significant_terms`` (round 5): JLH-scored over-representation
+      of event types in the window vs the whole table
+      (shape='sig', key='<term>|<bg_count>', val=score).
+    - ``rare_terms`` (round 5, exact vs ES's CuckooFilter): customers
+      with <= 2 orders (shape='rare', val=max price metric).
+    - ``global`` bucket (round 5): terms over the WHOLE table under a
+      restrictive query (shape='global').
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -903,8 +914,55 @@ def _search_aggs_metrics(spark, sf_dir):
         F.lit("composite").alias("shape"),
         F.concat_ws("|", "et", F.col("u").cast("string")).alias("key"),
         "doc_count", F.round("mx", 6).alias("val"))
+    # SIBLING pipelines (round 5): avg_bucket on _count + stats_bucket
+    # on the avg metric next to a terms agg — computed over the FINAL
+    # bucket list, flattened as constant columns (search/dsl.py
+    # _apply_siblings); the stats_bucket row unpivots once
+    sbf = dsl_aggregate(ev, {**q, "aggs": {
+        "et": {"terms": {"field": "event_type"},
+               "aggs": {"av": {"avg": {"field": "value"}}}},
+        "mean_sz": {"avg_bucket": {"buckets_path": "et>_count"}},
+        "spread": {"stats_bucket": {"buckets_path": "et>av"}},
+    }})
+    sb = sbf.select(F.lit("sibling").alias("shape"), "key", "doc_count",
+                    F.round("mean_sz", 6).alias("val"))
+    sb2 = (sbf.limit(1).select(F.expr(
+        "stack(5, 'count', CAST(spread_count AS DOUBLE), "
+        "'min', spread_min, 'max', spread_max, "
+        "'avg', spread_avg, 'sum', spread_sum) AS (key, val)"))
+        .select(F.lit("sibling_stats").alias("shape"), "key",
+                F.lit(None).cast("long").alias("doc_count"),
+                F.round("val", 6).alias("val")))
+    # significant_terms (round 5): event types over-represented in the
+    # date-math window vs the whole table, JLH-scored (search/dsl.py
+    # _apply_significant_terms); bg_count value-checked inside the key
+    sg = dsl_aggregate(ev, {**q, "aggs": {"sig": {
+        "significant_terms": {"field": "event_type"}}}}).select(
+        F.lit("sig").alias("shape"),
+        F.concat_ws("|", "key",
+                    F.col("bg_count").cast("string")).alias("key"),
+        "doc_count", F.round("score", 6).alias("val"))
+    # rare_terms (round 5, EXACT where ES is CuckooFilter-approximate):
+    # customers with <= 2 orders, a max metric riding along
+    od = _t(spark, sf_dir, "orders")
+    rr = dsl_aggregate(od, {"aggs": {"r": {
+        "rare_terms": {"field": "o_custkey", "max_doc_count": 2},
+        "aggs": {"mx": {"max": {"field": "o_totalprice"}}}}}}).select(
+        F.lit("rare").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        "doc_count", F.round("mx", 6).alias("val"))
+    # global bucket (round 5): sub-agg over the WHOLE table under a
+    # restrictive query — the ES all-docs-context escape hatch
+    gl = dsl_aggregate(ev, {"query": {"term": {"event_type": "error"}},
+                            "aggs": {"g": {"global": {}, "aggs": {
+                                "et": {"terms": {
+                                    "field": "event_type"}}}}}}).select(
+        F.lit("global").alias("shape"), "key", "doc_count",
+        nd.alias("val"))
     return (h.unionByName(p).unionByName(c)
-            .unionByName(pl).unionByName(co))
+            .unionByName(pl).unionByName(co).unionByName(sb)
+            .unionByName(sb2).unionByName(sg).unionByName(rr)
+            .unionByName(gl))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2047,6 +2105,50 @@ UNION ALL
         OR (event_type = 'error' AND user_id > 100))
  GROUP BY event_type, user_id
  ORDER BY event_type, user_id LIMIT 5)
+UNION ALL
+-- sibling twin: avg_bucket(_count) over the final terms buckets
+-- (doc_count desc / key asc, size 10) as a constant column
+SELECT 'sibling', key, doc_count, round(mean_sz, 6) FROM (
+  SELECT key, doc_count, avg(doc_count) OVER () AS mean_sz FROM (
+    SELECT event_type AS key, count(*) AS doc_count
+    FROM w WHERE event_type IS NOT NULL
+    GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10))
+UNION ALL
+-- stats_bucket twin: five stats of the per-bucket avg metric,
+-- unpivoted (count cast to DOUBLE like the Spark stack)
+SELECT 'sibling_stats', k, NULL::BIGINT, round(v, 6) FROM (
+  SELECT unnest(['count', 'min', 'max', 'avg', 'sum']) AS k,
+         unnest([CAST(count(av) AS DOUBLE), min(av), max(av),
+                 avg(av), sum(av)]) AS v
+  FROM (SELECT event_type AS key, count(*) AS doc_count,
+               avg(value) AS av
+        FROM w WHERE event_type IS NOT NULL
+        GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10))
+UNION ALL
+-- significant_terms twin: JLH over fg (window) vs bg (whole table),
+-- min_doc_count 3 (the ES significant_terms default), positive
+-- significance only, score desc / key asc, size 10
+(SELECT 'sig', fg.k || '|' || bg.b::VARCHAR, fg.f,
+        round((fg.f*1.0/tot.ft - bg.b*1.0/tot.bt)
+              * ((fg.f*1.0/tot.ft)/(bg.b*1.0/tot.bt)), 6) AS s
+ FROM (SELECT event_type k, count(*) f FROM w
+       WHERE event_type IS NOT NULL GROUP BY 1) fg
+ JOIN (SELECT event_type k, count(*) b FROM events
+       WHERE event_type IS NOT NULL GROUP BY 1) bg USING (k)
+ CROSS JOIN (SELECT
+    (SELECT count(*) FROM w WHERE event_type IS NOT NULL) ft,
+    (SELECT count(*) FROM events WHERE event_type IS NOT NULL) bt) tot
+ WHERE fg.f >= 3 AND fg.f*1.0/tot.ft > bg.b*1.0/tot.bt
+ ORDER BY s DESC, fg.k ASC LIMIT 10)
+UNION ALL
+-- rare_terms twin: exact long-tail buckets, a max metric riding along
+SELECT 'rare', o_custkey::VARCHAR, count(*), round(max(o_totalprice), 6)
+FROM orders GROUP BY o_custkey HAVING count(*) <= 2
+UNION ALL
+-- global twin: the sub-agg over the WHOLE table (query ignored)
+(SELECT 'global', event_type, count(*), NULL::DOUBLE
+ FROM events WHERE event_type IS NOT NULL
+ GROUP BY 2 ORDER BY count(*) DESC, event_type ASC LIMIT 10)
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

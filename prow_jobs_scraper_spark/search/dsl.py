@@ -2778,6 +2778,19 @@ def dsl_aggregate(
     - ``{"composite": {"sources": [...], "size": n, "after": {...}}}``
       -> paginated multi-source buckets, the scale path for
       high-cardinality bucket spaces (see :func:`_apply_composite`).
+    - SIBLING pipelines next to the one bucket agg:
+      ``{"avg_bucket"|"sum_bucket"|"min_bucket"|"max_bucket"|
+      "stats_bucket": {"buckets_path": "<bucket-agg>><metric>"}}`` ->
+      aggregates of the FINAL bucket list, flattened as constant
+      columns (see :func:`_apply_siblings`).
+    - ``{"significant_terms": {"field": f, "size": n,
+      "min_doc_count": m}}`` -> terms over-represented in the
+      qualifying set vs the whole index, JLH-scored (see
+      :func:`_apply_significant_terms`).
+    - ``{"rare_terms": {"field": f, "max_doc_count": m}}`` -> the
+      long-tail buckets, exact (see :func:`_apply_rare_terms`).
+    - ``{"global": {}, "aggs": {...}}`` -> the sub-agg over the WHOLE
+      index, ignoring the request query (ES global bucket).
 
     Bucket aggs may nest metric sub-aggs under ``"aggs"``. The match
     semantics are :func:`search_dsl`'s (scores computed but irrelevant:
@@ -2786,30 +2799,48 @@ def dsl_aggregate(
     Catalyst partial-aggregates map-side, so the shuffle carries one row
     per (partition, bucket), not per doc.
     """
-    agg_name, kind, body, sub = _parse_aggs_block(request)
+    agg_name, kind, body, sub, siblings = _parse_aggs_block(request)
     spec = parse_query(request.get("query", {"match_all": {}}))
     mf = _matched_frame(docs_df, spec, params or BM25Params())
     # provably-empty query: aggregate the empty frame (keeps real column
     # types; metrics go null / counts 0, buckets vanish — ES behaviour)
     frame = docs_df.where(F.lit(False)) if mf is None else mf[0]
-    return _apply_agg(frame, agg_name, kind, body, sub)
+    return _apply_agg(frame, agg_name, kind, body, sub, siblings,
+                      bg_frame=docs_df)
 
 
 def _parse_aggs_block(request: dict):
-    """Validate the ``aggs`` block -> (name, kind, body, sub_aggs)."""
+    """Validate the ``aggs`` block -> (name, kind, body, sub_aggs,
+    sibling pipelines ``{name: (kind, body)}``). Exactly one
+    NON-PIPELINE top-level aggregation; any further top-level aggs must
+    be sibling pipelines (``avg_bucket`` family) referencing it via
+    ``buckets_path`` — the ES shape where the pipeline sits NEXT TO the
+    multi-bucket agg it reads."""
     if not isinstance(request, dict) or "aggs" not in request:
         raise DslError('aggregation request needs an "aggs" block')
     aggs = request["aggs"]
-    if not isinstance(aggs, dict) or len(aggs) != 1:
-        raise DslError("exactly one top-level aggregation is supported")
-    (agg_name, agg_spec), = aggs.items()
+    if not isinstance(aggs, dict) or not aggs:
+        raise DslError("aggs must be a non-empty dict")
+    siblings, primary = {}, {}
+    for name, spec in aggs.items():
+        if (isinstance(spec, dict) and len(spec) == 1
+                and next(iter(spec)) in _SIBLING_KINDS):
+            (sk, sb), = spec.items()
+            siblings[name] = (sk, sb)
+        else:
+            primary[name] = spec
+    if len(primary) != 1:
+        raise DslError(
+            "exactly one non-pipeline top-level aggregation is "
+            "supported (plus sibling pipelines referencing it)")
+    (agg_name, agg_spec), = primary.items()
     if not isinstance(agg_spec, dict) or not agg_spec:
         raise DslError(f"bad aggregation {agg_name!r}")
     sub = agg_spec.get("aggs", {})
     kinds = [k for k in agg_spec if k != "aggs"]
     if len(kinds) != 1:
         raise DslError(f"aggregation {agg_name!r} needs exactly one type")
-    return agg_name, kinds[0], agg_spec[kinds[0]], sub
+    return agg_name, kinds[0], agg_spec[kinds[0]], sub, siblings
 
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
@@ -2859,6 +2890,77 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
         raise DslError(
             f"buckets_path {p!r} is not a metric of this bucket")
     return col
+
+
+# ES sibling pipeline aggregations: top-level aggs computed over the
+# FINAL bucket list of the multi-bucket agg they sit next to (post
+# min_doc_count / order / size — the buckets ES would return).
+_SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
+                  "max_bucket", "stats_bucket")
+_SIBLING_FNS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                "min_bucket": F.min, "max_bucket": F.max}
+
+
+def _sibling_exprs(siblings: dict, agg_name: str,
+                   out_cols: list[str]) -> list:
+    """Validate sibling pipeline bodies against the flattened bucket
+    frame -> aliased aggregate expressions over it. ``buckets_path``
+    takes the ES sibling form ``<bucket-agg>><metric>`` (or ``>_count``
+    / ``><stats-name>.<stat>``), where the prefix must name the one
+    primary aggregation. ES ``gap_policy: skip`` (the default) is the
+    only behaviour: Spark aggregates skip NULL metric values natively.
+    Unknown options FAIL, same rule as parent pipelines."""
+    taken = set(out_cols)
+    exprs = []
+    for name, (kind, body) in siblings.items():
+        if not isinstance(body, dict) or "buckets_path" not in body:
+            raise DslError(f"{kind} needs a buckets_path, got {body!r}")
+        unknown = set(body) - {"buckets_path"}
+        if unknown:
+            raise DslError(f"unsupported {kind} options {sorted(unknown)}")
+        p = body["buckets_path"]
+        if not isinstance(p, str) or ">" not in p:
+            raise DslError(
+                f"{kind} buckets_path must be "
+                f"'<bucket-agg>>metric', got {p!r}")
+        head, _, tail = p.partition(">")
+        if head != agg_name:
+            raise DslError(
+                f"buckets_path {p!r} must reference the sibling "
+                f"aggregation {agg_name!r}")
+        col = "doc_count" if tail == "_count" else tail.replace(".", "_")
+        if col not in out_cols or col in ("key", "sub_key"):
+            raise DslError(
+                f"buckets_path {p!r} is not a metric of {agg_name!r}")
+        if kind == "stats_bucket":
+            new = [f"{name}_{s}" for s in
+                   ("count", "min", "max", "avg", "sum")]
+            stat_fns = (F.count, F.min, F.max, F.avg, F.sum)
+        else:
+            new, stat_fns = [name], (_SIBLING_FNS[kind],)
+        clash = [n for n in new if n in taken]
+        if clash:
+            raise DslError(
+                f"sibling pipeline {name!r} collides with output "
+                f"columns {clash}")
+        taken.update(new)
+        exprs.extend(fn(col).alias(n) for fn, n in zip(stat_fns, new))
+    return exprs
+
+
+def _apply_siblings(out: DataFrame, siblings: dict, agg_name: str,
+                    order_cols: list) -> DataFrame:
+    """Append sibling pipeline results to the final bucket frame. ES
+    returns them as separate top-level aggregation values; the
+    flattened DataFrame carries them as CONSTANT columns on every
+    bucket row (same flattening rule as ``stats``/nested buckets) —
+    one broadcast cross-join of a 1-row aggregate, after which the
+    bucket ordering is re-established."""
+    if not siblings:
+        return out
+    exprs = _sibling_exprs(siblings, agg_name, out.columns)
+    sib = out.agg(*exprs)
+    return out.crossJoin(F.broadcast(sib)).orderBy(*order_cols)
 
 
 def _parse_min_doc_count(body: dict) -> int:
@@ -3304,8 +3406,100 @@ def _apply_composite(frame: DataFrame, agg_name: str, body: dict,
     return out.orderBy(*[F.asc(nm) for nm in names]).limit(size)
 
 
+def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
+                             agg_name: str, body: dict,
+                             sub: dict) -> DataFrame:
+    """ES ``significant_terms`` on a keyword field: terms UNUSUALLY
+    common in the query's qualifying set (foreground) relative to the
+    whole index (background), scored with JLH — ES's default
+    significance heuristic — ``(fgPct - bgPct) * (fgPct / bgPct)``.
+    Only terms with fgPct > bgPct qualify (the ES positive-significance
+    rule); ``min_doc_count`` defaults to 3 (the documented
+    significant_terms default, higher than terms' 1 to suppress
+    one-off noise). Output: ``key, doc_count, bg_count, score`` rows,
+    score desc / key asc, top ``size`` (default 10).
+
+    Scale: two grouped counts — one over the qualifying set, one over
+    the background — joined on the term key (field-cardinality rows,
+    never corpus rows) with the two totals broadcast as 1-row cross
+    joins. The background pass reads ONE column of doc_stats/corpus;
+    no per-doc state, no driver collection. ``background_filter``,
+    text-field sampling, and the other ES heuristics
+    (gnd/chi_square/...) stay out of grammar — fail loud."""
+    metrics_spec, sub_bucket = _split_sub(sub)
+    if sub_bucket is not None or metrics_spec:
+        raise DslError(
+            "significant_terms supports no sub-aggregations")
+    unknown = set(body) - {"field", "size", "min_doc_count"}
+    if unknown:
+        raise DslError(
+            f"unsupported significant_terms options {sorted(unknown)}")
+    fld = _ident(body.get("field", ""))
+    if not fld:
+        raise DslError("significant_terms needs a field")
+    size = body.get("size", 10)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"bad significant_terms size {size!r}")
+    mdc = body.get("min_doc_count", 3)
+    if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
+        raise DslError(f"bad significant_terms min_doc_count {mdc!r}")
+    f = F.col(fld)
+    fg = (frame.where(f.isNotNull()).groupBy(f.alias("key"))
+          .agg(F.count(F.lit(1)).alias("doc_count")))
+    bg = (bg_frame.where(f.isNotNull()).groupBy(f.alias("key"))
+          .agg(F.count(F.lit(1)).alias("bg_count")))
+    # totals count docs BEARING the field (ES: the sets whose
+    # percentages are compared), broadcast as 1-row frames
+    fg_tot = frame.agg(
+        F.count(F.when(f.isNotNull(), 1)).alias("__fg_total"))
+    bg_tot = bg_frame.agg(
+        F.count(F.when(f.isNotNull(), 1)).alias("__bg_total"))
+    out = (fg.join(bg, "key")  # fg ⊆ bg: inner join loses nothing
+           .crossJoin(F.broadcast(fg_tot))
+           .crossJoin(F.broadcast(bg_tot)))
+    fg_pct = F.col("doc_count") / F.col("__fg_total")
+    bg_pct = F.col("bg_count") / F.col("__bg_total")
+    out = (out.where(F.col("doc_count") >= mdc)
+           .where(fg_pct > bg_pct)  # ES: positively significant only
+           .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+           .drop("__fg_total", "__bg_total"))
+    return (out.orderBy(F.desc("score"), F.asc("key")).limit(size))
+
+
+def _apply_rare_terms(frame: DataFrame, agg_name: str, body: dict,
+                      sub: dict) -> DataFrame:
+    """ES ``rare_terms``: the long-tail buckets a ``terms`` agg ordered
+    by ascending count would truncate — every term with ``doc_count <=
+    max_doc_count`` (default 1), doc_count asc / key asc, NO size cut
+    (the result is bounded by the rarity threshold itself). ES computes
+    this with a CuckooFilter and documents false positives; the engine
+    is EXACT — the same documented-deviation-in-the-user's-favor rule
+    as cardinality/percentiles. Metric sub-aggs ride the one grouped
+    aggregation."""
+    metrics_spec, sub_bucket = _split_sub(sub)
+    if sub_bucket is not None:
+        raise DslError("rare_terms takes metric sub-aggs only")
+    unknown = set(body) - {"field", "max_doc_count"}
+    if unknown:
+        raise DslError(
+            f"unsupported rare_terms options {sorted(unknown)}")
+    fld = _ident(body.get("field", ""))
+    if not fld:
+        raise DslError("rare_terms needs a field")
+    mx = body.get("max_doc_count", 1)
+    if isinstance(mx, bool) or not isinstance(mx, int) or mx < 1:
+        raise DslError(f"bad rare_terms max_doc_count {mx!r}")
+    f = F.col(fld)
+    out = (frame.where(f.isNotNull()).groupBy(f.alias("key"))
+           .agg(F.count(F.lit(1)).alias("doc_count"),
+                *_metric_exprs(metrics_spec))
+           .where(F.col("doc_count") <= mx))
+    return out.orderBy(F.asc("doc_count"), F.asc("key"))
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
-               sub: dict) -> DataFrame:
+               sub: dict, siblings: dict | None = None,
+               bg_frame: DataFrame | None = None) -> DataFrame:
     """Apply one parsed aggregation to the qualifying-set frame —
     shared by the naive (:func:`dsl_aggregate`, full doc rows) and
     indexed (:func:`dsl_aggregate_indexed`, doc_stats rows) executors;
@@ -3322,6 +3516,14 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     documented). Still one grouped aggregation at (parent, child)
     granularity — Catalyst partial-aggregates map-side, then a window
     over bucket-cardinality rows; no second corpus scan."""
+    siblings = siblings or {}
+    if siblings and (kind not in _BUCKET_KINDS
+                     or _split_sub(_split_pipeline(sub)[1])[1] is not None
+                     or any(isinstance(v, dict) and "top_hits" in v
+                            for v in sub.values())):
+        raise DslError(
+            "sibling pipelines need a single-level terms/histogram/"
+            "date_histogram aggregation next to them")
     if kind == "missing":
         # ES `missing` bucket: docs of the qualifying set lacking the
         # field. Flattened to its doc_count (sub-aggs inside the
@@ -3337,6 +3539,26 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(
             F.coalesce(F.sum(F.col(fld).isNull().cast("long")),
                        F.lit(0)).alias(agg_name))
+    if kind == "global":
+        # ES `global` bucket: its sub-aggs run over the WHOLE index,
+        # ignoring the request's query — bg_frame is exactly that set
+        # (the naive executor's corpus / the indexed doc_stats union)
+        if body != {}:
+            raise DslError(f"global takes an empty body, got {body!r}")
+        if bg_frame is None:
+            raise DslError("global is only available on full requests")
+        gname, gkind, gbody, gsub, gsibs = _parse_aggs_block(
+            {"aggs": sub})
+        return _apply_agg(bg_frame, gname, gkind, gbody, gsub, gsibs,
+                          bg_frame)
+    if kind == "significant_terms":
+        if bg_frame is None:
+            raise DslError(
+                "significant_terms is only available on full requests")
+        return _apply_significant_terms(frame, bg_frame, agg_name,
+                                        body, sub)
+    if kind == "rare_terms":
+        return _apply_rare_terms(frame, agg_name, body, sub)
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
             _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))
@@ -3407,7 +3629,11 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                     out = out.withColumn(
                         name, F.col(path) - F.lag(path).over(seq))
         out = out.orderBy(*porder)
-        return out.limit(int(psize)) if psize is not None else out
+        if psize is not None:
+            out = out.limit(int(psize))
+        # sibling pipelines read the FINAL bucket list (post
+        # min_doc_count / order / size) — exactly the buckets ES returns
+        return _apply_siblings(out, siblings, agg_name, porder)
 
     if metrics_spec:
         raise DslError(
@@ -4341,14 +4567,15 @@ def dsl_aggregate_indexed(
     one grouped aggregation over doc_stats, vs a full corpus scan in
     the naive executor.
     """
-    agg_name, kind, body, sub = _parse_aggs_block(request)
+    agg_name, kind, body, sub, siblings = _parse_aggs_block(request)
     spec = parse_query(request.get("query", {"match_all": {}}))
     dirs, metas, n_docs, avgdl = _load_segments(index_dir)
     _validate_sql_fields(spark, dirs, spec)
     stats = _doc_stats_union(spark, dirs)
     if n_docs == 0:
-        return _apply_agg(stats.where(F.lit(False)),
-                          agg_name, kind, body, sub)
+        empty = stats.where(F.lit(False))
+        return _apply_agg(empty, agg_name, kind, body, sub, siblings,
+                          bg_frame=empty)
     anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                        spec, docs_df)
     # provably-empty query: aggregate the empty doc_stats frame (real
@@ -4356,7 +4583,8 @@ def dsl_aggregate_indexed(
     frame = (stats.where(F.lit(False)) if anchor is None
              else stats.join(anchor.select("doc_id"), "doc_id",
                              "left_semi"))
-    return _apply_agg(frame, agg_name, kind, body, sub)
+    return _apply_agg(frame, agg_name, kind, body, sub, siblings,
+                      bg_frame=stats)
 
 
 def execute_request_indexed(

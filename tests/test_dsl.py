@@ -1735,6 +1735,207 @@ def test_pipeline_agg_rejects(spark, docs):
             "by_role": {"terms": {"field": "role"}}}))
 
 
+def test_sibling_pipeline_aggs_match_duckdb(spark, docs, docs_pdf,
+                                            dsl_index):
+    """ES sibling pipelines (avg/max/stats_bucket) next to a terms agg
+    WITH a size cut: they aggregate the FINAL bucket list (post-cut),
+    flattened as constant columns; oracle = duckdb replay of the cut
+    then the second-level aggregate; both executors identical."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {
+        "by_tool": {"terms": {"field": "tool", "size": 3},
+                    "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}}}},
+        "mean_bucket_size": {"avg_bucket": {
+            "buckets_path": "by_tool>_count"}},
+        "best_avg_turn": {"max_bucket": {
+            "buckets_path": "by_tool>avg_turn"}},
+        "spread": {"stats_bucket": {"buckets_path": "by_tool>_count"}},
+    }}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT tool AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS avg_turn
+          FROM t WHERE tool IS NOT NULL GROUP BY 1
+          ORDER BY doc_count DESC, key ASC LIMIT 3)
+        SELECT key, doc_count, avg_turn,
+               avg(doc_count) OVER () AS mean_bucket_size,
+               max(avg_turn) OVER () AS best_avg_turn,
+               count(doc_count) OVER () AS spread_count,
+               min(doc_count) OVER () AS spread_min,
+               max(doc_count) OVER () AS spread_max,
+               avg(doc_count) OVER () AS spread_avg,
+               sum(doc_count) OVER () AS spread_sum
+        FROM b ORDER BY doc_count DESC, key ASC
+    """).df()
+    assert len(got) == len(want) == 3
+    assert got["key"].tolist() == want["key"].tolist()
+    for c in ("doc_count", "spread_count", "spread_min", "spread_max",
+              "spread_sum"):
+        assert got[c].tolist() == want[c].astype(int).tolist(), c
+    for c in ("mean_bucket_size", "best_avg_turn", "spread_avg"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+
+def test_sibling_pipeline_rejects(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    def req(sib, parent=None):
+        parent = parent or {"terms": {"field": "role"}}
+        return {"aggs": {"a": parent, **sib}}
+
+    with pytest.raises(DslError, match="unsupported avg_bucket"):
+        dsl_aggregate(docs, req({"s": {"avg_bucket": {
+            "buckets_path": "a>_count", "gap_policy": "insert_zeros"}}}))
+    with pytest.raises(DslError, match="must reference the sibling"):
+        dsl_aggregate(docs, req({"s": {"avg_bucket": {
+            "buckets_path": "other>_count"}}}))
+    with pytest.raises(DslError, match="not a metric"):
+        dsl_aggregate(docs, req({"s": {"avg_bucket": {
+            "buckets_path": "a>nope"}}}))
+    with pytest.raises(DslError, match="collides"):
+        dsl_aggregate(docs, req({"doc_count": {"sum_bucket": {
+            "buckets_path": "a>_count"}}}))
+    # a range parent is out of grammar (definition-order buckets)
+    with pytest.raises(DslError, match="sibling pipelines need"):
+        dsl_aggregate(docs, req(
+            {"s": {"avg_bucket": {"buckets_path": "a>_count"}}},
+            parent={"range": {"field": "turn_idx",
+                              "ranges": [{"from": 0, "to": 5}]}}))
+    # two non-pipeline top-level aggs stay out of grammar
+    with pytest.raises(DslError, match="exactly one non-pipeline"):
+        dsl_aggregate(docs, {"aggs": {
+            "a": {"terms": {"field": "role"}},
+            "b": {"terms": {"field": "tool"}}}})
+
+
+def test_significant_terms_matches_duckdb(spark, docs, docs_pdf,
+                                          dsl_index):
+    """ES significant_terms (JLH heuristic, default min_doc_count 3):
+    terms over-represented in the query's qualifying set vs the whole
+    index; oracle = duckdb replay of the fg/bg percentage join; both
+    executors identical."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"query": {"range": {"turn_idx": {"lt": 5}}},
+           "aggs": {"sig": {"significant_terms": {
+               "field": "tool", "size": 4}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH fg AS (SELECT tool AS key, count(*) AS doc_count FROM t
+                    WHERE turn_idx < 5 AND tool IS NOT NULL GROUP BY 1),
+             bg AS (SELECT tool AS key, count(*) AS bg_count FROM t
+                    WHERE tool IS NOT NULL GROUP BY 1),
+             tot AS (SELECT
+                (SELECT count(*) FROM t
+                 WHERE turn_idx < 5 AND tool IS NOT NULL) AS ft,
+                (SELECT count(*) FROM t WHERE tool IS NOT NULL) AS bt)
+        SELECT key, doc_count, bg_count,
+               (doc_count*1.0/ft - bg_count*1.0/bt)
+                 * ((doc_count*1.0/ft)/(bg_count*1.0/bt)) AS score
+        FROM fg JOIN bg USING (key), tot
+        WHERE doc_count >= 3 AND doc_count*1.0/ft > bg_count*1.0/bt
+        ORDER BY score DESC, key ASC LIMIT 4
+    """).df()
+    assert len(got) == len(want) == 4
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].astype(int).tolist()
+    assert got["bg_count"].tolist() == want["bg_count"].astype(int).tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+
+def test_rare_terms_matches_duckdb(spark, docs, docs_pdf, dsl_index):
+    """ES rare_terms (exact; ES is CuckooFilter-approximate): every
+    term with doc_count <= max_doc_count, count asc / key asc, no size
+    cut; metric sub-aggs ride along."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"rare": {
+        "rare_terms": {"field": "conv_id", "max_doc_count": 2},
+        "aggs": {"last_turn": {"max": {"field": "turn_idx"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        SELECT conv_id AS key, count(*) AS doc_count,
+               max(turn_idx) AS last_turn
+        FROM t WHERE conv_id IS NOT NULL GROUP BY 1
+        HAVING count(*) <= 2 ORDER BY doc_count ASC, key ASC
+    """).df()
+    assert len(got) == len(want) == 25
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].astype(int).tolist()
+    assert got["last_turn"].tolist() == want["last_turn"].astype(int).tolist()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+
+def test_global_agg_ignores_the_query(spark, docs, docs_pdf, dsl_index):
+    """ES global bucket: its sub-agg runs over the WHOLE index even
+    under a restrictive query — equal to running the sub-agg with
+    match_all; both executors identical."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    narrow = {"query": {"term": {"role": "user"}},
+              "aggs": {"all_docs": {"global": {}, "aggs": {
+                  "by_role": {"terms": {"field": "role"}}}}}}
+    wide = {"aggs": {"by_role": {"terms": {"field": "role"}}}}
+    got = dsl_aggregate(docs, narrow).toPandas()
+    want = dsl_aggregate(docs, wide).toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["doc_count"].sum() == len(docs_pdf)
+    gi = dsl_aggregate_indexed(spark, dsl_index, narrow).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+
+def test_new_agg_rejects(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    with pytest.raises(DslError, match="unsupported significant_terms"):
+        dsl_aggregate(docs, {"aggs": {"s": {"significant_terms": {
+            "field": "tool", "background_filter": {}}}}})
+    with pytest.raises(DslError, match="no sub-aggregations"):
+        dsl_aggregate(docs, {"aggs": {"s": {
+            "significant_terms": {"field": "tool"},
+            "aggs": {"m": {"avg": {"field": "turn_idx"}}}}}})
+    with pytest.raises(DslError, match="unsupported rare_terms"):
+        dsl_aggregate(docs, {"aggs": {"r": {"rare_terms": {
+            "field": "tool", "precision": 0.01}}}})
+    with pytest.raises(DslError, match="empty body"):
+        dsl_aggregate(docs, {"aggs": {"g": {
+            "global": {"field": "x"},
+            "aggs": {"m": {"avg": {"field": "turn_idx"}}}}}})
+
+
 def test_composite_agg_pages_cover_the_bucket_space(spark, docs,
                                                     docs_pdf, dsl_index):
     """Chasing the after-cursor through every page reproduces the full
