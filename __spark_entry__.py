@@ -323,6 +323,16 @@ def _dismax_topk(spark, sf_dir):
       the factor arithmetic verbatim over the same ``sc`` CTE — the
       value SQL is dialect-shared by construction.
 
+    - ``rankf`` (round 5): ``rank_feature`` saturation on ``n_chars``
+      in a should — BM25('hash') + n_chars/(n_chars+100), the ES
+      feature-boost idiom (desugars onto function_score,
+      search/dsl.py _parse_rank_feature; NULL/<=0 features never
+      match).
+    - ``distf`` (round 5): ``distance_feature`` date recency over the
+      events table — 2d/(2d + |ts - origin|) on the filtered set at
+      second resolution (search/dsl.py _parse_distance_feature); the
+      DuckDB twin replays it with epoch().
+
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
     from prow_jobs_scraper_spark.search.dsl import search_dsl
@@ -368,6 +378,28 @@ def _dismax_topk(spark, sf_dir):
                                     "modifier": "log1p", "missing": 1}},
         ],
         "score_mode": "sum", "boost_mode": "multiply"}}}))
+    # rank_feature (round 5): saturation on n_chars riding a should —
+    # score = hash BM25 + n_chars/(n_chars+100) (desugars onto
+    # function_score, search/dsl.py _parse_rank_feature)
+    out = out.unionByName(mode("rankf", {"query": {"bool": {
+        "must": [{"match": {"text": "hash"}}],
+        "should": [{"rank_feature": {"field": "n_chars",
+                                     "saturation": {"pivot": 100}}}],
+    }}}))
+    # distance_feature (round 5): date recency on the events table —
+    # score = 2d/(2d + |ts - origin|) over the filtered set
+    # (search/dsl.py _parse_distance_feature; second resolution)
+    ev = _t(spark, sf_dir, "events").withColumnRenamed(
+        "event_id", "doc_id")
+    out = out.unionByName(
+        search_dsl(ev, {"query": {"bool": {
+            "must": [{"distance_feature": {
+                "field": "ts", "origin": "2024-01-15T00:00:00",
+                "pivot": "2d"}}],
+            "filter": [{"term": {"event_type": "error"}}]}}}, 10).select(
+            F.lit("distf").alias("mode"), "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.round("score", 4).alias("score")))
     return out
 
 
@@ -1936,6 +1968,28 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM fsq ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- rank_feature twin: hash BM25 + saturation(n_chars, pivot 100);
+-- exact doubles both sides (integer-valued epochs/counts)
+(SELECT 'rankf' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (SELECT hb.doc_id,
+              hb.score + d.n_chars/(d.n_chars + 100.0) AS score
+       FROM hb JOIN documents d ON hb.doc_id = d.doc_id)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- distance_feature twin: 2d/(2d + |ts - 2024-01-15|) at second
+-- resolution over the error events (epoch == unix_timestamp on
+-- whole-second data)
+(SELECT 'distf' AS mode, event_id AS doc_id,
+        row_number() OVER (ORDER BY score DESC, event_id) AS rank,
+        round(score, 4) AS score
+ FROM (SELECT event_id,
+              172800.0/(172800.0 + abs(epoch(ts) - 1705276800.0))
+                AS score
+       FROM events WHERE event_type = 'error')
+ ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

@@ -1364,6 +1364,156 @@ def _parse_function_score(body: dict) -> QuerySpec:
     return spec
 
 
+_TIME_VALUE_RE = _re.compile(r"^(\d+)(ms|s|m|h|d)$")
+
+
+def _time_value_seconds(v, name: str) -> float:
+    """ES time value (``"7d"``/``"3h"``/``"45m"``/``"30s"``/``"500ms"``)
+    -> seconds. Fail loud on anything else (silently-misread pivots
+    would scale every score)."""
+    m = _TIME_VALUE_RE.match(v) if isinstance(v, str) else None
+    if not m:
+        raise DslError(
+            f"{name} must be an ES time value like '7d'/'3h', got {v!r}")
+    sec = int(m.group(1)) * {"ms": 0.001, "s": 1.0, "m": 60.0,
+                             "h": 3600.0, "d": 86400.0}[m.group(2)]
+    if sec <= 0:
+        raise DslError(f"{name} must be positive, got {v!r}")
+    return sec
+
+
+def _parse_rank_feature(body: dict) -> QuerySpec:
+    """ES ``rank_feature`` -> a :class:`QuerySpec` carrying a
+    :class:`FunctionScore` (boost_mode=replace over an exists-and-
+    positive filter — the desugar is exact: rank_feature matches docs
+    bearing the feature and scores them with a closed-form function of
+    its value, which is precisely one function_score function).
+
+    Functions (Lucene FeatureField):
+      saturation: ``boost * S / (S + pivot)`` — pivot is REQUIRED
+        (ES derives a default from index feature statistics this
+        engine does not keep; a silently-different default would
+        reorder results, so it fails loud instead)
+      log:        ``boost * ln(scaling_factor + S)``
+      sigmoid:    ``boost * S^exp / (S^exp + pivot^exp)``
+    Docs where the field is NULL or <= 0 do not match — ES enforces
+    positive feature values at index time; the engine enforces the
+    same constraint at query time."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"bad rank_feature body {body!r}")
+    unknown = set(body) - {"field", "boost", "saturation", "log",
+                           "sigmoid"}
+    if unknown:
+        raise DslError(
+            f"unsupported rank_feature options {sorted(unknown)}")
+    fns = [k for k in ("saturation", "log", "sigmoid") if k in body]
+    if len(fns) > 1:
+        raise DslError(f"rank_feature takes at most one of "
+                       f"saturation/log/sigmoid, got {fns}")
+    field = _ident(body["field"])
+    boost = _fscore_num(body.get("boost", 1.0), "boost",
+                        lo=0.0, lo_open=True)
+    kind = fns[0] if fns else "saturation"
+    spec = body.get(kind, {})
+    if not isinstance(spec, dict):
+        raise DslError(f"bad rank_feature {kind} body {spec!r}")
+    s = f"cast({field} as double)"
+    if kind == "saturation":
+        if set(spec) - {"pivot"} or "pivot" not in spec:
+            raise DslError(
+                "rank_feature saturation needs an explicit pivot "
+                "(ES's default comes from index statistics this "
+                "engine does not keep)")
+        pivot = _fscore_num(spec["pivot"], "pivot", lo=0.0, lo_open=True)
+        value_sql = f"({s} / ({s} + {_sql_lit(pivot)}))"
+    elif kind == "log":
+        if set(spec) - {"scaling_factor"} or "scaling_factor" not in spec:
+            raise DslError(
+                f"rank_feature log needs scaling_factor, got {spec!r}")
+        a = _fscore_num(spec["scaling_factor"], "scaling_factor", lo=1.0)
+        value_sql = f"ln({_sql_lit(a)} + {s})"
+    else:  # sigmoid
+        if set(spec) - {"pivot", "exponent"} or not (
+                {"pivot", "exponent"} <= set(spec)):
+            raise DslError(
+                f"rank_feature sigmoid needs pivot and exponent, "
+                f"got {spec!r}")
+        pivot = _fscore_num(spec["pivot"], "pivot", lo=0.0, lo_open=True)
+        exp = _fscore_num(spec["exponent"], "exponent",
+                          lo=0.0, lo_open=True)
+        pe = _sql_lit(pivot ** exp)
+        value_sql = (f"(pow({s}, {_sql_lit(exp)}) / "
+                     f"(pow({s}, {_sql_lit(exp)}) + {pe}))")
+    pred = f"(({field} IS NOT NULL) AND (cast({field} as double) > 0.0))"
+    wrapped = QuerySpec()
+    wrapped.filter_sql.append(pred)
+    wrapped.sql_fields.add(field)
+    fs = FunctionScore(
+        wrapped=wrapped,
+        funcs=[FScoreFn(filter_sql=None, weight=1.0,
+                        value_sql=value_sql, fields=(field,))],
+        score_mode="multiply", boost_mode="replace",
+        max_boost=None, min_score=None, boost=boost)
+    out = QuerySpec(fscore=fs)
+    out.sql_fields.add(field)
+    return out
+
+
+def _parse_distance_feature(body: dict) -> QuerySpec:
+    """ES ``distance_feature`` on a DATE field -> a
+    :class:`QuerySpec` carrying a :class:`FunctionScore`:
+    ``boost * pivot / (pivot + |field - origin|)`` over docs bearing
+    the field. ``origin`` takes an ISO datetime or ES date math
+    (``now-1d``, ``<iso>||+1w/d``); ``pivot`` an ES time value
+    (``"7d"``). Distances compute at SECOND resolution (ES uses
+    millis; the engine's timestamps are second-resolution — the same
+    documented deviation as range date math). Geo fields are out of
+    grammar — fail loud."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad distance_feature body {body!r}")
+    unknown = set(body) - {"field", "origin", "pivot", "boost"}
+    if unknown:
+        raise DslError(
+            f"unsupported distance_feature options {sorted(unknown)}")
+    for k in ("field", "origin", "pivot"):
+        if k not in body:
+            raise DslError(f"distance_feature needs {k!r}")
+    field = _ident(body["field"])
+    boost = _fscore_num(body.get("boost", 1.0), "boost",
+                        lo=0.0, lo_open=True)
+    origin = _resolve_date_math(body["origin"], "gte")
+    if isinstance(origin, str):
+        try:
+            origin = _dt.datetime.fromisoformat(origin)
+        except ValueError:
+            raise DslError(
+                f"distance_feature origin must be a datetime or date "
+                f"math, got {body['origin']!r} (geo origins are not "
+                f"supported)") from None
+    if not isinstance(origin, _dt.datetime):
+        raise DslError(
+            f"distance_feature origin must be a datetime or date math, "
+            f"got {body['origin']!r}")
+    origin_s = int(origin.replace(tzinfo=_dt.timezone.utc).timestamp())
+    pivot_s = _time_value_seconds(body["pivot"], "distance_feature pivot")
+    value_sql = (
+        f"({_sql_lit(pivot_s)} / ({_sql_lit(pivot_s)} + "
+        f"abs(cast(unix_timestamp({field}) as double) - "
+        f"{_sql_lit(float(origin_s))})))")
+    wrapped = QuerySpec()
+    wrapped.filter_sql.append(f"({field} IS NOT NULL)")
+    wrapped.sql_fields.add(field)
+    fs = FunctionScore(
+        wrapped=wrapped,
+        funcs=[FScoreFn(filter_sql=None, weight=1.0,
+                        value_sql=value_sql, fields=(field,))],
+        score_mode="multiply", boost_mode="replace",
+        max_boost=None, min_score=None, boost=boost)
+    out = QuerySpec(fscore=fs)
+    out.sql_fields.add(field)
+    return out
+
+
 def _fscore_factor(fs: FunctionScore):
     """The per-doc function factor as ONE row expression (shared by
     the naive executor over the corpus frame and the indexed executor
@@ -1584,6 +1734,10 @@ def parse_query(q: dict) -> QuerySpec:
         return _parse_boosting(body)
     if kind == "function_score":
         return _parse_function_score(body)
+    if kind == "rank_feature":
+        return _parse_rank_feature(body)
+    if kind == "distance_feature":
+        return _parse_distance_feature(body)
     if kind in ("dis_max", "multi_match"):
         parsed = (_parse_dismax(body) if kind == "dis_max"
                   else _parse_multi_match(body))
@@ -1652,17 +1806,22 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should.append(tc)
                 else:
                     spec.must_not.append(tc)
-            elif ck in ("constant_score", "boosting", "function_score"):
+            elif ck in ("constant_score", "boosting", "function_score",
+                        "rank_feature", "distance_feature"):
                 # score matters in must/should (constant_score adds
                 # `boost`; boosting adds the demoted positive score;
-                # function_score adds its combined score); in filter/
-                # must_not only qualification survives — all three are
-                # exactly the child-bool semantics, so they ride the
-                # *_bool lists
+                # function_score — and the rank/distance_feature
+                # queries that desugar onto it — adds its combined
+                # score); in filter/must_not only qualification
+                # survives — all five are exactly the child-bool
+                # semantics, so they ride the *_bool lists
                 getattr(spec, f"{ctx}_bool").append(
                     _parse_constant_score(cb) if ck == "constant_score"
                     else _parse_boosting(cb) if ck == "boosting"
-                    else _parse_function_score(cb))
+                    else _parse_function_score(cb)
+                    if ck == "function_score"
+                    else _parse_rank_feature(cb) if ck == "rank_feature"
+                    else _parse_distance_feature(cb))
             elif ck in ("term", "terms", "range", "exists", "prefix",
                         "wildcard", "regexp", "ids"):
                 pred, fld = _compile_meta(ck, cb)

@@ -160,8 +160,14 @@ def _dismax_eval(pdf, fstats, n, dm):
 def _value_vec(pdf: pd.DataFrame, sql: str) -> np.ndarray:
     """Per-doc value of a shared-subset SQL expression, evaluated by
     DuckDB (an independent evaluator of the same expression string the
-    engine compiles), doc_id-aligned to the frame's row order."""
+    engine compiles), doc_id-aligned to the frame's row order. The one
+    Spark-only function a factor may carry (distance_feature's
+    unix_timestamp — no shared epoch function exists) is shimmed as a
+    DuckDB macro; fixture timestamps are whole seconds, so truncation
+    cannot diverge."""
     con = duckdb.connect()
+    con.execute("CREATE MACRO unix_timestamp(t) AS "
+                "CAST(epoch(CAST(t AS TIMESTAMP)) AS DOUBLE)")
     con.register("t", pdf)
     got = con.sql(f"SELECT doc_id, ({sql}) AS v FROM t").df()
     by_id = dict(zip(got["doc_id"], got["v"]))
@@ -762,6 +768,30 @@ DSL_QUERIES = [
             {"filter": {"term": {"tool": "browser"}}, "weight": 8.0},
         ],
         "score_mode": "max", "boost_mode": "multiply"}}}),
+    # ---- rank_feature / distance_feature (round 5): scoring leaf
+    # queries desugared onto function_score; turn_idx == 0 docs must
+    # NOT match rank_feature (the ES positive-feature rule)
+    ("rank-feature-saturation", {"query": {"rank_feature": {
+        "field": "turn_idx", "saturation": {"pivot": 10}}}}),
+    ("rank-feature-sigmoid-boost", {"query": {"rank_feature": {
+        "field": "turn_idx", "boost": 2.5,
+        "sigmoid": {"pivot": 20, "exponent": 2}}}}),
+    ("rank-feature-log-in-should", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark agent",
+                                     "operator": "or"}}}],
+        "should": [{"rank_feature": {
+            "field": "turn_idx", "log": {"scaling_factor": 2}}}],
+    }}}),
+    ("distance-feature-recency", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark term",
+                                     "operator": "or"}}}],
+        "should": [{"distance_feature": {
+            "field": "ts", "origin": "2025-06-29T00:00:00",
+            "pivot": "3d", "boost": 5.0}}],
+    }}}),
+    ("distance-feature-top", {"query": {"distance_feature": {
+        "field": "ts", "origin": "2025-06-15T00:00:00||/d",
+        "pivot": "12h"}}}),
 ]
 
 
@@ -777,6 +807,39 @@ def test_dsl_indexed_matches_naive(spark, docs, dsl_index, label, q):
     got = search_dsl_indexed(spark, dsl_index, q, 10, docs_df=docs).toPandas()
     want = search_dsl(docs, q, 10).toPandas()
     _assert_rank_identical(got, want, label)
+
+
+def test_rank_distance_feature_rejects(spark, docs):
+    # saturation without pivot: ES's default comes from index stats
+    # this engine does not keep — silent divergence, so fail loud
+    with pytest.raises(DslError, match="explicit pivot"):
+        search_dsl(docs, {"query": {"rank_feature": {
+            "field": "turn_idx"}}}, 5)
+    with pytest.raises(DslError, match="unsupported rank_feature"):
+        search_dsl(docs, {"query": {"rank_feature": {
+            "field": "turn_idx", "positive_score_impact": False}}}, 5)
+    with pytest.raises(DslError, match="at most one of"):
+        search_dsl(docs, {"query": {"rank_feature": {
+            "field": "turn_idx", "saturation": {"pivot": 1},
+            "log": {"scaling_factor": 2}}}}, 5)
+    with pytest.raises(DslError, match="time value"):
+        search_dsl(docs, {"query": {"distance_feature": {
+            "field": "ts", "origin": "2025-06-15T00:00:00",
+            "pivot": 7}}}, 5)
+    with pytest.raises(DslError, match="datetime or date math"):
+        search_dsl(docs, {"query": {"distance_feature": {
+            "field": "ts", "origin": {"lat": 41, "lon": -71},
+            "pivot": "7d"}}}, 5)
+
+
+def test_rank_feature_excludes_nonpositive(spark, docs, docs_pdf):
+    # the ES positive-feature rule: turn_idx == 0 docs never match
+    got = search_dsl(docs, {"query": {"rank_feature": {
+        "field": "turn_idx", "saturation": {"pivot": 10}}}},
+        len(docs_pdf)).toPandas()
+    zero_ids = set(docs_pdf.loc[docs_pdf["turn_idx"] <= 0, "doc_id"])
+    assert zero_ids and not (set(got["doc_id"]) & zero_ids)
+    assert len(got) == len(docs_pdf) - len(zero_ids)
 
 
 # --------------------------------------------------------------------------
