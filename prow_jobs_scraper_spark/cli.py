@@ -103,7 +103,23 @@ def cmd_search(args) -> dict:
             raise SystemExit("--suggest is its own request shape")
         req = (json.load(open(sugg[1:])) if sugg.startswith("@")
                else json.loads(sugg))
-        rows = suggest_terms_indexed(spark, dirs, req).collect()
+        bodies = req.get("suggest", req) if isinstance(req, dict) else {}
+        if isinstance(bodies, dict) and any(
+                isinstance(b, dict) and "phrase" in b
+                for b in bodies.values()):
+            # phrase suggester: n-gram statistics come from the corpus
+            from prow_jobs_scraper_spark.search.suggest import (  # noqa: PLC0415
+                suggest_phrase,
+            )
+
+            if not getattr(args, "corpus", None):
+                raise SystemExit(
+                    "the phrase suggester needs --corpus (its n-gram "
+                    "language model reads corpus token sequences)")
+            rows = suggest_phrase(
+                spark.read.parquet(args.corpus), req).collect()
+        else:
+            rows = suggest_terms_indexed(spark, dirs, req).collect()
         return {
             "suggest": req,
             "latency_sec": round(time.time() - t0, 4),
@@ -324,7 +340,9 @@ def main(argv: list[str] | None = None) -> int:
                         "--store-positions")
     s.add_argument("--suggest", default=None,
                    help="ES suggest request JSON (or @file): the term "
-                        "suggester against the index vocabulary")
+                        "suggester against the index vocabulary, or "
+                        "the phrase suggester (needs --corpus for its "
+                        "n-gram language model)")
     s.add_argument("--count", action="store_true",
                    help="with --dsl: return the qualifying-set size "
                         "(the ES _count endpoint) instead of top-k hits")

@@ -1,5 +1,6 @@
-"""ES term suggester ("did you mean") — spell-correction candidates
-from the corpus vocabulary.
+"""ES term + phrase suggesters ("did you mean") — spell-correction
+candidates from the corpus vocabulary, and whole-phrase corrections
+from a noisy-channel n-gram model (:func:`suggest_phrase`).
 
 Reference surface: the ES ``suggest`` request block with a ``term``
 suggester per entry (the reference's OpenSearch cluster exposes it on
@@ -84,8 +85,8 @@ def _parse_term_suggester(name: str, body: dict):
     if unknown:
         raise DslError(
             f"unsupported suggest keys in {name!r}: {sorted(unknown)} "
-            f"(term suggester only; phrase/completion are out of "
-            f"grammar)")
+            f"(term suggester here; phrase via suggest_phrase; "
+            f"completion is out of grammar)")
     if "term" not in body or not isinstance(body["term"], dict):
         raise DslError(f"suggest entry {name!r} needs a term block")
     if "text" not in body or not isinstance(body["text"], str):
@@ -232,6 +233,286 @@ def suggest_terms(docs_df: DataFrame, request: dict) -> DataFrame:
         _suggest_over_vocab(spark, [e], vocabs[e[2]["field"]])
         for e in entries]
     return reduce(DataFrame.unionByName, parts)
+
+
+_PHRASE_KEYS = {"field", "size", "gram_size",
+                "real_word_error_likelihood", "confidence",
+                "max_errors", "smoothing", "direct_generator"}
+
+
+def _parse_phrase_suggester(name: str, body: dict):
+    """One named phrase-suggest entry -> (name, tokens, options)."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad suggest entry {name!r}: {body!r}")
+    unknown = set(body) - {"text", "phrase"}
+    if unknown:
+        raise DslError(
+            f"unsupported suggest keys in {name!r}: {sorted(unknown)}")
+    if "phrase" not in body or not isinstance(body["phrase"], dict):
+        raise DslError(f"suggest entry {name!r} needs a phrase block")
+    if "text" not in body or not isinstance(body["text"], str):
+        raise DslError(f"suggest entry {name!r} needs text")
+    ph = body["phrase"]
+    unknown = set(ph) - _PHRASE_KEYS
+    if unknown:
+        raise DslError(
+            f"unsupported phrase suggester options in {name!r}: "
+            f"{sorted(unknown)} (collate/highlight/separator are out "
+            f"of grammar)")
+    if "field" not in ph or not isinstance(ph["field"], str):
+        raise DslError(f"phrase suggester {name!r} needs a field")
+    size = ph.get("size", 5)
+    gram = ph.get("gram_size", 2)
+    rwel = ph.get("real_word_error_likelihood", 0.95)
+    conf = ph.get("confidence", 1.0)
+    maxe = ph.get("max_errors", 1.0)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"size must be a positive int, got {size!r}")
+    if gram not in (1, 2):
+        raise DslError(f"gram_size must be 1 or 2, got {gram!r} "
+                       f"(higher orders are out of grammar)")
+    if isinstance(rwel, bool) or not isinstance(rwel, (int, float)) \
+            or not 0 < rwel < 1:
+        raise DslError(
+            f"real_word_error_likelihood must be in (0, 1), got {rwel!r}")
+    if isinstance(conf, bool) or not isinstance(conf, (int, float)) \
+            or conf < 0:
+        raise DslError(f"confidence must be >= 0, got {conf!r}")
+    if isinstance(maxe, bool) or not isinstance(maxe, (int, float)) \
+            or maxe <= 0:
+        raise DslError(f"max_errors must be positive, got {maxe!r}")
+    discount = 0.4
+    if "smoothing" in ph:
+        sm = ph["smoothing"]
+        if (not isinstance(sm, dict) or len(sm) != 1
+                or "stupid_backoff" not in sm):
+            raise DslError(
+                f"only stupid_backoff smoothing is supported, got {sm!r}")
+        sb = sm["stupid_backoff"]
+        if not isinstance(sb, dict) or set(sb) - {"discount"}:
+            raise DslError(f"bad stupid_backoff body {sb!r}")
+        discount = sb.get("discount", 0.4)
+        if isinstance(discount, bool) \
+                or not isinstance(discount, (int, float)) \
+                or not 0 < discount <= 1:
+            raise DslError(f"bad discount {discount!r}")
+    gen = ph.get("direct_generator", [{}])
+    if not isinstance(gen, list) or len(gen) != 1 \
+            or not isinstance(gen[0], dict):
+        raise DslError(
+            "direct_generator must be a one-element list (multiple "
+            "generators are out of grammar)")
+    g = dict(gen[0])
+    g.setdefault("field", ph["field"])
+    if g["field"] != ph["field"]:
+        raise DslError("the direct_generator field must match the "
+                       "phrase suggester field")
+    # generator options reuse the term-suggester grammar/validation
+    _gname, _gtoks, gopts = _parse_term_suggester(
+        f"{name}.generator", {"text": body["text"], "term": g})
+    toks = tokenize_text(body["text"])
+    if not toks:
+        raise DslError(f"suggest entry {name!r} text must analyze to "
+                       f"at least one term")
+    n_err = (int(maxe) if maxe >= 1
+             else max(1, int(maxe * len(toks))))
+    opts = {"field": ph["field"], "size": size, "gram_size": gram,
+            "rwel": float(rwel), "confidence": float(conf),
+            "max_errors": n_err, "discount": float(discount),
+            "generator": gopts}
+    return name, toks, opts
+
+
+def _phrase_sequences(toks, cands_by_pos, max_errors):
+    """All correction sequences changing at most ``max_errors``
+    positions -> [(terms tuple, changed positions tuple)]. Bounded by
+    C(n, e) x size^e — query-sized, never corpus-sized (the same
+    boundedness argument as the term suggester's edit ball)."""
+    from itertools import combinations, product  # noqa: PLC0415
+
+    seqs = {}
+    positions = [p for p in range(len(toks)) if cands_by_pos.get(p)]
+    for k in range(0, max_errors + 1):
+        for subset in combinations(positions, k):
+            pools = [cands_by_pos[p] for p in subset]
+            for choice in product(*pools):
+                terms = list(toks)
+                for p, c in zip(subset, choice):
+                    terms[p] = c
+                key = tuple(terms)
+                if key not in seqs:
+                    changed = tuple(
+                        p for p, c in zip(subset, choice)
+                        if c != toks[p])
+                    seqs[key] = changed
+    return list(seqs.items())
+
+
+def _lm_score(terms, changed, toks, uni, big, n_tokens, opts):
+    """log10 noisy-channel score of one candidate sequence: stupid-
+    backoff n-gram language model + per-position channel
+    (real_word_error_likelihood for kept positions, (1 - rwel) x the
+    Lucene string similarity for corrections — the documented
+    normalization deviation: similarity is not a true error
+    probability, but it is deterministic and oracle-replayable)."""
+    import math  # noqa: PLC0415
+
+    floor = 1e-30
+    lm = 0.0
+    d = opts["discount"]
+    for i, w in enumerate(terms):
+        p_uni = uni.get(w, 0) / n_tokens if n_tokens else 0.0
+        if opts["gram_size"] == 1 or i == 0:
+            p = p_uni
+        else:
+            prev = terms[i - 1]
+            cb = big.get((prev, w), 0)
+            cp = uni.get(prev, 0)
+            p = (cb / cp) if cb > 0 and cp > 0 else d * p_uni
+        lm += math.log10(max(p, floor))
+    chan = 0.0
+    for i, w in enumerate(terms):
+        if i in changed:
+            sim = 1.0 - _lev(toks[i], w) / min(len(toks[i]), len(w))
+            chan += math.log10(max((1.0 - opts["rwel"]) * sim, floor))
+        else:
+            chan += math.log10(opts["rwel"])
+    return lm + chan
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Levenshtein (candidate lists are query-sized; the heavy
+    corpus-side distance work already ran inside Spark)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
+    """ES ``phrase`` suggester ("did you mean" over whole phrases) —
+    the noisy-channel model over corpus n-gram statistics (Lucene
+    NoisyChannelSpellChecker shape, with documented scoring
+    deviations)::
+
+        {"suggest": {<name>: {"text": str, "phrase": {
+            "field": f, "size": 5, "gram_size": 1|2,
+            "real_word_error_likelihood": 0.95, "confidence": 1.0,
+            "max_errors": 1.0, "smoothing":
+                {"stupid_backoff": {"discount": 0.4}},
+            "direct_generator": [{...term-suggester options...}]}}}}
+
+    Semantics:
+
+    - Per-position candidates come from the direct generator (the term
+      suggester kernel — same vocabulary join, same modes; default
+      ``suggest_mode: missing`` generates only for out-of-vocabulary
+      tokens, exactly ES's default).
+    - Correction sequences change at most ``max_errors`` positions
+      (ES rule: a float < 1 is a fraction of the query terms, >= 1 an
+      absolute count).
+    - Score (log10) = stupid-backoff language model + channel:
+      ``P(w_i | w_{i-1}) = count(w_{i-1} w_i)/count(w_{i-1})``,
+      backing off to ``discount * count(w_i)/N``; ``gram_size: 1``
+      uses the unigram model directly. Channel: kept positions
+      contribute ``real_word_error_likelihood``, corrections
+      ``(1 - rwel) * (1 - d/min(len))`` (the term suggester's Lucene
+      similarity — deviation: ES derives channel scores from the
+      generator's internal Lucene weights, which are not replayable).
+    - ``confidence``: only sequences scoring ABOVE
+      ``score(input) + log10(confidence)`` return (c=0 disables the
+      gate); the unchanged input itself never returns (ES).
+    - Output: (sugg, rank, suggestion, score) — suggestion is the
+      corrected phrase joined with single spaces; rank by score desc,
+      text asc, top ``size``.
+
+    Scale: candidate generation is the vocabulary-sized term-suggester
+    kernel; the n-gram statistics pass reads the corpus ONCE, counting
+    only the (query-sized) set of unigrams/bigrams the candidate
+    sequences reference — the shuffle carries one row per needed gram,
+    never per token. Sequence enumeration/scoring is driver-side over
+    a query-bounded set (C(n, max_errors) x generator size), the same
+    boundedness class as the term suggester's collected edit ball."""
+    if not isinstance(request, dict) or not request:
+        raise DslError("suggest request must be a non-empty dict")
+    body = request.get("suggest", request)
+    if not isinstance(body, dict) or not body:
+        raise DslError("suggest request must be a non-empty dict")
+    entries = [_parse_phrase_suggester(n, b) for n, b in body.items()]
+    spark = docs_df.sparkSession
+
+    out_rows = []
+    for name, toks, opts in entries:
+        fld = opts["field"]
+        if fld not in docs_df.columns:
+            raise DslError(f"suggest field {fld!r} is not a column")
+        tok_col = tokenize_column(F.col(fld))
+        vocab = (docs_df.select(F.explode(F.array_distinct(tok_col))
+                                .alias("term"))
+                 .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+        gen = dict(opts["generator"])
+        cand_rows = _suggest_over_vocab(
+            spark, [(name, toks, gen)], vocab).collect()
+        cands_by_pos = {}
+        for r in cand_rows:
+            for p, t in enumerate(toks):
+                if t == r["token"]:
+                    cands_by_pos.setdefault(p, [])
+                    if r["suggestion"] not in cands_by_pos[p]:
+                        cands_by_pos[p].append(r["suggestion"])
+        seqs = _phrase_sequences(toks, cands_by_pos, opts["max_errors"])
+        # the n-gram statistics ONE corpus pass reads: only grams the
+        # candidate sequences (and the input) reference
+        need_uni = sorted({w for terms, _ in seqs for w in terms}
+                          | set(toks))
+        need_big = sorted({
+            f"{a} {b}"
+            for terms, _ in seqs
+            for a, b in zip(terms, terms[1:])}
+            | {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        ) if opts["gram_size"] == 2 else []
+        td = docs_df.select(tok_col.alias("t"))
+        n_tokens = td.agg(F.sum(F.size("t"))).first()[0] or 0
+        uni_arr = F.filter(
+            F.col("t"), lambda x: x.isin(need_uni) if need_uni
+            else F.lit(False))
+        big_arr = (F.filter(
+            F.expr("CASE WHEN size(t) < 2 THEN array() ELSE "
+                   "transform(sequence(0, size(t)-2), "
+                   "i -> concat_ws(' ', t[i], t[i+1])) END"),
+            lambda x: x.isin(need_big) if need_big else F.lit(False)))
+        grams = (td.select(F.explode(
+            F.concat(uni_arr, big_arr)).alias("g"))
+            .groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect())
+        uni = {r["g"]: r["c"] for r in grams if " " not in r["g"]}
+        big = {tuple(r["g"].split(" ")): r["c"]
+               for r in grams if " " in r["g"]}
+        base = _lm_score(tuple(toks), (), toks, uni, big,
+                         n_tokens, opts)
+        scored = []
+        for terms, changed in seqs:
+            if not changed:
+                continue  # the unchanged input never returns (ES)
+            s = _lm_score(terms, set(changed), toks, uni, big,
+                          n_tokens, opts)
+            if opts["confidence"] > 0:
+                import math  # noqa: PLC0415
+                if s <= base + math.log10(opts["confidence"]):
+                    continue
+            scored.append((" ".join(terms), s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        out_rows.extend(
+            (name, i + 1, text, round(s, 6))
+            for i, (text, s) in enumerate(scored[:opts["size"]]))
+    return spark.createDataFrame(
+        out_rows or [],
+        "sugg string, rank int, suggestion string, score double")
 
 
 def suggest_terms_indexed(

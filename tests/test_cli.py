@@ -149,6 +149,19 @@ def test_cli_dsl_search(spark, tmp_path, capsys):
         cli.main(["search", "--index", idx, "--suggest", "{}",
                   "--dsl", "{}"])
 
+    # --suggest with a phrase block routes to the phrase suggester
+    # (needs --corpus for its n-gram language model)
+    preq = json.dumps({"suggest": {"fix": {
+        "text": "spark agnt",
+        "phrase": {"field": "text",
+                   "direct_generator": [{"prefix_length": 0}]}}}})
+    rp = _run(capsys, ["search", "--index", idx, "--suggest", preq,
+                       "--corpus", corpus])
+    assert any(s["suggestion"] == "spark agent"
+               for s in rp["suggestions"])
+    with pytest.raises(SystemExit):  # corpus-less phrase request
+        cli.main(["search", "--index", idx, "--suggest", preq])
+
     # neither --query nor --dsl is an error
     with pytest.raises(SystemExit):
         cli.main(["search", "--index", idx, "--k", "5"])

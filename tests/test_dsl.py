@@ -3846,6 +3846,158 @@ def test_term_suggester(spark, docs, docs_pdf, dsl_index):
 
 
 # --------------------------------------------------------------------------
+# phrase suggester (round 5)
+# --------------------------------------------------------------------------
+
+def _plev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _phrase_oracle(docs_pdf, toks, gen_opts, gram=2, rwel=0.95,
+                   conf=1.0, max_errors=1, discount=0.4, size=5):
+    """Independent python replay of the engine's documented phrase
+    suggester model: Counter-based n-gram stats, _suggest_oracle
+    candidates, noisy-channel stupid-backoff scoring."""
+    import math
+    from collections import Counter
+    from itertools import combinations, product
+
+    tok_lists = tokenize_pandas(docs_pdf["text"]).tolist()
+    uni = Counter(t for lst in tok_lists for t in lst)
+    big = Counter(p for lst in tok_lists for p in zip(lst, lst[1:]))
+    n_tok = sum(len(lst) for lst in tok_lists)
+    cands = {}
+    for p, t in enumerate(toks):
+        got = [g[0] for g in _suggest_oracle(docs_pdf, t, gen_opts)]
+        if got:
+            cands[p] = got
+
+    def score(terms, changed):
+        s = 0.0
+        for i, w in enumerate(terms):
+            pu = uni.get(w, 0) / n_tok
+            if gram == 1 or i == 0:
+                p = pu
+            else:
+                cb = big.get((terms[i - 1], w), 0)
+                cp = uni.get(terms[i - 1], 0)
+                p = cb / cp if cb > 0 and cp > 0 else discount * pu
+            s += math.log10(max(p, 1e-30))
+        for i, w in enumerate(terms):
+            if i in changed:
+                sim = 1.0 - _plev(toks[i], w) / min(len(toks[i]), len(w))
+                s += math.log10(max((1.0 - rwel) * sim, 1e-30))
+            else:
+                s += math.log10(rwel)
+        return s
+
+    base = score(tuple(toks), set())
+    seqs = {}
+    positions = [p for p in range(len(toks)) if p in cands]
+    for k in range(0, max_errors + 1):
+        for subset in combinations(positions, k):
+            for choice in product(*[cands[p] for p in subset]):
+                terms = list(toks)
+                for p, c in zip(subset, choice):
+                    terms[p] = c
+                key = tuple(terms)
+                if key not in seqs:
+                    seqs[key] = tuple(
+                        p for p, c in zip(subset, choice)
+                        if c != toks[p])
+    out = []
+    for terms, changed in seqs.items():
+        if not changed:
+            continue
+        s = score(terms, set(changed))
+        if conf > 0 and s <= base + math.log10(conf):
+            continue
+        out.append((" ".join(terms), round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:size]
+
+
+def test_phrase_suggester(spark, docs, docs_pdf):
+    """ES phrase suggester: noisy-channel corrections vs the
+    independent python replay — default missing-mode generation,
+    unigram vs bigram LM, max_errors=2 double corrections, the
+    confidence gate, and fail-loud validation."""
+    from prow_jobs_scraper_spark.search.suggest import suggest_phrase
+
+    gen = {"prefix_length": 0}
+
+    def run(text, **ph):
+        req = {"suggest": {"fix": {"text": text, "phrase": {
+            "field": "text",
+            "direct_generator": [{"prefix_length": 0}], **ph}}}}
+        return suggest_phrase(docs, req).toPandas()
+
+    def check(name, got, want):
+        assert got["suggestion"].tolist() == [w[0] for w in want], name
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), [w[1] for w in want],
+            rtol=0, atol=1e-6, err_msg=name)
+        assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+    # one OOV token: corrections substitute it; the in-vocab token is
+    # kept (default missing-mode generation)
+    got = run("mash spark")
+    want = _phrase_oracle(docs_pdf, ["mash", "spark"], gen)
+    assert len(got) > 0 and all(
+        s.endswith(" spark") for s in got["suggestion"])
+    check("missing-2tok", got, want)
+
+    # unigram LM scores differently from the bigram default
+    got1 = run("mash spark", gram_size=1)
+    want1 = _phrase_oracle(docs_pdf, ["mash", "spark"], gen, gram=1)
+    check("gram1", got1, want1)
+    assert got1["score"].tolist() != got["score"].tolist()
+
+    # two OOV tokens + max_errors=2: both positions corrected at once
+    got2 = run("mash tokn", max_errors=2,
+               smoothing={"stupid_backoff": {"discount": 0.2}})
+    want2 = _phrase_oracle(docs_pdf, ["mash", "tokn"], gen,
+                           max_errors=2, discount=0.2)
+    check("two-errors", got2, want2)
+    assert any(" " in s and "mash" not in s and "tokn" not in s
+               for s in got2["suggestion"])
+
+    # confidence: real-word rewrites of an in-vocab phrase must BEAT
+    # the input at c=1 (rwel channel penalty) — c=0 disables the gate
+    ph_always = {"direct_generator": [
+        {"prefix_length": 0, "suggest_mode": "always"}]}
+    g_c1 = run("term spark", **ph_always)
+    g_c0 = run("term spark", confidence=0, size=50, **ph_always)
+    assert len(g_c0) >= len(g_c1)
+    w_c0 = _phrase_oracle(
+        docs_pdf, ["term", "spark"],
+        {"prefix_length": 0, "suggest_mode": "always"},
+        conf=0, size=50)
+    check("conf0", g_c0, w_c0)
+
+    # validation fails loud
+    for bad in (
+        {"field": "text", "gram_size": 3},
+        {"field": "text", "smoothing": {"laplace": {"alpha": 0.5}}},
+        {"field": "text", "max_errors": 0},
+        {"field": "text", "direct_generator": [{}, {}]},
+        {"field": "text", "collate": {}},
+        {"field": "text",
+         "direct_generator": [{"field": "other"}]},
+    ):
+        with pytest.raises(DslError):
+            suggest_phrase(docs, {"suggest": {"x": {
+                "text": "mash spark", "phrase": bad}}})
+
+
+# --------------------------------------------------------------------------
 # top_hits sub-aggregation (round 5)
 # --------------------------------------------------------------------------
 
