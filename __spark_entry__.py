@@ -902,6 +902,8 @@ def _search_aggs_metrics(spark, sf_dir):
       with <= 2 orders (shape='rare', val=max price metric).
     - ``global`` bucket (round 5): terms over the WHOLE table under a
       restrictive query (shape='global').
+    - ``bucket_sort`` (round 5): the terms buckets re-sorted by their
+      avg metric with from/size paging (shape='bsort', val=avg).
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -991,10 +993,20 @@ def _search_aggs_metrics(spark, sf_dir):
                                     "field": "event_type"}}}}}}).select(
         F.lit("global").alias("shape"), "key", "doc_count",
         nd.alias("val"))
+    # bucket_sort (round 5): re-sort the terms buckets by the avg
+    # metric with from/size paging (search/dsl.py _parse_bucket_sort)
+    bs = dsl_aggregate(ev, {**q, "aggs": {"bt": {
+        "terms": {"field": "event_type"},
+        "aggs": {"av": {"avg": {"field": "value"}},
+                 "pg": {"bucket_sort": {"sort": [{"av": "desc"}],
+                                        "from": 1, "size": 3}}}}}}
+    ).select(
+        F.lit("bsort").alias("shape"), "key", "doc_count",
+        F.round("av", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
-            .unionByName(gl))
+            .unionByName(gl).unionByName(bs))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2203,6 +2215,16 @@ UNION ALL
 (SELECT 'global', event_type, count(*), NULL::DOUBLE
  FROM events WHERE event_type IS NOT NULL
  GROUP BY 2 ORDER BY count(*) DESC, event_type ASC LIMIT 10)
+UNION ALL
+-- bucket_sort twin: two-level ORDER — the terms agg's own
+-- (count desc, key) cut, then the pipeline's (metric desc) page
+SELECT 'bsort', key, doc_count, round(av, 6) FROM (
+  SELECT key, doc_count, av FROM (
+    SELECT event_type AS key, count(*) AS doc_count,
+           avg(value) AS av
+    FROM w WHERE event_type IS NOT NULL
+    GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10)
+  ORDER BY av DESC, key ASC LIMIT 3 OFFSET 1)
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

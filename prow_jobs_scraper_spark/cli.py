@@ -118,6 +118,14 @@ def cmd_search(args) -> dict:
                     "language model reads corpus token sequences)")
             rows = suggest_phrase(
                 spark.read.parquet(args.corpus), req).collect()
+        elif isinstance(bodies, dict) and any(
+                isinstance(b, dict) and "completion" in b
+                for b in bodies.values()):
+            from prow_jobs_scraper_spark.search.suggest import (  # noqa: PLC0415
+                suggest_completion_indexed,
+            )
+
+            rows = suggest_completion_indexed(spark, dirs, req).collect()
         else:
             rows = suggest_terms_indexed(spark, dirs, req).collect()
         return {

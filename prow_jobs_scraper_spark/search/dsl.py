@@ -2934,6 +2934,11 @@ def dsl_aggregate(
       in key order; the first bucket's derivative is NULL — ES omits
       it). Terms parents fail loud (ES: pipelines need a bucket
       SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
+    - ANY multi-level-free bucket agg may carry ONE ``bucket_sort``
+      pipeline (``{"sort": [{path: dir}...], "from": m, "size": n}``)
+      re-sorting/truncating its final bucket list — sort targets take
+      the pipeline path grammar (``_count``/``_key``/metric/
+      ``stats-name.stat``).
     - ``{"composite": {"sources": [...], "size": n, "after": {...}}}``
       -> paginated multi-source buckets, the scale path for
       high-cardinality bucket spaces (see :func:`_apply_composite`).
@@ -3004,11 +3009,64 @@ def _parse_aggs_block(request: dict):
 
 _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 
-# ES parent pipeline aggregations: computed over the parent's bucket
-# SEQUENCE (hence the histogram-family-parent requirement — terms
-# buckets have no sequential order for a running sum / difference to
-# be defined over, exactly the ES restriction).
-_PIPELINE_KINDS = ("cumulative_sum", "derivative")
+# ES parent pipeline aggregations: cumulative_sum/derivative compute
+# over the parent's bucket SEQUENCE (hence their histogram-family-
+# parent requirement — terms buckets have no sequential order for a
+# running sum / difference to be defined over, exactly the ES
+# restriction); bucket_sort re-sorts/truncates ANY multi-bucket
+# parent's final bucket list.
+_PIPELINE_KINDS = ("cumulative_sum", "derivative", "bucket_sort")
+
+
+def _parse_bucket_sort(body, out_cols: list[str]):
+    """``bucket_sort`` body -> ([(column, direction)], from, size).
+    Sort targets take the pipeline path grammar (``_count`` ->
+    doc_count, ``_key`` -> key, metric name, ``stats-name.stat``);
+    ``gap_policy`` stays out of grammar — fail loud."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad bucket_sort body {body!r}")
+    unknown = set(body) - {"sort", "from", "size"}
+    if unknown:
+        raise DslError(
+            f"unsupported bucket_sort options {sorted(unknown)}")
+    raw = body.get("sort", [])
+    if isinstance(raw, (str, dict)):
+        raw = [raw]
+    if not isinstance(raw, list):
+        raise DslError(f"bad bucket_sort sort {body.get('sort')!r}")
+    keys = []
+    for s in raw:
+        if isinstance(s, str):
+            fld, d = s, "asc"
+        elif isinstance(s, dict) and len(s) == 1:
+            (fld, v), = s.items()
+            if isinstance(v, str):
+                d = v
+            elif isinstance(v, dict) and set(v) <= {"order"}:
+                d = v.get("order", "asc")
+            else:
+                raise DslError(f"bad bucket_sort sort entry {s!r}")
+        else:
+            raise DslError(f"bad bucket_sort sort entry {s!r}")
+        if d not in ("asc", "desc"):
+            raise DslError(f"bad bucket_sort direction {d!r}")
+        col = {"_count": "doc_count", "_key": "key"}.get(
+            fld, fld.replace(".", "_"))
+        if col not in out_cols:
+            raise DslError(
+                f"bucket_sort target {fld!r} is not a column of this "
+                f"bucket")
+        keys.append((col, d))
+    frm = body.get("from", 0)
+    size = body.get("size")
+    if isinstance(frm, bool) or not isinstance(frm, int) or frm < 0:
+        raise DslError(f"bad bucket_sort from {frm!r}")
+    if size is not None and (isinstance(size, bool)
+                             or not isinstance(size, int) or size < 1):
+        raise DslError(f"bad bucket_sort size {size!r}")
+    if not keys and size is None and frm == 0:
+        raise DslError("bucket_sort needs sort, from, or size")
+    return keys, frm, size
 
 
 def _split_pipeline(sub: dict):
@@ -3736,15 +3794,20 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         raise DslError(f"aggregation type {kind!r} not supported")
 
     pipes, sub = _split_pipeline(sub)
+    bsort = None
+    for n in [n for n, (k, _) in pipes.items() if k == "bucket_sort"]:
+        if bsort is not None:
+            raise DslError("at most one bucket_sort per aggregation")
+        bsort = pipes.pop(n)[1]
     metrics_spec, sub_bucket = _split_sub(sub)
     if pipes:
         if kind not in ("date_histogram", "histogram"):
             raise DslError(
                 "pipeline aggregations need a histogram-family parent "
                 "(ES: buckets must form a sequence)")
-        if sub_bucket is not None:
-            raise DslError("pipeline aggregations cannot combine with "
-                           "a nested bucket sub-aggregation")
+    if (pipes or bsort is not None) and sub_bucket is not None:
+        raise DslError("pipeline aggregations cannot combine with "
+                       "a nested bucket sub-aggregation")
     pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
     # metric order targets resolve against THIS level's metrics — in
     # nested mode the parent has none (metrics live at the leaf), so a
@@ -3790,6 +3853,21 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         out = out.orderBy(*porder)
         if psize is not None:
             out = out.limit(int(psize))
+        if bsort is not None:
+            # bucket_sort re-sorts/truncates the parent's OWN bucket
+            # list (post its order/size — the list ES would return);
+            # one window over bucket-cardinality rows
+            keys, frm, bsize = _parse_bucket_sort(bsort, out.columns)
+            order = ([F.desc(c) if d == "desc" else F.asc(c)
+                      for c, d in keys] + [F.asc("key")]
+                     if keys else list(porder))
+            wb = Window.orderBy(*order)
+            out = (out.withColumn("__bs", F.row_number().over(wb))
+                   .where(F.col("__bs") > frm))
+            if bsize is not None:
+                out = out.where(F.col("__bs") <= frm + bsize)
+            out = out.orderBy("__bs").drop("__bs")
+            porder = order
         # sibling pipelines read the FINAL bucket list (post
         # min_doc_count / order / size) — exactly the buckets ES returns
         return _apply_siblings(out, siblings, agg_name, porder)

@@ -515,6 +515,156 @@ def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
         "sugg string, rank int, suggestion string, score double")
 
 
+_COMPLETION_KEYS = {"field", "size", "skip_duplicates"}
+
+
+def _parse_completion(name: str, body: dict):
+    """One named completion entry -> (name, prefix, opts)."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad suggest entry {name!r}: {body!r}")
+    unknown = set(body) - {"prefix", "completion"}
+    if unknown:
+        raise DslError(
+            f"unsupported suggest keys in {name!r}: {sorted(unknown)} "
+            f"(regex/fuzzy completion prefixes are out of grammar)")
+    if "completion" not in body or not isinstance(body["completion"],
+                                                  dict):
+        raise DslError(f"suggest entry {name!r} needs a completion "
+                       f"block")
+    if "prefix" not in body or not isinstance(body["prefix"], str) \
+            or not body["prefix"]:
+        raise DslError(f"suggest entry {name!r} needs a non-empty "
+                       f"prefix")
+    comp = body["completion"]
+    unknown = set(comp) - _COMPLETION_KEYS
+    if unknown:
+        raise DslError(
+            f"unsupported completion options in {name!r}: "
+            f"{sorted(unknown)} (fuzzy/contexts need the FST/context "
+            f"machinery ES builds from dedicated completion fields)")
+    if "field" not in comp or not isinstance(comp["field"], str):
+        raise DslError(f"completion suggester {name!r} needs a field")
+    size = comp.get("size", 5)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"size must be a positive int, got {size!r}")
+    skip = comp.get("skip_duplicates", False)
+    if not isinstance(skip, bool):
+        raise DslError(f"skip_duplicates must be a bool, got {skip!r}")
+    # the engine's vocabulary is distinct by construction, so
+    # skip_duplicates is always satisfied — accepted as a no-op
+    prefix = body["prefix"].lower()
+    return name, prefix, {"field": comp["field"], "size": size}
+
+
+def _complete_over_vocab(entries, vocab_of) -> DataFrame:
+    """Rank prefix completions of a ``(term, df)`` vocabulary per
+    entry: one pushdown-friendly ``startswith`` filter + a top-size
+    window — candidate rows are prefix-ball-sized, never corpus-sized.
+    -> (sugg, prefix, rank, suggestion, score)."""
+    out = []
+    for name, prefix, opts in entries:
+        vocab = vocab_of(opts["field"])
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.desc("df"), F.asc("term"))
+        out.append(
+            vocab.where(F.col("term").startswith(prefix))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= opts["size"])
+            .select(F.lit(name).alias("sugg"),
+                    F.lit(prefix).alias("prefix"), "rank",
+                    F.col("term").alias("suggestion"),
+                    F.col("df").cast("double").alias("score")))
+    return reduce(DataFrame.unionByName, out).orderBy("sugg", "rank")
+
+
+def suggest_completion(docs_df: DataFrame, request: dict) -> DataFrame:
+    """ES ``completion`` suggester (search-as-you-type) — the engine's
+    analogue over the corpus vocabulary::
+
+        {"suggest": {<name>: {"prefix": str,
+                              "completion": {"field": f, "size": 5,
+                                             "skip_duplicates": bool}}}}
+
+    ES completes against dedicated ``completion`` fields (stored
+    input/weight pairs in an FST); the engine has no such field type,
+    so completions are VOCABULARY TERMS of the target field sharing
+    the (lowercased) prefix, scored by document frequency — the
+    documented weight analogue (ES scores by the indexed weight).
+    Ordering: score desc, term asc (deterministic tiebreak), top
+    ``size``. Fuzzy/regex prefixes and contexts stay out of grammar —
+    they need the FST machinery this engine deliberately lacks.
+
+    Scale: the prefix filter runs over the vocabulary (index-metadata
+    sized), not the corpus; the window ranks prefix-ball rows only."""
+    if not isinstance(request, dict) or not request:
+        raise DslError("suggest request must be a non-empty dict")
+    body = request.get("suggest", request)
+    if not isinstance(body, dict) or not body:
+        raise DslError("suggest request must be a non-empty dict")
+    entries = [_parse_completion(n, b) for n, b in body.items()]
+    vocabs = {}
+
+    def vocab_of(fld):
+        if fld not in vocabs:
+            if fld not in docs_df.columns:
+                raise DslError(f"suggest field {fld!r} is not a column")
+            vocabs[fld] = (
+                docs_df.select(F.explode(F.array_distinct(
+                    tokenize_column(F.col(fld)))).alias("term"))
+                .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+        return vocabs[fld]
+
+    return _complete_over_vocab(entries, vocab_of)
+
+
+def suggest_completion_indexed(
+    spark: SparkSession,
+    index_dir: str | list[str],
+    request: dict,
+) -> DataFrame:
+    """Indexed completion: candidate terms from the segments' terms
+    dim, df for the prefix-ball survivors through the postings df
+    cache — row-identical to :func:`suggest_completion` on the union
+    corpus (pytest-gated), corpus never read."""
+    from prow_jobs_scraper_spark.functions.xxh64 import (  # noqa: PLC0415
+        term_id_py,
+    )
+    from prow_jobs_scraper_spark.index.build import (  # noqa: PLC0415
+        IndexPaths,
+    )
+    from prow_jobs_scraper_spark.search.dsl import (  # noqa: PLC0415
+        _INDEXED_TEXT_FIELD,
+        _df_stats_multi,
+        _load_segments,
+    )
+
+    if not isinstance(request, dict) or not request:
+        raise DslError("suggest request must be a non-empty dict")
+    body = request.get("suggest", request)
+    if not isinstance(body, dict) or not body:
+        raise DslError("suggest request must be a non-empty dict")
+    entries = [_parse_completion(n, b) for n, b in body.items()]
+    other = {o["field"] for _, _, o in entries} - {_INDEXED_TEXT_FIELD}
+    if other:
+        raise DslError(
+            f"the compressed index holds the {_INDEXED_TEXT_FIELD!r} "
+            f"field only; completion targets {sorted(other)}")
+    dirs, metas, _n_docs, _avgdl = _load_segments(index_dir)
+    terms = reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(IndexPaths(d).terms).select("term")
+         for d in dirs]).distinct()
+    cond = reduce(lambda a, b: a | b,
+                  [F.col("term").startswith(p) for _, p, _ in entries])
+    ball = [r["term"] for r in terms.where(cond).collect()]
+    df_of = _df_stats_multi(spark, dirs, metas,
+                            [term_id_py(t) for t in ball])
+    vocab = spark.createDataFrame(
+        [(t, int(df_of.get(term_id_py(t), 0))) for t in ball]
+        or [("", 0)], "term string, df long").where(F.col("df") > 0)
+    return _complete_over_vocab(entries, lambda _fld: vocab)
+
+
 def suggest_terms_indexed(
     spark: SparkSession,
     index_dir: str | list[str],

@@ -1850,6 +1850,75 @@ def test_sibling_pipeline_aggs_match_duckdb(spark, docs, docs_pdf,
         got.sort_values("key").reset_index(drop=True))
 
 
+def test_bucket_sort_matches_duckdb(spark, docs, docs_pdf, dsl_index):
+    """ES bucket_sort: re-sort the terms agg's final bucket list by a
+    metric path with from/size paging; oracle = duckdb two-level
+    ORDER/OFFSET replay; both executors identical; works on terms
+    parents (unlike sequence pipelines)."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"by_tool": {
+        "terms": {"field": "tool", "size": 8},
+        "aggs": {
+            "avg_turn": {"avg": {"field": "turn_idx"}},
+            "paged": {"bucket_sort": {
+                "sort": [{"avg_turn": "desc"}], "from": 1, "size": 4}},
+        }}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT tool AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS avg_turn
+          FROM t WHERE tool IS NOT NULL GROUP BY 1
+          ORDER BY doc_count DESC, key ASC LIMIT 8)
+        SELECT * FROM b
+        ORDER BY avg_turn DESC, key ASC LIMIT 4 OFFSET 1
+    """).df()
+    assert len(got) == len(want) == 4
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["doc_count"].tolist() == want["doc_count"].astype(int).tolist()
+    np.testing.assert_allclose(got["avg_turn"], want["avg_turn"],
+                               rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+    # truncation-only form (no sort): keeps the parent's own order
+    req2 = {"aggs": {"by_tool": {
+        "terms": {"field": "tool"},
+        "aggs": {"pg": {"bucket_sort": {"from": 2, "size": 3}}}}}}
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    full = dsl_aggregate(docs, {"aggs": {"by_tool": {
+        "terms": {"field": "tool"}}}}).toPandas()
+    pd.testing.assert_frame_equal(
+        g2.reset_index(drop=True),
+        full.iloc[2:5].reset_index(drop=True))
+
+    for bad, msg in (
+        ({"sort": [{"nope": "desc"}]}, "not a column"),
+        ({"sort": [{"avg_turn": "desc"}],
+          "gap_policy": "skip"}, "unsupported bucket_sort"),
+        ({}, "needs sort"),
+        ({"sort": [{"_key": "up"}]}, "direction"),
+    ):
+        with pytest.raises(DslError, match=msg):
+            dsl_aggregate(docs, {"aggs": {"a": {
+                "terms": {"field": "tool"},
+                "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}},
+                         "p": {"bucket_sort": bad}}}}})
+    with pytest.raises(DslError, match="at most one bucket_sort"):
+        dsl_aggregate(docs, {"aggs": {"a": {
+            "terms": {"field": "tool"},
+            "aggs": {"p": {"bucket_sort": {"size": 2}},
+                     "q": {"bucket_sort": {"size": 3}}}}}})
+
+
 def test_sibling_pipeline_rejects(spark, docs):
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -3843,6 +3912,51 @@ def test_term_suggester(spark, docs, docs_pdf, dsl_index):
     ):
         with pytest.raises(DslError):
             parse_suggest({"suggest": bad})
+
+
+def test_completion_suggester(spark, docs, docs_pdf, dsl_index):
+    """ES completion suggester analogue: prefix-matched vocabulary
+    terms ranked by df, vs a pandas Counter replay; naive == indexed;
+    validation fails loud."""
+    from collections import Counter
+
+    from prow_jobs_scraper_spark.search.suggest import (
+        suggest_completion,
+        suggest_completion_indexed,
+    )
+
+    vocab = Counter(t for lst in tokenize_pandas(docs_pdf["text"])
+                    for t in set(lst))
+    req = {"suggest": {
+        "c": {"prefix": "te", "completion": {"field": "text",
+                                             "size": 3}},
+        "d": {"prefix": "w000", "completion": {
+            "field": "text", "size": 5, "skip_duplicates": True}},
+    }}
+    got = suggest_completion(docs, req).toPandas()
+    for name, prefix, size in (("c", "te", 3), ("d", "w000", 5)):
+        g = got[got["sugg"] == name]
+        want = sorted(
+            [(t, c) for t, c in vocab.items() if t.startswith(prefix)],
+            key=lambda x: (-x[1], x[0]))[:size]
+        assert g["suggestion"].tolist() == [w[0] for w in want], name
+        assert g["score"].tolist() == [float(w[1]) for w in want], name
+        assert g["rank"].tolist() == list(range(1, len(want) + 1))
+    gi = suggest_completion_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  gi.reset_index(drop=True))
+
+    for bad in (
+        {"c": {"completion": {"field": "text"}}},          # no prefix
+        {"c": {"prefix": "", "completion": {"field": "text"}}},
+        {"c": {"prefix": "t", "completion": {}}},          # no field
+        {"c": {"prefix": "t", "completion": {"field": "text",
+                                             "fuzzy": {}}}},
+        {"c": {"prefix": "t", "regex": "t.*",
+               "completion": {"field": "text"}}},
+    ):
+        with pytest.raises(DslError):
+            suggest_completion(docs, {"suggest": bad})
 
 
 # --------------------------------------------------------------------------
