@@ -2325,39 +2325,55 @@ _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
 
 
 def _parse_highlight(request: dict):
-    """ES ``highlight``: -> None or ``(fields, pre_tag, post_tag)``.
-    Whole-field mode ONLY — ``number_of_fragments: 0`` must be given
-    explicitly (globally or on every field): ES's default behaviour
-    returns scored fragments, so silently returning the whole field
-    would diverge — out-of-grammar fails loud instead."""
+    """ES ``highlight``: -> None or ``(fields, pre_tag, post_tag,
+    order)`` with fields = ``[(name, number_of_fragments,
+    fragment_size), ...]``.
+
+    ``number_of_fragments`` must be given explicitly (globally or per
+    field): 0 = whole-field tagging (a string column); N > 0 = the
+    word-boundary fragmenter (an array column of up to N tagged
+    fragments of ~``fragment_size`` chars, default 100 — see
+    :func:`_fragment_highlight` for the documented deviations from
+    Lucene's sentence-aware passage scorer). ``order: "score"``
+    returns fragments best-first; the default keeps text order (ES).
+    An implicit default would silently diverge from the user's
+    cluster, so absence fails loud."""
     h = request.get("highlight")
     if h is None:
         return None
     if not isinstance(h, dict):
         raise DslError(f"bad highlight body {h!r}")
     unknown = set(h) - {"fields", "pre_tags", "post_tags",
-                        "number_of_fragments"}
+                        "number_of_fragments", "fragment_size", "order"}
     if unknown:
         raise DslError(f"unsupported highlight options {sorted(unknown)}")
     flds = h.get("fields")
     if not isinstance(flds, dict) or not flds:
         raise DslError("highlight needs fields: {<field>: {...}}")
+    order = h.get("order", "none")
+    if order not in ("none", "score"):
+        raise DslError(f"highlight order must be none|score, got "
+                       f"{order!r}")
     global_nf = h.get("number_of_fragments")
+    global_fs = h.get("fragment_size", 100)
     fields = []
     for fld, body in flds.items():
         if not isinstance(body, dict):
             raise DslError(f"bad highlight field body {body!r}")
-        unknown = set(body) - {"number_of_fragments"}
+        unknown = set(body) - {"number_of_fragments", "fragment_size"}
         if unknown:
             raise DslError(
                 f"unsupported highlight field options {sorted(unknown)}")
         nf = body.get("number_of_fragments", global_nf)
-        if nf != 0:
+        if isinstance(nf, bool) or not isinstance(nf, int) or nf < 0:
             raise DslError(
-                "highlight supports number_of_fragments: 0 (whole "
-                "field) only — set it explicitly; fragmenting is out "
-                "of grammar")
-        fields.append(_ident(fld))
+                "highlight needs an explicit number_of_fragments "
+                "(0 = whole field, N > 0 = fragments) — ES's implicit "
+                "default would silently diverge")
+        fs = body.get("fragment_size", global_fs)
+        if isinstance(fs, bool) or not isinstance(fs, int) or fs < 1:
+            raise DslError(f"bad fragment_size {fs!r}")
+        fields.append((_ident(fld), nf, fs))
 
     def tag(key, dflt):
         v = h.get(key, [dflt])
@@ -2368,7 +2384,8 @@ def _parse_highlight(request: dict):
             raise DslError(f"{key} must be a single tag")
         return v[0]
 
-    return fields, tag("pre_tags", "<em>"), tag("post_tags", "</em>")
+    return (fields, tag("pre_tags", "<em>"), tag("post_tags", "</em>"),
+            order)
 
 
 def _highlight_terms(spec: QuerySpec, field: str) -> list[str]:
@@ -2395,29 +2412,95 @@ def _highlight_terms(spec: QuerySpec, field: str) -> list[str]:
     return sorted(out)
 
 
+def _fragment_highlight(pat: str, pre: str, post: str, nf: int,
+                        fsize: int, order: str):
+    """Arrow-batched fragmenting highlighter -> a pandas UDF producing
+    ``array<string>`` of up to ``nf`` tagged fragments per row.
+
+    Documented deviations from Lucene's unified highlighter (which
+    scores sentence-bounded passages with per-term BM25 weights over
+    index offsets): fragments break at WHITESPACE token boundaries,
+    growing greedily to ``fragment_size`` chars (always at least one
+    token); fragment score = the count of matched-term occurrences
+    (ties broken by text position); selection keeps the ``nf``
+    best-scoring fragments with at least one match, returned in text
+    order (``order: "none"``) or score-desc (``order: "score"``).
+    Deterministic, so the pytest replay pins it exactly.
+
+    Scale: this runs on the top-k JOIN-BACK rows only (from+size rows,
+    never the corpus), so per-row python inside the Arrow batch is
+    bounded by the page size — the same budget class as the rescore
+    window."""
+    import re as _re2  # noqa: PLC0415
+
+    rx = _re2.compile(pat[4:] if pat.startswith("(?i)") else pat,
+                      _re2.IGNORECASE)
+    tok_rx = _re2.compile(r"\S+")
+
+    def frag_one(text):
+        if text is None:
+            return None
+        spans = [(m.start(), m.end()) for m in tok_rx.finditer(text)]
+        if not spans:
+            return None
+        frags = []  # (start, end)
+        i = 0
+        while i < len(spans):
+            start = spans[i][0]
+            end = spans[i][1]
+            j = i + 1
+            while j < len(spans) and spans[j][1] - start <= fsize:
+                end = spans[j][1]
+                j += 1
+            frags.append((start, end))
+            i = j
+        scored = []
+        for pos, (s0, e0) in enumerate(frags):
+            chunk = text[s0:e0]
+            n = len(rx.findall(chunk))
+            if n > 0:
+                scored.append((-n, pos, chunk))
+        if not scored:
+            return None
+        scored.sort()
+        top = scored[:nf]
+        if order == "none":
+            top.sort(key=lambda x: x[1])
+        return [rx.sub(pre + r"\1" + post, c) for _, _, c in top]
+
+    @F.pandas_udf("array<string>")
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(frag_one)
+
+    return udf
+
+
 def _apply_highlight(hits: DataFrame, docs_df: DataFrame,
                      spec: QuerySpec, hl) -> DataFrame:
-    """Join the hit set back to the corpus rows and wrap every
-    occurrence of a highlightable term in the tags — one broadcast-
-    sized join (the hits frame is top-k rows) + codegen
-    regexp_replace; the corpus is touched only for the joined rows'
-    columns. Fields with no matched term carry NULL (ES omits the
-    field from the highlight block)."""
-    fields, pre, post = hl
-    missing = [f for f in fields if f not in docs_df.columns]
+    """Join the hit set back to the corpus rows and tag matched terms —
+    one broadcast-sized join (the hits frame is top-k rows), then
+    codegen regexp_replace (whole-field mode) or the Arrow fragmenter
+    (``number_of_fragments`` > 0); the corpus is touched only for the
+    joined rows' columns. Fields with no matched term carry NULL (ES
+    omits the field from the highlight block)."""
+    fields, pre, post, order = hl
+    missing = [f for f, _, _ in fields if f not in docs_df.columns]
     if missing:
         raise DslError(f"highlight fields {missing} are not columns")
     if "doc_id" not in docs_df.columns \
             and {"conv_id", "turn_idx"} <= set(docs_df.columns):
         docs_df = with_doc_ids(docs_df)  # raw transcripts: attach the
         # engine key so the top-k join-back can resolve
-    out = hits.join(docs_df.select("doc_id", *fields), "doc_id", "left")
-    for fld in fields:
+    out = hits.join(
+        docs_df.select("doc_id", *[f for f, _, _ in fields]),
+        "doc_id", "left")
+    for fld, nf, fsize in fields:
         terms = _highlight_terms(spec, fld)
         col = F.col(fld)
         if not terms:
-            expr = F.lit(None).cast("string")
-        else:
+            expr = F.lit(None).cast(
+                "string" if nf == 0 else "array<string>")
+        elif nf == 0:
             # terms are analyzer output ([a-z0-9_]+) — regex-safe by
             # construction; (?i) + \b word bounds parse identically in
             # Java (Spark) and RE2 (the DuckDB oracle replay)
@@ -2425,9 +2508,13 @@ def _apply_highlight(hits: DataFrame, docs_df: DataFrame,
             expr = F.when(
                 col.rlike(pat),
                 F.regexp_replace(col, pat, pre + "$1" + post))
+        else:
+            pat = "(?i)\\b(" + "|".join(terms) + ")\\b"
+            expr = _fragment_highlight(pat, pre, post, nf, fsize,
+                                       order)(col)
         out = out.withColumn(f"highlight_{fld}", expr)
     return (out.select("doc_id", "score",
-                       *[f"highlight_{f}" for f in fields])
+                       *[f"highlight_{f}" for f, _, _ in fields])
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 

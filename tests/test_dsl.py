@@ -4283,11 +4283,14 @@ def test_highlight(spark, docs, docs_pdf, dsl_index):
     for bad in (
         {"highlight": {"fields": {"text": {}}}},          # nf missing
         {"highlight": {"fields": {"text": {}},
-                       "number_of_fragments": 3}},
+                       "number_of_fragments": -1}},
         {"highlight": {"fields": {}}},
         {"highlight": {"fields": {"text": {}},
-                       "number_of_fragments": 0,
-                       "fragment_size": 100}},
+                       "number_of_fragments": 3,
+                       "fragment_size": 0}},
+        {"highlight": {"fields": {"text": {}},
+                       "number_of_fragments": 3,
+                       "order": "relevance"}},
         {"highlight": {"fields": {"text": {"type": "fvh"}},
                        "number_of_fragments": 0}},
         {"highlight": {"fields": {"text": {}},
@@ -4303,6 +4306,86 @@ def test_highlight(spark, docs, docs_pdf, dsl_index):
                 "query": {"match": {"text": "spark"}}, **bad})
     with pytest.raises(DslError):  # indexed needs the corpus text
         execute_request_indexed(spark, dsl_index, req, docs_df=None)
+
+
+def _fragment_oracle(text, terms, nf, fsize, order, pre="<em>",
+                     post="</em>"):
+    """Independent python replay of the engine's documented fragmenter
+    rules (whitespace-boundary greedy fragments, match-count scoring,
+    position tiebreak, text-order or score-order output)."""
+    import re
+
+    if text is None:
+        return None
+    rx = re.compile(r"\b(" + "|".join(terms) + r")\b", re.IGNORECASE)
+    spans = [(m.start(), m.end())
+             for m in re.finditer(r"\S+", text)]
+    if not spans:
+        return None
+    frags, i = [], 0
+    while i < len(spans):
+        start, end, j = spans[i][0], spans[i][1], i + 1
+        while j < len(spans) and spans[j][1] - start <= fsize:
+            end = spans[j][1]
+            j += 1
+        frags.append(text[start:end])
+        i = j
+    scored = [(-len(rx.findall(c)), pos, c)
+              for pos, c in enumerate(frags) if rx.findall(c)]
+    if not scored:
+        return None
+    scored.sort()
+    top = scored[:nf]
+    if order == "none":
+        top.sort(key=lambda x: x[1])
+    return [rx.sub(pre + r"\1" + post, c) for _, _, c in top]
+
+
+def test_fragment_highlight(spark, docs, docs_pdf, dsl_index):
+    """Fragmenting highlighter (number_of_fragments > 0): array of
+    tagged fragments vs the independent python replay, text-order vs
+    score-order, indexed == naive, NULL on matchless fields."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    req = {"query": {"match": {"text": {"query": "spark agent",
+                                        "operator": "or"}}},
+           "size": 8,
+           "highlight": {"fields": {"text": {}},
+                         "number_of_fragments": 2,
+                         "fragment_size": 60}}
+    got = execute_request(docs, req).toPandas()
+    assert list(got.columns) == ["doc_id", "score", "highlight_text"]
+    text_of = dict(zip(docs_pdf["doc_id"], docs_pdf["text"]))
+    for _, r in got.iterrows():
+        want = _fragment_oracle(text_of[r["doc_id"]],
+                                ["agent", "spark"], 2, 60, "none")
+        assert list(r["highlight_text"]) == want, r["doc_id"]
+        assert len(r["highlight_text"]) <= 2
+        assert all("<em>" in f for f in r["highlight_text"])
+    gi = execute_request_indexed(spark, dsl_index, req,
+                                 docs_df=docs).toPandas()
+    assert [list(x) for x in gi["highlight_text"]] \
+        == [list(x) for x in got["highlight_text"]]
+
+    # order: score puts the best fragment first even when it appears
+    # later in the text; verify against the replay on every hit
+    reqs = {**req, "highlight": {**req["highlight"], "order": "score"}}
+    gs = execute_request(docs, reqs).toPandas()
+    for _, r in gs.iterrows():
+        want = _fragment_oracle(text_of[r["doc_id"]],
+                                ["agent", "spark"], 2, 60, "score")
+        assert list(r["highlight_text"]) == want, r["doc_id"]
+
+    # a fragment request on a field with no positive term -> NULL array
+    reqn = {"query": {"bool": {"filter": [{"term": {"role": "user"}}]}},
+            "size": 3,
+            "highlight": {"fields": {"text": {}},
+                          "number_of_fragments": 2}}
+    gn = execute_request(docs, reqn).toPandas()
+    assert gn["highlight_text"].isna().all()
 
 
 def test_missing_agg(spark, docs, docs_pdf, dsl_index):
