@@ -904,6 +904,11 @@ def _search_aggs_metrics(spark, sf_dir):
       restrictive query (shape='global').
     - ``bucket_sort`` (round 5): the terms buckets re-sorted by their
       avg metric with from/size paging (shape='bsort', val=avg).
+    - ``extended_stats`` (round 5): eight stats unpivoted
+      (shape='estats'); ``adjacency_matrix`` (round 5): singles +
+      alphabetical pairwise intersections (shape='adjacency');
+      ``weighted_avg`` (round 5): lineitem price by quantity
+      (shape='wavg').
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1003,10 +1008,42 @@ def _search_aggs_metrics(spark, sf_dir):
     ).select(
         F.lit("bsort").alias("shape"), "key", "doc_count",
         F.round("av", 6).alias("val"))
+    # extended_stats (round 5): eight flattened stats of the window's
+    # value column, unpivoted (round 3: sum_of_squares is ~1e9 at
+    # sf0.01 — coarser rounding absorbs summation-order ulps)
+    es2 = dsl_aggregate(ev, {**q, "aggs": {"x": {
+        "extended_stats": {"field": "value"}}}}).select(F.expr(
+        "stack(8, 'count', CAST(x_count AS DOUBLE), 'min', x_min, "
+        "'max', x_max, 'avg', x_avg, 'sum', x_sum, "
+        "'sum_of_squares', x_sum_of_squares, 'variance', x_variance, "
+        "'std_deviation', x_std_deviation) AS (key, val)")).select(
+        F.lit("estats").alias("shape"), "key",
+        F.lit(None).cast("long").alias("doc_count"),
+        F.round("val", 3).alias("val"))
+    # adjacency_matrix (round 5): singles + pairwise intersections,
+    # key-sorted, non-empty only (search/dsl.py _apply_multibucket_agg)
+    aj = dsl_aggregate(ev, {**q, "aggs": {"adj": {"adjacency_matrix": {
+        "filters": {
+            "err": {"term": {"event_type": "error"}},
+            "hi": {"range": {"value": {"gte": 400}}},
+            "wk1": {"range": {"ts": {"lt": "2024-01-15"}}},
+        }}}}}).select(
+        F.lit("adjacency").alias("shape"), "key", "doc_count",
+        nd.alias("val"))
+    # weighted_avg (round 5): lineitem price weighted by quantity
+    li = _t(spark, sf_dir, "lineitem")
+    wa = dsl_aggregate(li, {"aggs": {"wv": {"weighted_avg": {
+        "value": {"field": "l_extendedprice"},
+        "weight": {"field": "l_quantity"}}}}}).select(
+        F.lit("wavg").alias("shape"),
+        F.lit("price_by_qty").alias("key"),
+        F.lit(None).cast("long").alias("doc_count"),
+        F.round("wv", 4).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
-            .unionByName(gl).unionByName(bs))
+            .unionByName(gl).unionByName(bs).unionByName(es2)
+            .unionByName(aj).unionByName(wa))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2225,6 +2262,38 @@ SELECT 'bsort', key, doc_count, round(av, 6) FROM (
     FROM w WHERE event_type IS NOT NULL
     GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10)
   ORDER BY av DESC, key ASC LIMIT 3 OFFSET 1)
+UNION ALL
+-- extended_stats twin: eight stats unpivoted; population variance
+SELECT 'estats', k, NULL::BIGINT, round(v, 3) FROM (
+  SELECT unnest(['count', 'min', 'max', 'avg', 'sum',
+                 'sum_of_squares', 'variance', 'std_deviation']) AS k,
+         unnest([CAST(count(value) AS DOUBLE), min(value), max(value),
+                 avg(value), sum(value), sum(value * value),
+                 var_pop(value), stddev_pop(value)]) AS v
+  FROM w)
+UNION ALL
+-- adjacency_matrix twin: singles + alphabetical-pair intersections,
+-- non-empty only, key-sorted
+SELECT 'adjacency', k, c, NULL::DOUBLE FROM (
+  SELECT 'err' k, count(*) c FROM w WHERE event_type = 'error'
+  UNION ALL SELECT 'hi', count(*) FROM w WHERE value >= 400
+  UNION ALL SELECT 'wk1', count(*) FROM w
+            WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  UNION ALL SELECT 'err&hi', count(*) FROM w
+            WHERE event_type = 'error' AND value >= 400
+  UNION ALL SELECT 'err&wk1', count(*) FROM w
+            WHERE event_type = 'error'
+              AND ts < TIMESTAMP '2024-01-15 00:00:00'
+  UNION ALL SELECT 'hi&wk1', count(*) FROM w
+            WHERE value >= 400
+              AND ts < TIMESTAMP '2024-01-15 00:00:00')
+WHERE c > 0
+UNION ALL
+-- weighted_avg twin: sum(v*w)/sum(w) over lineitem
+SELECT 'wavg', 'price_by_qty', NULL::BIGINT,
+       round(sum(l_extendedprice * l_quantity)
+             / sum(l_quantity::DOUBLE), 4)
+FROM lineitem
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

@@ -2896,6 +2896,53 @@ def _stats_exprs(name: str, field: str) -> list:
     ]
 
 
+_EXT_STATS = ("count", "min", "max", "avg", "sum", "sum_of_squares",
+              "variance", "std_deviation")
+
+
+def _extended_stats_exprs(name: str, body) -> list:
+    """ES ``extended_stats`` — the ``stats`` columns plus
+    sum_of_squares / POPULATION variance / std_deviation (the ES
+    definitions), flattened to ``<name>_<stat>``. ``sigma`` and the
+    std_deviation_bounds block are derivable client-side from these
+    columns and stay out of grammar (a silently-ignored sigma is the
+    usual divergence trap)."""
+    fld = _metric_field("extended_stats", body)
+    f = F.col(fld).cast("double")
+    return [
+        F.count(f).alias(f"{name}_count"),
+        F.min(f).alias(f"{name}_min"),
+        F.max(f).alias(f"{name}_max"),
+        F.avg(f).alias(f"{name}_avg"),
+        F.sum(f).alias(f"{name}_sum"),
+        F.sum(f * f).alias(f"{name}_sum_of_squares"),
+        F.var_pop(f).alias(f"{name}_variance"),
+        F.stddev_pop(f).alias(f"{name}_std_deviation"),
+    ]
+
+
+def _weighted_avg_expr(name: str, body):
+    """ES ``weighted_avg``: ``sum(value * weight) / sum(weight)``.
+    Docs where value OR weight is NULL contribute nothing (the ES
+    no-``missing`` default; the ``missing`` fills stay out of
+    grammar)."""
+    if not isinstance(body, dict) or set(body) != {"value", "weight"}:
+        raise DslError(
+            f"weighted_avg needs exactly value and weight blocks, "
+            f"got {body!r}")
+    cols = {}
+    for part in ("value", "weight"):
+        b = body[part]
+        if not isinstance(b, dict) or set(b) != {"field"}:
+            raise DslError(
+                f"weighted_avg {part} must be {{'field': f}}, got {b!r}")
+        cols[part] = F.col(_ident(b["field"])).cast("double")
+    v, w = cols["value"], cols["weight"]
+    both = v.isNotNull() & w.isNotNull()
+    return (F.sum(F.when(both, v * w))
+            / F.sum(F.when(both, w))).alias(name)
+
+
 # the ES default percents list (percentiles agg docs)
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -2947,8 +2994,14 @@ def _metric_exprs(sub_aggs: dict) -> list:
         if kind == "stats":
             cols.extend(_stats_exprs(name, _metric_field(kind, body)))
             continue
+        if kind == "extended_stats":
+            cols.extend(_extended_stats_exprs(name, body))
+            continue
         if kind == "percentiles":
             cols.extend(_percentile_exprs(name, body))
+            continue
+        if kind == "weighted_avg":
+            cols.append(_weighted_avg_expr(name, body))
             continue
         if kind not in _METRIC_FNS:
             raise DslError(
@@ -3007,6 +3060,15 @@ def dsl_aggregate(
     - ``{"filters": {"filters": {name: metadata-clause | match_all,
       ...}}}`` -> (key=name, doc_count [, sub metrics]) in definition
       order; one doc may land in several named buckets.
+    - ``{"adjacency_matrix": {"filters": {...}, "separator": "&"}}``
+      -> one bucket per filter plus one per pairwise intersection
+      (key "a&b"), key-sorted, non-empty only (the ES rule).
+    - metrics also include ``extended_stats`` (eight
+      ``<name>_<stat>`` columns incl. sum_of_squares / population
+      variance / std_deviation) and ``weighted_avg``
+      (``{"value": {"field": v}, "weight": {"field": w}}``).
+    - ``serial_diff`` joins the parent pipelines (lag-``n``
+      difference; the first ``n`` buckets are NULL).
     - ``{"missing": {"field": f}}`` -> one row: the qualifying docs
       lacking the field (flattened to its doc_count; sub-aggs inside
       the missing bucket fail loud).
@@ -3102,7 +3164,8 @@ _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 # running sum / difference to be defined over, exactly the ES
 # restriction); bucket_sort re-sorts/truncates ANY multi-bucket
 # parent's final bucket list.
-_PIPELINE_KINDS = ("cumulative_sum", "derivative", "bucket_sort")
+_PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
+                   "bucket_sort")
 
 
 def _parse_bucket_sort(body, out_cols: list[str]):
@@ -3181,7 +3244,9 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
     return different values than the user's ES cluster."""
     if not isinstance(body, dict) or "buckets_path" not in body:
         raise DslError(f"{kind} needs a buckets_path, got {body!r}")
-    unknown = set(body) - {"buckets_path"}
+    allowed = {"buckets_path"} | ({"lag"} if kind == "serial_diff"
+                                  else set())
+    unknown = set(body) - allowed
     if unknown:
         raise DslError(f"unsupported {kind} options {sorted(unknown)}")
     p = body["buckets_path"]
@@ -3426,6 +3491,8 @@ def _metric_out_names(sub_aggs: dict) -> list[str]:
         if kind == "stats":
             names.extend(f"{name}_{s}"
                          for s in ("count", "min", "max", "avg", "sum"))
+        elif kind == "extended_stats":
+            names.extend(f"{name}_{s}" for s in _EXT_STATS)
         elif kind == "percentiles":
             names.extend(f"{name}_p{_pct_label(p)}"
                          for p in _percents_of(body))
@@ -3483,6 +3550,38 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
                 cond = cond & (col < F.lit(to))    # ES: to exclusive
             key = r.get("key") or f"{_es_bound(frm)}-{_es_bound(to)}"
             buckets.append((i, key, cond))
+    elif kind == "adjacency_matrix":
+        # ES adjacency_matrix: one bucket per named filter plus one
+        # per PAIRWISE intersection (key "a&b"); ES returns only
+        # non-empty buckets, key-sorted — exactly the flattened
+        # output's behaviour, so no deviation here. Same map-side
+        # explode fan-out as filters: N + C(N,2) conditions, one scan.
+        unknown = set(body) - {"filters", "separator"}
+        if unknown:
+            raise DslError(
+                f"unsupported adjacency_matrix options "
+                f"{sorted(unknown)}")
+        sep = body.get("separator", "&")
+        if not isinstance(sep, str) or not sep:
+            raise DslError(f"bad separator {sep!r}")
+        named = body.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise DslError("adjacency_matrix needs named filters")
+        if any(sep in n for n in named):
+            raise DslError(
+                f"filter keys must not contain the separator {sep!r}")
+        # ES sorts the filter keys, so intersection keys are always
+        # alphabetical within the pair ("bash&early", never
+        # "early&bash")
+        singles = sorted(
+            ((n, _filter_cond(n, clause)) for n, clause in named.items()),
+            key=lambda x: x[0])
+        pairs = [(f"{a}{sep}{b}", ca & cb)
+                 for i, (a, ca) in enumerate(singles)
+                 for b, cb in singles[i + 1:]]
+        for i, (key, cond) in enumerate(
+                sorted(singles + pairs, key=lambda x: x[0])):
+            buckets.append((i, key, cond))
     else:  # filters
         unknown = set(body) - {"filters"}
         if unknown:
@@ -3492,20 +3591,7 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
         if not isinstance(named, dict) or not named:
             raise DslError("filters aggregation needs named filters")
         for i, (name, clause) in enumerate(named.items()):
-            if not isinstance(clause, dict) or len(clause) != 1:
-                raise DslError(f"bad filter {name!r}")
-            (ck, cb), = clause.items()
-            if ck == "match_all":
-                cond = F.lit(True)
-            elif ck in ("term", "terms", "range", "exists", "prefix",
-                        "wildcard", "regexp", "ids"):
-                cond = F.coalesce(F.expr(_compile_meta(ck, cb)[0]),
-                                  F.lit(False))
-            else:
-                raise DslError(
-                    f"filters agg supports metadata clauses and "
-                    f"match_all, got {ck!r}")
-            buckets.append((i, name, cond))
+            buckets.append((i, name, _filter_cond(name, clause)))
     if len({k for _, k, _ in buckets}) != len(buckets):
         raise DslError(f"duplicate bucket keys in {kind} aggregation")
 
@@ -3523,6 +3609,23 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
         .orderBy("__rank")
         .drop("__rank")
     )
+
+
+def _filter_cond(name: str, clause):
+    """One named filter of a filters/adjacency_matrix agg -> a boolean
+    Column (metadata clauses and match_all; NULL -> False)."""
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise DslError(f"bad filter {name!r}")
+    (ck, cb), = clause.items()
+    if ck == "match_all":
+        return F.lit(True)
+    if ck in ("term", "terms", "range", "exists", "prefix",
+              "wildcard", "regexp", "ids"):
+        return F.coalesce(F.expr(_compile_meta(ck, cb)[0]),
+                          F.lit(False))
+    raise DslError(
+        f"filters agg supports metadata clauses and match_all, "
+        f"got {ck!r}")
 
 
 def _apply_top_hits(frame: DataFrame, agg_name: str, kind: str,
@@ -3868,14 +3971,18 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
             _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))
     if kind == "stats" and not sub:
         return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
+    if kind == "extended_stats" and not sub:
+        return frame.agg(*_extended_stats_exprs(agg_name, body))
     if kind == "percentiles" and not sub:
         return frame.agg(*_percentile_exprs(agg_name, body))
+    if kind == "weighted_avg" and not sub:
+        return frame.agg(_weighted_avg_expr(agg_name, body))
     if kind == "composite":
         return _apply_composite(frame, agg_name, body, sub)
     if sub and any(isinstance(v, dict) and "top_hits" in v
                    for v in sub.values()):
         return _apply_top_hits(frame, agg_name, kind, body, sub)
-    if kind in ("range", "filters"):
+    if kind in ("range", "filters", "adjacency_matrix"):
         return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")
@@ -3934,6 +4041,15 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                 path = _pipeline_path(pk, pb, mcols)
                 if pk == "cumulative_sum":
                     out = out.withColumn(name, F.sum(path).over(run))
+                elif pk == "serial_diff":
+                    # lag-n difference (ES serial differencing); the
+                    # first n buckets have no predecessor -> NULL
+                    lag = pb.get("lag", 1)
+                    if isinstance(lag, bool) or not isinstance(lag, int) \
+                            or lag < 1:
+                        raise DslError(f"bad serial_diff lag {lag!r}")
+                    out = out.withColumn(
+                        name, F.col(path) - F.lag(path, lag).over(seq))
                 else:  # derivative: ES omits the first bucket -> NULL
                     out = out.withColumn(
                         name, F.col(path) - F.lag(path).over(seq))

@@ -1919,6 +1919,123 @@ def test_bucket_sort_matches_duckdb(spark, docs, docs_pdf, dsl_index):
                      "q": {"bucket_sort": {"size": 3}}}}}})
 
 
+def test_extended_stats_weighted_avg_adjacency(spark, docs, docs_pdf,
+                                               dsl_index):
+    """Round-5 metric/bucket closure: extended_stats (population
+    variance/std), weighted_avg, serial_diff lag-2, and the
+    adjacency_matrix agg — all vs duckdb replays, both executors."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+
+    # extended_stats + weighted_avg inside a terms bucket
+    req = {"aggs": {"by_role": {
+        "terms": {"field": "role"},
+        "aggs": {
+            "es": {"extended_stats": {"field": "turn_idx"}},
+            "wa": {"weighted_avg": {"value": {"field": "turn_idx"},
+                                    "weight": {"field": "n_chars"}}},
+        }}}}
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    got = dsl_aggregate(
+        docs.withColumn("n_chars", F.length("text")), req).toPandas()
+    want = con.sql("""
+        SELECT role AS key, count(*) AS doc_count,
+               count(turn_idx) AS es_count, min(turn_idx) AS es_min,
+               max(turn_idx) AS es_max, avg(turn_idx) AS es_avg,
+               sum(turn_idx) AS es_sum,
+               sum(turn_idx::DOUBLE * turn_idx) AS es_sum_of_squares,
+               var_pop(turn_idx) AS es_variance,
+               stddev_pop(turn_idx) AS es_std_deviation,
+               sum(turn_idx::DOUBLE * len(text)) / sum(len(text)::DOUBLE)
+                 AS wa
+        FROM t GROUP BY 1 ORDER BY doc_count DESC, key ASC
+    """).df()
+    assert got["key"].tolist() == want["key"].tolist()
+    for c in ("es_min", "es_max", "es_avg", "es_sum",
+              "es_sum_of_squares", "es_variance", "es_std_deviation",
+              "wa"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                   err_msg=c)
+    # the indexed twin runs over doc_stats, which lacks the derived
+    # n_chars column — check extended_stats alone there
+    req2 = {"aggs": {"by_role": {
+        "terms": {"field": "role"},
+        "aggs": {"es": {"extended_stats": {"field": "turn_idx"}}}}}}
+    gi = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        g2.sort_values("key").reset_index(drop=True))
+
+    # serial_diff lag 2 over weekly buckets
+    req3 = {"aggs": {"wk": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"sd": {"serial_diff": {"buckets_path": "_count",
+                                        "lag": 2}}}}}}
+    g3 = dsl_aggregate(docs, req3).toPandas()
+    w3 = con.sql("""
+        SELECT key, doc_count,
+               doc_count - lag(doc_count, 2) OVER (ORDER BY key) AS sd
+        FROM (SELECT date_trunc('week', ts) AS key,
+                     count(*) AS doc_count FROM t GROUP BY 1)
+        ORDER BY key
+    """).df()
+    assert g3["doc_count"].tolist() == w3["doc_count"].astype(int).tolist()
+    assert pd.isna(g3["sd"].iloc[0]) and pd.isna(g3["sd"].iloc[1])
+    assert g3["sd"].iloc[2:].tolist() == w3["sd"].iloc[2:].astype(
+        int).tolist()
+
+    # adjacency_matrix: singles + pairwise intersections, key-sorted
+    req4 = {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "early": {"range": {"turn_idx": {"lt": 10}}},
+        "usr": {"term": {"role": "user"}},
+        "bash": {"term": {"tool": "bash"}},
+    }}}}}
+    g4 = dsl_aggregate(docs, req4).toPandas()
+    w4 = con.sql("""
+        SELECT k AS key, c AS doc_count FROM (
+          SELECT 'early' k, count(*) c FROM t WHERE turn_idx < 10
+          UNION ALL SELECT 'usr', count(*) FROM t WHERE role = 'user'
+          UNION ALL SELECT 'bash', count(*) FROM t WHERE tool = 'bash'
+          UNION ALL SELECT 'early&usr', count(*) FROM t
+                    WHERE turn_idx < 10 AND role = 'user'
+          UNION ALL SELECT 'bash&early', count(*) FROM t
+                    WHERE tool = 'bash' AND turn_idx < 10
+          UNION ALL SELECT 'bash&usr', count(*) FROM t
+                    WHERE tool = 'bash' AND role = 'user')
+        WHERE c > 0 ORDER BY key
+    """).df()
+    assert g4["key"].tolist() == w4["key"].tolist()
+    assert g4["doc_count"].tolist() == w4["doc_count"].astype(int).tolist()
+    gi4 = dsl_aggregate_indexed(spark, dsl_index, req4).toPandas()
+    pd.testing.assert_frame_equal(
+        gi4.reset_index(drop=True), g4.reset_index(drop=True))
+
+    for bad in (
+        {"a": {"extended_stats": {"field": "turn_idx", "sigma": 3}}},
+        {"a": {"weighted_avg": {"value": {"field": "turn_idx"}}}},
+        {"a": {"weighted_avg": {"value": {"field": "turn_idx"},
+                                "weight": {"field": "turn_idx",
+                                           "missing": 1}}}},
+        {"a": {"adjacency_matrix": {"filters": {
+            "x&y": {"term": {"role": "user"}},
+            "z": {"term": {"role": "tool"}}}}}},
+        {"a": {"adjacency_matrix": {"filters": {
+            "x": {"term": {"role": "user"}}}, "separator": ""}}},
+        {"wk": {"date_histogram": {"field": "ts",
+                                   "calendar_interval": "week"},
+                "aggs": {"sd": {"serial_diff": {
+                    "buckets_path": "_count", "lag": 0}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": bad}).collect()
+
+
 def test_sibling_pipeline_rejects(spark, docs):
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
