@@ -1441,7 +1441,15 @@ def _parse_rank_feature(body: dict) -> QuerySpec:
         pivot = _fscore_num(spec["pivot"], "pivot", lo=0.0, lo_open=True)
         exp = _fscore_num(spec["exponent"], "exponent",
                           lo=0.0, lo_open=True)
-        pe = _sql_lit(pivot ** exp)
+        try:
+            pe_val = pivot ** exp
+        except OverflowError:
+            pe_val = math.inf
+        if not math.isfinite(pe_val) or pe_val <= 0:
+            raise DslError(
+                f"rank_feature sigmoid pivot^exponent overflows a "
+                f"double (pivot={pivot!r}, exponent={exp!r})")
+        pe = _sql_lit(pe_val)
         value_sql = (f"(pow({s}, {_sql_lit(exp)}) / "
                      f"(pow({s}, {_sql_lit(exp)}) + {pe}))")
     pred = f"(({field} IS NOT NULL) AND (cast({field} as double) > 0.0))"
@@ -1494,7 +1502,13 @@ def _parse_distance_feature(body: dict) -> QuerySpec:
         raise DslError(
             f"distance_feature origin must be a datetime or date math, "
             f"got {body['origin']!r}")
-    origin_s = int(origin.replace(tzinfo=_dt.timezone.utc).timestamp())
+    # an explicit offset must CONVERT to UTC, not be reinterpreted
+    # (replace() on an aware datetime would silently shift the instant)
+    if origin.tzinfo is not None:
+        origin = origin.astimezone(_dt.timezone.utc)
+    else:
+        origin = origin.replace(tzinfo=_dt.timezone.utc)
+    origin_s = int(origin.timestamp())
     pivot_s = _time_value_seconds(body["pivot"], "distance_feature pivot")
     value_sql = (
         f"({_sql_lit(pivot_s)} / ({_sql_lit(pivot_s)} + "
@@ -2466,7 +2480,10 @@ def _fragment_highlight(pat: str, pre: str, post: str, nf: int,
         top = scored[:nf]
         if order == "none":
             top.sort(key=lambda x: x[1])
-        return [rx.sub(pre + r"\1" + post, c) for _, _, c in top]
+        # a callable replacement keeps user-supplied tags LITERAL —
+        # a template would interpret backslashes/\1 inside the tags
+        return [rx.sub(lambda m: pre + m.group(0) + post, c)
+                for _, _, c in top]
 
     @F.pandas_udf("array<string>")
     def udf(s: pd.Series) -> pd.Series:
@@ -3083,11 +3100,13 @@ def dsl_aggregate(
       in key order; the first bucket's derivative is NULL — ES omits
       it). Terms parents fail loud (ES: pipelines need a bucket
       SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
-    - ANY multi-level-free bucket agg may carry ONE ``bucket_sort``
-      pipeline (``{"sort": [{path: dir}...], "from": m, "size": n}``)
-      re-sorting/truncating its final bucket list — sort targets take
-      the pipeline path grammar (``_count``/``_key``/metric/
-      ``stats-name.stat``).
+    - a single-level ``terms``/``histogram``/``date_histogram`` agg
+      may carry ONE ``bucket_sort`` pipeline (``{"sort": [{path:
+      dir}...], "from": m, "size": n}``) re-sorting/truncating its
+      final bucket list — sort targets take the pipeline path grammar
+      (``_count``/``_key``/metric/``stats-name.stat``); multi-
+      membership parents (range/filters/adjacency_matrix) stay out of
+      grammar.
     - ``{"composite": {"sources": [...], "size": n, "after": {...}}}``
       -> paginated multi-source buckets, the scale path for
       high-cardinality bucket spaces (see :func:`_apply_composite`).

@@ -433,12 +433,15 @@ def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
       text asc, top ``size``.
 
     Scale: candidate generation is the vocabulary-sized term-suggester
-    kernel; the n-gram statistics pass reads the corpus ONCE, counting
-    only the (query-sized) set of unigrams/bigrams the candidate
-    sequences reference — the shuffle carries one row per needed gram,
-    never per token. Sequence enumeration/scoring is driver-side over
-    a query-bounded set (C(n, max_errors) x generator size), the same
-    boundedness class as the term suggester's collected edit ball."""
+    kernel over a shared per-field (term, cf, df) frame built in ONE
+    corpus scan (unigram counts and the token total come from that
+    frame, vocabulary-sized); only the bigram model adds a second
+    corpus pass, counting just the (query-sized) bigram set the
+    candidate sequences reference — the shuffle carries one row per
+    needed gram, never per token. Sequence enumeration/scoring is
+    driver-side over a query-bounded set (C(n, max_errors) x generator
+    size), the same boundedness class as the term suggester's
+    collected edit ball."""
     if not isinstance(request, dict) or not request:
         raise DslError("suggest request must be a non-empty dict")
     body = request.get("suggest", request)
@@ -447,18 +450,33 @@ def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
     entries = [_parse_phrase_suggester(n, b) for n, b in body.items()]
     spark = docs_df.sparkSession
 
+    field_stats = {}
+
+    def stats_of(fld):
+        """(vocab(term, cf, df) frame, total token count) — one corpus
+        scan per field, shared across entries."""
+        if fld not in field_stats:
+            if fld not in docs_df.columns:
+                raise DslError(f"suggest field {fld!r} is not a column")
+            ex = docs_df.select(
+                F.monotonically_increasing_id().alias("__rid"),
+                F.explode(tokenize_column(F.col(fld))).alias("term"))
+            vocab = (ex.groupBy("term")
+                     .agg(F.count(F.lit(1)).alias("cf"),
+                          F.countDistinct("__rid").alias("df"))
+                     .persist())
+            n_tokens = vocab.agg(F.sum("cf")).first()[0] or 0
+            field_stats[fld] = (vocab, int(n_tokens))
+        return field_stats[fld]
+
     out_rows = []
     for name, toks, opts in entries:
         fld = opts["field"]
-        if fld not in docs_df.columns:
-            raise DslError(f"suggest field {fld!r} is not a column")
-        tok_col = tokenize_column(F.col(fld))
-        vocab = (docs_df.select(F.explode(F.array_distinct(tok_col))
-                                .alias("term"))
-                 .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+        vocab, n_tokens = stats_of(fld)
         gen = dict(opts["generator"])
         cand_rows = _suggest_over_vocab(
-            spark, [(name, toks, gen)], vocab).collect()
+            spark, [(name, toks, gen)],
+            vocab.select("term", "df")).collect()
         cands_by_pos = {}
         for r in cand_rows:
             for p, t in enumerate(toks):
@@ -467,32 +485,33 @@ def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
                     if r["suggestion"] not in cands_by_pos[p]:
                         cands_by_pos[p].append(r["suggestion"])
         seqs = _phrase_sequences(toks, cands_by_pos, opts["max_errors"])
-        # the n-gram statistics ONE corpus pass reads: only grams the
-        # candidate sequences (and the input) reference
+        # unigram counts come from the shared vocab frame
+        # (vocabulary-sized filter, query-sized result)
         need_uni = sorted({w for terms, _ in seqs for w in terms}
                           | set(toks))
+        uni = {r["term"]: r["cf"] for r in
+               vocab.where(F.col("term").isin(need_uni))
+               .select("term", "cf").collect()}
+        # only the bigram LM needs a second corpus pass, counting just
+        # the query-sized bigram set
         need_big = sorted({
             f"{a} {b}"
             for terms, _ in seqs
             for a, b in zip(terms, terms[1:])}
             | {f"{a} {b}" for a, b in zip(toks, toks[1:])}
         ) if opts["gram_size"] == 2 else []
-        td = docs_df.select(tok_col.alias("t"))
-        n_tokens = td.agg(F.sum(F.size("t"))).first()[0] or 0
-        uni_arr = F.filter(
-            F.col("t"), lambda x: x.isin(need_uni) if need_uni
-            else F.lit(False))
-        big_arr = (F.filter(
-            F.expr("CASE WHEN size(t) < 2 THEN array() ELSE "
-                   "transform(sequence(0, size(t)-2), "
-                   "i -> concat_ws(' ', t[i], t[i+1])) END"),
-            lambda x: x.isin(need_big) if need_big else F.lit(False)))
-        grams = (td.select(F.explode(
-            F.concat(uni_arr, big_arr)).alias("g"))
-            .groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect())
-        uni = {r["g"]: r["c"] for r in grams if " " not in r["g"]}
-        big = {tuple(r["g"].split(" ")): r["c"]
-               for r in grams if " " in r["g"]}
+        big = {}
+        if need_big:
+            td = docs_df.select(tokenize_column(F.col(fld)).alias("t"))
+            big_arr = F.filter(
+                F.expr("CASE WHEN size(t) < 2 THEN array() ELSE "
+                       "transform(sequence(0, size(t)-2), "
+                       "i -> concat_ws(' ', t[i], t[i+1])) END"),
+                lambda x: x.isin(need_big))
+            grams = (td.select(F.explode(big_arr).alias("g"))
+                     .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+                     .collect())
+            big = {tuple(r["g"].split(" ")): r["c"] for r in grams}
         base = _lm_score(tuple(toks), (), toks, uni, big,
                          n_tokens, opts)
         scored = []
@@ -510,6 +529,8 @@ def suggest_phrase(docs_df: DataFrame, request: dict) -> DataFrame:
         out_rows.extend(
             (name, i + 1, text, round(s, 6))
             for i, (text, s) in enumerate(scored[:opts["size"]]))
+    for vocab, _n in field_stats.values():
+        vocab.unpersist()
     return spark.createDataFrame(
         out_rows or [],
         "sugg string, rank int, suggestion string, score double")

@@ -830,6 +830,41 @@ def test_rank_distance_feature_rejects(spark, docs):
         search_dsl(docs, {"query": {"distance_feature": {
             "field": "ts", "origin": {"lat": 41, "lon": -71},
             "pivot": "7d"}}}, 5)
+    with pytest.raises(DslError, match="overflows"):
+        search_dsl(docs, {"query": {"rank_feature": {
+            "field": "turn_idx",
+            "sigmoid": {"pivot": 1e200, "exponent": 2}}}}, 5)
+
+
+def test_distance_feature_tz_aware_origin(spark, docs):
+    """An explicit UTC offset in the origin CONVERTS to the same
+    instant — '+02:00' at 02:00 equals the naive UTC midnight form."""
+    from prow_jobs_scraper_spark.search.dsl import search_dsl
+
+    def run(origin):
+        return search_dsl(docs, {"query": {"distance_feature": {
+            "field": "ts", "origin": origin, "pivot": "1d"}}},
+            8).toPandas()
+
+    a = run("2025-06-15T00:00:00")
+    b = run("2025-06-15T02:00:00+02:00")
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fragment_tags_with_backslash_stay_literal(spark, docs):
+    """User-supplied highlight tags containing backslashes must be
+    inserted literally, not interpreted as regex templates."""
+    from prow_jobs_scraper_spark.search.dsl import execute_request
+
+    got = execute_request(docs, {
+        "query": {"match": {"text": "spark"}}, "size": 2,
+        "highlight": {"fields": {"text": {}},
+                      "number_of_fragments": 1,
+                      "pre_tags": ["<b c=\"a\\b\">"],
+                      "post_tags": ["</b>"]}}).toPandas()
+    assert len(got) and all(
+        "<b c=\"a\\b\">spark</b>" in f
+        for fr in got["highlight_text"] for f in fr)
 
 
 def test_rank_feature_excludes_nonpositive(spark, docs, docs_pdf):
@@ -4150,9 +4185,11 @@ def _phrase_oracle(docs_pdf, toks, gen_opts, gram=2, rwel=0.95,
         s = score(terms, set(changed))
         if conf > 0 and s <= base + math.log10(conf):
             continue
-        out.append((" ".join(terms), round(s, 6)))
+        out.append((" ".join(terms), s))
+    # sort on the UNROUNDED score (the engine's rule), round for
+    # comparison only — rounding before sorting is a latent flake
     out.sort(key=lambda x: (-x[1], x[0]))
-    return out[:size]
+    return [(t, round(s, 6)) for t, s in out[:size]]
 
 
 def test_phrase_suggester(spark, docs, docs_pdf):
