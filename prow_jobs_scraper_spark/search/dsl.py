@@ -3845,13 +3845,16 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     one-off noise). Output: ``key, doc_count, bg_count, score`` rows,
     score desc / key asc, top ``size`` (default 10).
 
-    Scale: two grouped counts — one over the qualifying set, one over
-    the background — joined on the term key (field-cardinality rows,
-    never corpus rows) with the two totals broadcast as 1-row cross
-    joins. The background pass reads ONE column of doc_stats/corpus;
-    no per-doc state, no driver collection. ``background_filter``,
-    text-field sampling, and the other ES heuristics
-    (gnd/chi_square/...) stay out of grammar — fail loud."""
+    Scale: exactly TWO corpus passes — one grouped count over the
+    qualifying set, one over the background — joined on the term key
+    (field-cardinality rows, never corpus rows). The set totals the
+    percentages divide by are NOT extra passes: every field-bearing
+    doc lands in exactly one bucket, so each total is an unpartitioned
+    window sum over its own bucket frame (bucket-cardinality rows;
+    plan-gated in tests/test_plans.py). No per-doc state, no driver
+    collection. ``background_filter``, text-field sampling, and the
+    other ES heuristics (gnd/chi_square/...) stay out of grammar —
+    fail loud."""
     metrics_spec, sub_bucket = _split_sub(sub)
     if sub_bucket is not None or metrics_spec:
         raise DslError(
@@ -3870,19 +3873,18 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
         raise DslError(f"bad significant_terms min_doc_count {mdc!r}")
     f = F.col(fld)
-    fg = (frame.where(f.isNotNull()).groupBy(f.alias("key"))
-          .agg(F.count(F.lit(1)).alias("doc_count")))
-    bg = (bg_frame.where(f.isNotNull()).groupBy(f.alias("key"))
-          .agg(F.count(F.lit(1)).alias("bg_count")))
     # totals count docs BEARING the field (ES: the sets whose
-    # percentages are compared), broadcast as 1-row frames
-    fg_tot = frame.agg(
-        F.count(F.when(f.isNotNull(), 1)).alias("__fg_total"))
-    bg_tot = bg_frame.agg(
-        F.count(F.when(f.isNotNull(), 1)).alias("__bg_total"))
-    out = (fg.join(bg, "key")  # fg ⊆ bg: inner join loses nothing
-           .crossJoin(F.broadcast(fg_tot))
-           .crossJoin(F.broadcast(bg_tot)))
+    # percentages are compared) — window sums over the BUCKET frames,
+    # never a corpus re-scan (each field-bearing doc is in exactly
+    # one bucket)
+    tot = Window.partitionBy()
+    fg = (frame.where(f.isNotNull()).groupBy(f.alias("key"))
+          .agg(F.count(F.lit(1)).alias("doc_count"))
+          .withColumn("__fg_total", F.sum("doc_count").over(tot)))
+    bg = (bg_frame.where(f.isNotNull()).groupBy(f.alias("key"))
+          .agg(F.count(F.lit(1)).alias("bg_count"))
+          .withColumn("__bg_total", F.sum("bg_count").over(tot)))
+    out = fg.join(bg, "key")  # fg ⊆ bg: inner join loses nothing
     fg_pct = F.col("doc_count") / F.col("__fg_total")
     bg_pct = F.col("bg_count") / F.col("__bg_total")
     out = (out.where(F.col("doc_count") >= mdc)

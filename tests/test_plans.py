@@ -383,6 +383,68 @@ def test_highlight_stays_jvm_side(spark):
     assert "regexp_replace" in plan, plan
 
 
+def test_significant_terms_two_scans_window_totals(spark):
+    # significant_terms = fg + bg grouped counts, EXACTLY two corpus
+    # scans; the set totals must be window sums over the bucket frames
+    # (bucket-cardinality rows), never a third/fourth corpus pass
+    import re
+
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"query": {"range": {"n_chars": {"lt": 200}}},
+           "aggs": {"sig": {"significant_terms": {
+               "field": "source", "min_doc_count": 1}}}}
+    plan = _plan(dsl_aggregate(docs, req))
+    assert "EvalPython" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 2, f"{n_scans} corpus scans\n{plan}"
+    assert "Window" in plan, plan
+
+
+def test_adjacency_matrix_single_scan_no_join(spark):
+    # adjacency_matrix: singles + pairwise intersections fan out
+    # MAP-SIDE (the filters-agg explode machinery) — one corpus scan,
+    # one partial-aggregated groupBy, no join
+    import re
+
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "short": {"range": {"n_chars": {"lt": 200}}},
+        "en": {"term": {"lang": "en"}},
+        "s1": {"prefix": {"source": "src1"}},
+    }}}}}
+    plan = _plan(dsl_aggregate(docs, req))
+    assert "EvalPython" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "Join" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"{n_scans} corpus scans\n{plan}"
+
+
+def test_fragment_highlight_cuts_before_python(spark):
+    # the fragmenting highlighter is the ONE sanctioned Python stage on
+    # the request path — it must run AFTER the TakeOrderedAndProject
+    # top-k cut (page-sized input), never over the corpus
+    from prow_jobs_scraper_spark.search.dsl import execute_request
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    req = {"query": {"match": {"text": {"query": "key agg",
+                                        "operator": "or"}}},
+           "size": 10,
+           "highlight": {"fields": {"text": {}},
+                         "number_of_fragments": 2}}
+    plan = _plan(execute_request(docs, req))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    # the Python stage consumes the top-k join, not the corpus scan:
+    # the cut appears below it in the formatted tree
+    assert plan.index("ArrowEvalPython") < plan.index(
+        "TakeOrderedAndProject"), plan
+
+
 def test_suggest_prunes_before_levenshtein(spark):
     # the suggester's candidate filter must apply the cheap length +
     # prefix bounds and the levenshtein IN THE SAME codegen filter over
