@@ -323,6 +323,10 @@ def _dismax_topk(spark, sf_dir):
       the factor arithmetic verbatim over the same ``sc`` CTE — the
       value SQL is dialect-shared by construction.
 
+    - ``mbp`` (round 5): ``match_bool_prefix`` — 'hash' as a term
+      match OR the first four 's*' expansions (the ES bool desugar;
+      same text as ``pprefix`` but union semantics, so the two modes
+      discriminate adjacency vs disjunction).
     - ``rankf`` (round 5): ``rank_feature`` saturation on ``n_chars``
       in a should — BM25('hash') + n_chars/(n_chars+100), the ES
       feature-boost idiom (desugars onto function_score,
@@ -378,6 +382,12 @@ def _dismax_topk(spark, sf_dir):
                                     "modifier": "log1p", "missing": 1}},
         ],
         "score_mode": "sum", "boost_mode": "multiply"}}}))
+    # match_bool_prefix (round 5): 'hash' as a term match OR the first
+    # four 's*' vocabulary terms (desugar onto the bool grammar,
+    # search/dsl.py _desugar_match_bool_prefix) — same text as the
+    # pprefix mode but UNION semantics instead of adjacency
+    out = out.unionByName(mode("mbp", {"query": {"match_bool_prefix": {
+        "text": {"query": "hash s", "max_expansions": 4}}}}))
     # rank_feature (round 5): saturation on n_chars riding a should —
     # score = hash BM25 + n_chars/(n_chars+100) (desugars onto
     # function_score, search/dsl.py _parse_rank_feature)
@@ -2017,6 +2027,23 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM fsq ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- match_bool_prefix twin: match('hash') OR best 's*'-expansion match
+-- (bool-should sum over the matched sides, either qualifies)
+(SELECT 'mbp' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT coalesce(hb.doc_id, bx.doc_id) AS doc_id,
+          coalesce(hb.score, 0) + coalesce(bx.score, 0) AS score
+   FROM hb FULL JOIN (
+     SELECT tf3.doc_id,
+            max(ln(1+(s.n-df3.df+0.5)/(df3.df+0.5))
+                * tf3.tf*2.2/(tf3.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)))
+              AS score
+     FROM tf3 JOIN df3 USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+     GROUP BY 1) bx ON hb.doc_id = bx.doc_id)
+ ORDER BY score DESC, doc_id LIMIT 10)
 UNION ALL
 -- rank_feature twin: hash BM25 + saturation(n_chars, pivot 100);
 -- exact doubles both sides (integer-valued epochs/counts)

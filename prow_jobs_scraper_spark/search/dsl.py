@@ -872,6 +872,55 @@ def _parse_phrase_prefix(body: dict) -> PhrasePrefixClause:
         max_expansions=mx, slop=int(slop), boost=float(boost))
 
 
+def _desugar_match_bool_prefix(body: dict) -> dict:
+    """ES ``match_bool_prefix`` -> the bool query ES documents it as:
+    every term but the last becomes its own ``match`` clause (should
+    under ``operator: or`` — the default — must under ``and``), the
+    last term a single-term ``match_phrase_prefix`` (vocabulary prefix
+    expansion in term-dict order). A pure parse-time desugar — zero
+    new execution code, the query_string pattern. Documented
+    deviation: ES scores the prefix part as a CONSTANT-SCORE prefix
+    query; the engine scores it as the best expanded term match (the
+    same expansion-scoring rule fuzzy and match_phrase_prefix already
+    document)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"bad match_bool_prefix body {body!r}")
+    (fld, spec), = body.items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    if not isinstance(spec, dict):
+        raise DslError(f"bad match_bool_prefix body {spec!r}")
+    unknown = set(spec) - {"query", "operator", "max_expansions",
+                           "minimum_should_match"}
+    if unknown:
+        raise DslError(
+            f"unsupported match_bool_prefix options {sorted(unknown)}")
+    if "query" not in spec or not isinstance(spec["query"], str):
+        raise DslError(
+            f"match_bool_prefix needs query text, got {spec!r}")
+    op = spec.get("operator", "or")
+    if op not in ("or", "and"):
+        raise DslError(f"operator must be or|and, got {op!r}")
+    toks = tokenize_text(spec["query"])
+    if not toks:
+        raise DslError(
+            f"match_bool_prefix query must analyze to at least one "
+            f"term, {spec['query']!r} gave none")
+    pp: dict = {"query": toks[-1]}
+    if "max_expansions" in spec:
+        pp["max_expansions"] = spec["max_expansions"]
+    clauses = [{"match": {fld: {"query": t}}} for t in toks[:-1]] \
+        + [{"match_phrase_prefix": {fld: pp}}]
+    ctx = "must" if op == "and" else "should"
+    bq: dict = {ctx: clauses}
+    if "minimum_should_match" in spec:
+        if op == "and":
+            raise DslError(
+                "minimum_should_match only applies under operator: or")
+        bq["minimum_should_match"] = spec["minimum_should_match"]
+    return {"bool": bq}
+
+
 def _as_list(v) -> list:
     return v if isinstance(v, list) else [v]
 
@@ -1766,6 +1815,8 @@ def parse_query(q: dict) -> QuerySpec:
     if kind == "match_phrase_prefix":
         spec.fuzzy.append(("must", _parse_phrase_prefix(body)))
         return spec
+    if kind == "match_bool_prefix":
+        return parse_query(_desugar_match_bool_prefix(body))
     if kind == "more_like_this":
         spec.mlt.append(("must", _parse_mlt(body)))
         return spec
@@ -1804,6 +1855,10 @@ def parse_query(q: dict) -> QuerySpec:
                 child = parse_query(parse_query_string(
                     cb, simple=(ck == "simple_query_string")))
                 getattr(spec, f"{ctx}_bool").append(child)
+                continue
+            if ck == "match_bool_prefix":
+                getattr(spec, f"{ctx}_bool").append(
+                    parse_query(_desugar_match_bool_prefix(cb)))
                 continue
             if ck == "match_all":
                 if ctx == "must_not":
@@ -3075,8 +3130,14 @@ def dsl_aggregate(
       (ES multi-membership — map-side explode, no extra scan); default
       keys are the ES ``"100.0-200.0"`` / ``"*-100.0"`` form.
     - ``{"filters": {"filters": {name: metadata-clause | match_all,
-      ...}}}`` -> (key=name, doc_count [, sub metrics]) in definition
-      order; one doc may land in several named buckets.
+      ...}, "other_bucket": bool, "other_bucket_key": str}}`` ->
+      (key=name, doc_count [, sub metrics]) in definition order; one
+      doc may land in several named buckets; ``other_bucket`` appends
+      a bucket of the docs matching NO named filter.
+    - ``{"date_range": {"field": f, "ranges": [{"from": <iso|date
+      math>, "to": ...}]}}`` -> range buckets on a date field with
+      compile-time date-math bounds; default keys render
+      second-resolution ``"<from>-<to>"``.
     - ``{"adjacency_matrix": {"filters": {...}, "separator": "&"}}``
       -> one bucket per filter plus one per pairwise intersection
       (key "a&b"), key-sorted, non-empty only (the ES rule).
@@ -3374,8 +3435,12 @@ def _bucket_key(kind: str, body: dict):
     if kind == "histogram":
         return _histogram_key(body)
     if kind == "terms":
+        # shard_size tunes ES's per-shard approximation accuracy; this
+        # engine computes EXACT global counts, so it is a documented
+        # SAFE NO-OP (the one class of option that cannot change
+        # results here), accepted for client compatibility
         unknown = set(body) - {"field", "size", "order", "min_doc_count",
-                               "missing"}
+                               "missing", "shard_size"}
         if unknown:
             raise DslError(f"unsupported terms options {sorted(unknown)}")
         order = body.get("order", {"_count": "desc"})  # the ES default
@@ -3601,8 +3666,59 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
         for i, (key, cond) in enumerate(
                 sorted(singles + pairs, key=lambda x: x[0])):
             buckets.append((i, key, cond))
+    elif kind == "date_range":
+        # ES date_range: range buckets whose from/to take ISO dates or
+        # DATE MATH, resolved at parse time (from inclusive / to
+        # exclusive, both rounding DOWN on /unit — the gte/lt rule);
+        # default keys render second-resolution "<from>-<to>" with '*'
+        # for open ends (ES renders epoch-millis Z-format — the
+        # engine's documented second-resolution deviation)
+        unknown = set(body) - {"field", "ranges"}
+        if unknown:
+            raise DslError(
+                f"unsupported date_range options {sorted(unknown)}")
+        col = F.col(_ident(body["field"]))
+        ranges = body.get("ranges")
+        if not isinstance(ranges, list) or not ranges:
+            raise DslError("date_range aggregation needs a ranges list")
+
+        def _dr_bound(v, which):
+            if v is None:
+                return None
+            t = _resolve_date_math(v, "gte")
+            if isinstance(t, str):
+                try:
+                    t = _dt.datetime.fromisoformat(t)
+                except ValueError:
+                    raise DslError(
+                        f"bad date_range {which} {v!r}") from None
+            if not isinstance(t, _dt.datetime):
+                raise DslError(f"bad date_range {which} {v!r}")
+            return t
+
+        for i, r in enumerate(ranges):
+            if not isinstance(r, dict):
+                raise DslError(f"bad range {r!r}")
+            if set(r) - {"from", "to", "key"}:
+                raise DslError(
+                    f"unsupported date_range-bucket options "
+                    f"{sorted(set(r) - {'from', 'to', 'key'})}")
+            frm = _dr_bound(r.get("from"), "from")
+            to = _dr_bound(r.get("to"), "to")
+            if frm is None and to is None:
+                raise DslError("date_range bucket needs from and/or to")
+            cond = col.isNotNull()
+            if frm is not None:
+                cond = cond & (col >= F.lit(frm))
+            if to is not None:
+                cond = cond & (col < F.lit(to))
+            key = r.get("key") or "{}-{}".format(
+                "*" if frm is None else frm.isoformat(sep=" "),
+                "*" if to is None else to.isoformat(sep=" "))
+            buckets.append((i, key, cond))
     else:  # filters
-        unknown = set(body) - {"filters"}
+        unknown = set(body) - {"filters", "other_bucket",
+                               "other_bucket_key"}
         if unknown:
             raise DslError(
                 f"unsupported filters-agg options {sorted(unknown)}")
@@ -3611,6 +3727,19 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             raise DslError("filters aggregation needs named filters")
         for i, (name, clause) in enumerate(named.items()):
             buckets.append((i, name, _filter_cond(name, clause)))
+        other = body.get("other_bucket", False)
+        okey = body.get("other_bucket_key")
+        if okey is not None and not isinstance(okey, str):
+            raise DslError(f"bad other_bucket_key {okey!r}")
+        if not isinstance(other, bool):
+            raise DslError(f"other_bucket must be a bool, got {other!r}")
+        if other or okey is not None:
+            # ES: docs matching NO named filter bucket under "_other_"
+            # (setting other_bucket_key implies other_bucket), appended
+            # after the named buckets
+            buckets.append((
+                len(buckets), okey or "_other_",
+                ~reduce(lambda a, b: a | b, [c for _, _, c in buckets])))
     if len({k for _, k, _ in buckets}) != len(buckets):
         raise DslError(f"duplicate bucket keys in {kind} aggregation")
 
@@ -3859,7 +3988,9 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     if sub_bucket is not None or metrics_spec:
         raise DslError(
             "significant_terms supports no sub-aggregations")
-    unknown = set(body) - {"field", "size", "min_doc_count"}
+    # shard_size: a safe no-op here (exact global counts), as on terms
+    unknown = set(body) - {"field", "size", "min_doc_count",
+                           "shard_size"}
     if unknown:
         raise DslError(
             f"unsupported significant_terms options {sorted(unknown)}")
@@ -4003,7 +4134,7 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     if sub and any(isinstance(v, dict) and "top_hits" in v
                    for v in sub.values()):
         return _apply_top_hits(frame, agg_name, kind, body, sub)
-    if kind in ("range", "filters", "adjacency_matrix"):
+    if kind in ("range", "date_range", "filters", "adjacency_matrix"):
         return _apply_multibucket_agg(frame, agg_name, kind, body, sub)
     if kind not in _BUCKET_KINDS:
         raise DslError(f"aggregation type {kind!r} not supported")

@@ -809,6 +809,61 @@ def test_dsl_indexed_matches_naive(spark, docs, dsl_index, label, q):
     _assert_rank_identical(got, want, label)
 
 
+def test_match_bool_prefix(spark, docs, dsl_index):
+    """match_bool_prefix == its ES-documented desugar (matches per
+    complete term + a single-term prefix expansion), in both
+    operators, inside bool contexts, and on the indexed executor;
+    unsupported options fail loud."""
+
+    mbp = {"query": {"match_bool_prefix": {"text": "spark ag"}}}
+    hand = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "spark"}}},
+        {"match_phrase_prefix": {"text": {"query": "ag"}}},
+    ]}}}
+    a = search_dsl(docs, mbp, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    _assert_rank_identical(a, b, "mbp==desugar")
+    assert len(a) == 10
+    gi = search_dsl_indexed(spark, dsl_index, mbp, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "mbp-indexed")
+
+    # operator and: every clause must match
+    mand = {"query": {"match_bool_prefix": {"text": {
+        "query": "spark te", "operator": "and", "max_expansions": 3}}}}
+    hand2 = {"query": {"bool": {"must": [
+        {"match": {"text": {"query": "spark"}}},
+        {"match_phrase_prefix": {"text": {"query": "te",
+                                          "max_expansions": 3}}},
+    ]}}}
+    a2 = search_dsl(docs, mand, 10).toPandas()
+    b2 = search_dsl(docs, hand2, 10).toPandas()
+    _assert_rank_identical(a2, b2, "mbp-and==desugar")
+
+    # rides bool contexts as a child bool
+    nested = {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "should": [{"match_bool_prefix": {"text": "agent w00"}}],
+    }}}
+    a3 = search_dsl(docs, nested, 10).toPandas()
+    gi3 = search_dsl_indexed(spark, dsl_index, nested, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gi3, a3, "mbp-nested-indexed")
+
+    for bad in (
+        {"match_bool_prefix": {"text": {"query": "x",
+                                        "fuzziness": 1}}},
+        {"match_bool_prefix": {"text": {"query": "x y",
+                                        "operator": "xor"}}},
+        {"match_bool_prefix": {"text": {"query": "x y",
+                                        "operator": "and",
+                                        "minimum_should_match": 1}}},
+        {"match_bool_prefix": {"text": "..."}},
+    ):
+        with pytest.raises(DslError):
+            search_dsl(docs, {"query": bad}, 5)
+
+
 def test_rank_distance_feature_rejects(spark, docs):
     # saturation without pivot: ES's default comes from index stats
     # this engine does not keep — silent divergence, so fail loud
@@ -2066,6 +2121,79 @@ def test_extended_stats_weighted_avg_adjacency(spark, docs, docs_pdf,
                                    "calendar_interval": "week"},
                 "aggs": {"sd": {"serial_diff": {
                     "buckets_path": "_count", "lag": 0}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": bad}).collect()
+
+
+def test_date_range_other_bucket_shard_size(spark, docs, docs_pdf,
+                                            dsl_index):
+    """date_range buckets with date-math bounds, the filters agg's
+    other_bucket, and shard_size as a safe no-op on the exact
+    engine — vs duckdb replays, both executors."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+
+    # date_range: one math-derived bound, one open end, one custom key
+    req = {"aggs": {"dr": {"date_range": {"field": "ts", "ranges": [
+        {"to": "2025-06-09||/w"},
+        {"from": "2025-06-09||/w", "to": "2025-06-09||+1w/w",
+         "key": "wk"},
+        {"from": "2025-06-16T00:00:00"},
+    ]}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = con.sql("""
+        SELECT k AS key, c AS doc_count FROM (
+          SELECT '*-2025-06-09 00:00:00' k, count(*) c FROM t
+          WHERE ts < TIMESTAMP '2025-06-09'
+          UNION ALL SELECT 'wk', count(*) FROM t
+          WHERE ts >= TIMESTAMP '2025-06-09'
+            AND ts < TIMESTAMP '2025-06-16'
+          UNION ALL SELECT '2025-06-16 00:00:00-*', count(*) FROM t
+          WHERE ts >= TIMESTAMP '2025-06-16') WHERE c > 0
+    """).df()
+    assert sorted(got["key"]) == sorted(want["key"])
+    assert (got.set_index("key")["doc_count"].to_dict()
+            == want.set_index("key")["doc_count"].astype(int).to_dict())
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    # other_bucket: the complement lands in a trailing named bucket
+    req2 = {"aggs": {"f": {"filters": {
+        "filters": {"u": {"term": {"role": "user"}},
+                    "a": {"term": {"role": "assistant"}}},
+        "other_bucket_key": "rest"}}}}
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    vc = docs_pdf["role"].value_counts()
+    assert g2["key"].tolist() == ["u", "a", "rest"]
+    assert g2["doc_count"].tolist() == [
+        int(vc["user"]), int(vc["assistant"]),
+        int(len(docs_pdf) - vc["user"] - vc["assistant"])]
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    pd.testing.assert_frame_equal(
+        gi2.reset_index(drop=True), g2.reset_index(drop=True))
+
+    # shard_size: accepted as a documented no-op (exact engine)
+    g3 = dsl_aggregate(docs, {"aggs": {"r": {"terms": {
+        "field": "role", "shard_size": 500}}}}).toPandas()
+    g4 = dsl_aggregate(docs, {"aggs": {"r": {"terms": {
+        "field": "role"}}}}).toPandas()
+    pd.testing.assert_frame_equal(g3, g4)
+
+    for bad in (
+        {"dr": {"date_range": {"field": "ts", "ranges": [
+            {"from": "not a date"}]}}},
+        {"dr": {"date_range": {"field": "ts", "ranges": [{}]}}},
+        {"f": {"filters": {"filters": {"u": {"term": {"role": "u"}}},
+                           "other_bucket": "yes"}}},
+        {"r": {"terms": {"field": "role",
+                         "show_term_doc_count_error": True}}},
     ):
         with pytest.raises(DslError):
             dsl_aggregate(docs, {"aggs": bad}).collect()
