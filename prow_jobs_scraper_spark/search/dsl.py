@@ -3182,6 +3182,8 @@ def dsl_aggregate(
       :func:`_apply_significant_terms`).
     - ``{"rare_terms": {"field": f, "max_doc_count": m}}`` -> the
       long-tail buckets, exact (see :func:`_apply_rare_terms`).
+    - ``{"significant_text": {"field": f, ...}}`` -> the JLH machinery
+      over ANALYZED text (see :func:`_apply_significant_text`).
     - ``{"global": {}, "aggs": {...}}`` -> the sub-agg over the WHOLE
       index, ignoring the request query (ES global bucket).
 
@@ -4025,6 +4027,73 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     return (out.orderBy(F.desc("score"), F.asc("key")).limit(size))
 
 
+def _apply_significant_text(frame: DataFrame, bg_frame: DataFrame,
+                            agg_name: str, body: dict,
+                            sub: dict) -> DataFrame:
+    """ES ``significant_text``: the :func:`_apply_significant_terms`
+    JLH machinery over ANALYZED text — terms over-represented in the
+    qualifying docs' token sets vs the whole corpus ("what words make
+    this result set special"). Per-doc term sets are DISTINCT (a term
+    counts once per doc, the df convention), percentages divide by the
+    number of token-bearing docs in each set.
+
+    Scale: exactly ONE scan per side — the doc total rides the same
+    explode as the term counts via a sentinel element (``"\\x00"``,
+    unreachable by the analyzer's ``[a-z0-9_]+`` tokens) appended to
+    every non-empty token set, then spread with an unpartitioned
+    window over the bucket frame; the fg/bg join carries
+    vocabulary-cardinality rows. ES's sampling/dedup heuristics
+    (``sampler``, ``filter_duplicate_text``) stay out of grammar."""
+    metrics_spec, sub_bucket = _split_sub(sub)
+    if sub_bucket is not None or metrics_spec:
+        raise DslError("significant_text supports no sub-aggregations")
+    unknown = set(body) - {"field", "size", "min_doc_count",
+                           "shard_size"}
+    if unknown:
+        raise DslError(
+            f"unsupported significant_text options {sorted(unknown)}")
+    fld = _ident(body.get("field", ""))
+    if not fld:
+        raise DslError("significant_text needs a field")
+    size = body.get("size", 10)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(f"bad significant_text size {size!r}")
+    mdc = body.get("min_doc_count", 3)
+    if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
+        raise DslError(f"bad significant_text min_doc_count {mdc!r}")
+    for f2 in (frame, bg_frame):
+        if fld not in f2.columns:
+            raise DslError(
+                f"significant_text field {fld!r} is not available "
+                f"(the compressed index stores postings, not raw "
+                f"text — pass docs_df)")
+
+    def counted(f2, cname):
+        ex = F.array_distinct(tokenize_column(F.col(fld)))
+        tagged = F.when(F.size(ex) > 0,
+                        F.concat(ex, F.array(F.lit("\x00")))
+                        ).otherwise(ex)
+        tot = Window.partitionBy()
+        g = (f2.select(F.explode(tagged).alias("key"))
+             .groupBy("key").agg(F.count(F.lit(1)).alias(cname)))
+        g = g.withColumn(
+            f"__{cname}_total",
+            F.max(F.when(F.col("key") == "\x00", F.col(cname)))
+            .over(tot))
+        return g.where(F.col("key") != "\x00")
+
+    fg = counted(frame, "doc_count")
+    bg = counted(bg_frame, "bg_count")
+    out = fg.join(bg, "key")  # fg ⊆ bg
+    fg_pct = F.col("doc_count") / F.col("__doc_count_total")
+    bg_pct = F.col("bg_count") / F.col("__bg_count_total")
+    out = (out.where(F.col("doc_count") >= mdc)
+           .where(fg_pct > bg_pct)
+           .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+           .drop("__doc_count_total", "__bg_count_total"))
+    return out.orderBy(F.desc("score"), F.asc("key")).limit(size)
+
+
 def _apply_rare_terms(frame: DataFrame, agg_name: str, body: dict,
                       sub: dict) -> DataFrame:
     """ES ``rare_terms``: the long-tail buckets a ``terms`` agg ordered
@@ -4116,6 +4185,12 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                 "significant_terms is only available on full requests")
         return _apply_significant_terms(frame, bg_frame, agg_name,
                                         body, sub)
+    if kind == "significant_text":
+        if bg_frame is None:
+            raise DslError(
+                "significant_text is only available on full requests")
+        return _apply_significant_text(frame, bg_frame, agg_name,
+                                       body, sub)
     if kind == "rare_terms":
         return _apply_rare_terms(frame, agg_name, body, sub)
     if kind in _METRIC_FNS and not sub:
@@ -5170,6 +5245,23 @@ def dsl_aggregate_indexed(
                           bg_frame=empty)
     anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                        spec, docs_df)
+    if kind == "significant_text":
+        # the index stores postings, not raw text — the qualifying set
+        # resolves from the index, the token analysis reads docs_df
+        # (the same corpus requirement match_phrase has without the
+        # positions sidecar)
+        if docs_df is None:
+            raise DslError(
+                "significant_text on the indexed executor needs "
+                "docs_df (the compressed index stores postings, not "
+                "raw text)")
+        corpus = (docs_df if "doc_id" in docs_df.columns
+                  else with_doc_ids(docs_df))
+        frame = (corpus.where(F.lit(False)) if anchor is None
+                 else corpus.join(anchor.select("doc_id"), "doc_id",
+                                  "left_semi"))
+        return _apply_agg(frame, agg_name, kind, body, sub, siblings,
+                          bg_frame=corpus)
     # provably-empty query: aggregate the empty doc_stats frame (real
     # column types; metrics null / counts 0, buckets vanish — ES rule)
     frame = (stats.where(F.lit(False)) if anchor is None

@@ -2275,6 +2275,61 @@ def test_significant_terms_matches_duckdb(spark, docs, docs_pdf,
         got.sort_values("key").reset_index(drop=True))
 
 
+def test_significant_text_matches_replay(spark, docs, docs_pdf,
+                                         dsl_index):
+    """ES significant_text: JLH over tokenized text — terms
+    over-represented in the qualifying docs vs the corpus; oracle =
+    Counter replay in python; the indexed executor resolves the
+    qualifying set from postings and reads docs_df for tokens."""
+    from collections import Counter
+
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"query": {"match": {"text": "the_hot_term"}},
+           "aggs": {"sig": {"significant_text": {
+               "field": "text", "size": 8, "min_doc_count": 2}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+
+    tok_lists = tokenize_pandas(docs_pdf["text"]).tolist()
+    fg_idx = [i for i, lst in enumerate(tok_lists)
+              if "the_hot_term" in lst]
+    fg = Counter(t for i in fg_idx for t in set(tok_lists[i]))
+    bg = Counter(t for lst in tok_lists for t in set(lst))
+    ft = sum(1 for i in fg_idx if tok_lists[i])
+    bt = sum(1 for lst in tok_lists if lst)
+    want = []
+    for t, f in fg.items():
+        b = bg[t]
+        if f >= 2 and f / ft > b / bt:
+            want.append((t, f, b,
+                         (f / ft - b / bt) * ((f / ft) / (b / bt))))
+    want.sort(key=lambda x: (-x[3], x[0]))
+    want = want[:8]
+    assert got["key"].tolist() == [w[0] for w in want]
+    assert got["doc_count"].tolist() == [w[1] for w in want]
+    assert got["bg_count"].tolist() == [w[2] for w in want]
+    np.testing.assert_allclose(got["score"],
+                               [w[3] for w in want], rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    with pytest.raises(DslError, match="needs docs_df"):
+        dsl_aggregate_indexed(spark, dsl_index, req)
+    for bad in (
+        {"sig": {"significant_text": {"field": "text",
+                                      "filter_duplicate_text": True}}},
+        {"sig": {"significant_text": {"field": "text"},
+                 "aggs": {"m": {"avg": {"field": "turn_idx"}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": bad}).collect()
+
+
 def test_rare_terms_matches_duckdb(spark, docs, docs_pdf, dsl_index):
     """ES rare_terms (exact; ES is CuckooFilter-approximate): every
     term with doc_count <= max_doc_count, count asc / key asc, no size
