@@ -141,6 +141,7 @@ def bench_dsl_ops(spark) -> dict[str, float]:
         search_dsl,
     )
     from prow_jobs_scraper_spark.search.suggest import (  # noqa: PLC0415
+        suggest_phrase,
         suggest_terms,
     )
 
@@ -172,6 +173,14 @@ def bench_dsl_ops(spark) -> dict[str, float]:
             "suggest": {"s": {"text": "tabel scann",
                               "term": {"field": "text",
                                        "prefix_length": 0}}}}),
+        "suggest_phrase": lambda: suggest_phrase(docs, {
+            "suggest": {"s": {"text": "tabel scann", "phrase": {
+                "field": "text",
+                "direct_generator": [{"prefix_length": 0}]}}}}),
+        "sig_text_agg": lambda: dsl_aggregate(docs, {
+            "query": base_q,
+            "aggs": {"s": {"significant_text": {"field": "text",
+                                                "min_doc_count": 2}}}}),
     }
     out = {}
     for name, fn in jobs.items():
