@@ -1315,7 +1315,10 @@ def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
     # fail-loud: min_doc_count 0, unknown options, bad metric options
     for bad in (
         {"aggs": {"a": {"terms": {"field": "tool", "min_doc_count": 0}}}},
-        {"aggs": {"a": {"terms": {"field": "tool", "shard_size": 50}}}},
+        # shard_size became a documented safe no-op in round 5;
+        # show_term_doc_count_error (response-shape) stays rejected
+        {"aggs": {"a": {"terms": {"field": "tool",
+                                  "show_term_doc_count_error": True}}}},
         {"aggs": {"a": {"date_histogram": {
             "field": "ts", "calendar_interval": "week",
             "time_zone": "America/New_York"}}}},
@@ -1327,7 +1330,9 @@ def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
                                   "ranges": [{"to": 5}]}}}},
         {"aggs": {"a": {"range": {"field": "turn_idx",
                                   "ranges": [{"to": 5, "frm": 1}]}}}},
-        {"aggs": {"a": {"filters": {"other_bucket": True, "filters": {
+        # other_bucket is SUPPORTED since round 5; `keyed` (a
+        # response-shape knob) stays out of grammar
+        {"aggs": {"a": {"filters": {"keyed": True, "filters": {
             "x": {"match_all": {}}}}}}},
     ):
         with pytest.raises(DslError):
