@@ -3184,6 +3184,10 @@ def dsl_aggregate(
       long-tail buckets, exact (see :func:`_apply_rare_terms`).
     - ``{"significant_text": {"field": f, ...}}`` -> the JLH machinery
       over ANALYZED text (see :func:`_apply_significant_text`).
+    - ``{"sampler": {"shard_size": n}, "aggs": {...}}`` -> the inner
+      agg over the top-n best-scoring qualifying docs (one
+      TakeOrderedAndProject cut; the ES speed companion of
+      significant_text).
     - ``{"global": {}, "aggs": {...}}`` -> the sub-agg over the WHOLE
       index, ignoring the request query (ES global bucket).
 
@@ -4027,6 +4031,23 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     return (out.orderBy(F.desc("score"), F.asc("key")).limit(size))
 
 
+def _parse_sampler(body: dict, sub: dict):
+    """``sampler`` body + sub block -> (shard_size, the parsed inner
+    aggregation 5-tuple). ``max_docs_per_value`` (diversified sampler)
+    stays out of grammar."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad sampler body {body!r}")
+    unknown = set(body) - {"shard_size"}
+    if unknown:
+        raise DslError(f"unsupported sampler options {sorted(unknown)}")
+    n = body.get("shard_size", 100)
+    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+        raise DslError(f"bad sampler shard_size {n!r}")
+    if not sub:
+        raise DslError("sampler needs a sub-aggregation")
+    return n, _parse_aggs_block({"aggs": sub})
+
+
 def _apply_significant_text(frame: DataFrame, bg_frame: DataFrame,
                             agg_name: str, body: dict,
                             sub: dict) -> DataFrame:
@@ -4178,6 +4199,22 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         gname, gkind, gbody, gsub, gsibs = _parse_aggs_block(
             {"aggs": sub})
         return _apply_agg(bg_frame, gname, gkind, gbody, gsub, gsibs,
+                          bg_frame)
+    if kind == "sampler":
+        # ES sampler: the sub-agg runs over the top shard_size
+        # BEST-SCORING qualifying docs (the documented speed companion
+        # of significant_text). Deterministic tiebreak doc_id asc;
+        # an unscored query (filter context) samples the first docs by
+        # doc_id — ES leaves that order undefined. The cut is one
+        # TakeOrderedAndProject; the sub-agg then sees shard_size rows.
+        n, (gname, gkind, gbody, gsub, gsibs) = _parse_sampler(body, sub)
+        if "__dsl_score" not in frame.columns:
+            # provably-empty naive branch: a zero score keeps the cut
+            # well-defined on the empty frame
+            frame = frame.withColumn("__dsl_score", F.lit(0.0))
+        cut = (frame.orderBy(F.desc("__dsl_score"), F.asc("doc_id"))
+               .limit(n))
+        return _apply_agg(cut, gname, gkind, gbody, gsub, gsibs,
                           bg_frame)
     if kind == "significant_terms":
         if bg_frame is None:
@@ -5245,6 +5282,31 @@ def dsl_aggregate_indexed(
                           bg_frame=empty)
     anchor, _scored = _qualify_indexed(spark, dirs, metas, n_docs, avgdl,
                                        spec, docs_df)
+    if kind == "sampler":
+        # the cut happens on the ANCHOR (doc_id, score) frame — one
+        # TakeOrderedAndProject over postings-resolved candidates —
+        # then the inner agg proceeds exactly like a top-level one
+        # over the sampled id set
+        n, (gname, gkind, gbody, gsub, gsibs) = _parse_sampler(body, sub)
+        cut = (None if anchor is None else
+               anchor.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(n).select("doc_id"))
+        if gkind == "significant_text":
+            if docs_df is None:
+                raise DslError(
+                    "significant_text on the indexed executor needs "
+                    "docs_df (the compressed index stores postings, "
+                    "not raw text)")
+            corpus = (docs_df if "doc_id" in docs_df.columns
+                      else with_doc_ids(docs_df))
+            frame = (corpus.where(F.lit(False)) if cut is None
+                     else corpus.join(cut, "doc_id", "left_semi"))
+            return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,
+                              bg_frame=corpus)
+        frame = (stats.where(F.lit(False)) if cut is None
+                 else stats.join(cut, "doc_id", "left_semi"))
+        return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,
+                          bg_frame=stats)
     if kind == "significant_text":
         # the index stores postings, not raw text — the qualifying set
         # resolves from the index, the token analysis reads docs_df

@@ -2335,6 +2335,58 @@ def test_significant_text_matches_replay(spark, docs, docs_pdf,
             dsl_aggregate(docs, {"aggs": bad}).collect()
 
 
+def test_sampler_agg(spark, docs, docs_pdf, dsl_index):
+    """ES sampler: the sub-agg sees only the top shard_size
+    best-scoring docs — pinned against the python ranking oracle's
+    top-n cut + a pandas groupby; both executors; sampler +
+    significant_text compose; validation fails loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    q = {"match": {"text": {"query": "spark agent", "operator": "or"}}}
+    req = {"query": q, "aggs": {"s": {
+        "sampler": {"shard_size": 40},
+        "aggs": {"by_role": {"terms": {"field": "role"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    top = dsl_oracle(docs_pdf, {"query": q}, 40)
+    sampled = docs_pdf[docs_pdf["doc_id"].isin(top["doc_id"])]
+    want = (sampled["role"].value_counts()
+            .reset_index().values.tolist())
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert got["key"].tolist() == [w[0] for w in want]
+    assert got["doc_count"].tolist() == [w[1] for w in want]
+    assert got["doc_count"].sum() == 40
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    # the canonical combo: significant_text over the sampled set only
+    req2 = {"query": q, "aggs": {"s": {
+        "sampler": {"shard_size": 40},
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "min_doc_count": 2}}}}}}
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    assert (g2["doc_count"] <= 40).all()
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2,
+                                docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        gi2.reset_index(drop=True), g2.reset_index(drop=True))
+
+    for bad in (
+        {"s": {"sampler": {"shard_size": 40,
+                           "max_docs_per_value": 3},
+               "aggs": {"r": {"terms": {"field": "role"}}}}},
+        {"s": {"sampler": {"shard_size": 0},
+               "aggs": {"r": {"terms": {"field": "role"}}}}},
+        {"s": {"sampler": {"shard_size": 40}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"query": q, "aggs": bad}).collect()
+
+
 def test_rare_terms_matches_duckdb(spark, docs, docs_pdf, dsl_index):
     """ES rare_terms (exact; ES is CuckooFilter-approximate): every
     term with doc_count <= max_doc_count, count asc / key asc, no size
