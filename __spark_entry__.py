@@ -1550,20 +1550,25 @@ def _lsh_ann_topk(spark, sf_dir):
 
 
 def _media_features(spark, sf_dir):
-    """Multimodal plumbing, oracle-checked. Image/video rows derive from
-    the documents table (payload = UTF-8 text bytes) and value-check the
-    Arrow binary path by byte count (octet_length(encode(..)) in SQL).
-    Audio rows (round 5) carry REAL RIFF/WAVE PCM16 payloads — a
-    deterministic integer signal derived from doc_id, containerized by
-    encode_wav — decoded for real by the strict path
-    (operators/multimodal.py decode_wav / audio_feature_vector), so the
-    driver value-checks true duration/RMS/peak. Every arithmetic step
-    (integer sums of squares < 2^53, divisions by powers of two, one
-    rounded division + sqrt, final float32 quantization) is
-    order-independent IEEE, so the DuckDB twin reproduces the doubles
-    bit-exactly from the closed form."""
+    """Multimodal plumbing, oracle-checked per kind. Video rows derive
+    from the documents table (payload = UTF-8 text bytes) and
+    value-check the Arrow binary path by byte count
+    (octet_length(encode(..)) in SQL). Audio rows (round 5) carry REAL
+    RIFF/WAVE PCM16 payloads — a deterministic integer signal derived
+    from doc_id, containerized by encode_wav — decoded for real by the
+    strict path, so the driver value-checks true duration/RMS/peak.
+    Image rows (round 5, closing session) carry REAL PNG payloads
+    (closed-form pixel pattern, Paeth-filtered scanlines, zlib
+    container — operators/multimodal.py encode_png/decode_png) decoded
+    STRICTLY, value-checking true per-channel means; their n_bytes is
+    the DECODED raster size w*h*3 (the compressed payload size is
+    codec-dependent, not oracle-expressible). Every checked double is
+    order-independent IEEE (integer sums < 2^53, final float32
+    quantization replayed as CAST(.. AS REAL)), so the DuckDB twin
+    reproduces them bit-exactly from the closed forms."""
     from prow_jobs_scraper_spark.operators.multimodal import (
         MEDIA_SCHEMA,
+        encode_png,
         encode_wav,
         extract_features,
         media_from_docs,
@@ -1571,12 +1576,15 @@ def _media_features(spark, sf_dir):
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     media = media_from_docs(d)
-    nulls = [F.lit(None).cast("double").alias(c)
-             for c in ("dur_sec", "rms", "peak")]
-    base = extract_features(media.where(F.col("kind") != "audio")).select(
-        "media_id", "kind", "n_bytes", *nulls)
 
-    def gen(batches):
+    def nulls(*names):
+        return [F.lit(None).cast("double").alias(c) for c in names]
+
+    vid = extract_features(media.where(F.col("kind") == "video")).select(
+        "media_id", "kind", "n_bytes",
+        *nulls("dur_sec", "rms", "peak", "r_mean", "g_mean", "b_mean"))
+
+    def gen_wav(batches):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
         for pdf in batches:
@@ -1597,14 +1605,49 @@ def _media_features(spark, sf_dir):
 
     audio_media = (media.where(F.col("kind") == "audio")
                    .select("media_id", "kind", "payload", "meta")
-                   .mapInPandas(gen, schema=MEDIA_SCHEMA))
+                   .mapInPandas(gen_wav, schema=MEDIA_SCHEMA))
     audio = extract_features(
         audio_media, deterministic_fake=False).select(
         "media_id", "kind", "n_bytes",
         F.element_at("feat", 1).cast("double").alias("dur_sec"),
         F.element_at("feat", 2).cast("double").alias("rms"),
-        F.element_at("feat", 3).cast("double").alias("peak"))
-    return base.unionByName(audio)
+        F.element_at("feat", 3).cast("double").alias("peak"),
+        *nulls("r_mean", "g_mean", "b_mean"))
+
+    def gen_png(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w = mid % 13 + 4             # == media_from_docs' meta
+                h = (mid % 13 * 7) % 13 + 4  # (pmod arithmetic)
+                a = mid % 251 + 2
+                i = np.arange(w * h, dtype=np.int64)[:, None]
+                ch = np.arange(3, dtype=np.int64)[None, :]
+                px = ((a * i + 17 * ch) % 256).astype(
+                    np.uint8).reshape(h, w, 3)
+                rows.append((mid, "image",
+                             bytearray(encode_png(px, filter_type=4)),
+                             {"width": w, "height": h,
+                              "sample_rate": 0, "n_frames": 1}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"])
+
+    img_media = (media.where(F.col("kind") == "image")
+                 .select("media_id", "kind", "payload", "meta")
+                 .mapInPandas(gen_png, schema=MEDIA_SCHEMA))
+    wcol = F.pmod(F.col("media_id"), F.lit(13)) + 4
+    hcol = F.pmod(F.pmod(F.col("media_id"), F.lit(13)) * 7, F.lit(13)) + 4
+    img = extract_features(img_media, deterministic_fake=False).select(
+        "media_id", "kind",
+        (wcol * hcol * 3).cast("long").alias("n_bytes"),
+        *nulls("dur_sec", "rms", "peak"),
+        F.element_at("feat", 1).cast("double").alias("r_mean"),
+        F.element_at("feat", 2).cast("double").alias("g_mean"),
+        F.element_at("feat", 3).cast("double").alias("b_mean"))
+    return vid.unionByName(audio).unionByName(img)
 
 
 def _bm25_compressed_topk(spark, sf_dir):
@@ -3032,19 +3075,19 @@ WHERE rn = 1
         # (exact in float64 in any order), so duration/RMS/peak match
         # the engine's float32 features bit-exactly after the REAL cast
         "media_features": """
-            SELECT doc_id AS media_id,
-                   CASE ((doc_id % 3) + 3) % 3
-                        WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+            SELECT doc_id AS media_id, 'video' AS kind,
                    octet_length(encode(text)) AS n_bytes,
                    NULL::DOUBLE AS dur_sec, NULL::DOUBLE AS rms,
-                   NULL::DOUBLE AS peak
-            FROM documents WHERE ((doc_id % 3) + 3) % 3 <> 1
+                   NULL::DOUBLE AS peak, NULL::DOUBLE AS r_mean,
+                   NULL::DOUBLE AS g_mean, NULL::DOUBLE AS b_mean
+            FROM documents WHERE ((doc_id % 3) + 3) % 3 = 2
             UNION ALL
             SELECT media_id, 'audio' AS kind, 44 + 2 * n AS n_bytes,
                    CAST(CAST(n / 16000.0 AS REAL) AS DOUBLE) AS dur_sec,
                    CAST(CAST(sqrt((ss / n::DOUBLE)) / 32768.0 AS REAL)
                         AS DOUBLE) AS rms,
-                   CAST(CAST(mx / 32768.0 AS REAL) AS DOUBLE) AS peak
+                   CAST(CAST(mx / 32768.0 AS REAL) AS DOUBLE) AS peak,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
             FROM (
               SELECT media_id, any_value(n) AS n,
                      sum(s * s) AS ss, max(abs(s)) AS mx
@@ -3060,6 +3103,31 @@ WHERE rn = 1
                   FROM documents
                   WHERE ((doc_id % 3) + 3) % 3 = 1))
               GROUP BY media_id)
+            UNION ALL
+            -- image twin (round 5): true channel means of the REAL
+            -- PNG payloads replayed from the closed-form pixel
+            -- pattern ((a*i + 17*ch) % 256); n_bytes = decoded
+            -- raster size (compressed size is codec-dependent)
+            SELECT media_id, 'image' AS kind,
+                   any_value(w) * any_value(h) * 3 AS n_bytes,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+                   CAST(CAST(avg((a * i) % 256) AS REAL) AS DOUBLE)
+                     AS r_mean,
+                   CAST(CAST(avg((a * i + 17) % 256) AS REAL) AS DOUBLE)
+                     AS g_mean,
+                   CAST(CAST(avg((a * i + 34) % 256) AS REAL) AS DOUBLE)
+                     AS b_mean
+            FROM (
+              SELECT doc_id AS media_id,
+                     ((doc_id % 13) + 13) % 13 + 4 AS w,
+                     ((((doc_id % 13) + 13) % 13 * 7) % 13) + 4 AS h,
+                     ((doc_id % 251) + 251) % 251 + 2 AS a,
+                     unnest(range(0,
+                       (((doc_id % 13) + 13) % 13 + 4)
+                       * (((((doc_id % 13) + 13) % 13 * 7) % 13) + 4)))
+                       AS i
+              FROM documents WHERE ((doc_id % 3) + 3) % 3 = 0)
+            GROUP BY media_id, a
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -11,7 +11,11 @@ Decode boundary, by format:
   fixed-layout spec (chunk walk + ``np.frombuffer``), so audio
   payloads produce true sample tensors and real features (duration,
   RMS, peak, ZCR — :func:`audio_feature_vector`).
-- **JPEG/PNG / compressed audio codecs (MP3, AAC, IEEE-float WAVE,
+- **PNG (8-bit gray/RGB/RGBA, non-interlaced)** — REAL decode, pure
+  stdlib zlib + numpy (:func:`decode_png`, round 5): inflate is in
+  the standard library and the five scanline filters are public-spec
+  arithmetic; Adam7/palette/16-bit fail loud.
+- **JPEG / compressed audio codecs (MP3, AAC, IEEE-float WAVE,
   ADPCM)** — the libraries are not present in this container, so that
   decode is STUBBED: :func:`_decode_image_stub` raises
   ``NotImplementedError`` unless ``deterministic_fake=True``, in
@@ -105,6 +109,174 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes (8-bit truecolor, non-interlaced),
+    pure stdlib zlib + numpy. ``filter_type`` applies one of the five
+    PNG scanline filters to every row (the spec allows any per-row
+    choice; a fixed one keeps the encoder tiny) — the round-trip twin
+    of :func:`decode_png` and the way tests exercise every unfilter
+    path."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"encode_png needs (h, w, 3), got {img.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"bad PNG filter type {filter_type!r}")
+    h, w = img.shape[:2]
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = img[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:  # Sub
+            out = row - left
+        elif filter_type == 2:  # Up
+            out = row - prev
+        elif filter_type == 3:  # Average
+            out = row - ((left.astype(np.uint16)
+                          + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            out = row - _paeth(left, prev, upleft)
+        raw.append(filter_type)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray,
+           upleft: np.ndarray) -> np.ndarray:
+    """The PNG Paeth predictor, vectorized over a scanline (spec
+    section 9: nearest of left/up/upleft to p = left + up - upleft,
+    ties broken left, up, upleft)."""
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decoder, from the public spec
+    (RFC 2083 / W3C PNG): signature, chunk walk with IHDR/IDAT/IEND,
+    zlib inflate, all five scanline unfilters. Supported: bit depth 8,
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Adam7 interlace, palettes, and sub-byte depths
+    raise ValueError (fail loud, the codec boundary rule). Returns
+    (h, w, 3) uint8 — gray replicates, alpha drops (documented: every
+    downstream op sees one tensor shape).
+
+    The Sub unfilter is a per-channel-lane modular cumsum (vector);
+    Average/Paeth carry a true left-dependency, so those rows walk
+    width-wise in python over channel-vector lanes — fine for the
+    fixture-sized assets this container decodes; production-scale
+    image decode stays a bring-a-codec concern (module docstring)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, compression={comp})")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG is not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: {len(raw)} vs "
+            f"{h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=y * (stride + 1) + 1).copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-lane modular prefix sum
+            rec = row.copy()
+            for i in range(bpp):
+                rec[i::bpp] = np.cumsum(
+                    rec[i::bpp], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average: left-dependent, width walk
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(w):
+                s = x * bpp
+                left = rec[s - bpp:s] if x else np.zeros(bpp, np.uint8)
+                rec[s:s + bpp] = row[s:s + bpp] + (
+                    (left.astype(np.uint16)
+                     + prev[s:s + bpp].astype(np.uint16)) // 2
+                ).astype(np.uint8)
+        elif ftype == 4:  # Paeth: left-dependent, width walk
+            rec = np.zeros(stride, dtype=np.uint8)
+            z = np.zeros(bpp, np.uint8)
+            for x in range(w):
+                s = x * bpp
+                left = rec[s - bpp:s] if x else z
+                upleft = prev[s - bpp:s] if x else z
+                rec[s:s + bpp] = row[s:s + bpp] + _paeth(
+                    left, prev[s:s + bpp], upleft)
+        else:
+            raise ValueError(f"bad PNG filter byte {ftype}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 2:
+        return img
+    if ctype == 4:  # gray + alpha: replicate gray, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA: drop alpha
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
                n_channels: int = 1) -> bytes:
     """int16 PCM samples -> canonical RIFF/WAVE bytes (44-byte header +
@@ -195,7 +367,8 @@ def audio_feature_vector(payload: bytes, feat_dim: int = 8) -> np.ndarray:
 def decode_image(payload: bytes, width: int, height: int,
                  deterministic_fake: bool = False) -> np.ndarray:
     """Decode dispatch: netpbm payloads (magic P6/P5) decode for REAL
-    with :func:`decode_ppm` (their header dims win over the metadata);
+    with :func:`decode_ppm`, PNG payloads (8-byte signature) with
+    :func:`decode_png` (their header dims win over the metadata);
     any other format hits the stubbed codec boundary."""
     if payload[:2] in (b"P6", b"P5"):
         try:
@@ -203,6 +376,12 @@ def decode_image(payload: bytes, width: int, height: int,
         except ValueError:
             # strict mode surfaces the corrupt payload; fake mode (test/
             # plumbing path) treats lookalike bytes as opaque
+            if not deterministic_fake:
+                raise
+    elif payload[:8] == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except ValueError:
             if not deterministic_fake:
                 raise
     return _decode_image_stub(payload, width, height, deterministic_fake)
