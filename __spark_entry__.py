@@ -1604,7 +1604,7 @@ def _media_features(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"])
 
     audio_media = (media.where(F.col("kind") == "audio")
-                   .select("media_id", "kind", "payload", "meta")
+                   .select("media_id")  # twin regenerates the payload
                    .mapInPandas(gen_wav, schema=MEDIA_SCHEMA))
     audio = extract_features(
         audio_media, deterministic_fake=False).select(
@@ -1636,7 +1636,7 @@ def _media_features(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"])
 
     img_media = (media.where(F.col("kind") == "image")
-                 .select("media_id", "kind", "payload", "meta")
+                 .select("media_id")  # twin regenerates the payload
                  .mapInPandas(gen_png, schema=MEDIA_SCHEMA))
     wcol = F.pmod(F.col("media_id"), F.lit(13)) + 4
     hcol = F.pmod(F.pmod(F.col("media_id"), F.lit(13)) * 7, F.lit(13)) + 4

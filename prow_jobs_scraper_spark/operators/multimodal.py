@@ -205,7 +205,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) != length:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            try:
+                ihdr = struct.unpack(">IIBBBBB", body)
+            except struct.error:
+                raise ValueError("short PNG IHDR chunk") from None
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -222,7 +225,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt IDAT fails loud as ValueError — the contract every
+        # caller (and decode_image's fake-mode fallback) keys on
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from None
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError(

@@ -3718,9 +3718,13 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
                 cond = cond & (col >= F.lit(frm))
             if to is not None:
                 cond = cond & (col < F.lit(to))
-            key = r.get("key") or "{}-{}".format(
-                "*" if frm is None else frm.isoformat(sep=" "),
-                "*" if to is None else to.isoformat(sep=" "))
+            key = r.get("key")
+            if key is not None and not isinstance(key, str):
+                raise DslError(f"bad date_range bucket key {key!r}")
+            if key is None:
+                key = "{}-{}".format(
+                    "*" if frm is None else frm.isoformat(sep=" "),
+                    "*" if to is None else to.isoformat(sep=" "))
             buckets.append((i, key, cond))
     else:  # filters
         unknown = set(body) - {"filters", "other_bucket",
@@ -3733,16 +3737,19 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
             raise DslError("filters aggregation needs named filters")
         for i, (name, clause) in enumerate(named.items()):
             buckets.append((i, name, _filter_cond(name, clause)))
-        other = body.get("other_bucket", False)
+        other = body.get("other_bucket")
         okey = body.get("other_bucket_key")
         if okey is not None and not isinstance(okey, str):
             raise DslError(f"bad other_bucket_key {okey!r}")
-        if not isinstance(other, bool):
+        if other is not None and not isinstance(other, bool):
             raise DslError(f"other_bucket must be a bool, got {other!r}")
-        if other or okey is not None:
+        if other is None:
+            # ES: other_bucket_key implies other_bucket only when
+            # other_bucket is UNSET; an explicit false suppresses it
+            other = okey is not None
+        if other:
             # ES: docs matching NO named filter bucket under "_other_"
-            # (setting other_bucket_key implies other_bucket), appended
-            # after the named buckets
+            # appended after the named buckets
             buckets.append((
                 len(buckets), okey or "_other_",
                 ~reduce(lambda a, b: a | b, [c for _, _, c in buckets])))
@@ -5247,6 +5254,26 @@ def _qualify_indexed(
     return anchor, scored
 
 
+def _sigtext_corpus(docs_df: DataFrame | None,
+                    id_frame: DataFrame | None):
+    """Resolve the raw-text corpus ``significant_text`` needs on the
+    indexed executor (the compressed index stores postings, not text)
+    and semi-join it down to the qualifying id frame (``None`` means
+    provably empty). Returns ``(frame, corpus)``; shared by the
+    top-level and sampler-inner branches of
+    :func:`dsl_aggregate_indexed`."""
+    if docs_df is None:
+        raise DslError(
+            "significant_text on the indexed executor needs docs_df "
+            "(the compressed index stores postings, not raw text)")
+    corpus = (docs_df if "doc_id" in docs_df.columns
+              else with_doc_ids(docs_df))
+    frame = (corpus.where(F.lit(False)) if id_frame is None
+             else corpus.join(id_frame.select("doc_id"), "doc_id",
+                              "left_semi"))
+    return frame, corpus
+
+
 def dsl_aggregate_indexed(
     spark: SparkSession,
     index_dir: str | list[str],
@@ -5287,20 +5314,19 @@ def dsl_aggregate_indexed(
         # TakeOrderedAndProject over postings-resolved candidates —
         # then the inner agg proceeds exactly like a top-level one
         # over the sampled id set
+        if siblings:
+            # match the naive executor's _apply_agg guard: a sibling
+            # pipeline next to a sampler is out of grammar — fail loud
+            # instead of silently dropping the sibling column
+            raise DslError(
+                "sibling pipelines need a single-level terms/histogram/"
+                "date_histogram aggregation next to them")
         n, (gname, gkind, gbody, gsub, gsibs) = _parse_sampler(body, sub)
         cut = (None if anchor is None else
                anchor.orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(n).select("doc_id"))
         if gkind == "significant_text":
-            if docs_df is None:
-                raise DslError(
-                    "significant_text on the indexed executor needs "
-                    "docs_df (the compressed index stores postings, "
-                    "not raw text)")
-            corpus = (docs_df if "doc_id" in docs_df.columns
-                      else with_doc_ids(docs_df))
-            frame = (corpus.where(F.lit(False)) if cut is None
-                     else corpus.join(cut, "doc_id", "left_semi"))
+            frame, corpus = _sigtext_corpus(docs_df, cut)
             return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,
                               bg_frame=corpus)
         frame = (stats.where(F.lit(False)) if cut is None
@@ -5312,16 +5338,7 @@ def dsl_aggregate_indexed(
         # resolves from the index, the token analysis reads docs_df
         # (the same corpus requirement match_phrase has without the
         # positions sidecar)
-        if docs_df is None:
-            raise DslError(
-                "significant_text on the indexed executor needs "
-                "docs_df (the compressed index stores postings, not "
-                "raw text)")
-        corpus = (docs_df if "doc_id" in docs_df.columns
-                  else with_doc_ids(docs_df))
-        frame = (corpus.where(F.lit(False)) if anchor is None
-                 else corpus.join(anchor.select("doc_id"), "doc_id",
-                                  "left_semi"))
+        frame, corpus = _sigtext_corpus(docs_df, anchor)
         return _apply_agg(frame, agg_name, kind, body, sub, siblings,
                           bg_frame=corpus)
     # provably-empty query: aggregate the empty doc_stats frame (real

@@ -2184,6 +2184,23 @@ def test_date_range_other_bucket_shard_size(spark, docs, docs_pdf,
     pd.testing.assert_frame_equal(
         gi2.reset_index(drop=True), g2.reset_index(drop=True))
 
+    # ES: an explicit other_bucket:false wins over other_bucket_key
+    req2f = {"aggs": {"f": {"filters": {
+        "filters": {"u": {"term": {"role": "user"}},
+                    "a": {"term": {"role": "assistant"}}},
+        "other_bucket": False, "other_bucket_key": "rest"}}}}
+    g2f = dsl_aggregate(docs, req2f).toPandas()
+    assert g2f["key"].tolist() == ["u", "a"]
+    gi2f = dsl_aggregate_indexed(spark, dsl_index, req2f).toPandas()
+    pd.testing.assert_frame_equal(
+        gi2f.reset_index(drop=True), g2f.reset_index(drop=True))
+
+    # an explicit empty-string bucket key is honored, not defaulted
+    ge = dsl_aggregate(docs, {"aggs": {"dr": {"date_range": {
+        "field": "ts",
+        "ranges": [{"to": "2025-06-09", "key": ""}]}}}}).toPandas()
+    assert ge["key"].tolist() == [""]
+
     # shard_size: accepted as a documented no-op (exact engine)
     g3 = dsl_aggregate(docs, {"aggs": {"r": {"terms": {
         "field": "role", "shard_size": 500}}}}).toPandas()
@@ -2195,6 +2212,8 @@ def test_date_range_other_bucket_shard_size(spark, docs, docs_pdf,
         {"dr": {"date_range": {"field": "ts", "ranges": [
             {"from": "not a date"}]}}},
         {"dr": {"date_range": {"field": "ts", "ranges": [{}]}}},
+        {"dr": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2025-06-09", "key": 5}]}}},
         {"f": {"filters": {"filters": {"u": {"term": {"role": "u"}}},
                            "other_bucket": "yes"}}},
         {"r": {"terms": {"field": "role",
@@ -2385,6 +2404,17 @@ def test_sampler_agg(spark, docs, docs_pdf, dsl_index):
     ):
         with pytest.raises(DslError):
             dsl_aggregate(docs, {"query": q, "aggs": bad}).collect()
+
+    # a sibling pipeline next to a sampler is out of grammar — BOTH
+    # executors fail loud (the indexed path must not silently drop it)
+    sib = {"query": q, "aggs": {
+        "s": {"sampler": {"shard_size": 40},
+              "aggs": {"r": {"terms": {"field": "role"}}}},
+        "m": {"avg_bucket": {"buckets_path": "s>_count"}}}}
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, sib).collect()
+    with pytest.raises(DslError):
+        dsl_aggregate_indexed(spark, dsl_index, sib).collect()
 
 
 def test_rare_terms_matches_duckdb(spark, docs, docs_pdf, dsl_index):

@@ -293,6 +293,22 @@ def test_png_roundtrip_all_filters_and_variants(spark):
                    + chunk(b"IEND", b""))
     with _pytest.raises(ValueError):
         decode_png(b"not a png")
+    # corrupt innards surface as ValueError too (the contract the
+    # fake-mode fallback keys on), never zlib.error / struct.error
+    ihdr_ok = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    bad_idat = (_PNG_SIG + chunk(b"IHDR", ihdr_ok)
+                + chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+                + chunk(b"IEND", b""))
+    short_ihdr = (_PNG_SIG + chunk(b"IHDR", b"\x00\x01\x02")
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * 39))
+                  + chunk(b"IEND", b""))
+    for corrupt in (bad_idat, short_ihdr):
+        with _pytest.raises(ValueError):
+            decode_png(corrupt)
+        # and a PNG-signature lookalike in fake mode falls back to the
+        # deterministic stub instead of crashing the Spark task
+        fake = decode_image(corrupt, 4, 3, deterministic_fake=True)
+        assert fake.shape == (3, 4, 3) and fake.dtype == np.uint8
 
     # dispatch + real features through the Arrow pipeline: channel
     # means of the decoded tensor match numpy exactly
