@@ -3161,6 +3161,15 @@ def dsl_aggregate(
       in key order; the first bucket's derivative is NULL — ES omits
       it). Terms parents fail loud (ES: pipelines need a bucket
       SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
+    - any single-level bucket agg may carry ``bucket_script`` /
+      ``bucket_selector`` pipelines (``{"buckets_path": {var: "_count"
+      | metric | "stats-name.stat"}, "script": "params.x / params.y"}``)
+      -> an extra double column per script / buckets where the boolean
+      script is false dropped, both over the FINAL bucket list
+      (post min_doc_count/order/size — ES runs pipelines on the
+      reduced response). Script grammar is the painless arithmetic
+      subset compiled to shared Spark-SQL∩DuckDB text (see
+      :func:`_compile_bucket_script`); ``gap_policy`` fails loud.
     - a single-level ``terms``/``histogram``/``date_histogram`` agg
       may carry ONE ``bucket_sort`` pipeline (``{"sort": [{path:
       dir}...], "from": m, "size": n}``) re-sorting/truncating its
@@ -3249,9 +3258,11 @@ _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 # parent requirement — terms buckets have no sequential order for a
 # running sum / difference to be defined over, exactly the ES
 # restriction); bucket_sort re-sorts/truncates ANY multi-bucket
-# parent's final bucket list.
-_PIPELINE_KINDS = ("cumulative_sum", "derivative", "serial_diff",
-                   "bucket_sort")
+# parent's final bucket list; bucket_script/bucket_selector are
+# PER-BUCKET (no sequence dependency), so any single-level parent.
+_SEQUENCE_PIPELINES = ("cumulative_sum", "derivative", "serial_diff")
+_PIPELINE_KINDS = _SEQUENCE_PIPELINES + (
+    "bucket_sort", "bucket_script", "bucket_selector")
 
 
 def _parse_bucket_sort(body, out_cols: list[str]):
@@ -3345,6 +3356,164 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
         raise DslError(
             f"buckets_path {p!r} is not a metric of this bucket")
     return col
+
+
+_SCRIPT_TOKEN = _re.compile(
+    r"params\.([A-Za-z_]\w*)|(\d+\.\d+|\d+)"
+    r"|(==|!=|<=|>=|&&|\|\||[-+*/()<>])|(\s+)")
+
+
+def _compile_bucket_script(kind: str, body, metric_cols: list[str]):
+    """``bucket_script`` / ``bucket_selector`` body -> a SQL expression
+    string in the Spark-SQL ∩ DuckDB shared subset (the same rule the
+    regexp / prefix / wildcard predicates follow: the DuckDB oracle
+    replays the EXACT string, so only constructs both dialects parse
+    identically are in grammar).
+
+    Script grammar — the painless arithmetic subset report queries
+    actually write: ``params.<var>`` references, numeric literals,
+    ``+ - * /``, parens, comparisons (``== != < <= > >=``) and
+    ``&& ||``. Vars resolve through ``buckets_path`` ({var: "_count" |
+    metric | "stats-name.stat"}) and are cast to DOUBLE (painless
+    arithmetic is double-valued). Math.*, ternaries, method calls,
+    ``gap_policy``/``format`` — fail loud. A full recursive-descent
+    pass validates the expression AND types it: ``bucket_script``
+    must be numeric, ``bucket_selector`` boolean — a shape error
+    surfaces as :class:`DslError` at parse, not an opaque Spark
+    AnalysisException at execution."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad {kind} body {body!r}")
+    unknown = set(body) - {"buckets_path", "script"}
+    if unknown:
+        raise DslError(f"unsupported {kind} options {sorted(unknown)}")
+    paths = body.get("buckets_path")
+    if not isinstance(paths, dict) or not paths:
+        raise DslError(
+            f"{kind} needs a {{var: path}} buckets_path, got {paths!r}")
+    cols = {}
+    for var, p in paths.items():
+        if not _re.fullmatch(r"[A-Za-z_]\w*", var):
+            raise DslError(f"bad {kind} variable name {var!r}")
+        col = _pipeline_path(kind, {"buckets_path": p}, metric_cols)
+        if not _re.fullmatch(r"[A-Za-z_]\w*", col):
+            raise DslError(
+                f"{kind} path {p!r} resolves to a column that needs "
+                f"quoting — out of the shared-SQL-subset grammar")
+        cols[var] = col
+    script = body.get("script")
+    if isinstance(script, dict) and set(script) <= {"source"}:
+        script = script.get("source")  # ES long-form script object
+    if not isinstance(script, str) or not script.strip():
+        raise DslError(f"{kind} needs a script string, got {script!r}")
+
+    toks, pos = [], 0
+    while pos < len(script):
+        m = _SCRIPT_TOKEN.match(script, pos)
+        if m is None:
+            raise DslError(
+                f"{kind} script: unsupported syntax at "
+                f"{script[pos:pos + 12]!r} (grammar: params.var, "
+                f"numbers, + - * / parens, comparisons, && ||)")
+        pos = m.end()
+        if m.group(4):  # whitespace
+            continue
+        if m.group(1):
+            var = m.group(1)
+            if var not in cols:
+                raise DslError(
+                    f"{kind} script references params.{var} which is "
+                    f"not in buckets_path {sorted(cols)}")
+            toks.append(("var", f"CAST({cols[var]} AS DOUBLE)"))
+        elif m.group(2):
+            toks.append(("num", m.group(2)))
+        else:
+            toks.append(("op", m.group(3)))
+
+    # recursive descent: validates shape AND types the expression so
+    # selector-vs-script misuse fails loud here, with SQL emitted
+    # token-by-token (precedence: || < && < cmp < +- < */ < unary -)
+    out: list[str] = []
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else (None, None)
+
+    def take():
+        nonlocal i
+        t = toks[i]
+        i += 1
+        return t
+
+    def atom() -> str:
+        kind_, val = peek()
+        if kind_ in ("var", "num"):
+            take()
+            out.append(val)
+            return "num"
+        if kind_ == "op" and val == "-":
+            take()
+            out.append("-")
+            if atom() != "num":
+                raise DslError(f"{kind} script: unary - on a boolean")
+            return "num"
+        if kind_ == "op" and val == "(":
+            take()
+            out.append("(")
+            t = disj()
+            if peek() != ("op", ")"):
+                raise DslError(f"{kind} script: unbalanced parens")
+            take()
+            out.append(")")
+            return t
+        raise DslError(f"{kind} script: expected a value, got {val!r}")
+
+    def binchain(sub, ops, emit, operand_t, result_t, single=False):
+        t = sub()
+        seen = False
+        while peek()[0] == "op" and peek()[1] in ops:
+            if single and seen:
+                raise DslError(
+                    f"{kind} script: chained comparisons need parens")
+            seen = True
+            op = take()[1]
+            out.append(emit.get(op, op))
+            if t != operand_t or sub() != operand_t:
+                raise DslError(
+                    f"{kind} script: operator {op} needs "
+                    f"{'numeric' if operand_t == 'num' else 'boolean'} "
+                    f"operands")
+            t = result_t
+        return t
+
+    def prod():
+        return binchain(atom, ("*", "/"), {}, "num", "num")
+
+    def sums():
+        return binchain(prod, ("+", "-"), {}, "num", "num")
+
+    def cmp():
+        return binchain(sums, ("==", "!=", "<=", ">=", "<", ">"),
+                        {"==": "=", "!=": "<>"}, "num", "bool",
+                        single=True)
+
+    def conj():
+        return binchain(cmp, ("&&",), {"&&": " AND "}, "bool", "bool")
+
+    def disj():
+        return binchain(conj, ("||",), {"||": " OR "}, "bool", "bool")
+
+    t = disj()
+    if i < len(toks):
+        raise DslError(
+            f"{kind} script: trailing tokens from {toks[i][1]!r}")
+    want = "bool" if kind == "bucket_selector" else "num"
+    if t != want:
+        raise DslError(
+            f"{kind} script must be "
+            f"{'boolean' if want == 'bool' else 'numeric'}-valued "
+            f"(got a {'boolean' if t == 'bool' else 'numeric'} "
+            f"expression)")
+    return " ".join(s.strip() for s in out)
 
 
 # ES sibling pipeline aggregations: top-level aggs computed over the
@@ -4264,13 +4433,19 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         if bsort is not None:
             raise DslError("at most one bucket_sort per aggregation")
         bsort = pipes.pop(n)[1]
+    # bucket_script/bucket_selector are per-bucket (no sequence
+    # dependency) — split from the sequence pipelines, declaration
+    # order preserved, applied to the FINAL bucket list post-size
+    scripts = {n: pipes.pop(n) for n in
+               [n for n, (k, _) in pipes.items()
+                if k in ("bucket_script", "bucket_selector")]}
     metrics_spec, sub_bucket = _split_sub(sub)
     if pipes:
         if kind not in ("date_histogram", "histogram"):
             raise DslError(
                 "pipeline aggregations need a histogram-family parent "
                 "(ES: buckets must form a sequence)")
-    if (pipes or bsort is not None) and sub_bucket is not None:
+    if (pipes or scripts or bsort is not None) and sub_bucket is not None:
         raise DslError("pipeline aggregations cannot combine with "
                        "a nested bucket sub-aggregation")
     pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
@@ -4327,6 +4502,28 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         out = out.orderBy(*porder)
         if psize is not None:
             out = out.limit(int(psize))
+        if scripts:
+            # ES: pipelines run on the reduced response — the FINAL
+            # bucket list post min_doc_count/order/size. Per-bucket
+            # projections/filters over bucket-cardinality rows.
+            # Sequence-pipeline outputs (computed above) are valid
+            # buckets_path targets, as in ES.
+            mcols = _metric_out_names(metrics_spec) + list(pipes)
+            taken = set(out.columns)
+            for name, (pk, pb) in scripts.items():
+                expr = _compile_bucket_script(pk, pb, mcols)
+                if pk == "bucket_script":
+                    if name in taken:
+                        raise DslError(
+                            f"pipeline aggregation name {name!r} "
+                            f"collides with an output column")
+                    taken.add(name)
+                    # painless arithmetic is double-valued
+                    out = out.withColumn(
+                        name, F.expr(expr).cast("double"))
+                else:  # bucket_selector: false/NULL buckets drop (ES)
+                    out = out.where(F.expr(expr))
+            out = out.orderBy(*porder)
         if bsort is not None:
             # bucket_sort re-sorts/truncates the parent's OWN bucket
             # list (post its order/size — the list ES would return);

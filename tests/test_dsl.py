@@ -1863,6 +1863,138 @@ def test_pipeline_aggs_cumulative_sum_and_derivative(spark, docs,
         got.sort_values("key").reset_index(drop=True))
 
 
+def test_bucket_script_and_selector_match_duckdb(spark, docs, docs_pdf,
+                                                 dsl_index):
+    """ES bucket_script / bucket_selector: per-bucket painless
+    arithmetic over buckets_path vars, on ANY single-level parent
+    (terms included — no sequence dependency), applied to the FINAL
+    bucket list; oracle = hand-written duckdb replay; both executors;
+    a bucket_sort may target the script output."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+
+    req = {"aggs": {"by_role": {
+        "terms": {"field": "role"},
+        "aggs": {
+            "avg_turn": {"avg": {"field": "turn_idx"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"a": "avg_turn", "c": "_count"},
+                "script": "(params.a + 1.5) / params.c"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c > 100 && params.c != 0"}},
+        }}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = con.sql("""
+        SELECT * FROM (
+          SELECT role AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS avg_turn,
+                 (avg(turn_idx) + 1.5) / count(*) AS per_doc
+          FROM t WHERE role IS NOT NULL GROUP BY 1)
+        WHERE doc_count > 100 ORDER BY doc_count DESC, key
+    """).df()
+    assert len(got) == len(want) >= 1
+    assert got["key"].tolist() == want["key"].tolist()
+    np.testing.assert_allclose(got["per_doc"], want["per_doc"],
+                               rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    # selector runs POST-size (the reduced response ES pipelines see):
+    # survivors of the top-1, NOT top-1 of the survivors — a threshold
+    # between the 1st and 2nd counts separates the two orderings
+    # (post-size: the lone top bucket is dropped -> 0 rows; pre-size
+    # would instead return the 2nd bucket)
+    vc = docs_pdf["role"].value_counts()
+    thr = (int(vc.iloc[0]) + int(vc.iloc[1])) / 2
+    assert int(vc.iloc[0]) > int(vc.iloc[1])
+    req_sz = {"aggs": {"by_role": {
+        "terms": {"field": "role", "size": 1},
+        "aggs": {"drop_top": {"bucket_selector": {
+            "buckets_path": {"c": "_count"},
+            "script": f"params.c < {thr}"}}}}}}
+    assert dsl_aggregate(docs, req_sz).count() == 0
+
+    # script output feeds bucket_sort; scripts compose with sequence
+    # pipelines on a histogram-family parent
+    req2 = {"aggs": {"per_week": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {
+            "running": {"cumulative_sum": {"buckets_path": "_count"}},
+            "frac": {"bucket_script": {
+                "buckets_path": {"c": "_count", "r": "running"},
+                "script": "params.c / params.r"}},
+            "top": {"bucket_sort": {"sort": [{"frac": "desc"}],
+                                    "size": 3}},
+        }}}}
+    got2 = dsl_aggregate(docs, req2).toPandas()
+    want2 = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('week', ts) AS key, count(*) AS doc_count
+          FROM t GROUP BY 1),
+        r AS (
+          SELECT key, doc_count,
+                 sum(doc_count) OVER (ORDER BY key) AS running
+          FROM b)
+        SELECT key, doc_count, running,
+               doc_count / running AS frac
+        FROM r ORDER BY frac DESC, key LIMIT 3
+    """).df()
+    assert got2["key"].astype("datetime64[us]").tolist() \
+        == want2["key"].astype("datetime64[us]").tolist()
+    np.testing.assert_allclose(got2["frac"], want2["frac"], rtol=1e-12)
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    pd.testing.assert_frame_equal(
+        gi2.reset_index(drop=True), got2.reset_index(drop=True))
+
+    # "running" above references a PIPELINE output as a script var
+    # (valid in ES) — pin that it resolved the windowed value
+    assert (got2["doc_count"] / got2["running"]
+            == got2["frac"]).all()
+
+
+def test_bucket_script_rejects(spark, docs):
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    def agg(sub):
+        return {"aggs": {"a": {"terms": {"field": "role"},
+                               "aggs": sub}}}
+
+    bp = {"buckets_path": {"c": "_count"}}
+    for sub, msg in [
+        ({"s": {"bucket_script": {**bp, "script": "params.c > 1"}}},
+         "must be numeric"),
+        ({"s": {"bucket_selector": {**bp, "script": "params.c + 1"}}},
+         "must be boolean"),
+        ({"s": {"bucket_script": {**bp,
+                                  "script": "Math.log(params.c)"}}},
+         "unsupported syntax"),
+        ({"s": {"bucket_script": {**bp, "script": "params.x + 1"}}},
+         "not in buckets_path"),
+        ({"s": {"bucket_script": {**bp, "script": "(params.c"}}},
+         "unbalanced"),
+        ({"s": {"bucket_script": {**bp, "script": "1 < params.c < 3"}}},
+         "chained comparisons"),
+        ({"s": {"bucket_script": {**bp, "script": "params.c + 1",
+                                  "gap_policy": "skip"}}},
+         "unsupported bucket_script options"),
+        ({"s": {"bucket_script": {"buckets_path": "_count",
+                                  "script": "1 + 1"}}},
+         "var: path"),
+        ({"doc_count": {"bucket_script": {**bp,
+                                          "script": "params.c"}}},
+         "collides"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            dsl_aggregate(docs, agg(sub)).collect()
+
+
 def test_pipeline_agg_rejects(spark, docs):
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
