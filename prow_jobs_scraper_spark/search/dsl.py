@@ -3119,10 +3119,14 @@ def dsl_aggregate(
     - ``{"histogram": {"field": f, "interval": n, "offset": o?}}`` ->
       (key, doc_count [, sub metrics]) with key =
       floor((v - o)/n)*n + o, ascending; ``min_doc_count``/``missing``
-      on terms, ``min_doc_count`` on histogram/date_histogram (>= 1;
-      0 would emit empty buckets, which the flattened output drops).
-      Docs missing a bucket field are dropped (ES), never a NULL
-      bucket.
+      on terms (>= 1 — terms cannot gap-fill), ``min_doc_count`` on
+      histogram/date_histogram including ``0``: single-level
+      histogram-family aggs GAP-FILL the empty buckets between the
+      observed (or ``extended_bounds``-widened) min and max keys with
+      doc_count 0 / NULL metrics, and sequence pipelines run over the
+      filled sequence (see :func:`_gap_fill`; ``extended_bounds``
+      requires min_doc_count 0, the ES rule). Docs missing a bucket
+      field are dropped (ES), never a NULL bucket.
     - ``{"range": {"field": f, "ranges": [{"from": a, "to": b,
       "key": k?}, ...]}}`` -> (key, doc_count [, sub metrics]) in range
       definition order; from inclusive / to exclusive, open ends
@@ -3587,18 +3591,110 @@ def _apply_siblings(out: DataFrame, siblings: dict, agg_name: str,
     return out.crossJoin(F.broadcast(sib)).orderBy(*order_cols)
 
 
-def _parse_min_doc_count(body: dict) -> int:
+def _parse_min_doc_count(body: dict, allow_zero: bool = False) -> int:
     """ES ``min_doc_count``: buckets below it are pruned (BEFORE the
-    size cut). Default 1. 0 would require emitting EMPTY buckets —
-    the engine's documented empty-bucket deviation says those vanish,
-    so 0 stays out-of-grammar instead of silently behaving like 1."""
+    size cut). Default 1. 0 means emitting EMPTY buckets — supported
+    on single-level histogram-family aggs via gap filling
+    (:func:`_gap_fill`); on terms, 0 would mean enumerating every
+    term of the background set, which stays out-of-grammar."""
     mdc = body.get("min_doc_count", 1)
-    if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < 1:
+    floor_ = 0 if allow_zero else 1
+    if isinstance(mdc, bool) or not isinstance(mdc, int) or mdc < floor_:
         raise DslError(
-            f"min_doc_count must be an int >= 1 (0 would emit empty "
-            f"buckets, which the engine's flattened output drops — "
-            f"documented deviation), got {mdc!r}")
+            f"min_doc_count must be an int >= {floor_}, got {mdc!r}")
     return mdc
+
+
+_CAL_STEP = {"hour": "interval 1 hour", "day": "interval 1 day",
+             "week": "interval 1 week", "month": "interval 1 month",
+             "quarter": "interval 3 month", "year": "interval 1 year"}
+
+
+def _eb_bucket(kind: str, body: dict, v, which: str):
+    """``extended_bounds`` value -> its bucket key, using the SAME
+    arithmetic as the data path (floor to interval / date_trunc /
+    epoch floor) so the extended key lines up with real bucket keys."""
+    if kind == "histogram":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise DslError(
+                f"extended_bounds {which} must be a number, got {v!r}")
+        iv, off = float(body["interval"]), float(body.get("offset", 0))
+        import math  # noqa: PLC0415
+        return math.floor((float(v) - off) / iv) * iv + off
+    t = _resolve_date_math(v, "gte")
+    if isinstance(t, str):
+        try:
+            t = _dt.datetime.fromisoformat(t)
+        except ValueError:
+            raise DslError(
+                f"bad extended_bounds {which} {v!r}") from None
+    if not isinstance(t, _dt.datetime):
+        raise DslError(f"bad extended_bounds {which} {v!r}")
+    cal = body.get("calendar_interval")
+    if cal is not None:
+        if cal == "quarter":
+            m = (t.month - 1) // 3 * 3 + 1
+            return t.replace(month=m, day=1, hour=0, minute=0,
+                             second=0, microsecond=0)
+        u = {"hour": "h", "day": "d", "week": "w", "month": "M",
+             "year": "y"}[cal]
+        return _trunc_unit(t, u)
+    secs = _fixed_interval_seconds(body["fixed_interval"])
+    epoch = int(t.replace(tzinfo=_dt.timezone.utc).timestamp())
+    return _dt.datetime.utcfromtimestamp(epoch // secs * secs)
+
+
+def _gap_fill(out: DataFrame, kind: str, body: dict) -> DataFrame:
+    """ES ``min_doc_count: 0`` on a histogram-family bucket agg: emit
+    the EMPTY buckets between the smallest and largest observed keys,
+    optionally widened by ``extended_bounds`` (which ES only honors
+    together with min_doc_count 0 — enforced at parse). The full key
+    sequence builds from ONE aggregated bounds row via F.sequence —
+    bucket-cardinality work, never corpus rows; empty buckets carry
+    doc_count 0 and NULL metrics (ES: value null). Sequence pipelines
+    (cumulative_sum/derivative) run AFTER the fill, so they see the
+    gap-filled bucket sequence exactly as in ES."""
+    eb = body.get("extended_bounds")
+    lo_lit = hi_lit = None
+    if eb is not None:
+        if not isinstance(eb, dict) or set(eb) != {"min", "max"}:
+            raise DslError(
+                f"extended_bounds needs exactly min and max, got {eb!r}")
+        lo_lit = _eb_bucket(kind, body, eb["min"], "min")
+        hi_lit = _eb_bucket(kind, body, eb["max"], "max")
+        if lo_lit > hi_lit:
+            raise DslError("extended_bounds min must be <= max")
+    b = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi"))
+    if eb is not None:
+        # least/greatest skip NULLs, so an empty qualifying set still
+        # emits the full extended range (the ES contract)
+        b = b.select(F.least("lo", F.lit(lo_lit)).alias("lo"),
+                     F.greatest("hi", F.lit(hi_lit)).alias("hi"))
+    if kind == "histogram":
+        iv, off = float(body["interval"]), float(body.get("offset", 0))
+        # ordinals, then m*iv + off — the data path's exact double
+        # arithmetic, so filled keys join observed keys bit-identically
+        keys = b.select(F.explode(F.sequence(
+            F.round((F.col("lo") - F.lit(off)) / F.lit(iv)).cast("long"),
+            F.round((F.col("hi") - F.lit(off)) / F.lit(iv)).cast("long"),
+        )).alias("m")).select(
+            (F.col("m").cast("double") * F.lit(iv)
+             + F.lit(off)).alias("key"))
+    elif body.get("calendar_interval") is not None:
+        keys = b.select(F.explode(F.sequence(
+            "lo", "hi",
+            F.expr(_CAL_STEP[body["calendar_interval"]]))).alias("key"))
+    else:
+        secs = _fixed_interval_seconds(body["fixed_interval"])
+        keys = b.select(F.explode(F.sequence(
+            F.unix_timestamp("lo"), F.unix_timestamp("hi"),
+            F.lit(secs))).alias("e")).select(
+            F.timestamp_seconds("e").alias("key"))
+    cols = [c for c in out.columns if c != "key"]
+    return (keys.join(out, "key", "left")
+            .withColumn("doc_count",
+                        F.coalesce("doc_count", F.lit(0)))
+            .select("key", *cols))
 
 
 def _bucket_key(kind: str, body: dict):
@@ -3636,7 +3732,7 @@ def _bucket_key(kind: str, body: dict):
             raise DslError(f"terms size must be an int >= 1, got {size!r}")
         return key, size, order, _parse_min_doc_count(body)
     unknown = set(body) - {"field", "calendar_interval", "fixed_interval",
-                           "min_doc_count", "order"}
+                           "min_doc_count", "order", "extended_bounds"}
     if unknown:
         raise DslError(
             f"unsupported date_histogram options {sorted(unknown)}")
@@ -3660,16 +3756,22 @@ def _bucket_key(kind: str, body: dict):
         key = F.timestamp_seconds(
             F.floor(F.unix_timestamp(col) / F.lit(secs)).cast("long")
             * F.lit(secs))
+    mdc = _parse_min_doc_count(body, allow_zero=True)
+    if "extended_bounds" in body and mdc != 0:
+        raise DslError(
+            "extended_bounds needs min_doc_count: 0 (ES only honors "
+            "it when empty buckets are emitted)")
     # ES date_histogram has no bucket cap by default
-    return key, body.get("size"), {"_key": "asc"}, _parse_min_doc_count(body)
+    return key, body.get("size"), {"_key": "asc"}, mdc
 
 
 def _histogram_key(body: dict):
     """ES numeric ``histogram``: key = floor((v - offset) / interval) *
-    interval + offset, key-ascending, no bucket cap. Empty buckets in
-    gaps vanish (the documented empty-bucket deviation —
-    min_doc_count 0 stays out-of-grammar)."""
-    unknown = set(body) - {"field", "interval", "offset", "min_doc_count"}
+    interval + offset, key-ascending, no bucket cap. ``min_doc_count``
+    defaults to 1 (the engine's documented empty-bucket deviation);
+    an explicit 0 gap-fills (:func:`_gap_fill`)."""
+    unknown = set(body) - {"field", "interval", "offset",
+                           "min_doc_count", "extended_bounds"}
     if unknown:
         raise DslError(
             f"unsupported histogram options {sorted(unknown)}")
@@ -3682,7 +3784,12 @@ def _histogram_key(body: dict):
     col = F.col(_ident(body["field"])).cast("double")
     key = (F.floor((col - F.lit(float(off))) / F.lit(float(iv)))
            * F.lit(float(iv)) + F.lit(float(off)))
-    return key, None, {"_key": "asc"}, _parse_min_doc_count(body)
+    mdc = _parse_min_doc_count(body, allow_zero=True)
+    if "extended_bounds" in body and mdc != 0:
+        raise DslError(
+            "extended_bounds needs min_doc_count: 0 (ES only honors "
+            "it when empty buckets are emitted)")
+    return key, None, {"_key": "asc"}, mdc
 
 
 _FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
@@ -4028,6 +4135,12 @@ def _apply_top_hits(frame: DataFrame, agg_name: str, kind: str,
                        f"available")
 
     pkey, psize, porder_spec, pmdc = _bucket_key(kind, body)
+    if pmdc == 0:
+        # gap-filled buckets have no hits, so flattened per-hit rows
+        # could not represent them — fail loud, not silently-as-1
+        raise DslError(
+            "min_doc_count 0 cannot combine with top_hits (empty "
+            "buckets have no hit rows in the flattened output)")
     porder = _bucket_order(porder_spec, "doc_count", "key", [])
     hits = frame.where(pkey.isNotNull()).withColumn("key", pkey)
     wb = Window.partitionBy("key")
@@ -4468,6 +4581,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         )
         if pmdc > 1:  # ES: prune BEFORE ordering + the size cut
             out = out.where(F.col("doc_count") >= pmdc)
+        elif pmdc == 0:  # histogram-family gap filling (parse-gated)
+            out = _gap_fill(out, kind, body)
         if pipes:
             # ES parent pipelines run over the FINAL bucket sequence
             # (post min_doc_count). One unpartitioned window — fine at
@@ -4551,6 +4666,11 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     if deeper is not None:
         raise DslError("only one nested bucket level is supported")
     ckey, csize, corder_spec, cmdc = _bucket_key(skind, sbody)
+    if pmdc == 0 or cmdc == 0:
+        raise DslError(
+            "min_doc_count 0 gap filling needs a single-level "
+            "histogram-family aggregation (empty buckets have no "
+            "(parent, child) cells in the flattened nested output)")
     corder = _bucket_order(corder_spec, "sub_doc_count", "sub_key",
                            _metric_out_names(smetrics))
 

@@ -1959,6 +1959,119 @@ def test_bucket_script_and_selector_match_duckdb(spark, docs, docs_pdf,
             == got2["frac"]).all()
 
 
+def test_min_doc_count_zero_gap_fill(spark, docs, docs_pdf, dsl_index):
+    """ES min_doc_count 0 on histogram-family buckets: empty buckets
+    between the observed (or extended_bounds-widened) min and max keys
+    are emitted with doc_count 0 / NULL metrics; sequence pipelines
+    see the FILLED sequence; oracle = duckdb generate_series replay;
+    both executors; misuse fails loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+
+    # daily histogram over a FILTERED set (sparse days -> real gaps),
+    # with a metric and a cumulative_sum over the filled sequence
+    req = {"query": {"match": {"text": "the_hot_term"}},
+           "aggs": {"per_day": {
+               "date_histogram": {"field": "ts",
+                                  "calendar_interval": "day",
+                                  "min_doc_count": 0},
+               "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}},
+                        "run": {"cumulative_sum": {
+                            "buckets_path": "_count"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = con.sql("""
+        WITH q AS (
+          SELECT * FROM t
+          WHERE list_contains(
+            regexp_extract_all(lower(text), '[a-z0-9_]+'),
+            'the_hot_term')),
+        b AS (
+          SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS avg_turn
+          FROM q GROUP BY 1),
+        days AS (
+          SELECT unnest(generate_series(
+            (SELECT min(key) FROM b), (SELECT max(key) FROM b),
+            INTERVAL 1 DAY)) AS key)
+        SELECT d.key, coalesce(b.doc_count, 0) AS doc_count,
+               b.avg_turn,
+               sum(coalesce(b.doc_count, 0))
+                 OVER (ORDER BY d.key) AS run
+        FROM days d LEFT JOIN b ON d.key = b.key ORDER BY d.key
+    """).df()
+    assert len(got) == len(want) > 2
+    assert (got["doc_count"] == 0).any(), "fixture produced no gaps"
+    assert got["key"].astype("datetime64[us]").tolist() \
+        == want["key"].astype("datetime64[us]").tolist()
+    assert got["doc_count"].tolist() \
+        == want["doc_count"].astype(int).tolist()
+    assert got["run"].tolist() == want["run"].astype(int).tolist()
+    mask = got["doc_count"] > 0
+    assert got["avg_turn"].isna().tolist() \
+        == (~mask).tolist()  # empty buckets: NULL metric (ES)
+    np.testing.assert_allclose(got.loc[mask, "avg_turn"],
+                               want.loc[mask.values, "avg_turn"],
+                               rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    # numeric histogram + extended_bounds widening BOTH ends; bounds
+    # are bucketed with the data path's arithmetic (offset honored)
+    lo = float(docs_pdf["turn_idx"].min())
+    hi = float(docs_pdf["turn_idx"].max())
+    req2 = {"aggs": {"h": {"histogram": {
+        "field": "turn_idx", "interval": 2.5, "offset": 0.5,
+        "min_doc_count": 0,
+        "extended_bounds": {"min": lo - 7, "max": hi + 7}}}}}
+    g2 = dsl_aggregate(docs, req2).toPandas()
+    step = np.diff(g2["key"])
+    assert abs(step - 2.5).max() < 1e-12
+    assert g2["key"].iloc[0] <= lo - 7 < g2["key"].iloc[0] + 2.5
+    assert g2["key"].iloc[-1] <= hi + 7 < g2["key"].iloc[-1] + 2.5
+    assert int(g2["doc_count"].sum()) == len(docs_pdf)
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    pd.testing.assert_frame_equal(
+        gi2.reset_index(drop=True), g2.reset_index(drop=True))
+
+    # an empty qualifying set + extended_bounds still emits the range
+    g3 = dsl_aggregate(docs, {
+        "query": {"term": {"role": "no_such_role"}},
+        "aggs": {"h": {"histogram": {
+            "field": "turn_idx", "interval": 5.0, "min_doc_count": 0,
+            "extended_bounds": {"min": 0, "max": 10}}}}}).toPandas()
+    assert g3["key"].tolist() == [0.0, 5.0, 10.0]
+    assert g3["doc_count"].tolist() == [0, 0, 0]
+
+    for bad in (
+        # extended_bounds without min_doc_count 0
+        {"h": {"histogram": {"field": "turn_idx", "interval": 5.0,
+                             "extended_bounds": {"min": 0, "max": 1}}}},
+        # terms cannot gap-fill (the background term set is unbounded)
+        {"t": {"terms": {"field": "role", "min_doc_count": 0}}},
+        # nested parents cannot gap-fill
+        {"w": {"date_histogram": {"field": "ts",
+                                  "calendar_interval": "week",
+                                  "min_doc_count": 0},
+               "aggs": {"r": {"terms": {"field": "role"}}}}},
+        # malformed bounds
+        {"h": {"histogram": {"field": "turn_idx", "interval": 5.0,
+                             "min_doc_count": 0,
+                             "extended_bounds": {"min": 10, "max": 0}}}},
+        {"h": {"histogram": {"field": "turn_idx", "interval": 5.0,
+                             "min_doc_count": 0,
+                             "extended_bounds": {"min": 0}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": bad}).collect()
+
+
 def test_bucket_script_rejects(spark, docs):
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
