@@ -3056,6 +3056,37 @@ def _percentile_exprs(name: str, body: dict) -> list:
     ]
 
 
+def _percentile_rank_exprs(name: str, body: dict) -> list:
+    """ES ``percentile_ranks`` — FLATTENED to ``<name>_<value>``
+    columns (value 97.5 -> ``_97_5``, negatives -> ``_m<...>``), one
+    per requested value. ES interpolates TDigest ranks; the engine
+    computes the EXACT percentage of non-null field values <= v —
+    the same exactness deviation as ``percentiles``/``cardinality``,
+    and what the DuckDB oracle (``100 * avg(CASE ...)``) replays.
+    NULL when the bucket has no non-null values (ES: null)."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(
+            f"percentile_ranks metric needs a field, got {body!r}")
+    unknown = set(body) - {"field", "values"}
+    if unknown:
+        raise DslError(
+            f"unsupported percentile_ranks options {sorted(unknown)}")
+    vals = body.get("values")
+    if not isinstance(vals, list) or not vals or any(
+            isinstance(v, bool) or not isinstance(v, (int, float))
+            for v in vals):
+        raise DslError(
+            f"percentile_ranks needs a non-empty numeric values list, "
+            f"got {vals!r}")
+    f = F.col(_ident(body["field"]))
+    return [
+        (F.avg(F.when(f <= float(v), 1.0)
+               .when(f.isNotNull(), 0.0)) * 100).alias(
+            f"{name}_{_pct_label(float(v)).replace('-', 'm')}")
+        for v in vals
+    ]
+
+
 def _metric_exprs(sub_aggs: dict) -> list:
     """{name: {"avg": {"field": f}}, ...} -> aliased agg columns."""
     cols = []
@@ -3071,6 +3102,9 @@ def _metric_exprs(sub_aggs: dict) -> list:
             continue
         if kind == "percentiles":
             cols.extend(_percentile_exprs(name, body))
+            continue
+        if kind == "percentile_ranks":
+            cols.extend(_percentile_rank_exprs(name, body))
             continue
         if kind == "weighted_avg":
             cols.append(_weighted_avg_expr(name, body))
@@ -3115,7 +3149,9 @@ def dsl_aggregate(
       (count/min/max/avg/sum); ``percentiles`` -> ``<name>_p<pct>``
       columns (EXACT interpolated — ES is TDigest-approximate;
       ``cardinality`` is likewise exact where ES is HLL-approximate —
-      both documented deviations in the user's favor).
+      both documented deviations in the user's favor);
+      ``percentile_ranks`` -> ``<name>_<value>`` columns (EXACT
+      percentage of non-null values <= v — same deviation family).
     - ``{"histogram": {"field": f, "interval": n, "offset": o?}}`` ->
       (key, doc_count [, sub metrics]) with key =
       floor((v - o)/n)*n + o, ascending; ``min_doc_count``/``missing``
@@ -3862,6 +3898,12 @@ def _metric_out_names(sub_aggs: dict) -> list[str]:
         elif kind == "percentiles":
             names.extend(f"{name}_p{_pct_label(p)}"
                          for p in _percents_of(body))
+        elif kind == "percentile_ranks":
+            names.extend(
+                f"{name}_{_pct_label(float(v)).replace('-', 'm')}"
+                for v in (body.get("values") or [])
+                if isinstance(v, (int, float))
+                and not isinstance(v, bool))
         else:
             names.append(name)
     return names
@@ -4528,6 +4570,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(*_extended_stats_exprs(agg_name, body))
     if kind == "percentiles" and not sub:
         return frame.agg(*_percentile_exprs(agg_name, body))
+    if kind == "percentile_ranks" and not sub:
+        return frame.agg(*_percentile_rank_exprs(agg_name, body))
     if kind == "weighted_avg" and not sub:
         return frame.agg(_weighted_avg_expr(agg_name, body))
     if kind == "composite":

@@ -1388,6 +1388,29 @@ def test_histogram_percentiles_and_null_buckets(spark, docs, docs_pdf,
         np.testing.assert_allclose(row["ti_p50"], np.percentile(sel, 50),
                                    rtol=1e-12)
 
+    # percentile_ranks: EXACT fraction <= v as a percentage
+    # (documented deviation from ES TDigest interpolation), bare and
+    # inside a terms bucket; NULL-bearing field excludes NULLs
+    gpr = dsl_aggregate(docs, {"aggs": {"r": {"percentile_ranks": {
+        "field": "turn_idx", "values": [3, 7.5]}}}}).toPandas()
+    assert list(gpr.columns) == ["r_3", "r_7_5"]
+    np.testing.assert_allclose(
+        gpr["r_3"][0], 100.0 * (ti <= 3).mean(), rtol=1e-12)
+    np.testing.assert_allclose(
+        gpr["r_7_5"][0], 100.0 * (ti <= 7.5).mean(), rtol=1e-12)
+    gpr2 = dsl_aggregate(docs, {"aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10},
+        "aggs": {"r": {"percentile_ranks": {
+            "field": "turn_idx", "values": [5]}}}}}}).toPandas()
+    for _, row in gpr2.iterrows():
+        sel = docs_pdf[docs_pdf["role"] == row["key"]]["turn_idx"]
+        np.testing.assert_allclose(
+            row["r_5"], 100.0 * (sel <= 5).mean(), rtol=1e-12)
+    gpri = dsl_aggregate_indexed(spark, dsl_index, {"aggs": {"r": {
+        "percentile_ranks": {"field": "turn_idx",
+                             "values": [3, 7.5]}}}}).toPandas()
+    pd.testing.assert_frame_equal(gpri, gpr)
+
     # ES null rule: terms on the NULL-bearing tool column emits no
     # NULL-key bucket (and the indexed twin agrees)
     req5 = {"aggs": {"t": {"terms": {"field": "tool", "size": 100}}}}
@@ -1409,6 +1432,12 @@ def test_histogram_percentiles_and_null_buckets(spark, docs, docs_pdf,
                                         "percents": [0]}}}},
         {"aggs": {"p": {"percentiles": {"field": "turn_idx",
                                         "tdigest": {}}}}},
+        {"aggs": {"r": {"percentile_ranks": {"field": "turn_idx"}}}},
+        {"aggs": {"r": {"percentile_ranks": {"field": "turn_idx",
+                                             "values": []}}}},
+        {"aggs": {"r": {"percentile_ranks": {
+            "field": "turn_idx", "values": [1],
+            "keyed": True}}}},
     ):
         with pytest.raises(DslError):
             dsl_aggregate(docs, bad)
