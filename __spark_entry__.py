@@ -919,6 +919,16 @@ def _search_aggs_metrics(spark, sf_dir):
       alphabetical pairwise intersections (shape='adjacency');
       ``weighted_avg`` (round 5): lineitem price by quantity
       (shape='wavg').
+    - ``bucket_script`` + ``bucket_selector`` (round 5, closing):
+      per-bucket painless arithmetic compiled to the shared
+      Spark-SQL∩DuckDB subset, selector drops below-threshold buckets
+      (shape='bscript', val=scripted ratio).
+    - ``min_doc_count: 0`` gap filling + ``extended_bounds`` (round 5,
+      closing): daily histogram emitting zero-count days 3 days past
+      each end of the window, cumulative_sum over the FILLED sequence
+      (shape='gapfill', val=running count).
+    - ``percentile_ranks`` (round 5, closing): EXACT pct of values <=
+      v, unpivoted (shape='prank').
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1049,11 +1059,51 @@ def _search_aggs_metrics(spark, sf_dir):
         F.lit("price_by_qty").alias("key"),
         F.lit(None).cast("long").alias("doc_count"),
         F.round("wv", 4).alias("val"))
+    # bucket_script + bucket_selector (round 5, closing): per-bucket
+    # painless arithmetic compiled to the shared Spark-SQL∩DuckDB
+    # subset (search/dsl.py _compile_bucket_script) — the twin replays
+    # the same expression; the selector threshold sits between the
+    # sf0.01 window's 2nd and 3rd counts so it value-checks real drops
+    bsc = dsl_aggregate(ev, {**q, "aggs": {"bt": {
+        "terms": {"field": "event_type"},
+        "aggs": {"av": {"avg": {"field": "value"}},
+                 "ratio": {"bucket_script": {
+                     "buckets_path": {"a": "av", "c": "_count"},
+                     "script": "params.a / params.c * 10"}},
+                 "keep": {"bucket_selector": {
+                     "buckets_path": {"c": "_count"},
+                     "script": "params.c > 930"}}}}}}).select(
+        F.lit("bscript").alias("shape"), "key", "doc_count",
+        F.round("ratio", 6).alias("val"))
+    # min_doc_count 0 gap filling (round 5, closing): daily histogram
+    # over the window with extended_bounds pushing 3 days past each
+    # end — the filled zero-count days carry the running sum forward
+    # (search/dsl.py _gap_fill; pipelines see the FILLED sequence)
+    gf = dsl_aggregate(ev, {**q, "aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0,
+                           "extended_bounds": {"min": "2024-01-05",
+                                               "max": "2024-01-24"}},
+        "aggs": {"run": {"cumulative_sum": {
+            "buckets_path": "_count"}}}}}}).select(
+        F.lit("gapfill").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        "doc_count", F.col("run").cast("double").alias("val"))
+    # percentile_ranks (round 5, closing): EXACT pct of values <= v
+    # (ES TDigest-interpolates — documented deviation), unpivoted
+    pr = dsl_aggregate(ev, {**q, "aggs": {"r": {"percentile_ranks": {
+        "field": "value", "values": [100, 250.5]}}}}).select(
+        F.expr("stack(2, 'le100', r_100, 'le250_5', r_250_5) "
+               "AS (key, val)")).select(
+        F.lit("prank").alias("shape"), "key",
+        F.lit(None).cast("long").alias("doc_count"),
+        F.round("val", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
             .unionByName(gl).unionByName(bs).unionByName(es2)
-            .unionByName(aj).unionByName(wa))
+            .unionByName(aj).unionByName(wa).unionByName(bsc)
+            .unionByName(gf).unionByName(pr))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2364,6 +2414,44 @@ SELECT 'wavg', 'price_by_qty', NULL::BIGINT,
        round(sum(l_extendedprice * l_quantity)
              / sum(l_quantity::DOUBLE), 4)
 FROM lineitem
+UNION ALL
+-- bucket_script/bucket_selector twin: the engine's compiled script
+-- text (CAST(.. AS DOUBLE) arithmetic) replayed verbatim over the
+-- final terms buckets
+SELECT 'bscript', key, doc_count, round(ratio, 6) FROM (
+  SELECT key, doc_count,
+         CAST(av AS DOUBLE) / CAST(doc_count AS DOUBLE) * 10 AS ratio
+  FROM (SELECT event_type AS key, count(*) AS doc_count,
+               avg(value) AS av
+        FROM w WHERE event_type IS NOT NULL
+        GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10))
+WHERE CAST(doc_count AS DOUBLE) > 930
+UNION ALL
+-- gap-fill twin: generate_series over the extended_bounds-widened
+-- day range, zero-count days NULL-joined in, running sum over the
+-- FILLED sequence (duckdb days are DATEs — render via TIMESTAMP)
+SELECT 'gapfill', CAST(CAST(key AS TIMESTAMP) AS VARCHAR),
+       doc_count, CAST(run AS DOUBLE) FROM (
+  SELECT d.key, coalesce(b.c, 0) AS doc_count,
+         sum(coalesce(b.c, 0)) OVER (ORDER BY d.key) AS run
+  FROM (SELECT unnest(generate_series(
+          least(TIMESTAMP '2024-01-05',
+                (SELECT date_trunc('day', min(ts)) FROM w)),
+          greatest(TIMESTAMP '2024-01-24',
+                   (SELECT date_trunc('day', max(ts)) FROM w)),
+          INTERVAL 1 DAY)) AS key) d
+  LEFT JOIN (SELECT date_trunc('day', ts) AS key, count(*) AS c
+             FROM w GROUP BY 1) b ON d.key = b.key)
+UNION ALL
+-- percentile_ranks twin: exact pct of non-null values <= v
+SELECT 'prank', k, NULL::BIGINT, round(v, 6) FROM (
+  SELECT unnest(['le100', 'le250_5']) AS k,
+         unnest([100.0 * avg(CASE WHEN value <= 100 THEN 1.0
+                             WHEN value IS NOT NULL THEN 0.0 END),
+                 100.0 * avg(CASE WHEN value <= 250.5 THEN 1.0
+                             WHEN value IS NOT NULL THEN 0.0 END)])
+           AS v
+  FROM w)
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
