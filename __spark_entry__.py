@@ -136,11 +136,19 @@ def _phrase_match(spark, sf_dir):
       (search/compressed.py sloppy_exists_expr); the DuckDB oracle
       replays the same rule with nested list_filter lambdas.
 
+    - ``span_ord`` / ``span_unord`` (round 5, closing): ES
+      ``span_near`` over the same two terms at slop 2 — the Lucene
+      SpanNearQuery WINDOW rule (ordered: p0 < p1 with p1-p0-1 <= slop;
+      unordered: either direction — search/compressed.py
+      span_exists_expr), a different qualifying set than the sloppy-
+      phrase displacement rule on the same inputs; the DuckDB twin
+      replays both windows with list_filter lambdas.
+
     Scoring is slop-independent (BM25 over the phrase's distinct terms,
     corpus-global stats). The index-accelerated twins (search_phrase /
     search_dsl_indexed, corpus re-check AND positions-sidecar paths)
     are pytest-gated rank-identical to these plans (tests/test_dsl.py
-    sloppy-phrase entries)."""
+    sloppy-phrase + span_near entries)."""
     from prow_jobs_scraper_spark.search.dsl import search_dsl
     from prow_jobs_scraper_spark.search.naive import naive_phrase_topk
 
@@ -156,7 +164,17 @@ def _phrase_match(spark, sf_dir):
         F.lit("slop2").alias("mode"), "doc_id",
         F.row_number().over(w).alias("rank"),
         F.round("score", 4).alias("score"))
-    return exact.unionByName(sloppy)
+    out = exact.unionByName(sloppy)
+    for mode, in_order in (("span_ord", True), ("span_unord", False)):
+        q = {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "table"}},
+                        {"span_term": {"text": "hash"}}],
+            "slop": 2, "in_order": in_order}}}
+        out = out.unionByName(search_dsl(docs, q, 10).select(
+            F.lit(mode).alias("mode"), "doc_id",
+            F.row_number().over(w).alias("rank"),
+            F.round("score", 4).alias("score")))
+    return out
 
 
 def _query_string_topk(spark, sf_dir):
@@ -2648,6 +2666,32 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM sc WHERE doc_id IN (SELECT doc_id FROM ph2)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- span_near ordered, slop 2: exists p0 < p1 with p1 - p0 - 1 <= 2
+(SELECT 'span_ord' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc WHERE doc_id IN (
+   SELECT doc_id FROM toks
+   WHERE len(list_filter(
+           list_filter(range(1, len(t)+1), i -> t[i] = 'table'),
+           p0 -> len(list_filter(
+                   list_filter(range(1, len(t)+1), j -> t[j] = 'hash'),
+                   p1 -> p0 < p1 AND p1 - p0 <= 3)) > 0)) > 0)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- span_near unordered, slop 2: |p1 - p0| - 1 <= 2, either direction
+(SELECT 'span_unord' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM sc WHERE doc_id IN (
+   SELECT doc_id FROM toks
+   WHERE len(list_filter(
+           list_filter(range(1, len(t)+1), i -> t[i] = 'table'),
+           p0 -> len(list_filter(
+                   list_filter(range(1, len(t)+1), j -> t[j] = 'hash'),
+                   p1 -> abs(p1 - p0) <= 3)) > 0)) > 0)
  ORDER BY score DESC, doc_id LIMIT 10)
 """
 

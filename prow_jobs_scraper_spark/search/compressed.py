@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import math
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -1196,6 +1197,68 @@ def sloppy_exists_expr(pos_cols: list, seq_keys: list, slop: int):
     return build(0, [])
 
 
+def span_exists_expr(pos_cols: list, seq_keys: list, slop: int,
+                     in_order: bool):
+    """Catalyst predicate for ``span_near`` over width-1 (term) spans —
+    the Lucene SpanNearQuery match rule (public: Lucene
+    SpanNearQuery / NearSpansOrdered/Unordered docs), distinct from the
+    sloppy-PHRASE displacement rule :func:`sloppy_exists_expr`:
+
+    - ``in_order=True``: positions ``p_1 < p_2 < ... < p_k`` exist with
+      total intervening gap ``p_k - p_1 - (k-1) <= slop`` (strictly
+      increasing ⇒ repeated-term slots pick distinct occurrences for
+      free).
+    - ``in_order=False``: an assignment of DISTINCT positions exists
+      (distinctness enforced for equal-term slots; different terms can
+      never share a position under the engine's single-token-per-
+      position analyzer) whose covering window satisfies
+      ``max - min - (k-1) <= slop``.
+
+    Same nested-``F.exists`` construction (whole-stage codegen,
+    short-circuiting, O(Π|pos_i|) worst case) and the same
+    human-length-clause boundedness argument as the sloppy predicate.
+    """
+    n = len(seq_keys)
+    if n == 1:
+        return F.size(pos_cols[0]) > 0
+
+    def build(i: int, chosen: list):
+        if i == n:
+            if in_order:
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [chosen[j] < chosen[j + 1] for j in range(n - 1)])
+                width = chosen[-1] - chosen[0]
+            else:
+                cond = F.lit(True)
+                for j in range(n):
+                    for kk in range(j + 1, n):
+                        if seq_keys[j] == seq_keys[kk]:
+                            cond = cond & (chosen[j] != chosen[kk])
+                width = F.greatest(*chosen) - F.least(*chosen)
+            return cond & (width <= F.lit(slop + n - 1))
+        return F.exists(pos_cols[i], lambda p: build(i + 1, chosen + [p]))
+
+    return build(0, [])
+
+
+def span_tokens_expr(toks_col, ordered_terms: list[str], slop: int,
+                     in_order: bool):
+    """:func:`span_exists_expr` over a tokenized TEXT column — the
+    corpus twin of the positions-sidecar span verify, per-term position
+    arrays derived in-expression exactly like
+    :func:`sloppy_tokens_expr`."""
+    pos_of = {}
+    for t in set(ordered_terms):
+        idx = F.transform(
+            toks_col,
+            (lambda tt: lambda x, i:
+             F.when(x == F.lit(tt), i).otherwise(F.lit(-1)))(t))
+        pos_of[t] = F.filter(idx, lambda p: p >= 0)
+    return span_exists_expr(
+        [pos_of[t] for t in ordered_terms], ordered_terms, slop, in_order)
+
+
 def sloppy_tokens_expr(toks_col, ordered_terms: list[str], slop: int):
     """:func:`sloppy_exists_expr` over a tokenized TEXT column (the
     corpus-fallback twin of the positions-sidecar path): per-term
@@ -1222,12 +1285,17 @@ def phrase_verify_from_positions(
     q_term_ids: list[int],
     tid_seq: list[int],
     slop: int = 0,
+    span_in_order: bool | None = None,
 ) -> DataFrame:
     """doc_ids from ``cand`` where the phrase's terms appear adjacent
     in order (``slop=0``) or within ``slop`` position moves (ES
     ``match_phrase`` ``slop`` — :func:`sloppy_exists_expr` semantics),
     proven from the positions sidecar alone (ES
-    ``index_options: positions``) — no corpus access.
+    ``index_options: positions``) — no corpus access. With
+    ``span_in_order`` set (True/False), the predicate is instead the
+    ``span_near`` rule (:func:`span_exists_expr`) at any slop
+    including 0 — unordered slop 0 is NOT adjacency, so span requests
+    never take the fast path below.
 
     ``tid_seq`` is the phrase's term_ids in token order (duplicates
     kept); ``cand`` must be CONJUNCTIVE candidates (every term present,
@@ -1265,6 +1333,11 @@ def phrase_verify_from_positions(
     def _key(tid):  # map keys are bigint; small literals infer int
         return F.lit(tid).cast("long")
 
+    if span_in_order is not None:
+        pred = span_exists_expr(
+            [F.element_at("pm", _key(tid)) for tid in tid_seq],
+            tid_seq, slop, span_in_order)
+        return pivoted.where(pred).select("doc_id")
     if slop > 0:
         pred = sloppy_exists_expr(
             [F.element_at("pm", _key(tid)) for tid in tid_seq],

@@ -18,6 +18,14 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
     match_phrase := {"match_phrase": {field: text | {"query": text,
                                                      "boost": number,
                                                      "slop": int}}}
+    span_term    := {"span_term": {field: term | {"value": term}}}
+    span_near    := {"span_near": {"clauses": [span_term...],
+                                   "slop": int, "in_order": bool,
+                                   "boost": number}}
+                 -- slop AND in_order are required explicitly; the
+                 -- Lucene SpanNearQuery window rule (span_exists_expr),
+                 -- not the sloppy-phrase displacement rule; nested
+                 -- span algebra (span_or/span_not/...) stays fail-loud
     bool         := {"bool": {"must": clause|[clause...],
                               "filter": clause|[clause...],
                               "should": clause|[clause...],
@@ -241,6 +249,11 @@ class TextClause:
     phrase: bool = False
     boost: float = 1.0
     slop: int = 0  # ES match_phrase slop (qualification only)
+    # span_near desugar (:func:`_parse_span`): None = plain text clause,
+    # else True/False = the span_near in_order flag — qualification uses
+    # the Lucene SpanNearQuery window rule instead of the sloppy-phrase
+    # displacement rule; only meaningful with phrase=True
+    span_in_order: bool | None = None
 
 
 @dataclass(frozen=True)
@@ -794,6 +807,95 @@ def _parse_text(kind: str, body: dict) -> TextClause:
     return TextClause(field=fld, text=text, operator=operator,
                       phrase=(kind == "match_phrase"), boost=float(boost),
                       slop=int(slop))
+
+
+def _span_term_of(clause: dict, expect_field: str | None):
+    """One ``{"span_term": {field: term | {"value": term,
+    "boost"?}}}`` -> (field, term). The value is a TERM (the analyzed
+    token itself, Lucene semantics): it must analyze to exactly itself,
+    single-token — multi-token or normalizing input fails loud instead
+    of silently matching a different term than the user's cluster.
+    Per-clause boost inside span_near is rejected (Lucene folds inner
+    boosts into span weights this engine does not model)."""
+    if not isinstance(clause, dict) or len(clause) != 1 \
+            or "span_term" not in clause:
+        raise DslError(
+            f"span_near clauses must be span_term objects, got "
+            f"{clause!r}")
+    body = clause["span_term"]
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"bad span_term body {body!r}")
+    (fld, spec), = body.items()
+    if isinstance(spec, dict):
+        if set(spec) - {"value"}:
+            raise DslError(
+                f"unsupported span_term options "
+                f"{sorted(set(spec) - {'value'})}")
+        spec = spec.get("value")
+    if not isinstance(spec, str):
+        raise DslError(f"span_term value must be a string, got {spec!r}")
+    toks = tokenize_text(spec)
+    if toks != [spec]:
+        raise DslError(
+            f"span_term takes a single analyzed TERM; {spec!r} "
+            f"analyzes to {toks!r}")
+    if expect_field is not None and fld != expect_field:
+        raise DslError(
+            f"span_near clauses must target one field, got {fld!r} "
+            f"and {expect_field!r}")
+    return fld, spec
+
+
+def _parse_span(kind: str, body) -> TextClause:
+    """ES ``span_term`` / ``span_near`` -> :class:`TextClause` desugar.
+
+    - ``span_term`` degenerates to a single-term conjunctive match
+      (identical qualification and scoring).
+    - ``span_near`` (``span_term`` clauses only — nested span algebra
+      stays out of grammar) rides the phrase machinery: conjunctive
+      candidates + a positions predicate, with the Lucene
+      SpanNearQuery window rule (``..compressed.span_exists_expr``)
+      instead of the phrase displacement rule. ``slop`` is required
+      (ES) and ``in_order`` is required EXPLICITLY — ES documentation
+      states the default inconsistently across versions, and a silent
+      wrong default is the divergence failure mode this grammar
+      refuses. Scoring is the engine's phrase rule (per-term BM25 sum,
+      qualification span-dependent only — the documented deviation
+      family; ES weighs spans by 1/(1+matchLength))."""
+    if kind == "span_term":
+        fld, term = _span_term_of({"span_term": body}, None)
+        return TextClause(field=fld, text=term, operator="and")
+    if not isinstance(body, dict):
+        raise DslError(f"bad span_near body {body!r}")
+    unknown = set(body) - {"clauses", "slop", "in_order", "boost"}
+    if unknown:
+        raise DslError(f"unsupported span_near options {sorted(unknown)}")
+    clauses = body.get("clauses")
+    if not isinstance(clauses, list) or not clauses:
+        raise DslError("span_near needs a non-empty clauses list")
+    fld, terms = None, []
+    for cl in clauses:
+        fld, t = _span_term_of(cl, fld)
+        terms.append(t)
+    slop = body.get("slop")
+    if isinstance(slop, bool) or not isinstance(slop, int) or slop < 0:
+        raise DslError(
+            f"span_near needs a non-negative integer slop, got {slop!r}")
+    in_order = body.get("in_order")
+    if not isinstance(in_order, bool):
+        raise DslError(
+            "span_near needs an explicit boolean in_order (ES versions "
+            "document the default inconsistently — pass it explicitly)")
+    boost = body.get("boost", 1.0)
+    if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+            or not boost > 0:
+        raise DslError(f"boost must be a positive number, got {boost!r}")
+    if len(terms) == 1:
+        return TextClause(field=fld, text=terms[0], operator="and",
+                          boost=float(boost))
+    return TextClause(field=fld, text=" ".join(terms), operator="and",
+                      phrase=True, boost=float(boost), slop=int(slop),
+                      span_in_order=in_order)
 
 
 def _parse_fuzzy(body: dict) -> FuzzyClause:
@@ -1785,6 +1887,9 @@ def parse_query(q: dict) -> QuerySpec:
     if kind in ("match", "match_phrase"):
         spec.must.append(_parse_text(kind, body))
         return spec
+    if kind in ("span_term", "span_near"):
+        spec.must.append(_parse_span(kind, body))
+        return spec
     if kind in ("term", "terms", "range", "exists", "prefix", "wildcard",
                 "regexp", "ids"):
         pred, fld = _compile_meta(kind, body)
@@ -1865,8 +1970,10 @@ def parse_query(q: dict) -> QuerySpec:
                     raise DslError("must_not match_all matches nothing")
                 spec.match_all = True
                 continue
-            if ck in ("match", "match_phrase"):
-                tc = _parse_text(ck, cb)
+            if ck in ("match", "match_phrase", "span_term", "span_near"):
+                tc = (_parse_text(ck, cb)
+                      if ck in ("match", "match_phrase")
+                      else _parse_span(ck, cb))
                 if ctx == "must":
                     spec.must.append(tc)
                 elif ctx == "filter":
@@ -2114,7 +2221,16 @@ def _compile_specs(
             ).cast("double")
             score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + denom)
             hits = hits + (tf > 0).cast("int")
-        if c.phrase and c.slop > 0:
+        if c.phrase and c.span_in_order is not None:
+            # span_near desugar: the Lucene SpanNearQuery window rule
+            # (compressed.span_exists_expr) — ordered/unordered at any
+            # slop including 0 (unordered slop 0 is NOT adjacency)
+            from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                span_tokens_expr,
+            )
+            matched = span_tokens_expr(toks, tokenize_text(c.text),
+                                       c.slop, c.span_in_order)
+        elif c.phrase and c.slop > 0:
             # ES sloppy phrase: qualification via the shared nested-
             # exists predicate (compressed.sloppy_exists_expr semantics);
             # scoring stays slop-independent (module docstring)
@@ -4853,11 +4969,19 @@ def _clause_frame_indexed(
 
             verified = phrase_verify_from_positions(
                 spark, dirs, metas, frame,
-                q_term_ids, [tid_of[t] for t in ordered], slop=c.slop)
+                q_term_ids, [tid_of[t] for t in ordered], slop=c.slop,
+                span_in_order=c.span_in_order)
         else:
             if "doc_id" not in docs_df.columns:
                 docs_df = with_doc_ids(docs_df)
-            if c.slop > 0:
+            if c.span_in_order is not None:
+                from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                    span_tokens_expr,
+                )
+                pred = span_tokens_expr(
+                    tokenize_column(F.col(c.field)), ordered, c.slop,
+                    c.span_in_order)
+            elif c.slop > 0:
                 from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
                     sloppy_tokens_expr,
                 )

@@ -3123,6 +3123,136 @@ def test_sloppy_phrase_handcrafted_semantics(spark):
         assert hits(phrase(text, slop)) == want, (text, slop)
 
 
+def _span_match_py(tokens: list[str], seq: list[str], slop: int,
+                   in_order: bool) -> bool:
+    """Brute-force Lucene SpanNearQuery rule over width-1 spans,
+    independent of the engine: ordered = strictly increasing positions
+    with p_k - p_1 - (k-1) <= slop; unordered = distinct positions for
+    equal-term slots with max - min - (k-1) <= slop."""
+    from itertools import product
+    pos = {t: [i for i, x in enumerate(tokens) if x == t]
+           for t in set(seq)}
+    if any(not pos[t] for t in seq):
+        return False
+    for choice in product(*[pos[t] for t in seq]):
+        if in_order:
+            if any(choice[j] >= choice[j + 1]
+                   for j in range(len(seq) - 1)):
+                continue
+        elif any(seq[j] == seq[kk] and choice[j] == choice[kk]
+                 for j in range(len(seq))
+                 for kk in range(j + 1, len(seq))):
+            continue
+        if max(choice) - min(choice) - (len(seq) - 1) <= slop:
+            return True
+    return False
+
+
+def test_span_near_handcrafted_semantics(spark):
+    """ES span_near over span_term clauses (desugared onto the phrase
+    machinery with the Lucene SpanNearQuery window rule — NOT the
+    sloppy-phrase displacement rule): ordered/unordered at every slop
+    including 0 (unordered slop 0 = adjacency either direction);
+    repeated-term clauses need distinct occurrences; span_term alone
+    degenerates to a single-term match; grammar misuse fails loud."""
+    rows = [
+        (0, "a b c"),       # ordered adjacent
+        (1, "b a c"),       # reversed adjacent
+        (2, "a x x b"),     # ordered gap 2
+        (3, "b x a"),       # reversed gap 1
+        (4, "a"),           # missing term
+        (5, "a a"),         # repeated occurrences
+        (6, "a b a"),       # dup + both orders
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def hits(slop, in_order, terms=("a", "b")):
+        q = {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": t}} for t in terms],
+            "slop": slop, "in_order": in_order}}}
+        return sorted(search_dsl(docs, q, 100).toPandas()["doc_id"])
+
+    assert hits(0, True) == [0, 6]
+    assert hits(2, True) == [0, 2, 6]
+    assert hits(0, False) == [0, 1, 6]
+    assert hits(1, False) == [0, 1, 3, 6]
+    # repeated-term clauses: distinct occurrences required
+    assert hits(1, False, ("a", "a")) == [5, 6]
+    assert hits(1, True, ("a", "a")) == [5, 6]  # 6: positions 0, 2
+    assert hits(0, True, ("a", "a")) == [5]
+    # brute-force oracle agrees on every shape
+    for slop in (0, 1, 2, 4):
+        for in_order in (True, False):
+            for terms in (("a", "b"), ("a", "a"), ("a", "b", "c"),
+                          ("c", "a")):
+                want = sorted(
+                    d for d, t in rows
+                    if _span_match_py(tokenize_text(t), list(terms),
+                                      slop, in_order))
+                assert hits(slop, in_order, terms) == want, \
+                    (slop, in_order, terms)
+
+    # span_term alone == a single-term conjunctive match
+    st = search_dsl(docs, {"query": {"span_term": {"text": "b"}}},
+                    100).toPandas()
+    tm = search_dsl(docs, {"query": {"match": {"text": {
+        "query": "b", "operator": "and"}}}}, 100).toPandas()
+    pd.testing.assert_frame_equal(st, tm)
+
+    for bad in (
+        {"span_near": {"clauses": [{"span_term": {"text": "a"}}],
+                       "in_order": True}},            # slop required
+        {"span_near": {"clauses": [{"span_term": {"text": "a"}}],
+                       "slop": 1}},                   # in_order required
+        {"span_near": {"clauses": [], "slop": 1, "in_order": True}},
+        {"span_near": {"clauses": [{"span_term": {"text": "a"}},
+                                   {"span_term": {"role": "b"}}],
+                       "slop": 1, "in_order": True}},  # mixed fields
+        {"span_near": {"clauses": [{"span_term": {"text": "a b"}}],
+                       "slop": 1, "in_order": True}},  # multi-token
+        {"span_near": {"clauses": [{"match": {"text": "a"}}],
+                       "slop": 1, "in_order": True}},  # non-span clause
+        {"span_near": {"clauses": [{"span_term": {"text": "a"}}],
+                       "slop": 1, "in_order": True,
+                       "gap": 3}},                     # unknown option
+        {"span_term": {"text": {"value": "a", "boost": 2}}},
+    ):
+        with pytest.raises(DslError):
+            search_dsl(docs, {"query": bad}, 10)
+
+
+def test_span_near_indexed_and_positions(spark, docs, dsl_index,
+                                         tmp_path_factory):
+    """span_near on the indexed executor: corpus-fallback (docs_df)
+    AND the positions sidecar (docs_df=None) must be rank+score
+    identical to the naive plan, both orders; unordered widens the
+    ordered result set."""
+    def q(in_order, slop=3):
+        return {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "the_hot_term"}},
+                        {"span_term": {"text": "spark"}}],
+            "slop": slop, "in_order": in_order}}}
+
+    d = str(tmp_path_factory.mktemp("dsl_span_pos"))
+    build_index(spark, docs, d,
+                BuildConfig(n_ranges=8, n_buckets=4,
+                            store_positions=True))
+    for in_order in (True, False):
+        want = search_dsl(docs, q(in_order), 10).toPandas()
+        got = search_dsl_indexed(spark, dsl_index, q(in_order), 10,
+                                 docs_df=docs).toPandas()
+        _assert_rank_identical(got, want,
+                               f"span-indexed-fallback-{in_order}")
+        gp = search_dsl_indexed(spark, d, q(in_order), 10).toPandas()
+        _assert_rank_identical(gp, want, f"span-positions-{in_order}")
+
+    ordered = set(search_dsl(docs, q(True), 10_000)
+                  .toPandas()["doc_id"])
+    unordered = set(search_dsl(docs, q(False), 10_000)
+                    .toPandas()["doc_id"])
+    assert ordered <= unordered
+
+
 def test_sloppy_phrase_indexed_and_positions(spark, docs, dsl_index,
                                              tmp_path_factory):
     """slop in the indexed executor: corpus-fallback (docs_df) AND the
