@@ -345,6 +345,12 @@ def _dismax_topk(spark, sf_dir):
       match OR the first four 's*' expansions (the ES bool desugar;
       same text as ``pprefix`` but union semantics, so the two modes
       discriminate adjacency vs disjunction).
+    - ``ci`` (round 5, resumed closing): the ES 7.10+
+      ``case_insensitive`` long-form knob — an UPPERCASE term filter
+      and an UPPERCASE wildcard must_not against the all-lowercase
+      lang/source columns, each matching only because of the flag
+      (search/dsl.py _meta_value_ci; lower()-both-sides predicates,
+      dialect-shared, twin replays them verbatim).
     - ``rankf`` (round 5): ``rank_feature`` saturation on ``n_chars``
       in a should — BM25('hash') + n_chars/(n_chars+100), the ES
       feature-boost idiom (desugars onto function_score,
@@ -406,6 +412,19 @@ def _dismax_topk(spark, sf_dir):
     # pprefix mode but UNION semantics instead of adjacency
     out = out.unionByName(mode("mbp", {"query": {"match_bool_prefix": {
         "text": {"query": "hash s", "max_expansions": 4}}}}))
+    # case_insensitive (round 5, resumed closing): UPPERCASE query
+    # values against all-lowercase metadata — the term filter and the
+    # wildcard must_not each match ONLY because of the flag
+    # (search/dsl.py _meta_value_ci; predicate = lower() both sides,
+    # dialect-shared, replayed verbatim in the twin)
+    out = out.unionByName(mode("ci", {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "key agg",
+                                     "operator": "or"}}}],
+        "filter": [{"term": {"lang": {"value": "EN",
+                                      "case_insensitive": True}}}],
+        "must_not": [{"wildcard": {"source": {
+            "value": "SRC1*", "case_insensitive": True}}}],
+    }}}))
     # rank_feature (round 5): saturation on n_chars riding a should —
     # score = hash BM25 + n_chars/(n_chars+100) (desugars onto
     # function_score, search/dsl.py _parse_rank_feature)
@@ -947,6 +966,23 @@ def _search_aggs_metrics(spark, sf_dir):
       (shape='gapfill', val=running count).
     - ``percentile_ranks`` (round 5, closing): EXACT pct of values <=
       v, unpivoted (shape='prank').
+    - metric ``missing`` (round 5, resumed closing): NULL-field docs
+      count as the substitute value (search/dsl.py _fill_missing — one
+      coalesce, no extra scan). The window has no natural NULLs, so a
+      val2 column NULLs out the 'error' events first; avg/p50 with
+      fill 0 and value_count (shape='mmiss') plus a terms bucket whose
+      avg-fill sub-agg pins the all-NULL 'error' bucket at exactly 0
+      (shape='mmiss_terms'); DuckDB twin = the same CASE + coalesce.
+    - ``time_zone`` (round 5, resumed closing): daily buckets on
+      America/New_York local midnights keyed by their UTC instants
+      (search/dsl.py _tz_date_trunc; shape='tzday' — keys land on
+      04:00/05:00 UTC, discriminating from plain 'day'); twin =
+      session-independent chained timezone() conversions.
+    - ``multi_terms`` (round 5, resumed closing): compound
+      (event_type, user_id) buckets flattened to the pipe-joined
+      key_as_string ES itself returns (search/dsl.py
+      _multi_terms_key), count-desc order so the size-12 cut is
+      integer-deterministic, avg metric riding (shape='mterms').
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1116,12 +1152,63 @@ def _search_aggs_metrics(spark, sf_dir):
         F.lit("prank").alias("shape"), "key",
         F.lit(None).cast("long").alias("doc_count"),
         F.round("val", 6).alias("val"))
+    # metric `missing` (round 5, resumed closing): synthesize NULLs
+    # (no natural ones in events) by NULLing value on 'error' rows,
+    # then fill with 0 — avg / exact p50 / value_count, and a terms
+    # bucket where the all-NULL 'error' bucket averages exactly 0
+    ev2 = ev.withColumn(
+        "val2", F.when(F.col("event_type") != "error", F.col("value")))
+    nl = F.lit(None).cast("long")
+    mm = (dsl_aggregate(ev2, {**q, "aggs": {"a": {
+            "avg": {"field": "val2", "missing": 0}}}}).select(
+            F.lit("mmiss").alias("shape"), F.lit("avg0").alias("key"),
+            nl.alias("doc_count"), F.round("a", 6).alias("val"))
+        .unionByName(dsl_aggregate(ev2, {**q, "aggs": {"a": {
+            "percentiles": {"field": "val2", "percents": [50],
+                            "missing": 0}}}}).select(
+            F.lit("mmiss").alias("shape"), F.lit("p50").alias("key"),
+            nl.alias("doc_count"), F.round("a_p50", 6).alias("val")))
+        .unionByName(dsl_aggregate(ev2, {**q, "aggs": {"a": {
+            "value_count": {"field": "val2", "missing": 0}}}}).select(
+            F.lit("mmiss").alias("shape"), F.lit("vc").alias("key"),
+            F.col("a").alias("doc_count"), nd.alias("val"))))
+    mmt = dsl_aggregate(ev2, {**q, "aggs": {"et": {
+        "terms": {"field": "event_type"},
+        "aggs": {"a": {"avg": {"field": "val2",
+                               "missing": 0}}}}}}).select(
+        F.lit("mmiss_terms").alias("shape"), "key", "doc_count",
+        F.round("a", 6).alias("val"))
+    # date_histogram time_zone (round 5, resumed closing): daily
+    # buckets on America/New_York LOCAL midnights keyed by their UTC
+    # instants (search/dsl.py _tz_date_trunc — every key lands on a
+    # 04:00/05:00 UTC boundary, so the mode discriminates from plain
+    # 'day'); the DuckDB twin chains timezone() conversions in a
+    # session-TimeZone-independent form
+    tzb = dsl_aggregate(ev, {**q, "aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "time_zone": "America/New_York"}}}}).select(
+        F.lit("tzday").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        "doc_count", nd.alias("val"))
+    # multi_terms (round 5, resumed closing): compound (event_type,
+    # user_id) buckets flattened to the pipe-joined key_as_string ES
+    # itself returns (search/dsl.py _multi_terms_key); count-desc order
+    # keeps the size-12 cut integer-deterministic across engines, the
+    # avg metric rides as val; twin = GROUP BY the concatenated key
+    mt = dsl_aggregate(ev, {**q, "aggs": {"g": {
+        "multi_terms": {"terms": [{"field": "event_type"},
+                                  {"field": "user_id"}],
+                        "size": 12, "min_doc_count": 2},
+        "aggs": {"m": {"avg": {"field": "value"}}}}}}).select(
+        F.lit("mterms").alias("shape"), "key", "doc_count",
+        F.round("m", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
             .unionByName(gl).unionByName(bs).unionByName(es2)
             .unionByName(aj).unionByName(wa).unionByName(bsc)
-            .unionByName(gf).unionByName(pr))
+            .unionByName(gf).unionByName(pr).unionByName(mm)
+            .unionByName(mmt).unionByName(tzb).unionByName(mt))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2046,6 +2133,14 @@ rx AS (
   FROM sc JOIN documents d ON sc.doc_id = d.doc_id
   WHERE m1 > 0
     AND regexp_extract(d.source, '^(?:src1[0-9])$', 0) = d.source),
+cix AS (
+  -- case_insensitive twin: the engine's lower()-both-sides predicates
+  -- replayed verbatim; must_not is null-guarded like the engine
+  SELECT sc.doc_id, s1 AS score
+  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+  WHERE m1 > 0
+    AND lower(d.lang) = lower('EN')
+    AND NOT coalesce(lower(d.source) LIKE lower('SRC1%'), FALSE)),
 cs AS (
   -- constant_score: qualification only (token membership + lang
   -- regexp); every hit is pinned to boost=2.5 in the final select
@@ -2115,6 +2210,11 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM rx ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+(SELECT 'ci' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM cix ORDER BY score DESC, doc_id LIMIT 10)
 UNION ALL
 (SELECT 'cscore' AS mode, doc_id,
         row_number() OVER (ORDER BY doc_id) AS rank,
@@ -2470,6 +2570,40 @@ SELECT 'prank', k, NULL::BIGINT, round(v, 6) FROM (
                              WHEN value IS NOT NULL THEN 0.0 END)])
            AS v
   FROM w)
+UNION ALL
+-- metric `missing` twin: value NULLed on 'error' rows, filled with 0
+SELECT 'mmiss', k, dc, round(v, 6) FROM (
+  SELECT unnest(['avg0', 'p50', 'vc']) AS k,
+         unnest([NULL, NULL, count(coalesce(val2, 0))]::BIGINT[]) AS dc,
+         unnest([avg(coalesce(val2, 0)),
+                 quantile_cont(coalesce(val2, 0), 0.5),
+                 NULL]) AS v
+  FROM (SELECT CASE WHEN event_type <> 'error' THEN value END AS val2
+        FROM w))
+UNION ALL
+SELECT 'mmiss_terms', event_type, count(*),
+       round(avg(coalesce(
+         CASE WHEN event_type <> 'error' THEN value END, 0)), 6)
+FROM w GROUP BY event_type
+UNION ALL
+-- time_zone twin: NY local-midnight day buckets keyed by UTC instant;
+-- timezone() chained through an explicit 'UTC' leg so the replay is
+-- independent of the connection's session TimeZone
+SELECT 'tzday',
+       CAST(CAST(timezone('UTC', timezone('America/New_York',
+         date_trunc('day', timezone('America/New_York',
+           timezone('UTC', ts))))) AS TIMESTAMP) AS VARCHAR),
+       count(*), NULL::DOUBLE
+FROM w GROUP BY 2
+UNION ALL
+-- multi_terms twin: the engine's flattened pipe-joined key replayed
+-- as a plain GROUP BY; count-desc/key-asc order makes the size cut
+-- integer-deterministic in both engines
+SELECT 'mterms', key, dc, round(v, 6) FROM (
+  SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+         count(*) AS dc, avg(value) AS v
+  FROM w GROUP BY 1 HAVING count(*) >= 2
+  ORDER BY dc DESC, key LIMIT 12)
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

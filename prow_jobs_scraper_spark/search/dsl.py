@@ -32,6 +32,11 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                               "must_not": clause|[clause...],
                               "minimum_should_match": int}}
     meta         := {"term": {field: value}} | {"terms": {field: [value...]}}
+                 --  term/prefix/wildcard/regexp long forms take the ES
+                 --  7.10+ {"value": v, "case_insensitive": bool} knob
+                 --  (lower() both sides / the (?i) inline flag — the
+                 --  predicate string stays in the Spark-SQL∩DuckDB
+                 --  shared subset, ASCII-exact)
                  |  {"range": {field: {"gte"|"gt"|"lte"|"lt": value, ...}}}
                  --  range values take ES date math: "<iso>||<math>" or
                  --  "now<math>" with +N/-N of y M w d h H m s and /unit
@@ -669,6 +674,26 @@ def _meta_field(fld: str) -> str:
     return _ident(fld).split(".")[0]
 
 
+def _meta_value_ci(kind: str, v) -> tuple:
+    """Unwrap a term/prefix/wildcard/regexp value's ES long form ->
+    (value, case_insensitive flag). The ES 7.10+ ``case_insensitive``
+    option is the one long-form knob these clauses support; anything
+    else (``rewrite``, ``flags``, ``boost`` on a filter-context
+    clause, ...) fails loud."""
+    if not isinstance(v, dict):
+        return v, False
+    unknown = set(v) - {"value", "case_insensitive"}
+    if unknown:
+        raise DslError(f"unsupported {kind} options {sorted(unknown)}")
+    if "value" not in v:
+        raise DslError(f"{kind} long form needs a value, got {v!r}")
+    ci = v.get("case_insensitive", False)
+    if not isinstance(ci, bool):
+        raise DslError(
+            f"{kind} case_insensitive must be a boolean, got {ci!r}")
+    return v["value"], ci
+
+
 def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
     """term/terms/range/exists -> (SQL predicate string, the top-level
     column it reads — the indexed executors validate it against the
@@ -676,11 +701,19 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
     opaque AnalysisException)."""
     if kind == "term":
         (fld, v), = body.items()
-        if isinstance(v, dict):  # ES long form {"value": v}
-            if set(v) != {"value"}:
+        v, ci = _meta_value_ci(kind, v)
+        if ci:
+            # ES case_insensitive (7.10+): lower() BOTH sides INSIDE the
+            # predicate string so each engine (Spark SQL and the DuckDB
+            # oracle replay) applies its own, self-consistent casefold —
+            # exact for ASCII; locale-special casing (Turkish İ, ß) is
+            # outside the engine's analyzer anyway
+            if not isinstance(v, str):
                 raise DslError(
-                    f"unsupported term options {sorted(set(v) - {'value'})}")
-            v = v["value"]
+                    f"case_insensitive term needs a string value, "
+                    f"got {v!r}")
+            return (f"lower({_ident(fld)}) = lower({_sql_lit(v)})",
+                    _meta_field(fld))
         return f"{_ident(fld)} = {_sql_lit(v)}", _meta_field(fld)
     if kind == "terms":
         (fld, vals), = body.items()
@@ -706,28 +739,21 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
                 _meta_field(body["field"]))
     if kind == "prefix":
         (fld, v), = body.items()
-        if isinstance(v, dict):  # ES long form {"value": v}
-            if set(v) != {"value"}:
-                raise DslError(
-                    f"unsupported prefix options "
-                    f"{sorted(set(v) - {'value'})}")
-            v = v.get("value")
+        v, ci = _meta_value_ci(kind, v)
         if not isinstance(v, str) or not v:
             raise DslError("prefix needs a non-empty string value")
         # left(f, n) = v instead of LIKE: the same predicate string must
         # parse identically in Spark SQL and DuckDB, and LIKE-escape
         # rules differ between the two (Spark escapes backslash in both
         # the literal and the pattern; DuckDB in neither)
+        if ci:  # same both-sides-lower rule as term
+            return (f"left(lower({_ident(fld)}), {len(v)}) "
+                    f"= lower({_sql_lit(v)})", _meta_field(fld))
         return (f"left({_ident(fld)}, {len(v)}) = {_sql_lit(v)}",
                 _meta_field(fld))
     if kind == "wildcard":
         (fld, v), = body.items()
-        if isinstance(v, dict):
-            if set(v) != {"value"}:
-                raise DslError(
-                    f"unsupported wildcard options "
-                    f"{sorted(set(v) - {'value'})}")
-            v = v.get("value")
+        v, ci = _meta_value_ci(kind, v)
         if not isinstance(v, str) or not v:
             raise DslError("wildcard needs a non-empty string value")
         if any(ch in v for ch in ("%", "_", "\\")):
@@ -736,18 +762,17 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
             raise DslError(
                 "wildcard values containing % _ or \\ are not supported")
         pat = v.replace("*", "%").replace("?", "_")
+        if ci:  # same both-sides-lower rule as term
+            return (f"lower({_ident(fld)}) LIKE lower({_sql_lit(pat)})",
+                    _meta_field(fld))
         return f"{_ident(fld)} LIKE {_sql_lit(pat)}", _meta_field(fld)
     if kind == "regexp":
         (fld, v), = body.items()
-        if isinstance(v, dict):
-            # ES long form; flags/case_insensitive/rewrite/
-            # max_determinized_states would change MATCH SEMANTICS if
-            # ignored -> out-of-grammar, fail loud
-            if set(v) != {"value"}:
-                raise DslError(
-                    f"unsupported regexp options "
-                    f"{sorted(set(v) - {'value'})}")
-            v = v.get("value")
+        # flags/rewrite/max_determinized_states would change MATCH
+        # SEMANTICS if ignored -> out-of-grammar, fail loud;
+        # case_insensitive maps to the (?i) inline flag, which Java
+        # regex and RE2 (DuckDB) define identically
+        v, ci = _meta_value_ci(kind, v)
         if not isinstance(v, str) or not v:
             raise DslError("regexp needs a non-empty string value")
         _validate_regex_subset(v)
@@ -756,7 +781,7 @@ def _compile_meta(kind: str, body: dict) -> tuple[str, str]:
         # is the anchored-match idiom that parses identically in Spark
         # SQL and DuckDB (neither shares a boolean regex function name
         # with the other).
-        pat = "^(?:" + v + ")$"
+        pat = ("(?i)" if ci else "") + "^(?:" + v + ")$"
         return (f"regexp_extract({_ident(fld)}, {_sql_lit(pat)}, 0) "
                 f"= {_ident(fld)}", _meta_field(fld))
     if kind == "ids":
@@ -3055,26 +3080,47 @@ _METRIC_FNS = {
 _CALENDAR_INTERVALS = {"hour", "day", "week", "month", "quarter", "year"}
 
 
-def _metric_field(kind: str, body) -> str:
-    """Validate a metric body -> its field. Unknown options FAIL — a
-    silently-ignored ``missing``/``script`` would return different
-    numbers than the user's ES cluster (the same rule clause bodies and
-    _search requests already enforce)."""
+def _fill_missing(kind: str, body: dict, col, allow_str: bool = False):
+    """Apply the ES metric ``missing`` parameter: docs whose field is
+    NULL take the substitute value instead of being ignored
+    (``F.coalesce`` — one row expression, no extra scan). Numeric
+    metrics require a NUMERIC substitute; ``value_count``/
+    ``cardinality`` also accept a string (keyword fields). The same
+    type-promotion happens in the DuckDB oracle's ``coalesce``, so the
+    replay stays value-identical."""
+    if "missing" not in body:
+        return col
+    mv = body["missing"]
+    ok = (not isinstance(mv, bool) and isinstance(mv, (int, float))) \
+        or (allow_str and isinstance(mv, str))
+    if not ok:
+        raise DslError(
+            f"{kind} missing must be a "
+            f"{'scalar' if allow_str else 'number'}, got {mv!r}")
+    return F.coalesce(col, F.lit(mv))
+
+
+def _metric_col(kind: str, body, allow_str_missing: bool = False):
+    """Validate a metric body -> its (possibly ``missing``-filled)
+    column. Unknown options FAIL — a silently-ignored ``script`` would
+    return different numbers than the user's ES cluster (the same rule
+    clause bodies and _search requests already enforce)."""
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"{kind} metric needs a field, got {body!r}")
-    unknown = set(body) - {"field"}
+    unknown = set(body) - {"field", "missing"}
     if unknown:
         raise DslError(
             f"unsupported {kind} metric options {sorted(unknown)}")
-    return _ident(body["field"])
+    return _fill_missing(kind, body, F.col(_ident(body["field"])),
+                         allow_str=allow_str_missing)
 
 
-def _stats_exprs(name: str, field: str) -> list:
+def _stats_exprs(name: str, f) -> list:
     """The ES ``stats`` metric — count/min/max/avg/sum in one pass —
     FLATTENED to five ``<name>_<stat>`` columns (ES nests them under the
     agg name; a DataFrame result flattens, same documented rule as
-    nested buckets)."""
-    f = _ident(field)
+    nested buckets). ``f`` is the (possibly ``missing``-filled) value
+    column from :func:`_metric_col`."""
     return [
         F.count(f).alias(f"{name}_count"),
         F.min(f).alias(f"{name}_min"),
@@ -3095,8 +3141,7 @@ def _extended_stats_exprs(name: str, body) -> list:
     std_deviation_bounds block are derivable client-side from these
     columns and stay out of grammar (a silently-ignored sigma is the
     usual divergence trap)."""
-    fld = _metric_field("extended_stats", body)
-    f = F.col(fld).cast("double")
+    f = _metric_col("extended_stats", body).cast("double")
     return [
         F.count(f).alias(f"{name}_count"),
         F.min(f).alias(f"{name}_min"),
@@ -3139,7 +3184,7 @@ def _percents_of(body) -> list[float]:
     """Validated ``percents`` list of a percentiles body."""
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(f"percentiles metric needs a field, got {body!r}")
-    unknown = set(body) - {"field", "percents"}
+    unknown = set(body) - {"field", "percents", "missing"}
     if unknown:
         raise DslError(
             f"unsupported percentiles options {sorted(unknown)}")
@@ -3165,7 +3210,7 @@ def _percentile_exprs(name: str, body: dict) -> list:
     same exactness deviation as ``cardinality``, and what the DuckDB
     oracle (``quantile_cont``) can check."""
     ps = _percents_of(body)
-    f = F.col(_ident(body["field"]))
+    f = _fill_missing("percentiles", body, F.col(_ident(body["field"])))
     return [
         F.percentile(f, F.lit(p / 100.0)).alias(f"{name}_p{_pct_label(p)}")
         for p in ps
@@ -3183,7 +3228,7 @@ def _percentile_rank_exprs(name: str, body: dict) -> list:
     if not isinstance(body, dict) or "field" not in body:
         raise DslError(
             f"percentile_ranks metric needs a field, got {body!r}")
-    unknown = set(body) - {"field", "values"}
+    unknown = set(body) - {"field", "values", "missing"}
     if unknown:
         raise DslError(
             f"unsupported percentile_ranks options {sorted(unknown)}")
@@ -3194,7 +3239,8 @@ def _percentile_rank_exprs(name: str, body: dict) -> list:
         raise DslError(
             f"percentile_ranks needs a non-empty numeric values list, "
             f"got {vals!r}")
-    f = F.col(_ident(body["field"]))
+    f = _fill_missing("percentile_ranks", body,
+                      F.col(_ident(body["field"])))
     return [
         (F.avg(F.when(f <= float(v), 1.0)
                .when(f.isNotNull(), 0.0)) * 100).alias(
@@ -3211,7 +3257,7 @@ def _metric_exprs(sub_aggs: dict) -> list:
             raise DslError(f"bad sub-aggregation {name!r}")
         (kind, body), = spec.items()
         if kind == "stats":
-            cols.extend(_stats_exprs(name, _metric_field(kind, body)))
+            cols.extend(_stats_exprs(name, _metric_col("stats", body)))
             continue
         if kind == "extended_stats":
             cols.extend(_extended_stats_exprs(name, body))
@@ -3229,7 +3275,10 @@ def _metric_exprs(sub_aggs: dict) -> list:
             raise DslError(
                 f"sub-aggregation {kind!r} not supported (metrics only)")
         cols.append(
-            _METRIC_FNS[kind](_metric_field(kind, body)).alias(name))
+            _METRIC_FNS[kind](_metric_col(
+                kind, body,
+                allow_str_missing=kind in ("value_count", "cardinality"),
+            )).alias(name))
     return cols
 
 
@@ -3268,6 +3317,11 @@ def dsl_aggregate(
       both documented deviations in the user's favor);
       ``percentile_ranks`` -> ``<name>_<value>`` columns (EXACT
       percentage of non-null values <= v — same deviation family).
+      Every field metric takes the ES ``missing`` parameter (NULL-field
+      docs count as the substitute value — numeric required, except
+      ``value_count``/``cardinality`` which also take a string for
+      keyword fields; ``weighted_avg`` keeps its per-part no-missing
+      rule, fail-loud).
     - ``{"histogram": {"field": f, "interval": n, "offset": o?}}`` ->
       (key, doc_count [, sub metrics]) with key =
       floor((v - o)/n)*n + o, ascending; ``min_doc_count``/``missing``
@@ -3311,12 +3365,17 @@ def dsl_aggregate(
       (key, doc_count, hit_rank, _source...) rows — the per-bucket
       top-N documents (see :func:`_apply_top_hits`).
     - histogram-family buckets may carry PARENT PIPELINE sub-aggs:
-      ``{"cumulative_sum"|"derivative": {"buckets_path": "_count" |
-      <metric-name> | "<stats-name>.<stat>"}}`` -> an extra flattened
-      column per pipeline (running sum / delta vs the previous bucket
-      in key order; the first bucket's derivative is NULL — ES omits
-      it). Terms parents fail loud (ES: pipelines need a bucket
-      SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
+      ``{"cumulative_sum"|"derivative"|"serial_diff"|"moving_fn":
+      {"buckets_path": "_count" | <metric-name> |
+      "<stats-name>.<stat>"}}`` -> an extra flattened column per
+      pipeline (running sum / delta vs the previous bucket in key
+      order; the first bucket's derivative is NULL — ES omits it).
+      ``moving_fn`` additionally takes ``window``/``shift``/``script``
+      — the five stock ``MovingFunctions`` scripts over the ES row
+      frame [i-window+shift, i-1+shift] (see :func:`_parse_moving_fn`);
+      painless lambdas beyond those stay out-of-grammar. Terms parents
+      fail loud (ES: pipelines need a bucket SEQUENCE); ``gap_policy``
+      etc. stay out-of-grammar.
     - any single-level bucket agg may carry ``bucket_script`` /
       ``bucket_selector`` pipelines (``{"buckets_path": {var: "_count"
       | metric | "stats-name.stat"}, "script": "params.x / params.y"}``)
@@ -3338,9 +3397,12 @@ def dsl_aggregate(
       high-cardinality bucket spaces (see :func:`_apply_composite`).
     - SIBLING pipelines next to the one bucket agg:
       ``{"avg_bucket"|"sum_bucket"|"min_bucket"|"max_bucket"|
-      "stats_bucket": {"buckets_path": "<bucket-agg>><metric>"}}`` ->
-      aggregates of the FINAL bucket list, flattened as constant
-      columns (see :func:`_apply_siblings`).
+      "stats_bucket"|"extended_stats_bucket"|"percentiles_bucket":
+      {"buckets_path": "<bucket-agg>><metric>"[, "percents": [...]]}}``
+      -> aggregates of the FINAL bucket list, flattened as constant
+      columns (see :func:`_apply_siblings`); percentiles_bucket is
+      linear-interpolated over the sorted bucket values — ES computes
+      this one exactly too, so no TDigest deviation.
     - ``{"significant_terms": {"field": f, "size": n,
       "min_doc_count": m}}`` -> terms over-represented in the
       qualifying set vs the whole index, JLH-scored (see
@@ -3407,7 +3469,7 @@ def _parse_aggs_block(request: dict):
     return agg_name, kinds[0], agg_spec[kinds[0]], sub, siblings
 
 
-_BUCKET_KINDS = ("terms", "date_histogram", "histogram")
+_BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram")
 
 # ES parent pipeline aggregations: cumulative_sum/derivative compute
 # over the parent's bucket SEQUENCE (hence their histogram-family-
@@ -3416,7 +3478,8 @@ _BUCKET_KINDS = ("terms", "date_histogram", "histogram")
 # restriction); bucket_sort re-sorts/truncates ANY multi-bucket
 # parent's final bucket list; bucket_script/bucket_selector are
 # PER-BUCKET (no sequence dependency), so any single-level parent.
-_SEQUENCE_PIPELINES = ("cumulative_sum", "derivative", "serial_diff")
+_SEQUENCE_PIPELINES = ("cumulative_sum", "derivative", "serial_diff",
+                       "moving_fn", "cumulative_cardinality")
 _PIPELINE_KINDS = _SEQUENCE_PIPELINES + (
     "bucket_sort", "bucket_script", "bucket_selector")
 
@@ -3497,8 +3560,11 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
     return different values than the user's ES cluster."""
     if not isinstance(body, dict) or "buckets_path" not in body:
         raise DslError(f"{kind} needs a buckets_path, got {body!r}")
-    allowed = {"buckets_path"} | ({"lag"} if kind == "serial_diff"
-                                  else set())
+    allowed = {"buckets_path"}
+    if kind == "serial_diff":
+        allowed |= {"lag"}
+    elif kind == "moving_fn":
+        allowed |= {"window", "script", "shift"}
     unknown = set(body) - allowed
     if unknown:
         raise DslError(f"unsupported {kind} options {sorted(unknown)}")
@@ -3517,6 +3583,50 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
 _SCRIPT_TOKEN = _re.compile(
     r"params\.([A-Za-z_]\w*)|(\d+\.\d+|\d+)"
     r"|(==|!=|<=|>=|&&|\|\||[-+*/()<>])|(\s+)")
+
+
+# ES `moving_fn` scripts the engine supports: the five stock
+# MovingFunctions the ES docs themselves present (whitespace-
+# insensitive literal match — moving_fn scripts are painless LAMBDAS
+# over the window array, so arbitrary arithmetic stays out-of-grammar,
+# unlike bucket_script's compiled scalar subset). Each maps to the
+# equivalent Spark window aggregate over the same row frame.
+_MOVING_FN_SCRIPTS = {
+    "MovingFunctions.max(values)": "max",
+    "MovingFunctions.min(values)": "min",
+    "MovingFunctions.sum(values)": "sum",
+    "MovingFunctions.unweightedAvg(values)": "avg",
+    "MovingFunctions.stdDev(values,MovingFunctions.unweightedAvg(values))":
+        "std",
+}
+
+
+def _parse_moving_fn(body: dict):
+    """``moving_fn`` body -> (fn key, frame lo, frame hi). ES window
+    rule: with ``shift`` s (default 0) bucket i sees values at
+    positions [i - window + s, i - 1 + s] — shift 0 excludes the
+    current bucket, shift 1 includes it (the ES docs' own examples).
+    Empty-window semantics follow Lucene's MovingFunctions reduced
+    through ES's non-finite-to-null JSON rendering: ``sum`` returns
+    0.0 (the fold identity is finite), everything else null
+    (NaN / ±Infinity render as null)."""
+    window = body.get("window")
+    if isinstance(window, bool) or not isinstance(window, int) \
+            or window < 1:
+        raise DslError(
+            f"moving_fn needs an int window >= 1, got {window!r}")
+    shift = body.get("shift", 0)
+    if isinstance(shift, bool) or not isinstance(shift, int):
+        raise DslError(f"moving_fn shift must be an int, got {shift!r}")
+    script = body.get("script")
+    if not isinstance(script, str):
+        raise DslError(f"moving_fn needs a script string, got {script!r}")
+    key = _MOVING_FN_SCRIPTS.get("".join(script.split()))
+    if key is None:
+        raise DslError(
+            f"unsupported moving_fn script {script!r} (supported: "
+            f"{sorted(_MOVING_FN_SCRIPTS)})")
+    return key, -window + shift, shift - 1
 
 
 def _compile_bucket_script(kind: str, body, metric_cols: list[str]):
@@ -3676,7 +3786,8 @@ def _compile_bucket_script(kind: str, body, metric_cols: list[str]):
 # FINAL bucket list of the multi-bucket agg they sit next to (post
 # min_doc_count / order / size — the buckets ES would return).
 _SIBLING_KINDS = ("avg_bucket", "sum_bucket", "min_bucket",
-                  "max_bucket", "stats_bucket")
+                  "max_bucket", "stats_bucket", "extended_stats_bucket",
+                  "percentiles_bucket")
 _SIBLING_FNS = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                 "min_bucket": F.min, "max_bucket": F.max}
 
@@ -3695,7 +3806,10 @@ def _sibling_exprs(siblings: dict, agg_name: str,
     for name, (kind, body) in siblings.items():
         if not isinstance(body, dict) or "buckets_path" not in body:
             raise DslError(f"{kind} needs a buckets_path, got {body!r}")
-        unknown = set(body) - {"buckets_path"}
+        allowed = {"buckets_path"} | ({"percents"}
+                                      if kind == "percentiles_bucket"
+                                      else set())
+        unknown = set(body) - allowed
         if unknown:
             raise DslError(f"unsupported {kind} options {sorted(unknown)}")
         p = body["buckets_path"]
@@ -3716,6 +3830,33 @@ def _sibling_exprs(siblings: dict, agg_name: str,
             new = [f"{name}_{s}" for s in
                    ("count", "min", "max", "avg", "sum")]
             stat_fns = (F.count, F.min, F.max, F.avg, F.sum)
+        elif kind == "extended_stats_bucket":
+            # the metric extended_stats' exact column set/definitions
+            # (population variance; sigma bounds stay out of grammar)
+            new = [f"{name}_{s}" for s in
+                   ("count", "min", "max", "avg", "sum",
+                    "sum_of_squares", "variance", "std_deviation")]
+            stat_fns = (F.count, F.min, F.max, F.avg, F.sum,
+                        lambda c: F.sum(F.col(c) * F.col(c)),
+                        F.var_pop, F.stddev_pop)
+        elif kind == "percentiles_bucket":
+            # ES percentiles_bucket sorts the bucket values in memory
+            # and LINEARLY INTERPOLATES at rank p/100*(n-1) — exactly
+            # Catalyst `percentile` (unlike the TDigest metric, no
+            # exactness deviation here)
+            pcts = body.get("percents", list(_DEFAULT_PERCENTS))
+            if not isinstance(pcts, list) or not pcts or any(
+                    isinstance(p, bool) or not isinstance(p, (int, float))
+                    or not 0 < p < 100 for p in pcts):
+                raise DslError(
+                    f"percents must be numbers strictly between 0 and "
+                    f"100, got {pcts!r}")
+            pcts = [float(p) for p in pcts]
+            new = [f"{name}_p{_pct_label(p)}" for p in pcts]
+            stat_fns = tuple(
+                (lambda c, _p=p: F.percentile(
+                    F.col(c).cast("double"), F.lit(_p / 100.0)))
+                for p in pcts)
         else:
             new, stat_fns = [name], (_SIBLING_FNS[kind],)
         clash = [n for n in new if n in taken]
@@ -3857,6 +3998,8 @@ def _bucket_key(kind: str, body: dict):
     would return different buckets than the user's cluster)."""
     if kind == "histogram":
         return _histogram_key(body)
+    if kind == "multi_terms":
+        return _multi_terms_key(body)
     if kind == "terms":
         # shard_size tunes ES's per-shard approximation accuracy; this
         # engine computes EXACT global counts, so it is a documented
@@ -3884,7 +4027,8 @@ def _bucket_key(kind: str, body: dict):
             raise DslError(f"terms size must be an int >= 1, got {size!r}")
         return key, size, order, _parse_min_doc_count(body)
     unknown = set(body) - {"field", "calendar_interval", "fixed_interval",
-                           "min_doc_count", "order", "extended_bounds"}
+                           "min_doc_count", "order", "extended_bounds",
+                           "time_zone"}
     if unknown:
         raise DslError(
             f"unsupported date_histogram options {sorted(unknown)}")
@@ -3897,11 +4041,19 @@ def _bucket_key(kind: str, body: dict):
         raise DslError(
             "date_histogram takes no order (ES: always key-ascending)")
     col = F.col(_ident(body["field"]))
+    tz = body.get("time_zone")
     if iv is not None:
         if iv not in _CALENDAR_INTERVALS:
             raise DslError(f"calendar_interval {iv!r} not supported")
-        key = F.date_trunc(iv, col)
+        key = _tz_date_trunc(iv, col, tz)
     else:
+        if tz is not None:
+            # ES re-anchors fixed buckets to the zone's epoch offset,
+            # which shifts PER BUCKET across DST transitions — a
+            # silently-approximated anchor would diverge from the
+            # user's cluster, so fixed_interval stays UTC-anchored
+            raise DslError(
+                "time_zone is supported with calendar_interval only")
         # ES fixed_interval: exact multiples of a unit, buckets anchored
         # at the 1970 UTC epoch — floor(epoch/secs)*secs
         secs = _fixed_interval_seconds(fx)
@@ -3909,12 +4061,112 @@ def _bucket_key(kind: str, body: dict):
             F.floor(F.unix_timestamp(col) / F.lit(secs)).cast("long")
             * F.lit(secs))
     mdc = _parse_min_doc_count(body, allow_zero=True)
+    if tz is not None and mdc == 0:
+        raise DslError(
+            "time_zone with min_doc_count: 0 is not supported (the "
+            "gap-fill sequence steps in UTC; local-boundary steps are "
+            "irregular across DST)")
     if "extended_bounds" in body and mdc != 0:
         raise DslError(
             "extended_bounds needs min_doc_count: 0 (ES only honors "
             "it when empty buckets are emitted)")
     # ES date_histogram has no bucket cap by default
     return key, body.get("size"), {"_key": "asc"}, mdc
+
+
+_TZ_OFFSET_RE = _re.compile(r"([+-])(\d{2}):(\d{2})")
+
+
+def _tz_date_trunc(iv: str, col, tz):
+    """ES ``date_histogram`` ``time_zone``: buckets fall on LOCAL-time
+    calendar boundaries, keyed by the boundary's UTC instant —
+    trunc-in-local-time, converted back.
+
+    - fixed offset ``"+HH:MM"``/``"-HH:MM"``: pure epoch-second
+      arithmetic (shift, trunc, unshift) — no tz database, portable to
+      any oracle dialect verbatim.
+    - named IANA zone: ``from_utc_timestamp``/``to_utc_timestamp``
+      (JVM tzdb; DST-correct). The DuckDB replay
+      ``timezone(tz, date_trunc(iv, timezone(tz, ts::TIMESTAMPTZ)))``
+      (UTC session) is value-identical across the DST transitions the
+      engine tests pin — both resolve against current IANA data. Zones
+      whose transitions land ON a bucket boundary (midnight DST, e.g.
+      historic America/Havana) can make the local boundary ambiguous;
+      both engines then pick the same earlier-offset instant. ES
+      ``"UTC"`` is the identity.
+    """
+    if tz is None or tz == "UTC":
+        return F.date_trunc(iv, col)
+    if not isinstance(tz, str) or not tz:
+        raise DslError(f"time_zone must be a string, got {tz!r}")
+    m = _TZ_OFFSET_RE.fullmatch(tz)
+    if m:
+        off = (1 if m.group(1) == "+" else -1) * \
+            (int(m.group(2)) * 3600 + int(m.group(3)) * 60)
+        shifted = F.timestamp_seconds(F.unix_timestamp(col) + F.lit(off))
+        return F.timestamp_seconds(
+            F.unix_timestamp(F.date_trunc(iv, shifted)) - F.lit(off))
+    try:
+        from zoneinfo import ZoneInfo  # noqa: PLC0415 (stdlib)
+        ZoneInfo(tz)
+    except Exception:
+        raise DslError(
+            f"unknown time_zone {tz!r} (IANA name or +HH:MM offset)")
+    return F.to_utc_timestamp(F.date_trunc(iv, F.from_utc_timestamp(col, tz)),
+                              tz)
+
+
+def _multi_terms_key(body: dict):
+    """ES ``multi_terms``: compound-key terms buckets —
+    ``{"terms": [{"field": f1}, {"field": f2}, ...], "size", "order",
+    "min_doc_count"}`` (ES requires >= 2 sources). The engine flattens
+    the compound key to ONE pipe-joined string column (ES returns a key
+    array + a ``key_as_string`` joined with ``|`` — the string is the
+    flattened form, and numeric sources render via their string cast),
+    so every downstream mechanism — order grammar, min_doc_count, size
+    cut, metric sub-aggs, bucket_sort, bucket scripts, nesting — works
+    unchanged. ``_key`` ordering therefore compares the JOINED string
+    (lexicographic), which matches ES's per-term tuple order whenever
+    values don't embed the separator — documented flattening rule, same
+    family as the nested-bucket flattening. Docs NULL in ANY source are
+    dropped (ES), via a when() guard — concat_ws alone would silently
+    skip NULL parts and merge distinct tuples. Per-source ``missing``
+    fills ride the same scalar rule as ``terms``."""
+    unknown = set(body) - {"terms", "size", "order", "min_doc_count",
+                           "shard_size"}
+    if unknown:
+        raise DslError(
+            f"unsupported multi_terms options {sorted(unknown)}")
+    srcs = body.get("terms")
+    if not isinstance(srcs, list) or len(srcs) < 2:
+        raise DslError(
+            "multi_terms needs a terms list of at least two sources "
+            "(ES: use terms for a single field)")
+    cols = []
+    for t in srcs:
+        if not isinstance(t, dict) or "field" not in t \
+                or set(t) - {"field", "missing"}:
+            raise DslError(f"bad multi_terms source {t!r}")
+        c = F.col(_ident(t["field"]))
+        if "missing" in t:
+            mv = t["missing"]
+            if isinstance(mv, bool) or not isinstance(mv,
+                                                      (str, int, float)):
+                raise DslError(f"missing must be a scalar, got {mv!r}")
+            c = F.coalesce(c, F.lit(mv))
+        cols.append(c)
+    notnull = reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
+    key = F.when(notnull,
+                 F.concat_ws("|", *[c.cast("string") for c in cols]))
+    order = body.get("order", {"_count": "desc"})  # the ES default
+    if not isinstance(order, dict) or len(order) != 1:
+        raise DslError(
+            'multi_terms order must be a single {"target": "asc"|"desc"}')
+    size = body.get("size", 10)
+    if isinstance(size, bool) or not isinstance(size, int) or size < 1:
+        raise DslError(
+            f"multi_terms size must be an int >= 1, got {size!r}")
+    return key, size, order, _parse_min_doc_count(body)
 
 
 def _histogram_key(body: dict):
@@ -4679,9 +4931,12 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return _apply_rare_terms(frame, agg_name, body, sub)
     if kind in _METRIC_FNS and not sub:
         return frame.agg(
-            _METRIC_FNS[kind](_metric_field(kind, body)).alias(agg_name))
+            _METRIC_FNS[kind](_metric_col(
+                kind, body,
+                allow_str_missing=kind in ("value_count", "cardinality"),
+            )).alias(agg_name))
     if kind == "stats" and not sub:
-        return frame.agg(*_stats_exprs(agg_name, _metric_field(kind, body)))
+        return frame.agg(*_stats_exprs(agg_name, _metric_col("stats", body)))
     if kind == "extended_stats" and not sub:
         return frame.agg(*_extended_stats_exprs(agg_name, body))
     if kind == "percentiles" and not sub:
@@ -4762,6 +5017,63 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                 path = _pipeline_path(pk, pb, mcols)
                 if pk == "cumulative_sum":
                     out = out.withColumn(name, F.sum(path).over(run))
+                elif pk == "cumulative_cardinality":
+                    # ES: running distinct count of the referenced
+                    # cardinality agg's field across the bucket
+                    # sequence (ES merges HLL sketches — approximate;
+                    # the engine is EXACT, the same documented
+                    # deviation as `cardinality`). Not derivable from
+                    # the bucket list: computed distributively as
+                    # first-occurrence counts — each value charges the
+                    # FIRST surviving bucket it appears in (one
+                    # value-keyed shuffle + a bucket-cardinality join),
+                    # then a running sum. min_doc_count-pruned buckets
+                    # are excluded first (ES merges only the RESPONSE
+                    # buckets' sketches, so a value whose first
+                    # appearance was pruned counts at its first
+                    # surviving bucket).
+                    spec_m = metrics_spec.get(path)
+                    if not (isinstance(spec_m, dict)
+                            and set(spec_m) == {"cardinality"}):
+                        raise DslError(
+                            "cumulative_cardinality buckets_path must "
+                            "reference a cardinality sub-aggregation")
+                    cfld = _metric_col("cardinality",
+                                       spec_m["cardinality"],
+                                       allow_str_missing=True)
+                    rows = (frame
+                            .where(pkey.isNotNull() & cfld.isNotNull())
+                            .select(pkey.alias("__k"),
+                                    cfld.alias("__v")))
+                    if pmdc > 1:
+                        rows = rows.join(
+                            out.select(F.col("key").alias("__k")),
+                            "__k", "left_semi")
+                    news = (rows.groupBy("__v")
+                            .agg(F.min("__k").alias("key"))
+                            .groupBy("key")
+                            .agg(F.count(F.lit(1)).alias("__cc_new")))
+                    out = (out.join(news, "key", "left")
+                           .withColumn(name, F.sum(
+                               F.coalesce(F.col("__cc_new"),
+                                          F.lit(0))).over(run))
+                           .drop("__cc_new"))
+                elif pk == "moving_fn":
+                    fn, lo, hi = _parse_moving_fn(pb)
+                    mw = seq.rowsBetween(lo, hi)
+                    v = F.col(path).cast("double")
+                    if fn == "sum":
+                        # ES: the fold identity 0.0 is finite, so an
+                        # empty window sums to 0.0 (not null)
+                        col = F.coalesce(F.sum(v).over(mw), F.lit(0.0))
+                    elif fn == "std":
+                        # Lucene stdDev is population (sqrt(sum of
+                        # squared deviations / n)), not sample
+                        col = F.stddev_pop(v).over(mw)
+                    else:
+                        col = {"max": F.max, "min": F.min,
+                               "avg": F.avg}[fn](v).over(mw)
+                    out = out.withColumn(name, col)
                 elif pk == "serial_diff":
                     # lag-n difference (ES serial differencing); the
                     # first n buckets have no predecessor -> NULL

@@ -649,6 +649,41 @@ DSL_QUERIES = [
         "must": [{"match": {"text": "the_hot_term"}}],
         "must_not": [{"regexp": {"role": "assis[a-z]{4}"}}],
     }}}),
+    # ---- case_insensitive (round 5, resumed closing): uppercase query
+    # values against the corpus's all-lowercase metadata — each clause
+    # matches ONLY because of the flag (the case-sensitive twin of the
+    # same value matches nothing), so the oracle discriminates
+    ("term-case-insensitive", {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"term": {"role": {"value": "USER",
+                                      "case_insensitive": True}}}],
+    }}}),
+    ("prefix-case-insensitive-filter", {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "filter": [{"prefix": {"role": {"value": "ASSIS",
+                                        "case_insensitive": True}}}],
+    }}}),
+    ("wildcard-case-insensitive-must-not", {"query": {"bool": {
+        "must": [{"match": {"text": "spark agent"}}],
+        "must_not": [{"wildcard": {"tool": {
+            "value": "BA*",  # tool has NULLs — null-guard rule too
+            "case_insensitive": True}}}],
+    }}}),
+    ("regexp-case-insensitive", {"query": {"bool": {
+        "must": [{"match": {"text": "agent"}}],
+        "filter": [{"regexp": {"role": {
+            "value": "(USER|To[a-z]+)",
+            "case_insensitive": True}}}],
+    }}}),
+    ("term-case-sensitive-long-form-unmatched", {"query": {"bool": {
+        "should": [
+            {"match": {"text": "spark"}},
+            # explicit false = the case-SENSITIVE long form: matches
+            # nothing against the lowercase corpus
+            {"constant_score": {"filter": {"term": {"role": {
+                "value": "USER", "case_insensitive": False}}},
+                "boost": 5.0}},
+        ]}}}),
     # ---- constant_score (round 5): every qualifying doc scores boost
     ("constant-score-top-level", {"query": {"constant_score": {
         "filter": {"match": {"text": "spark"}}, "boost": 2.5}}}),
@@ -1319,13 +1354,23 @@ def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
         # show_term_doc_count_error (response-shape) stays rejected
         {"aggs": {"a": {"terms": {"field": "tool",
                                   "show_term_doc_count_error": True}}}},
+        # time_zone became SUPPORTED on calendar intervals in round 5
+        # (test_date_histogram_time_zone); fixed_interval anchoring and
+        # gap-fill stepping stay out-of-grammar with it
         {"aggs": {"a": {"date_histogram": {
-            "field": "ts", "calendar_interval": "week",
+            "field": "ts", "fixed_interval": "12h",
             "time_zone": "America/New_York"}}}},
+        {"aggs": {"a": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0, "time_zone": "America/New_York"}}}},
+        {"aggs": {"a": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "time_zone": "Mars/Olympus_Mons"}}}},
+        # metric `missing` became SUPPORTED in round 5
+        # (test_metric_missing_param); a non-numeric fill still fails
         {"aggs": {"a": {"terms": {"field": "role"},
                         "aggs": {"m": {"avg": {"field": "turn_idx",
-                                               "missing": 0}}}}}},
-        {"aggs": {"a": {"stats": {"field": "turn_idx", "missing": 0}}}},
+                                               "missing": "x"}}}}}},
         {"aggs": {"a": {"range": {"field": "turn_idx", "keyed": True,
                                   "ranges": [{"to": 5}]}}}},
         {"aggs": {"a": {"range": {"field": "turn_idx",
@@ -1438,6 +1483,285 @@ def test_histogram_percentiles_and_null_buckets(spark, docs, docs_pdf,
         {"aggs": {"r": {"percentile_ranks": {
             "field": "turn_idx", "values": [1],
             "keyed": True}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, bad)
+
+
+def test_metric_missing_param(spark, docs, docs_pdf, dsl_index):
+    """ES metric `missing` (all field metrics): NULL-field docs count
+    as the substitute value instead of being dropped — hand-computed
+    semantics on a NULL-bearing frame, naive == indexed on the
+    fixture's NULL-bearing `tool` column, and the validation rules
+    (numeric required except value_count/cardinality; weighted_avg
+    keeps its no-missing rule; bool/list never pass)."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    nulls = spark.createDataFrame(
+        [(0, "a x", 10.0, "g1"), (1, "a y", None, "g1"),
+         (2, "b x", 30.0, "g2"), (3, "b y", None, "g2")],
+        "doc_id long, text string, val double, grp string")
+
+    def agg(a):
+        return dsl_aggregate(nulls, {"aggs": a}).toPandas()
+
+    assert agg({"m": {"avg": {"field": "val", "missing": 0}}}
+               )["m"][0] == 10.0
+    assert agg({"m": {"avg": {"field": "val"}}})["m"][0] == 20.0
+    st = agg({"m": {"stats": {"field": "val", "missing": 0}}})
+    assert (st["m_count"][0], st["m_min"][0], st["m_sum"][0]) \
+        == (4, 0.0, 40.0)
+    assert agg({"m": {"value_count": {"field": "val", "missing": 0}}}
+               )["m"][0] == 4
+    # the fill can COLLIDE with a real value — cardinality sees it
+    assert agg({"m": {"cardinality": {"field": "val", "missing": 10.0}}}
+               )["m"][0] == 2
+    # string missing on a keyword field (value_count/cardinality only)
+    assert agg({"m": {"cardinality": {"field": "grp", "missing": "n/a"}}}
+               )["m"][0] == 2
+    ex = agg({"m": {"extended_stats": {"field": "val", "missing": 0}}})
+    assert ex["m_variance"][0] == pytest.approx(
+        (100 * 2 + 0 + 400) / 4)  # mean 10 over [0, 0, 10, 30]
+    # percentiles/percentile_ranks over the filled values [0, 0, 10, 30]
+    assert agg({"m": {"percentiles": {
+        "field": "val", "percents": [50], "missing": 0}}}
+        )["m_p50"][0] == pytest.approx(5.0)
+    assert agg({"m": {"percentile_ranks": {
+        "field": "val", "values": [5], "missing": 0}}}
+        )["m_5"][0] == pytest.approx(50.0)
+    # bucketed: the fill applies per bucket
+    bk = agg({"g": {"terms": {"field": "grp"},
+                    "aggs": {"a": {"avg": {"field": "val",
+                                           "missing": 0}}}}})
+    assert sorted(zip(bk["key"], bk["a"])) == [("g1", 5.0), ("g2", 15.0)]
+
+    # naive == indexed on the fixture's NULL-bearing tool column
+    req = {"aggs": {"n": {"value_count": {"field": "tool",
+                                          "missing": "none"}}}}
+    want = dsl_aggregate(docs, req).toPandas()
+    assert int(want["n"][0]) == len(docs_pdf)  # every NULL now counts
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, want)
+    req2 = {"aggs": {"by_role": {
+        "terms": {"field": "role", "size": 10},
+        "aggs": {"u": {"cardinality": {"field": "tool",
+                                       "missing": "none"}}}}}}
+    want2 = dsl_aggregate(docs, req2).toPandas()
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    pd.testing.assert_frame_equal(gi2, want2)
+    grp = docs_pdf.groupby("role")["tool"]
+    for _, row in want2.iterrows():
+        sel = grp.get_group(row["key"])
+        assert row["u"] == sel.fillna("none").nunique()
+
+    for bad in (
+        {"avg": {"field": "val", "missing": "x"}},     # numeric only
+        {"stats": {"field": "val", "missing": "x"}},
+        {"percentiles": {"field": "val", "missing": "x"}},
+        {"avg": {"field": "val", "missing": True}},    # bool is not 1
+        {"avg": {"field": "val", "missing": [1]}},
+        {"value_count": {"field": "val", "missing": None}},
+        {"weighted_avg": {"value": {"field": "val", "missing": 0},
+                          "weight": {"field": "doc_id"}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(nulls, {"aggs": {"m": bad}})
+
+
+def test_date_histogram_time_zone(spark, docs, docs_pdf, dsl_index):
+    """ES date_histogram `time_zone` (calendar intervals): buckets on
+    LOCAL-time boundaries keyed by their UTC instants — named IANA
+    zones via from/to_utc_timestamp (DST-correct, pinned against a
+    python-zoneinfo oracle ACROSS both 2024 US transitions and against
+    a DuckDB timezone() replay), fixed "+HH:MM" offsets via pure
+    epoch arithmetic, "UTC" as the identity; fixed_interval anchoring
+    and gap-fill stepping stay fail-loud with it (covered in
+    test_terms_agg_min_doc_count_and_missing's reject list)."""
+    from datetime import datetime, timedelta, timezone
+    from zoneinfo import ZoneInfo
+
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    utc, ny = timezone.utc, ZoneInfo("America/New_York")
+    # hourly points across both 2024 US DST transitions + a plain week
+    stamps = [datetime(2024, 3, 10, 0, 0, tzinfo=utc) + timedelta(hours=h)
+              for h in range(0, 30)]
+    stamps += [datetime(2024, 11, 3, 0, 0, tzinfo=utc) + timedelta(hours=h)
+               for h in range(0, 30)]
+    stamps += [datetime(2024, 1, 14, 20, 0, tzinfo=utc) + timedelta(hours=h)
+               for h in range(0, 50, 7)]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(stamps)),
+        "text": ["x"] * len(stamps),
+        "ts": [s.replace(tzinfo=None) for s in stamps],  # stored as UTC
+    })
+    frame = spark.createDataFrame(pdf)
+
+    def buckets(tz=None, iv="day"):
+        body = {"field": "ts", "calendar_interval": iv}
+        if tz is not None:
+            body["time_zone"] = tz
+        got = dsl_aggregate(frame, {"aggs": {"d": {
+            "date_histogram": body}}}).toPandas()
+        return list(zip(got["key"].astype("datetime64[us]"),
+                        got["doc_count"]))
+
+    def py_oracle(tz):
+        # local-midnight trunc, keyed by its UTC instant
+        keys = {}
+        for s in stamps:
+            loc = s.astimezone(tz)
+            k = (loc.replace(hour=0, minute=0, second=0, microsecond=0)
+                 .astimezone(utc).replace(tzinfo=None))
+            keys[k] = keys.get(k, 0) + 1
+        return sorted(keys.items())
+
+    want_ny = [(pd.Timestamp(k), c) for k, c in py_oracle(ny)]
+    assert buckets("America/New_York") == want_ny
+    # the NY day boundary is NOT a UTC midnight: every key has an
+    # offset, and the two DST windows land on 04:00/05:00 UTC keys
+    assert all(k.hour in (4, 5) for k, _ in want_ny)
+    assert buckets("UTC") == buckets()
+
+    # fixed offset +05:30: pure arithmetic, same rule by hand
+    off = timedelta(hours=5, minutes=30)
+    want_off = {}
+    for s in stamps:
+        base = s.replace(tzinfo=None) + off
+        k = base.replace(hour=0, minute=0, second=0) - off
+        want_off[k] = want_off.get(k, 0) + 1
+    assert buckets("+05:30") == [(pd.Timestamp(k), c)
+                                 for k, c in sorted(want_off.items())]
+
+    # DuckDB replay (named zone): value-identical across the DST edges
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.register("f", pdf)
+    dk = con.sql(
+        "SELECT CAST(timezone('America/New_York', date_trunc('day', "
+        "timezone('America/New_York', ts::TIMESTAMPTZ))) AS TIMESTAMP) "
+        "AS key, count(*) AS c FROM f GROUP BY 1 ORDER BY 1").df()
+    assert [(pd.Timestamp(k), c) for k, c in
+            zip(dk["key"].astype("datetime64[us]"), dk["c"])] == want_ny
+
+    # weekly + monthly local buckets agree with the python oracle rule
+    for iv, trunc in (("week", lambda d: d - timedelta(days=d.weekday())),
+                      ("month", lambda d: d.replace(day=1))):
+        want = {}
+        for s in stamps:
+            loc = s.astimezone(ny)
+            day = trunc(loc.replace(hour=0, minute=0, second=0,
+                                    microsecond=0))
+            k = day.astimezone(utc).replace(tzinfo=None)
+            want[k] = want.get(k, 0) + 1
+        assert buckets("America/New_York", iv) == \
+            [(pd.Timestamp(k), c) for k, c in sorted(want.items())], iv
+
+    # indexed == naive on the fixture corpus (metric leaf riding along)
+    req = {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "time_zone": "America/New_York"},
+        "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}
+    want_fix = dsl_aggregate(docs, req).toPandas()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, want_fix)
+
+
+def test_multi_terms_agg(spark, docs, docs_pdf, dsl_index):
+    """ES `multi_terms` (round 5, resumed closing): compound-key terms
+    buckets — the key flattens to the pipe-joined string ES itself
+    returns as key_as_string; docs NULL in ANY source drop (unlike a
+    bare concat_ws, which would merge distinct tuples); per-source
+    `missing` fills; the full terms order/size/min_doc_count grammar
+    and metric sub-aggs ride unchanged; sequence pipelines (bucket
+    order is not a sequence) and sub-two-source lists fail loud. Both
+    executors, pandas oracle."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"rt": {"multi_terms": {
+        "terms": [{"field": "role"}, {"field": "tool"}],
+        "size": 1000}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = (docs_pdf.dropna(subset=["role", "tool"])
+            .assign(key=lambda d: d["role"] + "|" + d["tool"])
+            .groupby("key").size().reset_index(name="n")
+            .sort_values(["n", "key"], ascending=[False, True]))
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["doc_count"].tolist() == want["n"].tolist()
+    # NULL-in-any-source drops the doc: totals differ by the NULL count
+    assert got["doc_count"].sum() == int(docs_pdf["tool"].notna().sum())
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, got)
+
+    # per-source missing fill restores the dropped docs under "N/A"
+    got2 = dsl_aggregate(docs, {"aggs": {"rt": {"multi_terms": {
+        "terms": [{"field": "role"},
+                  {"field": "tool", "missing": "N/A"}],
+        "size": 1000}}}}).toPandas()
+    assert got2["doc_count"].sum() == len(docs_pdf)
+    assert got2["key"].str.endswith("|N/A").any()
+
+    # numeric source renders via its string cast in the joined key
+    got3 = dsl_aggregate(docs, {"aggs": {"rt": {"multi_terms": {
+        "terms": [{"field": "role"}, {"field": "turn_idx"}],
+        "size": 5, "order": {"_key": "asc"}}}}}).toPandas()
+    want3 = (docs_pdf
+             .assign(key=lambda d: d["role"] + "|"
+                     + d["turn_idx"].astype(str))
+             .groupby("key").size().reset_index(name="n")
+             .sort_values("key").head(5))
+    assert got3["key"].tolist() == want3["key"].tolist()
+    assert got3["doc_count"].tolist() == want3["n"].tolist()
+
+    # metric order + metric sub-agg + min_doc_count, indexed identity
+    req4 = {"aggs": {"rt": {
+        "multi_terms": {"terms": [{"field": "role"}, {"field": "tool"}],
+                        "size": 7, "min_doc_count": 3,
+                        "order": {"m": "desc"}},
+        "aggs": {"m": {"avg": {"field": "turn_idx"}}}}}}
+    got4 = dsl_aggregate(docs, req4).toPandas()
+    assert (got4["doc_count"] >= 3).all()
+    assert got4["m"].tolist() == sorted(got4["m"].tolist(), reverse=True)
+    base = (docs_pdf.dropna(subset=["role", "tool"])
+            .assign(key=lambda d: d["role"] + "|" + d["tool"])
+            .groupby("key")
+            .agg(n=("key", "size"), m=("turn_idx", "mean")))
+    base = base[base["n"] >= 3].sort_values(
+        ["m", "key"], ascending=[False, True]).head(7)
+    assert got4["key"].tolist() == base.index.tolist()
+    np.testing.assert_allclose(got4["m"].to_numpy(),
+                               base["m"].to_numpy())
+    gi4 = dsl_aggregate_indexed(spark, dsl_index, req4).toPandas()
+    pd.testing.assert_frame_equal(gi4, got4)
+
+    # fail loud: <2 sources, unknown options, bad source bodies,
+    # min_doc_count 0, sequence pipelines on a non-sequence bucket
+    for bad in (
+        {"aggs": {"a": {"multi_terms": {
+            "terms": [{"field": "role"}]}}}},
+        {"aggs": {"a": {"multi_terms": {
+            "terms": [{"field": "role"}, {"field": "tool"}],
+            "collect_mode": "breadth_first"}}}},
+        {"aggs": {"a": {"multi_terms": {
+            "terms": [{"field": "role"},
+                      {"field": "tool", "size": 3}]}}}},
+        {"aggs": {"a": {"multi_terms": {
+            "terms": [{"field": "role"}, {"field": "tool"}],
+            "min_doc_count": 0}}}},
+        {"aggs": {"a": {
+            "multi_terms": {"terms": [{"field": "role"},
+                                      {"field": "tool"}]},
+            "aggs": {"c": {"cumulative_sum": {
+                "buckets_path": "_count"}}}}}},
     ):
         with pytest.raises(DslError):
             dsl_aggregate(docs, bad)
@@ -2167,6 +2491,210 @@ def test_pipeline_agg_rejects(spark, docs):
             "by_role": {"terms": {"field": "role"}}}))
 
 
+def test_moving_fn_pipeline(spark, docs, docs_pdf, dsl_index):
+    """ES `moving_fn` (round 5, resumed closing): the five stock
+    MovingFunctions scripts over the ES row frame [i-window+shift,
+    i-1+shift] — shift 0 excludes the current bucket (the ES default),
+    shift 1 includes it; empty windows follow Lucene's fold identities
+    through ES's non-finite-to-null rendering (sum -> 0.0, the rest
+    null); stdDev is population. Oracle = duckdb window replay; runs
+    AFTER mdc-0 gap filling; both executors; painless lambdas beyond
+    the stock scripts and gap_policy fail loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"wk": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {
+            "av": {"avg": {"field": "turn_idx"}},
+            "m_avg": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.unweightedAvg(values)"}},
+            "m_max": {"moving_fn": {
+                "buckets_path": "av", "window": 2, "shift": 1,
+                "script": "MovingFunctions.max(values)"}},
+            "m_sum": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.sum(values)"}},
+            "m_std": {"moving_fn": {
+                "buckets_path": "_count", "window": 4, "shift": 1,
+                "script": "MovingFunctions.stdDev(values, "
+                          "MovingFunctions.unweightedAvg(values))"}},
+        }}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('week', ts) AS key, count(*) AS c,
+                 avg(turn_idx) AS av
+          FROM t GROUP BY 1)
+        SELECT key, c, av,
+               avg(c) OVER (ORDER BY key
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS m_avg,
+               max(av) OVER (ORDER BY key
+                 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m_max,
+               coalesce(sum(c) OVER (ORDER BY key
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0)
+                 AS m_sum,
+               stddev_pop(c) OVER (ORDER BY key
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m_std
+        FROM b ORDER BY key
+    """).df()
+    assert len(got) == len(want) > 2
+    # first bucket: shift-0 windows are empty -> avg null, sum 0.0
+    assert pd.isna(got["m_avg"].iloc[0])
+    assert got["m_sum"].iloc[0] == 0.0
+    for c in ("m_avg", "m_max", "m_sum", "m_std"):
+        np.testing.assert_allclose(
+            got[c].astype(float), want[c].astype(float), rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+    # runs AFTER mdc-0 gap filling: zero-count days contribute 0s
+    reqg = {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {"m": {"moving_fn": {
+            "buckets_path": "_count", "window": 7, "shift": 1,
+            "script": "MovingFunctions.min(values)"}}}}}}
+    gg = dsl_aggregate(docs, reqg).toPandas().sort_values("key")
+    zero_days = (gg["doc_count"] == 0).to_numpy()
+    assert zero_days.any()  # the fixture has gaps
+    # any 7-day window touching a zero day has min 0
+    assert (gg["m"].to_numpy()[np.flatnonzero(zero_days)] == 0).all()
+
+    # fail loud: lambdas beyond the stock scripts, bad window/shift,
+    # gap_policy, terms parent
+    for bad in (
+        {"buckets_path": "_count", "window": 3,
+         "script": "MovingFunctions.linearWeightedAvg(values)"},
+        {"buckets_path": "_count", "window": 3,
+         "script": "values.stream().max()"},
+        {"buckets_path": "_count",
+         "script": "MovingFunctions.sum(values)"},
+        {"buckets_path": "_count", "window": 0,
+         "script": "MovingFunctions.sum(values)"},
+        {"buckets_path": "_count", "window": 3, "shift": "1",
+         "script": "MovingFunctions.sum(values)"},
+        {"buckets_path": "_count", "window": 3, "gap_policy": "skip",
+         "script": "MovingFunctions.sum(values)"},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {"wk": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "week"},
+                "aggs": {"m": {"moving_fn": bad}}}}})
+    with pytest.raises(DslError, match="histogram-family parent"):
+        dsl_aggregate(docs, {"aggs": {"a": {
+            "terms": {"field": "role"},
+            "aggs": {"m": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.sum(values)"}}}}}})
+
+
+def test_cumulative_cardinality_pipeline(spark, docs, docs_pdf,
+                                         dsl_index):
+    """ES `cumulative_cardinality` (round 5, resumed closing): running
+    distinct count of the referenced cardinality agg's field across
+    the bucket sequence — ES merges HLL sketches (approximate), the
+    engine is EXACT via first-occurrence counts (each value charges
+    the first surviving bucket it appears in). Oracle = duckdb
+    first-occurrence replay; min_doc_count-pruned buckets are excluded
+    BEFORE first occurrences resolve (ES merges only response
+    buckets); must reference a cardinality sub-agg; both executors."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"wk": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"card": {"cardinality": {"field": "conv_id"}},
+                 "cc": {"cumulative_cardinality": {
+                     "buckets_path": "card"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas().sort_values("key")
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('week', ts) AS key, count(*) AS doc_count,
+                 count(DISTINCT conv_id) AS card
+          FROM t GROUP BY 1),
+        n AS (
+          SELECT key, count(*) AS newc FROM (
+            SELECT min(date_trunc('week', ts)) AS key
+            FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id)
+          GROUP BY 1)
+        SELECT b.key, b.doc_count, b.card,
+               sum(coalesce(n.newc, 0)) OVER (ORDER BY b.key) AS cc
+        FROM b LEFT JOIN n USING (key) ORDER BY b.key
+    """).df()
+    assert len(got) == len(want) > 1
+    assert got["cc"].tolist() == want["cc"].astype(int).tolist()
+    assert got["cc"].is_monotonic_increasing
+    assert got["cc"].iloc[-1] == docs_pdf["conv_id"].nunique()
+    # running distinct >= the per-bucket distinct everywhere
+    assert (got["cc"] >= got["card"]).all()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.reset_index(drop=True))
+
+    # min_doc_count pruning: values first seen in a PRUNED bucket
+    # charge their first SURVIVING bucket (the response-merge rule)
+    reqp = {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 5},
+        "aggs": {"card": {"cardinality": {"field": "conv_id"}},
+                 "cc": {"cumulative_cardinality": {
+                     "buckets_path": "card"}}}}}}
+    gp = dsl_aggregate(docs, reqp).toPandas().sort_values("key")
+    wantp = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('day', ts) AS key, count(*) AS doc_count,
+                 count(DISTINCT conv_id) AS card
+          FROM t GROUP BY 1 HAVING count(*) >= 5),
+        n AS (
+          SELECT key, count(*) AS newc FROM (
+            SELECT min(date_trunc('day', t.ts)) AS key
+            FROM t JOIN b ON date_trunc('day', t.ts) = b.key
+            GROUP BY t.conv_id)
+          GROUP BY 1)
+        SELECT b.key, sum(coalesce(n.newc, 0)) OVER (ORDER BY b.key)
+                 AS cc
+        FROM b LEFT JOIN n USING (key) ORDER BY b.key
+    """).df()
+    assert len(gp) == len(wantp) > 1
+    assert gp["cc"].tolist() == wantp["cc"].astype(int).tolist()
+
+    # fail loud: non-cardinality target, missing target, terms parent
+    for bad in (
+        {"aggs": {"a": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "week"},
+            "aggs": {"av": {"avg": {"field": "turn_idx"}},
+                     "cc": {"cumulative_cardinality": {
+                         "buckets_path": "av"}}}}}},
+        {"aggs": {"a": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "week"},
+            "aggs": {"cc": {"cumulative_cardinality": {
+                "buckets_path": "_count"}}}}}},
+        {"aggs": {"a": {
+            "terms": {"field": "role"},
+            "aggs": {"card": {"cardinality": {"field": "conv_id"}},
+                     "cc": {"cumulative_cardinality": {
+                         "buckets_path": "card"}}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, bad)
+
+
 def test_sibling_pipeline_aggs_match_duckdb(spark, docs, docs_pdf,
                                             dsl_index):
     """ES sibling pipelines (avg/max/stats_bucket) next to a terms agg
@@ -2217,6 +2745,84 @@ def test_sibling_pipeline_aggs_match_duckdb(spark, docs, docs_pdf,
     pd.testing.assert_frame_equal(
         gi.sort_values("key").reset_index(drop=True),
         got.sort_values("key").reset_index(drop=True))
+
+
+def test_extended_stats_and_percentiles_bucket_siblings(
+        spark, docs, docs_pdf, dsl_index):
+    """ES extended_stats_bucket / percentiles_bucket siblings (round 5,
+    resumed closing): the metric extended_stats' exact column set
+    (population variance) and linearly-interpolated percentiles over
+    the FINAL bucket list — ES computes percentiles_bucket exactly too
+    (sorted in memory, rank p/100*(n-1)), so quantile_cont replays it
+    with no TDigest deviation; custom percents; unknown options and
+    out-of-range percents fail loud; both executors."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {
+        "by_tool": {"terms": {"field": "tool", "size": 6},
+                    "aggs": {"av": {"avg": {"field": "turn_idx"}}}},
+        "es": {"extended_stats_bucket": {
+            "buckets_path": "by_tool>_count"}},
+        "pb": {"percentiles_bucket": {
+            "buckets_path": "by_tool>av", "percents": [25, 50, 97.5]}},
+    }}
+    got = dsl_aggregate(docs, req).toPandas()
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT tool AS key, count(*) AS doc_count,
+                 avg(turn_idx) AS av
+          FROM t WHERE tool IS NOT NULL GROUP BY 1
+          ORDER BY doc_count DESC, key ASC LIMIT 6)
+        SELECT key, doc_count, av,
+               count(*) OVER () AS es_count,
+               min(doc_count) OVER () AS es_min,
+               max(doc_count) OVER () AS es_max,
+               avg(doc_count) OVER () AS es_avg,
+               sum(doc_count) OVER () AS es_sum,
+               sum(doc_count * doc_count) OVER ()
+                 AS es_sum_of_squares,
+               var_pop(doc_count) OVER () AS es_variance,
+               stddev_pop(doc_count) OVER () AS es_std_deviation,
+               quantile_cont(av, 0.25) OVER () AS pb_p25,
+               quantile_cont(av, 0.50) OVER () AS pb_p50,
+               quantile_cont(av, 0.975) OVER () AS pb_p97_5
+        FROM b ORDER BY doc_count DESC, key ASC
+    """).df()
+    assert len(got) == len(want) == 6
+    assert got["key"].tolist() == want["key"].tolist()
+    for c in ("es_count", "es_min", "es_max", "es_sum",
+              "es_sum_of_squares"):
+        assert got[c].astype(float).tolist() \
+            == want[c].astype(float).tolist(), c
+    for c in ("es_avg", "es_variance", "es_std_deviation",
+              "pb_p25", "pb_p50", "pb_p97_5"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12,
+                                   err_msg=c)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        got.sort_values("key").reset_index(drop=True))
+
+    # fail loud: out-of-range percents, unknown options, sigma
+    for bad in (
+        {"pb": {"percentiles_bucket": {
+            "buckets_path": "by_tool>_count", "percents": [0]}}},
+        {"pb": {"percentiles_bucket": {
+            "buckets_path": "by_tool>_count", "percents": []}}},
+        {"pb": {"percentiles_bucket": {
+            "buckets_path": "by_tool>_count", "gap_policy": "skip"}}},
+        {"es": {"extended_stats_bucket": {
+            "buckets_path": "by_tool>_count", "sigma": 3}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {
+                "by_tool": {"terms": {"field": "tool", "size": 6}},
+                **bad}})
 
 
 def test_bucket_sort_matches_duckdb(spark, docs, docs_pdf, dsl_index):
@@ -3906,10 +4512,15 @@ def test_unknown_clause_options_fail_loud():
                          "fuzziness": 1}},
         {"dis_max": {"queries": [{"match": {"text": "x"}}],
                      "boost": 2}},
-        {"term": {"role": {"value": "user", "case_insensitive": True}}},
+        # case_insensitive became SUPPORTED in round 5 (the ES 7.10+
+        # long-form knob); a non-bool flag, a numeric ci term, and the
+        # other long-form options still fail loud
+        {"term": {"role": {"value": "user", "case_insensitive": 1}}},
+        {"term": {"n_chars": {"value": 7, "case_insensitive": True}}},
         {"prefix": {"role": {"value": "us", "rewrite": "top_terms_10"}}},
-        {"wildcard": {"role": {"value": "u*",
-                               "case_insensitive": True}}},
+        {"wildcard": {"role": {"value": "u*", "boost": 2.0}}},
+        {"regexp": {"role": {"value": "u.*", "flags": "ALL"}}},
+        {"prefix": {"role": {"case_insensitive": True}}},  # no value
     ):
         with pytest.raises(DslError):
             parse_query(q)
