@@ -983,6 +983,14 @@ def _search_aggs_metrics(spark, sf_dir):
       key_as_string ES itself returns (search/dsl.py
       _multi_terms_key), count-desc order so the size-12 cut is
       integer-deterministic, avg metric riding (shape='mterms').
+    - ``boxplot`` (shape='bxp', EXACT quartiles vs ES TDigest),
+      ``median_absolute_deviation`` bare (shape='mad', broadcast
+      two-stage) and per-event_type (shape='mad_terms', co-partitioned
+      window median), ``string_stats`` (shape='sstats', length stats +
+      Shannon character entropy), terms ``include``/``exclude``
+      (shape='tincl', anchored regexes, exclude wins) — all round 5,
+      resumed closing; twins = quantile_cont / a join-median / the
+      entropy formula / the same anchored-regex idiom.
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1202,13 +1210,52 @@ def _search_aggs_metrics(spark, sf_dir):
         "aggs": {"m": {"avg": {"field": "value"}}}}}}).select(
         F.lit("mterms").alias("shape"), "key", "doc_count",
         F.round("m", 6).alias("val"))
+    # boxplot / MAD / string_stats / terms include-exclude (round 5,
+    # resumed closing): EXACT quartiles, exact median-absolute-
+    # deviation (bare broadcast two-stage + per-bucket window median),
+    # character-entropy string stats, and pre-pipeline term filtering
+    # — twins replay via quantile_cont / a join-median / the entropy
+    # formula / the same anchored-regex idiom
+    bx = dsl_aggregate(ev, {**q, "aggs": {"b": {
+        "boxplot": {"field": "value"}}}}).select(F.expr(
+            "stack(5, 'min', b_min, 'q1', b_q1, 'q2', b_q2, "
+            "'q3', b_q3, 'max', b_max) AS (key, val)")).select(
+        F.lit("bxp").alias("shape"), "key", nl.alias("doc_count"),
+        F.round("val", 6).alias("val"))
+    md = dsl_aggregate(ev, {**q, "aggs": {"mad": {
+        "median_absolute_deviation": {"field": "value"}}}}).select(
+        F.lit("mad").alias("shape"), F.lit("value").alias("key"),
+        nl.alias("doc_count"), F.round("mad", 6).alias("val"))
+    mdt = dsl_aggregate(ev, {**q, "aggs": {"et": {
+        "terms": {"field": "event_type"},
+        "aggs": {"mad": {"median_absolute_deviation": {
+            "field": "value"}}}}}}).select(
+        F.lit("mad_terms").alias("shape"), "key", "doc_count",
+        F.round("mad", 6).alias("val"))
+    sst = dsl_aggregate(ev, {**q, "aggs": {"s": {
+        "string_stats": {"field": "event_type"}}}}).select(F.expr(
+            "stack(5, 'count', CAST(s_count AS DOUBLE), "
+            "'min_length', CAST(s_min_length AS DOUBLE), "
+            "'max_length', CAST(s_max_length AS DOUBLE), "
+            "'avg_length', s_avg_length, 'entropy', s_entropy) "
+            "AS (key, val)")).select(
+        F.lit("sstats").alias("shape"), "key", nl.alias("doc_count"),
+        F.round("val", 6).alias("val"))
+    ti = dsl_aggregate(ev, {**q, "aggs": {"a": {"terms": {
+        "field": "event_type", "size": 100,
+        "include": "(view|click|signup)",
+        "exclude": "click"}}}}).select(
+        F.lit("tincl").alias("shape"), "key", "doc_count",
+        nd.alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
             .unionByName(gl).unionByName(bs).unionByName(es2)
             .unionByName(aj).unionByName(wa).unionByName(bsc)
             .unionByName(gf).unionByName(pr).unionByName(mm)
-            .unionByName(mmt).unionByName(tzb).unionByName(mt))
+            .unionByName(mmt).unionByName(tzb).unionByName(mt)
+            .unionByName(bx).unionByName(md).unionByName(mdt)
+            .unionByName(sst).unionByName(ti))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2604,6 +2651,52 @@ SELECT 'mterms', key, dc, round(v, 6) FROM (
          count(*) AS dc, avg(value) AS v
   FROM w GROUP BY 1 HAVING count(*) >= 2
   ORDER BY dc DESC, key LIMIT 12)
+UNION ALL
+-- boxplot twin: exact interpolated quartiles (both engines compute
+-- quantile_cont-equivalent exact interpolation)
+SELECT 'bxp', k, NULL::BIGINT, round(v, 6) FROM (
+  SELECT unnest(['min', 'q1', 'q2', 'q3', 'max']) AS k,
+         unnest([quantile_cont(value, 0.00), quantile_cont(value, 0.25),
+                 quantile_cont(value, 0.50), quantile_cont(value, 0.75),
+                 quantile_cont(value, 1.00)]) AS v
+  FROM w)
+UNION ALL
+-- MAD twins: exact median(|x - median|), bare + per-event_type
+SELECT 'mad', 'value', NULL::BIGINT,
+       round(quantile_cont(abs(value -
+         (SELECT quantile_cont(value, 0.5) FROM w)), 0.5), 6)
+FROM w
+UNION ALL
+SELECT 'mad_terms', w.event_type, count(*),
+       round(quantile_cont(abs(value - m), 0.5), 6)
+FROM w JOIN (SELECT event_type AS et2, quantile_cont(value, 0.5) AS m
+             FROM w GROUP BY 1) med ON w.event_type = med.et2
+GROUP BY w.event_type
+UNION ALL
+-- string_stats twin: length stats + the Shannon entropy formula
+-- -(1/N)*sum(n*log2 n) + log2 N over the char counts
+SELECT 'sstats', k, NULL::BIGINT, round(v, 6) FROM (
+  SELECT unnest(['count', 'min_length', 'max_length', 'avg_length',
+                 'entropy']) AS k,
+         unnest([(SELECT count(event_type) FROM w)::DOUBLE,
+                 (SELECT min(length(event_type)) FROM w)::DOUBLE,
+                 (SELECT max(length(event_type)) FROM w)::DOUBLE,
+                 (SELECT avg(length(event_type)) FROM w),
+                 (SELECT -sum(cnt * log2(cnt)) / sum(cnt)
+                         + log2(sum(cnt))
+                  FROM (SELECT count(*) AS cnt
+                        FROM (SELECT unnest(string_split(event_type,
+                                                         '')) AS ch
+                              FROM w) GROUP BY ch))]) AS v)
+UNION ALL
+-- terms include/exclude twin: the same Lucene-anchored whole-match
+-- idiom the regexp meta clause uses, exclude winning on overlap
+SELECT 'tincl', event_type, count(*), NULL::DOUBLE
+FROM w
+WHERE regexp_extract(event_type, '^(?:(view|click|signup))$', 0)
+        = event_type
+  AND NOT regexp_extract(event_type, '^(?:click)$', 0) = event_type
+GROUP BY event_type
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

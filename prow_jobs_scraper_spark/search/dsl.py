@@ -3217,6 +3217,54 @@ def _percentile_exprs(name: str, body: dict) -> list:
     ]
 
 
+_BOXPLOT_STATS = (("min", 0.0), ("q1", 0.25), ("q2", 0.5),
+                  ("q3", 0.75), ("max", 1.0))
+
+
+def _boxplot_exprs(name: str, body: dict) -> list:
+    """ES ``boxplot`` — min/q1/q2/q3/max FLATTENED to
+    ``<name>_<stat>`` columns. ES computes TDigest approximations; the
+    engine computes EXACT interpolated quartiles (the documented
+    percentiles deviation). The ``lower``/``upper`` whisker fields
+    (nearest data points inside 1.5 IQR) need a second pass over the
+    data keyed by q1/q3 and stay out of grammar — fail-loud via the
+    option allowlist rather than silently returning fence values."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"boxplot metric needs a field, got {body!r}")
+    unknown = set(body) - {"field", "missing"}
+    if unknown:
+        raise DslError(f"unsupported boxplot options {sorted(unknown)}")
+    f = _fill_missing("boxplot", body,
+                      F.col(_ident(body["field"]))).cast("double")
+    return [F.percentile(f, F.lit(q)).alias(f"{name}_{s}")
+            for s, q in _BOXPLOT_STATS]
+
+
+def _mad_prepass(frame: DataFrame, pkey, metrics_spec: dict):
+    """Rewrite ``median_absolute_deviation`` sub-aggs for the
+    single-level bucket path: attach each one's per-bucket median as a
+    window-aggregate column (``percentile(0.5) OVER (PARTITION BY
+    bucket key)`` — co-partitioned with the groupBy that follows, so
+    Catalyst plans ONE exchange for both) and replace the spec with an
+    internal ``__mad`` marker :func:`_metric_exprs` turns into
+    ``percentile(abs(x - med), 0.5)``. Specs without MAD pass through
+    untouched (and the frame is unchanged)."""
+    out_spec, i = {}, 0
+    for name, spec in metrics_spec.items():
+        if not (isinstance(spec, dict)
+                and set(spec) == {"median_absolute_deviation"}):
+            out_spec[name] = spec
+            continue
+        f = _metric_col("median_absolute_deviation",
+                        spec["median_absolute_deviation"]).cast("double")
+        med = f"__mad_med_{i}"
+        i += 1
+        frame = frame.withColumn(
+            med, F.percentile(f, F.lit(0.5)).over(Window.partitionBy(pkey)))
+        out_spec[name] = {"__mad": {"col": f, "med": med}}
+    return frame, out_spec
+
+
 def _percentile_rank_exprs(name: str, body: dict) -> list:
     """ES ``percentile_ranks`` — FLATTENED to ``<name>_<value>``
     columns (value 97.5 -> ``_97_5``, negatives -> ``_m<...>``), one
@@ -3268,8 +3316,25 @@ def _metric_exprs(sub_aggs: dict) -> list:
         if kind == "percentile_ranks":
             cols.extend(_percentile_rank_exprs(name, body))
             continue
+        if kind == "boxplot":
+            cols.extend(_boxplot_exprs(name, body))
+            continue
         if kind == "weighted_avg":
             cols.append(_weighted_avg_expr(name, body))
+            continue
+        if kind == "median_absolute_deviation":
+            raise DslError(
+                "median_absolute_deviation needs a per-bucket median "
+                "prepass and is supported bare or under a single-level "
+                "bucket aggregation only")
+        if kind == "__mad":
+            # internal marker installed by _mad_prepass: the per-bucket
+            # median column is already attached to the frame; MAD =
+            # EXACT median of |x - median| (ES is TDigest-approximate —
+            # the documented percentiles/cardinality deviation)
+            cols.append(F.percentile(
+                F.abs(body["col"] - F.col(body["med"])),
+                F.lit(0.5)).alias(name))
             continue
         if kind not in _METRIC_FNS:
             raise DslError(
@@ -3353,8 +3418,15 @@ def dsl_aggregate(
       (key "a&b"), key-sorted, non-empty only (the ES rule).
     - metrics also include ``extended_stats`` (eight
       ``<name>_<stat>`` columns incl. sum_of_squares / population
-      variance / std_deviation) and ``weighted_avg``
-      (``{"value": {"field": v}, "weight": {"field": w}}``).
+      variance / std_deviation), ``weighted_avg``
+      (``{"value": {"field": v}, "weight": {"field": w}}``),
+      ``boxplot`` (EXACT min/q1/q2/q3/max vs ES TDigest; whisker
+      fields out of grammar — see :func:`_boxplot_exprs`),
+      ``median_absolute_deviation`` (EXACT median(|x - median|), bare
+      or under a single-level bucket via a co-partitioned window
+      median — see :func:`_mad_prepass`), and ``string_stats`` (bare:
+      length stats + Shannon character entropy, see
+      :func:`_apply_string_stats`).
     - ``serial_diff`` joins the parent pipelines (lag-``n``
       difference; the first ``n`` buckets are NULL).
     - ``{"missing": {"field": f}}`` -> one row: the qualifying docs
@@ -3990,6 +4062,50 @@ def _gap_fill(out: DataFrame, kind: str, body: dict) -> DataFrame:
             .select("key", *cols))
 
 
+def _terms_include_exclude(key, body: dict):
+    """ES terms ``include``/``exclude``: filter the candidate TERMS
+    before bucketing (so before min_doc_count/order/size — the ES
+    pipeline order). Folded INTO the key expression as a NULL-out
+    (``when(cond, key)``) so it composes with the docs-missing-the-
+    field NULL-drop every call site already applies — zero structural
+    change to any bucket path. Two ES forms: an exact-value list
+    (typed ``isin``), or a Lucene-anchored regular expression matched
+    against the term's STRING form (whole-term match, the Lucene
+    rule), validated to the engine's shared regex subset. A term
+    matching both include and exclude is excluded (ES). The
+    partition-based form (``{"partition": n, "num_partitions": m}``)
+    is a sharded-collection protocol and stays out of grammar."""
+    inc, exc = body.get("include"), body.get("exclude")
+    if inc is None and exc is None:
+        return key
+
+    def pred(v, what):
+        if isinstance(v, list):
+            if not v or any(isinstance(x, bool)
+                            or not isinstance(x, (str, int, float))
+                            for x in v):
+                raise DslError(
+                    f"terms {what} list must be non-empty scalars, "
+                    f"got {v!r}")
+            return key.isin(v)
+        if isinstance(v, str) and v:
+            _validate_regex_subset(v)
+            # Lucene regex is implicitly anchored: the WHOLE term must
+            # match (same idiom as the regexp meta clause)
+            return key.cast("string").rlike("^(?:" + v + ")$")
+        raise DslError(
+            f"terms {what} must be a value list or a regex string, "
+            f"got {v!r} (partition-based include is not supported)")
+
+    cond = None
+    if inc is not None:
+        cond = pred(inc, "include")
+    if exc is not None:
+        ne = ~F.coalesce(pred(exc, "exclude"), F.lit(False))
+        cond = ne if cond is None else cond & ne
+    return F.when(cond, key)
+
+
 def _bucket_key(kind: str, body: dict):
     """One bucket agg -> (key expr, size cap or None, order spec
     ``{target: "asc"|"desc"}`` with target ``_count`` / ``_key`` / a
@@ -4006,7 +4122,8 @@ def _bucket_key(kind: str, body: dict):
         # SAFE NO-OP (the one class of option that cannot change
         # results here), accepted for client compatibility
         unknown = set(body) - {"field", "size", "order", "min_doc_count",
-                               "missing", "shard_size"}
+                               "missing", "shard_size", "include",
+                               "exclude"}
         if unknown:
             raise DslError(f"unsupported terms options {sorted(unknown)}")
         order = body.get("order", {"_count": "desc"})  # the ES default
@@ -4022,6 +4139,7 @@ def _bucket_key(kind: str, body: dict):
                     or isinstance(mv, bool):
                 raise DslError(f"missing must be a scalar, got {mv!r}")
             key = F.coalesce(key, F.lit(mv))
+        key = _terms_include_exclude(key, body)
         size = body.get("size", 10)
         if isinstance(size, bool) or not isinstance(size, int) or size < 1:
             raise DslError(f"terms size must be an int >= 1, got {size!r}")
@@ -4266,6 +4384,8 @@ def _metric_out_names(sub_aggs: dict) -> list[str]:
         elif kind == "percentiles":
             names.extend(f"{name}_p{_pct_label(p)}"
                          for p in _percents_of(body))
+        elif kind == "boxplot":
+            names.extend(f"{name}_{s}" for s, _ in _BOXPLOT_STATS)
         elif kind == "percentile_ranks":
             names.extend(
                 f"{name}_{_pct_label(float(v)).replace('-', 'm')}"
@@ -4845,6 +4965,43 @@ def _apply_rare_terms(frame: DataFrame, agg_name: str, body: dict,
     return out.orderBy(F.asc("doc_count"), F.asc("key"))
 
 
+def _apply_string_stats(frame: DataFrame, name: str,
+                        body: dict) -> DataFrame:
+    """ES ``string_stats`` (bare): count / min_length / max_length /
+    avg_length / entropy, flattened to ``<name>_<stat>`` columns.
+    Entropy is the Shannon base-2 entropy of the CHARACTER distribution
+    across all non-null values (the ES definition), computed
+    distributively: one char-explode -> char-count aggregation (an
+    alphabet-sized frame, never the corpus) folded through
+    ``-(1/N)*sum(n*log2 n) + log2 N``; a corpus with no characters
+    entropy-0s like ES. Lengths are measured in characters (ES counts
+    Java UTF-16 code units — identical on ASCII/BMP text, the engine's
+    analyzer domain). ``show_distribution`` (response-shape) stays out
+    of grammar."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise DslError(f"string_stats metric needs a field, got {body!r}")
+    unknown = set(body) - {"field", "missing"}
+    if unknown:
+        raise DslError(
+            f"unsupported string_stats options {sorted(unknown)}")
+    f = _fill_missing("string_stats", body,
+                      F.col(_ident(body["field"])), allow_str=True)
+    vals = (frame.select(f.alias("__s"))
+            .where(F.col("__s").isNotNull()))
+    stats = vals.agg(
+        F.count("__s").alias(f"{name}_count"),
+        F.min(F.length("__s")).alias(f"{name}_min_length"),
+        F.max(F.length("__s")).alias(f"{name}_max_length"),
+        F.avg(F.length("__s")).alias(f"{name}_avg_length"))
+    chars = (vals.select(F.explode(F.split("__s", "")).alias("__c"))
+             .groupBy("__c").agg(F.count(F.lit(1)).alias("__n")))
+    ent = chars.agg(F.coalesce(
+        -F.sum(F.col("__n") * F.log2("__n")) / F.sum("__n")
+        + F.log2(F.sum("__n")),
+        F.lit(0.0)).alias(f"{name}_entropy"))
+    return stats.crossJoin(F.broadcast(ent))
+
+
 def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                sub: dict, siblings: dict | None = None,
                bg_frame: DataFrame | None = None) -> DataFrame:
@@ -4943,6 +5100,22 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(*_percentile_exprs(agg_name, body))
     if kind == "percentile_ranks" and not sub:
         return frame.agg(*_percentile_rank_exprs(agg_name, body))
+    if kind == "boxplot" and not sub:
+        return frame.agg(*_boxplot_exprs(agg_name, body))
+    if kind == "median_absolute_deviation" and not sub:
+        # bare MAD: EXACT median(|x - median(x)|) (ES is TDigest-
+        # approximate). Two single-row aggregates chained through a
+        # broadcast cross-join — only the 1-row median crosses stages,
+        # never the data (the per-bucket form rides _mad_prepass's
+        # co-partitioned window instead)
+        f = _metric_col(kind, body).cast("double")
+        med = frame.agg(
+            F.percentile(f, F.lit(0.5)).alias("__mad_med"))
+        return (frame.crossJoin(F.broadcast(med))
+                .agg(F.percentile(F.abs(f - F.col("__mad_med")),
+                                  F.lit(0.5)).alias(agg_name)))
+    if kind == "string_stats" and not sub:
+        return _apply_string_stats(frame, agg_name, body)
     if kind == "weighted_avg" and not sub:
         return frame.agg(_weighted_avg_expr(agg_name, body))
     if kind == "composite":
@@ -4988,8 +5161,10 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         # ES drops docs missing the bucket field (a `missing` option has
         # already coalesced NULLs away when given); Spark's groupBy
         # would otherwise emit a NULL-key bucket ES never returns
+        base = frame.where(pkey.isNotNull())
+        base, metrics_spec = _mad_prepass(base, pkey, metrics_spec)
         out = (
-            frame.where(pkey.isNotNull())
+            base
             .groupBy(pkey.alias("key"))
             .agg(F.count(F.lit(1)).alias("doc_count"),
                  *_metric_exprs(metrics_spec))

@@ -1384,6 +1384,75 @@ def test_terms_agg_min_doc_count_and_missing(spark, docs, docs_pdf,
             dsl_aggregate(docs, bad)
 
 
+def test_terms_include_exclude(spark, docs, docs_pdf, dsl_index):
+    """ES terms `include`/`exclude` (round 5, resumed closing): filter
+    candidate terms BEFORE min_doc_count/order/size (the ES pipeline
+    order) — exact-value lists (typed isin) or Lucene-anchored regexes
+    on the term's string form; exclude wins over include; the
+    partition-based include protocol fails loud. Both executors,
+    pandas oracle."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    base = (docs_pdf.dropna(subset=["tool"]).groupby("tool").size()
+            .reset_index(name="n"))
+
+    # regex include: the cut applies AFTER the filter, so size-2 keeps
+    # the two biggest MATCHING tools, not two-of-top-10
+    req = {"aggs": {"a": {"terms": {
+        "field": "tool", "size": 2, "include": "t[a-z]*"}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = (base[base["tool"].str.fullmatch("t[a-z]*")]
+            .sort_values(["n", "tool"], ascending=[False, True]).head(2))
+    assert got["key"].tolist() == want["tool"].tolist()
+    assert got["doc_count"].tolist() == want["n"].tolist()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, got)
+
+    # exact-value include list + exclude regex: exclude wins
+    tools = sorted(base["tool"])
+    inc = tools[:3]
+    req2 = {"aggs": {"a": {"terms": {
+        "field": "tool", "size": 100, "include": inc,
+        "exclude": inc[0]}}}}  # tool names are regex-literal-safe
+    got2 = dsl_aggregate(docs, req2).toPandas()
+    want2 = (base[base["tool"].isin(inc[1:])]
+             .sort_values(["n", "tool"], ascending=[False, True]))
+    assert got2["key"].tolist() == want2["tool"].tolist()
+    gi2 = dsl_aggregate_indexed(spark, dsl_index, req2).toPandas()
+    pd.testing.assert_frame_equal(gi2, got2)
+
+    # numeric exact list on an int field
+    got3 = dsl_aggregate(docs, {"aggs": {"a": {"terms": {
+        "field": "turn_idx", "size": 100, "order": {"_key": "asc"},
+        "include": [0, 3, 7]}}}}).toPandas()
+    assert got3["key"].tolist() == [0, 3, 7]
+    w3 = docs_pdf["turn_idx"].value_counts()
+    assert got3["doc_count"].tolist() == [int(w3[0]), int(w3[3]),
+                                          int(w3[7])]
+
+    # interplay with `missing`: the fill value is a term like any
+    # other and include can select exactly it
+    got4 = dsl_aggregate(docs, {"aggs": {"a": {"terms": {
+        "field": "tool", "size": 100, "missing": "N/A",
+        "include": ["N/A"]}}}}).toPandas()
+    assert got4["key"].tolist() == ["N/A"]
+    assert got4["doc_count"].iloc[0] == int(docs_pdf["tool"].isna().sum())
+
+    # fail loud: partition form, empty list, bad types
+    for bad in (
+        {"include": {"partition": 0, "num_partitions": 4}},
+        {"include": []},
+        {"include": [True]},
+        {"exclude": ""},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {"a": {"terms": {
+                "field": "tool", **bad}}}})
+
+
 def test_histogram_percentiles_and_null_buckets(spark, docs, docs_pdf,
                                                 dsl_index):
     """Round-5 aggs: numeric `histogram` (floor((v-offset)/interval)*
@@ -2595,6 +2664,125 @@ def test_moving_fn_pipeline(spark, docs, docs_pdf, dsl_index):
             "aggs": {"m": {"moving_fn": {
                 "buckets_path": "_count", "window": 3,
                 "script": "MovingFunctions.sum(values)"}}}}}})
+
+
+def test_boxplot_mad_string_stats(spark, docs, docs_pdf, dsl_index):
+    """Round-5 resumed-closing metrics: `boxplot` (EXACT interpolated
+    min/q1/q2/q3/max vs ES TDigest, bare + bucketed, whiskers out of
+    grammar), `median_absolute_deviation` (EXACT median(|x - median|),
+    bare via a broadcast two-stage plan, bucketed via a co-partitioned
+    window median), and `string_stats` (length stats + Shannon base-2
+    character entropy, computed from an alphabet-sized char-count
+    frame). Oracles = duckdb quantile_cont / entropy-formula replays;
+    indexed identity; option allowlists fail loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+
+    # boxplot: bare
+    got = dsl_aggregate(docs, {"aggs": {"b": {
+        "boxplot": {"field": "turn_idx"}}}}).toPandas()
+    want = con.sql("""
+        SELECT quantile_cont(turn_idx, 0.00) AS b_min,
+               quantile_cont(turn_idx, 0.25) AS b_q1,
+               quantile_cont(turn_idx, 0.50) AS b_q2,
+               quantile_cont(turn_idx, 0.75) AS b_q3,
+               quantile_cont(turn_idx, 1.00) AS b_max
+        FROM t""").df()
+    for c in want.columns:
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12,
+                                   err_msg=c)
+    # boxplot: inside a terms bucket, indexed identity
+    reqb = {"aggs": {"r": {"terms": {"field": "role"},
+                           "aggs": {"b": {"boxplot": {
+                               "field": "turn_idx"}}}}}}
+    gb = dsl_aggregate(docs, reqb).toPandas()
+    wb = con.sql("""
+        SELECT role AS key, quantile_cont(turn_idx, 0.5) AS b_q2
+        FROM t WHERE role IS NOT NULL GROUP BY 1""").df()
+    m = gb.merge(wb, on="key", suffixes=("", "_w"))
+    np.testing.assert_allclose(m["b_q2"], m["b_q2_w"], rtol=1e-12)
+    gib = dsl_aggregate_indexed(spark, dsl_index, reqb).toPandas()
+    pd.testing.assert_frame_equal(
+        gib.sort_values("key").reset_index(drop=True),
+        gb.sort_values("key").reset_index(drop=True))
+
+    # median_absolute_deviation: bare
+    gm = dsl_aggregate(docs, {"aggs": {"mad": {
+        "median_absolute_deviation": {"field": "turn_idx"}}}}
+    ).toPandas()
+    wm = con.sql("""
+        SELECT quantile_cont(abs(turn_idx -
+                 (SELECT quantile_cont(turn_idx, 0.5) FROM t)), 0.5)
+          AS mad FROM t""").df()
+    np.testing.assert_allclose(gm["mad"], wm["mad"], rtol=1e-12)
+    # bucketed: per-role window median, indexed identity
+    reqm = {"aggs": {"r": {"terms": {"field": "role"},
+                           "aggs": {"mad": {"median_absolute_deviation":
+                                            {"field": "turn_idx"}}}}}}
+    gm2 = dsl_aggregate(docs, reqm).toPandas()
+    wm2 = con.sql("""
+        WITH med AS (
+          SELECT role, quantile_cont(turn_idx, 0.5) AS m
+          FROM t WHERE role IS NOT NULL GROUP BY 1)
+        SELECT t.role AS key,
+               quantile_cont(abs(t.turn_idx - med.m), 0.5) AS mad
+        FROM t JOIN med USING (role) GROUP BY 1""").df()
+    mm = gm2.merge(wm2, on="key", suffixes=("", "_w"))
+    assert len(mm) == len(gm2) > 1
+    np.testing.assert_allclose(mm["mad"], mm["mad_w"], rtol=1e-12)
+    gim = dsl_aggregate_indexed(spark, dsl_index, reqm).toPandas()
+    pd.testing.assert_frame_equal(
+        gim.sort_values("key").reset_index(drop=True),
+        gm2.sort_values("key").reset_index(drop=True))
+
+    # string_stats on the text field (naive; text is not in doc_stats)
+    gs = dsl_aggregate(docs, {"aggs": {"s": {
+        "string_stats": {"field": "text"}}}}).toPandas()
+    ws = con.sql("""
+        WITH v AS (SELECT text AS s FROM t WHERE text IS NOT NULL),
+        n AS (SELECT count(*) AS cnt
+              FROM (SELECT unnest(string_split(s, '')) AS ch FROM v)
+              GROUP BY ch)
+        SELECT (SELECT count(*) FROM v) AS s_count,
+               (SELECT min(length(s)) FROM v) AS s_min_length,
+               (SELECT max(length(s)) FROM v) AS s_max_length,
+               (SELECT avg(length(s)) FROM v) AS s_avg_length,
+               -sum(cnt * log2(cnt)) / sum(cnt) + log2(sum(cnt))
+                 AS s_entropy
+        FROM n""").df()
+    for c in ("s_count", "s_min_length", "s_max_length"):
+        assert int(gs[c].iloc[0]) == int(ws[c].iloc[0]), c
+    for c in ("s_avg_length", "s_entropy"):
+        np.testing.assert_allclose(gs[c], ws[c], rtol=1e-12, err_msg=c)
+    assert gs["s_entropy"].iloc[0] > 1.0  # real text, many symbols
+    # string_stats through the indexed executor on a persisted column
+    gsi = dsl_aggregate_indexed(spark, dsl_index, {"aggs": {"s": {
+        "string_stats": {"field": "conv_id"}}}}).toPandas()
+    gsn = dsl_aggregate(docs, {"aggs": {"s": {
+        "string_stats": {"field": "conv_id"}}}}).toPandas()
+    pd.testing.assert_frame_equal(gsi, gsn)
+
+    # fail loud: whiskers/compression knobs, show_distribution,
+    # MAD beyond a single-level bucket
+    for bad in (
+        {"aggs": {"b": {"boxplot": {"field": "turn_idx",
+                                    "compression": 200}}}},
+        {"aggs": {"s": {"string_stats": {"field": "text",
+                                         "show_distribution": True}}}},
+        {"aggs": {"r": {"terms": {"field": "role"},
+                        "aggs": {"h": {"histogram": {
+                            "field": "turn_idx", "interval": 10},
+                            "aggs": {"mad": {
+                                "median_absolute_deviation": {
+                                    "field": "turn_idx"}}}}}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, bad)
 
 
 def test_cumulative_cardinality_pipeline(spark, docs, docs_pdf,
