@@ -988,9 +988,12 @@ def _search_aggs_metrics(spark, sf_dir):
       two-stage) and per-event_type (shape='mad_terms', co-partitioned
       window median), ``string_stats`` (shape='sstats', length stats +
       Shannon character entropy), terms ``include``/``exclude``
-      (shape='tincl', anchored regexes, exclude wins) — all round 5,
-      resumed closing; twins = quantile_cont / a join-median / the
-      entropy formula / the same anchored-regex idiom.
+      (shape='tincl', anchored regexes, exclude wins), and
+      ``top_metrics`` (shapes 'tmx'/'tmxt', the winning doc's metric
+      values by sort, struct-ordered deterministic tiebreak) — all
+      round 5, resumed closing; twins = quantile_cont / a join-median
+      / the entropy formula / the same anchored-regex idiom /
+      ORDER-BY-replayed winners.
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1247,6 +1250,26 @@ def _search_aggs_metrics(spark, sf_dir):
         "exclude": "click"}}}}).select(
         F.lit("tincl").alias("shape"), "key", "doc_count",
         nd.alias("val"))
+    # top_metrics (round 5, resumed closing): the winning document's
+    # metric values by sort — bare (two metrics from the SAME doc) and
+    # per-event_type; the twin replays the engine's deterministic
+    # struct tiebreak as ORDER BY ts, value (ts is unique at sf0.01,
+    # so the tiebreak is inert but kept in lockstep)
+    tm = dsl_aggregate(ev, {**q, "aggs": {"t": {"top_metrics": {
+        "metrics": [{"field": "value"}, {"field": "user_id"}],
+        "sort": {"ts": "desc"}}}}}).select(F.expr(
+            "stack(2, 'value', t_value, "
+            "'user_id', CAST(t_user_id AS DOUBLE)) AS (key, val)"
+        )).select(
+        F.lit("tmx").alias("shape"), "key", nl.alias("doc_count"),
+        F.round("val", 6).alias("val"))
+    tmt = dsl_aggregate(ev, {**q, "aggs": {"et": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {"t": {"top_metrics": {
+            "metrics": {"field": "value"},
+            "sort": {"ts": "asc"}}}}}}}).select(
+        F.lit("tmxt").alias("shape"), "key", "doc_count",
+        F.round("t_value", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
@@ -1255,7 +1278,8 @@ def _search_aggs_metrics(spark, sf_dir):
             .unionByName(gf).unionByName(pr).unionByName(mm)
             .unionByName(mmt).unionByName(tzb).unionByName(mt)
             .unionByName(bx).unionByName(md).unionByName(mdt)
-            .unionByName(sst).unionByName(ti))
+            .unionByName(sst).unionByName(ti)
+            .unionByName(tm).unionByName(tmt))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2697,6 +2721,23 @@ WHERE regexp_extract(event_type, '^(?:(view|click|signup))$', 0)
         = event_type
   AND NOT regexp_extract(event_type, '^(?:click)$', 0) = event_type
 GROUP BY event_type
+UNION ALL
+-- top_metrics twins: the winning doc by sort; ORDER BY replays the
+-- engine's struct tiebreak (ts unique at sf0.01, so it is inert)
+SELECT 'tmx', k, NULL::BIGINT, round(v, 6) FROM (
+  SELECT unnest(['value', 'user_id']) AS k,
+         unnest([value, user_id::DOUBLE]) AS v
+  FROM (SELECT value, user_id FROM w WHERE ts IS NOT NULL
+        ORDER BY ts DESC, value DESC, user_id DESC LIMIT 1))
+UNION ALL
+SELECT 'tmxt', event_type, cnt, round(val, 6) FROM (
+  SELECT event_type,
+         count(*) OVER (PARTITION BY event_type) AS cnt,
+         value AS val,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts ASC, value ASC) AS rn
+  FROM w WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+WHERE rn = 1
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

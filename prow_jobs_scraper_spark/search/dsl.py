@@ -3240,6 +3240,66 @@ def _boxplot_exprs(name: str, body: dict) -> list:
             for s, q in _BOXPLOT_STATS]
 
 
+def _top_metrics_exprs(name: str, body: dict) -> list:
+    """ES ``top_metrics`` — the metric values of the SINGLE top
+    document by sort, FLATTENED to ``<name>_<field>`` columns (the
+    same flattening rule as ``stats``). Only ``size: 1`` (the ES
+    default) is in grammar — larger sizes return per-bucket arrays,
+    a response shape with no flat-column analogue. Implemented as ONE
+    max/min over a ``struct(sort, metric...)`` — the struct's
+    lexicographic ordering makes every output column come from the
+    SAME winning document, and sort ties break on the metric values
+    themselves (deterministic, where ES breaks ties by shard doc
+    order — a documented deviation in the user's favor: reruns are
+    stable). Docs with a NULL sort value never compete (ES); a NULL
+    metric on the winning doc surfaces as NULL."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad top_metrics body {body!r}")
+    unknown = set(body) - {"metrics", "sort", "size"}
+    if unknown:
+        raise DslError(f"unsupported top_metrics options {sorted(unknown)}")
+    if "metrics" not in body or "sort" not in body:
+        raise DslError(
+            f"top_metrics needs metrics and sort blocks, got {body!r}")
+    size = body.get("size", 1)
+    if isinstance(size, bool) or size != 1:
+        raise DslError(
+            f"top_metrics supports size 1 only (the ES default; "
+            f"larger sizes return arrays), got {size!r}")
+    ms = body["metrics"]
+    if isinstance(ms, dict):
+        ms = [ms]
+    if (not isinstance(ms, list) or not ms
+            or any(not isinstance(m, dict) or set(m) != {"field"}
+                   or not isinstance(m.get("field"), str) for m in ms)):
+        raise DslError(
+            f"top_metrics metrics must be {{'field': f}} blocks, "
+            f"got {body['metrics']!r}")
+    fields = [m["field"] for m in ms]
+    if len(set(fields)) != len(fields):
+        raise DslError(f"duplicate top_metrics fields {fields!r}")
+    sort = body["sort"]
+    if isinstance(sort, str):
+        sort = {sort: "asc"}  # the ES bare-string form
+    if (not isinstance(sort, dict) or len(sort) != 1
+            or next(iter(sort.values())) not in ("asc", "desc")):
+        raise DslError(
+            f"top_metrics sort must be one {{field: 'asc'|'desc'}}, "
+            f"got {body['sort']!r}")
+    (sf, sdir), = sort.items()
+    if sf.startswith("_"):
+        raise DslError(
+            f"top_metrics sorts on a document field, got {sf!r}")
+    s = F.col(_ident(sf))
+    w = F.when(s.isNotNull(), F.struct(
+        s.alias("s"),
+        *[F.col(_ident(f)).alias(f"m{i}") for i, f in enumerate(fields)]))
+    # identical aggregate expressions collapse to one physical buffer
+    top = F.max(w) if sdir == "desc" else F.min(w)
+    return [top.getField(f"m{i}").alias(f"{name}_{f}")
+            for i, f in enumerate(fields)]
+
+
 def _mad_prepass(frame: DataFrame, pkey, metrics_spec: dict):
     """Rewrite ``median_absolute_deviation`` sub-aggs for the
     single-level bucket path: attach each one's per-bucket median as a
@@ -3318,6 +3378,9 @@ def _metric_exprs(sub_aggs: dict) -> list:
             continue
         if kind == "boxplot":
             cols.extend(_boxplot_exprs(name, body))
+            continue
+        if kind == "top_metrics":
+            cols.extend(_top_metrics_exprs(name, body))
             continue
         if kind == "weighted_avg":
             cols.append(_weighted_avg_expr(name, body))
@@ -3424,9 +3487,13 @@ def dsl_aggregate(
       fields out of grammar — see :func:`_boxplot_exprs`),
       ``median_absolute_deviation`` (EXACT median(|x - median|), bare
       or under a single-level bucket via a co-partitioned window
-      median — see :func:`_mad_prepass`), and ``string_stats`` (bare:
+      median — see :func:`_mad_prepass`), ``string_stats`` (bare:
       length stats + Shannon character entropy, see
-      :func:`_apply_string_stats`).
+      :func:`_apply_string_stats`), and ``top_metrics`` (``size: 1``
+      — the winning document's metric values by sort, one
+      struct-ordered max/min, deterministic sort-tie break on the
+      metric values where ES is shard-order-arbitrary — see
+      :func:`_top_metrics_exprs`).
     - ``serial_diff`` joins the parent pipelines (lag-``n``
       difference; the first ``n`` buckets are NULL).
     - ``{"missing": {"field": f}}`` -> one row: the qualifying docs
@@ -4386,6 +4453,12 @@ def _metric_out_names(sub_aggs: dict) -> list[str]:
                          for p in _percents_of(body))
         elif kind == "boxplot":
             names.extend(f"{name}_{s}" for s, _ in _BOXPLOT_STATS)
+        elif kind == "top_metrics":
+            ms = body.get("metrics")
+            ms = [ms] if isinstance(ms, dict) else (ms or [])
+            names.extend(f"{name}_{m['field']}" for m in ms
+                         if isinstance(m, dict)
+                         and isinstance(m.get("field"), str))
         elif kind == "percentile_ranks":
             names.extend(
                 f"{name}_{_pct_label(float(v)).replace('-', 'm')}"
@@ -5102,6 +5175,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
         return frame.agg(*_percentile_rank_exprs(agg_name, body))
     if kind == "boxplot" and not sub:
         return frame.agg(*_boxplot_exprs(agg_name, body))
+    if kind == "top_metrics" and not sub:
+        return frame.agg(*_top_metrics_exprs(agg_name, body))
     if kind == "median_absolute_deviation" and not sub:
         # bare MAD: EXACT median(|x - median(x)|) (ES is TDigest-
         # approximate). Two single-row aggregates chained through a

@@ -2785,6 +2785,76 @@ def test_boxplot_mad_string_stats(spark, docs, docs_pdf, dsl_index):
             dsl_aggregate(docs, bad)
 
 
+def test_top_metrics(spark, docs, docs_pdf, dsl_index):
+    """ES `top_metrics` (size 1): the winning document's metric values
+    by sort, flattened to `<name>_<field>` columns, bare and inside
+    every bucket context via _metric_exprs. The engine's sort-tie
+    break is the metric tuple itself (one struct-ordered max/min —
+    deterministic where ES is shard-order-arbitrary), which the pandas
+    oracle replays as a lexicographic sort_values. NULL-sort docs
+    never compete. Indexed identity; option allowlist fails loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    # bare, sort desc, two metrics — both columns from the SAME doc
+    got = dsl_aggregate(docs, {"aggs": {"t": {"top_metrics": {
+        "metrics": [{"field": "turn_idx"}, {"field": "conv_id"}],
+        "sort": {"ts": "desc"}}}}}).toPandas()
+    want = (docs_pdf.dropna(subset=["ts"])
+            .sort_values(["ts", "turn_idx", "conv_id"], ascending=False)
+            .iloc[0])
+    assert got["t_turn_idx"].iloc[0] == want["turn_idx"]
+    assert got["t_conv_id"].iloc[0] == want["conv_id"]
+
+    # bucketed under terms(role), bare-string sort form (asc), single
+    # dict metrics form; indexed identity
+    req = {"aggs": {"r": {"terms": {"field": "role"},
+                          "aggs": {"t": {"top_metrics": {
+                              "metrics": {"field": "turn_idx"},
+                              "sort": "ts", "size": 1}}}}}}
+    gb = dsl_aggregate(docs, req).toPandas()
+    wb = (docs_pdf.dropna(subset=["role", "ts"])
+          .sort_values(["ts", "turn_idx"])
+          .groupby("role").first()["turn_idx"])
+    for _, row in gb.iterrows():
+        assert row["t_turn_idx"] == wb[row["key"]], row["key"]
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.sort_values("key").reset_index(drop=True),
+        gb.sort_values("key").reset_index(drop=True))
+
+    # NULL-sort exclusion: sorting on `tool` (has NULLs) skips the
+    # NULL-tool docs entirely
+    gn = dsl_aggregate(docs, {"aggs": {"t": {"top_metrics": {
+        "metrics": [{"field": "doc_id"}],
+        "sort": {"tool": "asc"}}}}}).toPandas()
+    wn = (docs_pdf.dropna(subset=["tool"])
+          .sort_values(["tool", "doc_id"]).iloc[0])
+    assert gn["t_doc_id"].iloc[0] == wn["doc_id"]
+
+    # fail loud: size != 1, unknown option, dup fields, multi-key
+    # sort, underscore sort, bad metrics shape
+    for bad in (
+        {"metrics": [{"field": "turn_idx"}], "sort": {"ts": "desc"},
+         "size": 3},
+        {"metrics": [{"field": "turn_idx"}], "sort": {"ts": "desc"},
+         "from": 1},
+        {"metrics": [{"field": "turn_idx"}, {"field": "turn_idx"}],
+         "sort": {"ts": "desc"}},
+        {"metrics": [{"field": "turn_idx"}],
+         "sort": {"ts": "desc", "turn_idx": "asc"}},
+        {"metrics": [{"field": "turn_idx"}], "sort": {"_score": "desc"}},
+        {"metrics": [], "sort": {"ts": "desc"}},
+        {"metrics": [{"field": "turn_idx", "missing": 0}],
+         "sort": {"ts": "desc"}},
+        {"metrics": [{"field": "turn_idx"}]},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {"t": {"top_metrics": bad}}})
+
+
 def test_cumulative_cardinality_pipeline(spark, docs, docs_pdf,
                                          dsl_index):
     """ES `cumulative_cardinality` (round 5, resumed closing): running
