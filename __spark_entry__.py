@@ -361,6 +361,14 @@ def _dismax_topk(spark, sf_dir):
       second resolution (search/dsl.py _parse_distance_feature); the
       DuckDB twin replays it with epoch().
 
+    - ``pinned`` (round 5, resumed closing): docs [5, 3] pinned above
+      the organic 'hash' ranking at the BASE - rank*STEP score ladder
+      (search/dsl.py _desugar_pinned); the twin replays the ladder as
+      a CASE over the shared ``hb`` CTE.
+    - ``wrap`` (round 5, resumed closing): the dismax query base64-
+      encoded through the ES ``wrapper`` escape hatch — must reproduce
+      the 'dismax' rows verbatim (search/dsl.py _unwrap_wrapper).
+
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
     from prow_jobs_scraper_spark.search.dsl import search_dsl
@@ -447,6 +455,20 @@ def _dismax_topk(spark, sf_dir):
             F.lit("distf").alias("mode"), "doc_id",
             F.row_number().over(w).alias("rank"),
             F.round("score", 4).alias("score")))
+    # pinned (round 5, resumed closing): docs 5 and 3 rank first at
+    # the engine's BASE - rank*STEP ladder (5 ALSO matches the organic
+    # 'hash' query — its BM25 add vanishes below the double ulp at
+    # BASE, identically in both engines; 3 qualifies via its pin
+    # alone); the organic ranking follows minus the pinned docs
+    out = out.unionByName(mode("pinned", {"query": {"pinned": {
+        "ids": [5, 3], "organic": {"match": {"text": "hash"}}}}}))
+    # wrapper (round 5, resumed closing): the dismax query shipped
+    # base64-encoded — must reproduce the 'dismax' mode rows verbatim
+    import base64 as _b64  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+    out = out.unionByName(mode("wrap", {"query": {"wrapper": {
+        "query": _b64.b64encode(
+            _json.dumps(_DISMAX_QUERY["query"]).encode()).decode()}}}))
     return out
 
 
@@ -2348,6 +2370,29 @@ UNION ALL
                 AS score
        FROM events WHERE event_type = 'error')
  ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- pinned twin: docs 5 then 3 at the BASE - rank*STEP ladder, the
+-- organic 'hash' ranking after them (doc 5's organic BM25 add is
+-- below the double ulp at BASE in both engines; doc 3 qualifies via
+-- its pin alone)
+(SELECT 'pinned' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT d.doc_id,
+          CASE d.doc_id WHEN 5 THEN 1.7014122e38
+                        WHEN 3 THEN 1.7014122e38 - 1e30
+               ELSE hb.score END AS score
+   FROM documents d LEFT JOIN hb ON hb.doc_id = d.doc_id
+   WHERE d.doc_id IN (5, 3) OR hb.doc_id IS NOT NULL)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- wrapper twin: identical rows to the dismax mode (the clause only
+-- changed transport encoding)
+(SELECT 'wrap' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM dm ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

@@ -140,6 +140,15 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
                  -- parens / field: overrides, desugared onto this very
                  -- grammar (search/query_string.py); fuzzy~, wildcards,
                  -- ranges, boosts stay fail-loud
+    pinned       := {"pinned": {"ids": [int...], "organic": clause}}
+                 -- the listed docs rank FIRST in list order, organic
+                 -- results follow by score; desugars to a bool-should
+                 -- of the organic clause plus one huge-boost
+                 -- constant_score ids clause per pinned id (see
+                 -- :func:`_desugar_pinned`)
+    wrapper      := {"wrapper": {"query": "<base64 JSON>"}}
+                 -- the base64-encoded clause, decoded and parsed as if
+                 -- written inline (the ES client-interop escape hatch)
 
 Semantics (ES-faithful; deviations called out):
 
@@ -1307,6 +1316,77 @@ def _parse_constant_score(body: dict) -> QuerySpec:
     return spec
 
 
+# Pinned-score ladder: base minus rank*step. The STEP dwarfs any real
+# BM25/function score (so an organic contribution on a pinned doc can
+# never reorder the pinned block) yet stays far above the double ulp at
+# BASE (~4.2e22), so consecutive ranks remain exactly distinct. ES pins
+# with its own huge constants (1.7014122e38 - rank) and documents the
+# values as non-meaningful; the engine's differ but order identically.
+_PINNED_BASE = 1.7014122e38
+_PINNED_STEP = 1e30
+
+
+def _desugar_pinned(body: dict) -> dict:
+    """ES ``pinned`` -> a bool-should desugar: the organic clause plus
+    one ``constant_score(ids: [id], boost: BASE - rank*STEP)`` clause
+    per pinned id. A should-only bool keeps docs matching EITHER side
+    (msm 1), so pinned docs surface even when organic misses them, and
+    the huge descending boosts pin list order above every organic
+    score — exactly the ES ranking contract (pinned score VALUES are
+    documented as non-meaningful there too). Duplicate ids keep their
+    first position (ES); the per-index ``docs`` form is a
+    multi-index routing feature and stays out of grammar."""
+    if not isinstance(body, dict) or set(body) != {"ids", "organic"}:
+        raise DslError(
+            f"pinned needs exactly ids and organic (the per-index docs "
+            f"form is not supported), got "
+            f"{sorted(body) if isinstance(body, dict) else body!r}")
+    ids = body["ids"]
+    if (not isinstance(ids, list) or not ids
+            or any(isinstance(i, bool) or not isinstance(i, int)
+                   for i in ids)):
+        raise DslError(
+            f"pinned ids must be a non-empty list of engine doc_ids, "
+            f"got {ids!r}")
+    if len(ids) > 1000:
+        raise DslError(f"pinned supports at most 1000 ids, got {len(ids)}")
+    seen: set[int] = set()
+    pins = []
+    for i in ids:
+        if i in seen:
+            continue  # ES: first position wins
+        seen.add(i)
+        pins.append({"constant_score": {
+            "filter": {"ids": {"values": [i]}},
+            "boost": _PINNED_BASE - len(pins) * _PINNED_STEP}})
+    organic = body["organic"]
+    if not isinstance(organic, dict) or len(organic) != 1:
+        raise DslError(f"bad pinned organic clause {organic!r}")
+    return {"bool": {"should": [organic, *pins]}}
+
+
+def _unwrap_wrapper(body: dict) -> dict:
+    """ES ``wrapper`` — a base64-encoded JSON clause, decoded and
+    handed back to :func:`parse_query` as if written inline. The ES
+    escape hatch for clients that can only ship strings; nothing else
+    changes, so every executor and context supports the inner clause
+    exactly as its inline form."""
+    if (not isinstance(body, dict) or set(body) != {"query"}
+            or not isinstance(body["query"], str)):
+        raise DslError(
+            f"wrapper needs a base64 query string, got {body!r}")
+    import base64  # noqa: PLC0415 — stdlib, used only here
+    try:
+        inner = json.loads(base64.b64decode(body["query"], validate=True))
+    except Exception as exc:
+        raise DslError(
+            f"wrapper query is not base64-encoded JSON: {exc}") from None
+    if not isinstance(inner, dict) or len(inner) != 1:
+        raise DslError(
+            f"wrapper must decode to one clause, got {inner!r}")
+    return inner
+
+
 def _parse_boosting(body: dict) -> QuerySpec:
     """ES ``boosting`` -> a :class:`QuerySpec` carrying the
     (positive, negative, negative_boost) triple. All three keys are
@@ -1923,6 +2003,10 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind == "constant_score":
         return _parse_constant_score(body)
+    if kind == "pinned":
+        return parse_query(_desugar_pinned(body))
+    if kind == "wrapper":
+        return parse_query(_unwrap_wrapper(body))
     if kind == "boosting":
         return _parse_boosting(body)
     if kind == "function_score":
@@ -1974,6 +2058,10 @@ def parse_query(q: dict) -> QuerySpec:
             if not isinstance(c, dict) or len(c) != 1:
                 raise DslError(f"bad clause in {ctx}: {c!r}")
             (ck, cb), = c.items()
+            while ck == "wrapper":
+                # decode in place: the inner clause then routes through
+                # this very loop exactly like its inline form
+                (ck, cb), = _unwrap_wrapper(cb).items()
             if ck == "bool":
                 child = parse_query({"bool": cb})
                 getattr(spec, f"{ctx}_bool").append(child)

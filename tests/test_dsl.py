@@ -1206,6 +1206,95 @@ def test_constant_score_pins_scores(spark, docs, docs_pdf, dsl_index):
     assert (gi["score"] == 2.5).all()
 
 
+def test_pinned_query(spark, docs, docs_pdf, dsl_index):
+    """ES `pinned`: the listed docs rank FIRST in list order (even
+    when the organic clause misses them), organic results follow in
+    their own order minus the pinned docs; duplicate ids keep their
+    first position; the per-index `docs` form and bad id lists fail
+    loud. Desugar = bool-should of organic + huge-boost constant_score
+    ids clauses, so both executors support it for free."""
+    organic = {"match": {"text": "the_hot_term spark"}}
+    base = search_dsl(docs, {"query": organic}, 20).toPandas()
+    organic_ids = base["doc_id"].tolist()
+
+    # pin: one doc from deep in the organic ranking + one doc that
+    # does NOT match the organic query at all
+    deep = organic_ids[10]
+    nonmatch = int(
+        docs_pdf.loc[~docs_pdf["text"].str.contains(
+            "the_hot_term|spark"), "doc_id"].iloc[0])
+    q = {"query": {"pinned": {"ids": [deep, nonmatch, deep],
+                              "organic": organic}}}
+    got = search_dsl(docs, q, 10).toPandas()
+    # pinned block first, in list order (the dup keeps position 0)
+    assert got["doc_id"].tolist()[:2] == [deep, nonmatch]
+    # organic tail = the organic ranking minus the pinned docs
+    tail = [d for d in organic_ids if d not in (deep, nonmatch)]
+    assert got["doc_id"].tolist()[2:] == tail[:8]
+    # pinned scores sit above any organic score, descending
+    assert got["score"].iloc[0] > got["score"].iloc[1] > 1e29
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    assert gi["doc_id"].tolist() == got["doc_id"].tolist()
+
+    for bad in (
+        {"ids": [1, 2]},                               # organic missing
+        {"organic": organic},                          # ids missing
+        {"ids": [], "organic": organic},
+        {"ids": ["a"], "organic": organic},
+        {"ids": [True], "organic": organic},
+        {"ids": [1], "organic": organic, "docs": []},
+        {"ids": [1], "organic": {"match": {"text": "x"}, "extra": 1}},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"pinned": bad})
+
+
+def test_wrapper_query(spark, docs, docs_pdf, dsl_index):
+    """ES `wrapper`: a base64-encoded JSON clause decodes and executes
+    exactly like its inline form — top level, as a bool child, and
+    nested wrapper-in-wrapper; non-base64 / non-JSON / multi-clause
+    payloads fail loud."""
+    import base64
+    import json
+
+    def wrap(clause):
+        return {"wrapper": {"query": base64.b64encode(
+            json.dumps(clause).encode()).decode()}}
+
+    inline = {"query": {"match": {"text": "the_hot_term spark"}}}
+    a = search_dsl(docs, inline, 10).toPandas()
+    b = search_dsl(docs, {"query": wrap(inline["query"])}, 10).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # double-wrapped, and as a bool child next to a filter
+    c = search_dsl(docs, {"query": wrap(wrap(inline["query"]))},
+                   10).toPandas()
+    pd.testing.assert_frame_equal(a, c)
+    inline_bool = {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "filter": [{"term": {"role": "user"}}]}}}
+    wrapped_bool = {"query": {"bool": {
+        "must": [wrap({"match": {"text": "the_hot_term"}})],
+        "filter": [wrap({"term": {"role": "user"}})]}}}
+    d = search_dsl(docs, inline_bool, 10).toPandas()
+    e = search_dsl(docs, wrapped_bool, 10).toPandas()
+    pd.testing.assert_frame_equal(d, e)
+    gi = search_dsl_indexed(spark, dsl_index, wrapped_bool, 10,
+                            docs_df=docs).toPandas()
+    assert gi["doc_id"].tolist() == d["doc_id"].tolist()
+
+    for bad in (
+        {"query": "not base64!!"},
+        {"query": base64.b64encode(b"[1, 2]").decode()},
+        {"query": base64.b64encode(b"{}").decode()},
+        {"query": base64.b64encode(b"{\"a\": 1, \"b\": 2}").decode()},
+        {"query": 3},
+        {},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"wrapper": bad})
+
+
 def test_parse_dismax_and_multi_match_validation():
     with pytest.raises(DslError):
         parse_query({"dis_max": {"queries": []}})
