@@ -1012,10 +1012,12 @@ def _search_aggs_metrics(spark, sf_dir):
       Shannon character entropy), terms ``include``/``exclude``
       (shape='tincl', anchored regexes, exclude wins), and
       ``top_metrics`` (shapes 'tmx'/'tmxt', the winning doc's metric
-      values by sort, struct-ordered deterministic tiebreak) — all
-      round 5, resumed closing; twins = quantile_cont / a join-median
-      / the entropy formula / the same anchored-regex idiom /
-      ORDER-BY-replayed winners.
+      values by sort, struct-ordered deterministic tiebreak), and
+      ``normalize`` (shape='nrm', percent_of_sum on counts + z-score
+      on the day-bucket avg, key='<day>|<which>') — all round 5,
+      resumed closing; twins = quantile_cont / a join-median / the
+      entropy formula / the same anchored-regex idiom /
+      ORDER-BY-replayed winners / window-function normalizations.
     """
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
@@ -1272,6 +1274,22 @@ def _search_aggs_metrics(spark, sf_dir):
         "exclude": "click"}}}}).select(
         F.lit("tincl").alias("shape"), "key", "doc_count",
         nd.alias("val"))
+    # normalize (round 5, resumed closing): per-bucket value rescaled
+    # by bucket-list statistics — percent_of_sum on _count + z-score
+    # (population) on avg(value) over the day histogram; the twin
+    # replays both as duckdb window functions
+    nrm = dsl_aggregate(ev, {**q, "aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"m": {"avg": {"field": "value"}},
+                 "pos": {"normalize": {"buckets_path": "_count",
+                                       "method": "percent_of_sum"}},
+                 "zs": {"normalize": {"buckets_path": "m",
+                                      "method": "z-score"}}}}}}).select(
+        F.col("key").cast("string").alias("k2"), "doc_count",
+        F.expr("stack(2, 'pos', pos, 'zs', zs) AS (which, val)")).select(
+        F.lit("nrm").alias("shape"),
+        F.concat_ws("|", "k2", "which").alias("key"),
+        "doc_count", F.round("val", 6).alias("val"))
     # top_metrics (round 5, resumed closing): the winning document's
     # metric values by sort — bare (two metrics from the SAME doc) and
     # per-event_type; the twin replays the engine's deterministic
@@ -1301,7 +1319,7 @@ def _search_aggs_metrics(spark, sf_dir):
             .unionByName(mmt).unionByName(tzb).unionByName(mt)
             .unionByName(bx).unionByName(md).unionByName(mdt)
             .unionByName(sst).unionByName(ti)
-            .unionByName(tm).unionByName(tmt))
+            .unionByName(tm).unionByName(tmt).unionByName(nrm))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2783,6 +2801,17 @@ SELECT 'tmxt', event_type, cnt, round(val, 6) FROM (
                             ORDER BY ts ASC, value ASC) AS rn
   FROM w WHERE ts IS NOT NULL AND event_type IS NOT NULL)
 WHERE rn = 1
+UNION ALL
+-- normalize twins: percent_of_sum on counts + population z-score on
+-- the day-bucket avg(value), replayed as window functions
+SELECT 'nrm', key || '|' || which, dc::BIGINT, round(val, 6) FROM (
+  SELECT key, dc,
+         unnest(['pos', 'zs']) AS which,
+         unnest([dc / sum(dc) OVER (),
+                 (m - avg(m) OVER ()) / stddev_pop(m) OVER ()]) AS val
+  FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)::VARCHAR AS key,
+               count(*)::DOUBLE AS dc, avg(value) AS m
+        FROM w GROUP BY 1))
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

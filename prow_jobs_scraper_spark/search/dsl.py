@@ -3600,9 +3600,13 @@ def dsl_aggregate(
       ``moving_fn`` additionally takes ``window``/``shift``/``script``
       — the five stock ``MovingFunctions`` scripts over the ES row
       frame [i-window+shift, i-1+shift] (see :func:`_parse_moving_fn`);
-      painless lambdas beyond those stay out-of-grammar. Terms parents
-      fail loud (ES: pipelines need a bucket SEQUENCE); ``gap_policy``
-      etc. stay out-of-grammar.
+      painless lambdas beyond those stay out-of-grammar. ``normalize``
+      takes ``method`` ∈ rescale_0_1 / rescale_0_100 / percent_of_sum
+      / mean / z-score (population) / softmax — the per-bucket value
+      rescaled by bucket-list statistics (zero denominators -> NULL,
+      the ES non-finite rendering; ``format`` is a documented safe
+      no-op). Terms parents fail loud (ES: pipelines need a bucket
+      SEQUENCE); ``gap_policy`` etc. stay out-of-grammar.
     - any single-level bucket agg may carry ``bucket_script`` /
       ``bucket_selector`` pipelines (``{"buckets_path": {var: "_count"
       | metric | "stats-name.stat"}, "script": "params.x / params.y"}``)
@@ -3706,7 +3710,8 @@ _BUCKET_KINDS = ("terms", "multi_terms", "date_histogram", "histogram")
 # parent's final bucket list; bucket_script/bucket_selector are
 # PER-BUCKET (no sequence dependency), so any single-level parent.
 _SEQUENCE_PIPELINES = ("cumulative_sum", "derivative", "serial_diff",
-                       "moving_fn", "cumulative_cardinality")
+                       "moving_fn", "cumulative_cardinality",
+                       "normalize")
 _PIPELINE_KINDS = _SEQUENCE_PIPELINES + (
     "bucket_sort", "bucket_script", "bucket_selector")
 
@@ -3792,6 +3797,11 @@ def _pipeline_path(kind: str, body, metric_cols: list[str]) -> str:
         allowed |= {"lag"}
     elif kind == "moving_fn":
         allowed |= {"window", "script", "shift"}
+    elif kind == "normalize":
+        # `format` only decorates ES's value_as_string rendering — the
+        # frame returns numeric columns, so it is a SAFE NO-OP
+        # (same class as terms shard_size), accepted for compatibility
+        allowed |= {"method", "format"}
     unknown = set(body) - allowed
     if unknown:
         raise DslError(f"unsupported {kind} options {sorted(unknown)}")
@@ -5028,6 +5038,35 @@ def _parse_sampler(body: dict, sub: dict):
     return n, _parse_aggs_block({"aggs": sub})
 
 
+def _parse_diversified(body: dict, sub: dict):
+    """``diversified_sampler`` body + sub block -> (shard_size,
+    max_docs_per_value, field, parsed inner 5-tuple). ES semantics:
+    the retained sample keeps at most ``max_docs_per_value`` docs
+    sharing a ``field`` value, filled in score order — equivalently,
+    per-value top-m by score THEN the global top shard_size (a doc
+    rejected by its value cap never blocks a lower-scored doc).
+    ``execution_hint`` changes the dedup key (value vs bytes hash —
+    hash collisions can alter results) and ``script`` sources stay
+    out of grammar, fail-loud."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad diversified_sampler body {body!r}")
+    unknown = set(body) - {"shard_size", "max_docs_per_value", "field"}
+    if unknown:
+        raise DslError(
+            f"unsupported diversified_sampler options {sorted(unknown)}")
+    if "field" not in body or not isinstance(body["field"], str):
+        raise DslError("diversified_sampler needs a field to diversify on")
+    n = body.get("shard_size", 100)
+    if isinstance(n, bool) or not isinstance(n, int) or n < 1:
+        raise DslError(f"bad diversified_sampler shard_size {n!r}")
+    m = body.get("max_docs_per_value", 1)
+    if isinstance(m, bool) or not isinstance(m, int) or m < 1:
+        raise DslError(f"bad max_docs_per_value {m!r}")
+    if not sub:
+        raise DslError("diversified_sampler needs a sub-aggregation")
+    return n, m, _ident(body["field"]), _parse_aggs_block({"aggs": sub})
+
+
 def _apply_significant_text(frame: DataFrame, bg_frame: DataFrame,
                             agg_name: str, body: dict,
                             sub: dict) -> DataFrame:
@@ -5233,6 +5272,27 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                .limit(n))
         return _apply_agg(cut, gname, gkind, gbody, gsub, gsibs,
                           bg_frame)
+    if kind == "diversified_sampler":
+        # ES diversified sampler: the sampler cut with a per-value cap
+        # — per-field-value top max_docs_per_value by score (one
+        # window), then the global top shard_size. NULL field values
+        # form their own capped class (Lucene keys missing values
+        # together too; documented here rather than left to collide).
+        n, m, fld, (gname, gkind, gbody, gsub, gsibs) = \
+            _parse_diversified(body, sub)
+        if fld not in frame.columns:
+            raise DslError(
+                f"diversified_sampler field {fld!r} not in the frame")
+        if "__dsl_score" not in frame.columns:
+            frame = frame.withColumn("__dsl_score", F.lit(0.0))
+        wv = (Window.partitionBy(fld)
+              .orderBy(F.desc("__dsl_score"), F.asc("doc_id")))
+        surv = (frame.withColumn("__dvr", F.row_number().over(wv))
+                .where(F.col("__dvr") <= m).drop("__dvr"))
+        cut = (surv.orderBy(F.desc("__dsl_score"), F.asc("doc_id"))
+               .limit(n))
+        return _apply_agg(cut, gname, gkind, gbody, gsub, gsibs,
+                          bg_frame)
     if kind == "significant_terms":
         if bg_frame is None:
             raise DslError(
@@ -5353,6 +5413,10 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                         f"with an output column")
                 taken.add(name)
                 path = _pipeline_path(pk, pb, mcols)
+                # earlier pipelines become valid buckets_path targets
+                # for later ones (ES second-order chaining, e.g. a
+                # normalize over a cumulative_sum) — declaration order
+                mcols = mcols + [name]
                 if pk == "cumulative_sum":
                     out = out.withColumn(name, F.sum(path).over(run))
                 elif pk == "cumulative_cardinality":
@@ -5411,6 +5475,43 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                     else:
                         col = {"max": F.max, "min": F.min,
                                "avg": F.avg}[fn](v).over(mw)
+                    out = out.withColumn(name, col)
+                elif pk == "normalize":
+                    # ES normalize (7.9+): per-bucket value rescaled by
+                    # bucket-list statistics — one unpartitioned window
+                    # over bucket-cardinality rows (never the corpus).
+                    # Degenerate denominators (zero range/sum/stddev —
+                    # where ES emits non-finite JSON nulls) -> NULL;
+                    # NULL inputs (gap-filled buckets) stay NULL (the
+                    # ES `skip` gap policy).
+                    method = pb.get("method")
+                    v = F.col(path).cast("double")
+                    aw = seq.rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing)
+                    if method == "percent_of_sum":
+                        den = F.sum(v).over(aw)
+                        col = F.when(den != 0, v / den)
+                    elif method in ("rescale_0_1", "rescale_0_100",
+                                    "mean"):
+                        mn = F.min(v).over(aw)
+                        rng = F.max(v).over(aw) - mn
+                        num = (v - F.avg(v).over(aw)
+                               if method == "mean" else v - mn)
+                        col = F.when(rng != 0, num / rng)
+                        if method == "rescale_0_100":
+                            col = col * 100.0
+                    elif method == "z-score":
+                        sd = F.stddev_pop(v).over(aw)
+                        col = F.when(sd != 0,
+                                     (v - F.avg(v).over(aw)) / sd)
+                    elif method == "softmax":
+                        den = F.sum(F.exp(v)).over(aw)
+                        col = F.when(den != 0, F.exp(v) / den)
+                    else:
+                        raise DslError(
+                            f"unsupported normalize method {method!r} "
+                            f"(rescale_0_1, rescale_0_100, "
+                            f"percent_of_sum, mean, z-score, softmax)")
                     out = out.withColumn(name, col)
                 elif pk == "serial_diff":
                     # lag-n difference (ES serial differencing); the
@@ -6460,6 +6561,37 @@ def dsl_aggregate_indexed(
         cut = (None if anchor is None else
                anchor.orderBy(F.desc("score"), F.asc("doc_id"))
                .limit(n).select("doc_id"))
+        if gkind == "significant_text":
+            frame, corpus = _sigtext_corpus(docs_df, cut)
+            return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,
+                              bg_frame=corpus)
+        frame = (stats.where(F.lit(False)) if cut is None
+                 else stats.join(cut, "doc_id", "left_semi"))
+        return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,
+                          bg_frame=stats)
+    if kind == "diversified_sampler":
+        # the per-value cap joins the diversify field onto the ANCHOR
+        # (doc_id, score) frame from doc_stats, windows per value,
+        # then cuts — the corpus is still never touched
+        if siblings:
+            raise DslError(
+                "sibling pipelines need a single-level terms/histogram/"
+                "date_histogram aggregation next to them")
+        n, m, fld, (gname, gkind, gbody, gsub, gsibs) = \
+            _parse_diversified(body, sub)
+        if fld not in stats.columns:
+            raise DslError(
+                f"diversified_sampler field {fld!r} not in doc_stats")
+        cut = None
+        if anchor is not None:
+            wv = (Window.partitionBy(fld)
+                  .orderBy(F.desc("score"), F.asc("doc_id")))
+            cut = (anchor.join(stats.select("doc_id", fld),
+                               "doc_id", "left")
+                   .withColumn("__dvr", F.row_number().over(wv))
+                   .where(F.col("__dvr") <= m)
+                   .orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(n).select("doc_id"))
         if gkind == "significant_text":
             frame, corpus = _sigtext_corpus(docs_df, cut)
             return _apply_agg(frame, gname, gkind, gbody, gsub, gsibs,

@@ -2649,6 +2649,100 @@ def test_pipeline_agg_rejects(spark, docs):
             "by_role": {"terms": {"field": "role"}}}))
 
 
+def test_normalize_pipeline(spark, docs, docs_pdf, dsl_index):
+    """ES `normalize` (7.9+): per-bucket value rescaled by bucket-list
+    statistics — all six ES methods against a duckdb window replay;
+    zero denominators -> NULL (the ES non-finite rendering); `format`
+    is a documented safe no-op; terms parents / unknown methods /
+    unknown options fail loud; indexed identity."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    req = {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"m": {"avg": {"field": "turn_idx"}},
+                 "pos": {"normalize": {"buckets_path": "_count",
+                                       "method": "percent_of_sum",
+                                       "format": "00.0%"}},
+                 "r01": {"normalize": {"buckets_path": "m",
+                                       "method": "rescale_0_1"}},
+                 "r100": {"normalize": {"buckets_path": "m",
+                                        "method": "rescale_0_100"}},
+                 "mn": {"normalize": {"buckets_path": "m",
+                                      "method": "mean"}},
+                 "zs": {"normalize": {"buckets_path": "m",
+                                      "method": "z-score"}},
+                 "sm": {"normalize": {"buckets_path": "pos",
+                                      "method": "softmax"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    want = con.sql("""
+        WITH b AS (
+          SELECT date_trunc('day', ts) AS key, count(*)::DOUBLE AS c,
+                 avg(turn_idx) AS m
+          FROM t GROUP BY 1),
+        p AS (SELECT key, c / sum(c) OVER () AS pos, m FROM b)
+        SELECT key,
+               pos,
+               (m - min(m) OVER ()) / nullif(max(m) OVER ()
+                 - min(m) OVER (), 0) AS r01,
+               100 * (m - min(m) OVER ()) / nullif(max(m) OVER ()
+                 - min(m) OVER (), 0) AS r100,
+               (m - avg(m) OVER ()) / nullif(max(m) OVER ()
+                 - min(m) OVER (), 0) AS mn,
+               (m - avg(m) OVER ()) / nullif(stddev_pop(m) OVER (), 0)
+                 AS zs,
+               exp(pos) / sum(exp(pos)) OVER () AS sm
+        FROM p ORDER BY key""").df()
+    assert len(got) == len(want) > 1
+    for c in ("pos", "r01", "r100", "mn", "zs", "sm"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                   err_msg=c)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, got)
+
+    # single-bucket frame: zero range/stddev -> NULL (ES renders the
+    # non-finite result null); percent_of_sum of one bucket is 1.0
+    one = dsl_aggregate(docs, {"aggs": {"d": {
+        "date_histogram": {"field": "ts", "calendar_interval": "year"},
+        "aggs": {"m": {"avg": {"field": "turn_idx"}},
+                 "z": {"normalize": {"buckets_path": "m",
+                                     "method": "z-score"}},
+                 "r": {"normalize": {"buckets_path": "m",
+                                     "method": "rescale_0_1"}},
+                 "p": {"normalize": {"buckets_path": "m",
+                                     "method": "percent_of_sum"}}}}}}
+    ).toPandas()
+    assert len(one) == 1
+    assert one["z"].isna().all() and one["r"].isna().all()
+    assert one["p"].iloc[0] == pytest.approx(1.0)
+
+    def agg(norm_body, parent=None):
+        parent = parent or {"date_histogram": {
+            "field": "ts", "calendar_interval": "day"}}
+        return {"aggs": {"a": {**parent,
+                               "aggs": {"n": {"normalize": norm_body}}}}}
+
+    for bad, msg in [
+        (agg({"buckets_path": "_count", "method": "percent_of_sum"},
+             parent={"terms": {"field": "role"}}),
+         "histogram-family parent"),
+        (agg({"buckets_path": "_count", "method": "minmax"}),
+         "unsupported normalize method"),
+        (agg({"buckets_path": "_count"}),
+         "unsupported normalize method"),
+        (agg({"buckets_path": "_count", "method": "softmax",
+              "gap_policy": "skip"}),
+         "unsupported normalize options"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            dsl_aggregate(docs, bad).collect()
+
+
 def test_moving_fn_pipeline(spark, docs, docs_pdf, dsl_index):
     """ES `moving_fn` (round 5, resumed closing): the five stock
     MovingFunctions scripts over the ES row frame [i-window+shift,
@@ -3642,6 +3736,64 @@ def test_sampler_agg(spark, docs, docs_pdf, dsl_index):
         dsl_aggregate(docs, sib).collect()
     with pytest.raises(DslError):
         dsl_aggregate_indexed(spark, dsl_index, sib).collect()
+
+
+def test_diversified_sampler(spark, docs, docs_pdf, dsl_index):
+    """ES diversified_sampler: the sampler cut with a per-field-value
+    cap — at most max_docs_per_value docs sharing a value enter the
+    sample, filled in score order (replayed here as per-value top-m
+    then global top-n against the python ranking oracle). NULL field
+    values form their own capped class; both executors; validation
+    fails loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    q = {"match": {"text": {"query": "spark agent", "operator": "or"}}}
+    req = {"query": q, "aggs": {"s": {
+        "diversified_sampler": {"shard_size": 15, "field": "tool",
+                                "max_docs_per_value": 2},
+        "aggs": {"by_role": {"terms": {"field": "role"}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+
+    ranked = dsl_oracle(docs_pdf, {"query": q}, len(docs_pdf))
+    ranked = ranked.merge(docs_pdf[["doc_id", "tool", "role"]],
+                          on="doc_id")
+    # per-tool-value top-2 by (score desc, doc_id asc) — NaN tool is
+    # its own class — then global top-15
+    ranked["__r"] = (ranked.groupby("tool", dropna=False)
+                     .cumcount())  # already score-ordered by the oracle
+    sample = ranked[ranked["__r"] < 2].head(15)
+    assert len(sample) == 15
+    want = sample["role"].value_counts().reset_index().values.tolist()
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert got["key"].tolist() == [w[0] for w in want]
+    assert got["doc_count"].tolist() == [w[1] for w in want]
+    # the cap binds: no tool value contributes more than 2 sample docs
+    assert (sample.groupby("tool", dropna=False).size() <= 2).all()
+
+    gi = dsl_aggregate_indexed(spark, dsl_index, req,
+                               docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(
+        gi.reset_index(drop=True), got.reset_index(drop=True))
+
+    for bad in (
+        {"diversified_sampler": {"shard_size": 15},
+         "aggs": {"r": {"terms": {"field": "role"}}}},  # field missing
+        {"diversified_sampler": {"shard_size": 15, "field": "tool",
+                                 "max_docs_per_value": 0},
+         "aggs": {"r": {"terms": {"field": "role"}}}},
+        {"diversified_sampler": {"shard_size": 15, "field": "tool",
+                                 "execution_hint": "map"},
+         "aggs": {"r": {"terms": {"field": "role"}}}},
+        {"diversified_sampler": {"shard_size": 15, "field": "tool"}},
+        {"diversified_sampler": {"shard_size": 15, "field": "nope"},
+         "aggs": {"r": {"terms": {"field": "role"}}}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"query": q, "aggs": {"s": bad}}
+                          ).collect()
 
 
 def test_rare_terms_matches_duckdb(spark, docs, docs_pdf, dsl_index):
