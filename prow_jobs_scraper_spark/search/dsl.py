@@ -4140,6 +4140,104 @@ _CAL_STEP = {"hour": "interval 1 hour", "day": "interval 1 day",
              "quarter": "interval 3 month", "year": "interval 1 year"}
 
 
+# The ES auto_date_histogram rounding ladder (AutoDateHistogram
+# AggregationBuilder's RoundingInfos): each base unit with its inner
+# multiples, smallest first. The reduce phase picks the FIRST entry
+# whose bucket count fits the target.
+_AUTO_LADDER = (
+    ("second", 1, "1s"), ("second", 5, "5s"),
+    ("second", 10, "10s"), ("second", 30, "30s"),
+    ("minute", 1, "1m"), ("minute", 5, "5m"),
+    ("minute", 10, "10m"), ("minute", 30, "30m"),
+    ("hour", 1, "1h"), ("hour", 3, "3h"), ("hour", 12, "12h"),
+    ("day", 1, "1d"), ("day", 7, "7d"),
+    ("month", 1, "1M"), ("month", 3, "3M"),
+    ("year", 1, "1y"), ("year", 5, "5y"), ("year", 10, "10y"),
+    ("year", 20, "20y"), ("year", 50, "50y"), ("year", 100, "100y"),
+)
+_AUTO_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+_AUTO_UNIT_SUFFIX = {"second": "s", "minute": "m", "hour": "h",
+                     "day": "d"}
+_MIN_INTERVAL_ORDER = ("second", "minute", "hour", "day", "month",
+                       "year")
+
+
+def _resolve_auto_interval(frame: DataFrame, body: dict):
+    """``auto_date_histogram`` body -> (the equivalent
+    ``date_histogram`` body, the chosen ES interval label). The field's
+    (min, max) resolve in ONE single-row aggregate (two scalars cross
+    the driver boundary — the same bounded pattern as k-means
+    centroids, never data rows), then the smallest ladder interval
+    whose bucket count fits ``buckets`` (ES default 10) wins; nothing
+    fits -> the largest (100y). The rewritten body carries
+    ``min_doc_count: 0`` because ES returns the CONTIGUOUS bucket
+    sequence (empty buckets included) — the engine's gap-fill is
+    exactly that. Sub-second/minute/hour/day multiples map to the
+    epoch-anchored ``fixed_interval`` path (ES rounds 1d at UTC
+    midnight = a multiple of 86400; the 7d anchor is the Unix epoch —
+    a Thursday — where ES anchors day-multiples per rounding, a
+    documented deviation at the 7d rung only), 1M/3M/1y to calendar
+    month/quarter/year, and 5y+ to the internal ``__cal_years``
+    multiple-year floor. ``minimum_interval`` trims the ladder's small
+    end (the ES option); ``time_zone`` stays out of grammar (ES
+    re-anchors per DST segment — the documented fixed-interval rule)."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad auto_date_histogram body {body!r}")
+    unknown = set(body) - {"field", "buckets", "minimum_interval"}
+    if unknown:
+        raise DslError(
+            f"unsupported auto_date_histogram options {sorted(unknown)}")
+    if "field" not in body or not isinstance(body["field"], str):
+        raise DslError("auto_date_histogram needs a field")
+    target = body.get("buckets", 10)
+    if isinstance(target, bool) or not isinstance(target, int) \
+            or target < 1:
+        raise DslError(f"bad auto_date_histogram buckets {target!r}")
+    mi = body.get("minimum_interval")
+    if mi is not None and mi not in _MIN_INTERVAL_ORDER:
+        raise DslError(
+            f"bad minimum_interval {mi!r} "
+            f"(one of {list(_MIN_INTERVAL_ORDER)})")
+    ladder = [e for e in _AUTO_LADDER
+              if mi is None
+              or (_MIN_INTERVAL_ORDER.index(e[0])
+                  >= _MIN_INTERVAL_ORDER.index(mi))]
+
+    col = F.col(_ident(body["field"]))
+    row = frame.agg(F.min(col).alias("lo"), F.max(col).alias("hi")
+                    ).first()
+    lo, hi = (row["lo"], row["hi"]) if row is not None else (None, None)
+    chosen = ladder[0] if lo is None else ladder[-1]
+    if lo is not None:
+        elo = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp())
+        ehi = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp())
+        for unit, k, label in ladder:
+            if unit in _AUTO_SECS:
+                secs = _AUTO_SECS[unit] * k
+                cnt = ehi // secs - elo // secs + 1
+            elif unit == "month":
+                mlo = (lo.year - 1970) * 12 + lo.month - 1
+                mhi = (hi.year - 1970) * 12 + hi.month - 1
+                cnt = mhi // k - mlo // k + 1
+            else:
+                cnt = ((hi.year - 1970) // k - (lo.year - 1970) // k
+                       + 1)
+            if cnt <= target:
+                chosen = (unit, k, label)
+                break
+    unit, k, label = chosen
+    nb = {"field": body["field"], "min_doc_count": 0}
+    if unit in _AUTO_SECS:
+        nb["fixed_interval"] = f"{k}{_AUTO_UNIT_SUFFIX[unit]}"
+    elif unit == "month":
+        nb["calendar_interval"] = "month" if k == 1 else "quarter"
+    elif k == 1:
+        nb["calendar_interval"] = "year"
+    else:
+        nb["__cal_years"] = k
+    return nb, label
+
+
 def _eb_bucket(kind: str, body: dict, v, which: str):
     """``extended_bounds`` value -> its bucket key, using the SAME
     arithmetic as the data path (floor to interval / date_trunc /
@@ -4214,6 +4312,14 @@ def _gap_fill(out: DataFrame, kind: str, body: dict) -> DataFrame:
         keys = b.select(F.explode(F.sequence(
             "lo", "hi",
             F.expr(_CAL_STEP[body["calendar_interval"]]))).alias("key"))
+    elif body.get("__cal_years") is not None:
+        # keys are Jan-1 timestamps of 1970-anchored k-year periods
+        # (the _bucket_key floor), so a k-year step lands exactly on
+        # every observed key
+        keys = b.select(F.explode(F.sequence(
+            "lo", "hi",
+            F.expr(f"interval {int(body['__cal_years'])} year")
+        )).alias("key"))
     else:
         secs = _fixed_interval_seconds(body["fixed_interval"])
         keys = b.select(F.explode(F.sequence(
@@ -4311,13 +4417,14 @@ def _bucket_key(kind: str, body: dict):
         return key, size, order, _parse_min_doc_count(body)
     unknown = set(body) - {"field", "calendar_interval", "fixed_interval",
                            "min_doc_count", "order", "extended_bounds",
-                           "time_zone"}
+                           "time_zone", "__cal_years"}
     if unknown:
         raise DslError(
             f"unsupported date_histogram options {sorted(unknown)}")
     iv = body.get("calendar_interval")
     fx = body.get("fixed_interval")
-    if (iv is None) == (fx is None):
+    yk = body.get("__cal_years")
+    if sum(x is not None for x in (iv, fx, yk)) != 1:
         raise DslError("date_histogram needs exactly one of "
                        "calendar_interval / fixed_interval")
     if "order" in body:
@@ -4325,7 +4432,23 @@ def _bucket_key(kind: str, body: dict):
             "date_histogram takes no order (ES: always key-ascending)")
     col = F.col(_ident(body["field"]))
     tz = body.get("time_zone")
-    if iv is not None:
+    if yk is not None:
+        # internal multiple-year floor, installed by
+        # _resolve_auto_interval for the 5y+ rungs of the
+        # auto_date_histogram ladder: Jan 1 of the containing
+        # 1970-anchored k-year period
+        if isinstance(yk, bool) or not isinstance(yk, int) or yk < 1:
+            raise DslError(f"bad __cal_years {yk!r}")
+        if tz is not None or "extended_bounds" in body:
+            raise DslError(
+                "__cal_years supports neither time_zone nor "
+                "extended_bounds")
+        key = F.to_timestamp(F.make_date(
+            (F.lit(1970)
+             + F.floor((F.year(col) - F.lit(1970)) / F.lit(yk))
+             .cast("int") * F.lit(yk)),
+            F.lit(1), F.lit(1)))
+    elif iv is not None:
         if iv not in _CALENDAR_INTERVALS:
             raise DslError(f"calendar_interval {iv!r} not supported")
         key = _tz_date_trunc(iv, col, tz)
@@ -5222,6 +5345,18 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
     granularity — Catalyst partial-aggregates map-side, then a window
     over bucket-cardinality rows; no second corpus scan."""
     siblings = siblings or {}
+    if kind == "auto_date_histogram":
+        # resolve the data-dependent interval, then run the EXACT
+        # date_histogram path (gap-filled: ES returns the contiguous
+        # sequence); the chosen ES interval label rides along as a
+        # constant column — the response adornment ES returns
+        body, label = _resolve_auto_interval(frame, body)
+        out = _apply_agg(frame, agg_name, "date_histogram", body, sub,
+                         siblings, bg_frame)
+        if "interval" in out.columns:
+            raise DslError(
+                "an aggregation column is already named 'interval'")
+        return out.withColumn("interval", F.lit(label))
     if siblings and (kind not in _BUCKET_KINDS
                      or _split_sub(_split_pipeline(sub)[1])[1] is not None
                      or any(isinstance(v, dict) and "top_hits" in v

@@ -2649,6 +2649,124 @@ def test_pipeline_agg_rejects(spark, docs):
             "by_role": {"terms": {"field": "role"}}}))
 
 
+def test_auto_date_histogram(spark, docs, docs_pdf, dsl_index):
+    """ES `auto_date_histogram`: the smallest ES-ladder interval whose
+    bucket count fits the target wins (min/max resolve in ONE
+    single-row aggregate), then the request runs as the EXACT gap-
+    filled date_histogram (ES returns the contiguous sequence) with
+    the chosen interval label as a constant column. Controlled spans
+    pin each ladder family (fixed seconds, calendar month, the
+    internal 5y+ multiple-year floor); docs-corpus run is indexed-
+    identical; sub-metrics and pipelines compose; validation fails
+    loud."""
+    import datetime as dt
+
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    # 90-second span, target 10 -> 10s buckets, epoch-anchored
+    f1 = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 8, 0, 0, 2) + dt.timedelta(seconds=9 * i))
+         for i in range(11)], "id long, ts timestamp")
+    g1 = dsl_aggregate(f1, {"aggs": {"d": {
+        "auto_date_histogram": {"field": "ts"}}}}).toPandas()
+    assert (g1["interval"] == "10s").all()
+    assert len(g1) == 10 and g1["doc_count"].sum() == 11
+    assert g1["key"].iloc[0] == dt.datetime(2024, 1, 8)  # floor of :02
+
+    # 14-month span, target 10 -> quarter (3M); contiguous incl. empty
+    f2 = spark.createDataFrame(
+        [(0, dt.datetime(2023, 2, 10)), (1, dt.datetime(2024, 4, 20))],
+        "id long, ts timestamp")
+    g2 = dsl_aggregate(f2, {"aggs": {"d": {
+        "auto_date_histogram": {"field": "ts"}}}}).toPandas()
+    assert (g2["interval"] == "3M").all()
+    assert g2["key"].tolist() == [
+        dt.datetime(2023, 1, 1), dt.datetime(2023, 4, 1),
+        dt.datetime(2023, 7, 1), dt.datetime(2023, 10, 1),
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 4, 1)]
+    assert g2["doc_count"].tolist() == [1, 0, 0, 0, 0, 1]
+
+    # 15-year span, target 5 -> the internal 5y floor, 1970-anchored,
+    # gap-filled; a metric sub-agg and a normalize pipeline ride along
+    f3 = spark.createDataFrame(
+        [(4, dt.datetime(2001, 3, 1)), (8, dt.datetime(2002, 1, 1)),
+         (13, dt.datetime(2016, 6, 5))], "id long, ts timestamp")
+    g3 = dsl_aggregate(f3, {"aggs": {"d": {
+        "auto_date_histogram": {"field": "ts", "buckets": 5},
+        "aggs": {"m": {"avg": {"field": "id"}},
+                 "p": {"normalize": {"buckets_path": "_count",
+                                     "method": "percent_of_sum"}}}}}}
+    ).toPandas()
+    assert (g3["interval"] == "5y").all()
+    assert g3["key"].tolist() == [
+        dt.datetime(2000, 1, 1), dt.datetime(2005, 1, 1),
+        dt.datetime(2010, 1, 1), dt.datetime(2015, 1, 1)]
+    assert g3["doc_count"].tolist() == [2, 0, 0, 1]
+    assert g3["m"].iloc[0] == 6.0 and pd.isna(g3["m"].iloc[1])
+    np.testing.assert_allclose(g3["p"], [2 / 3, 0, 0, 1 / 3])
+
+    # single distinct value -> one bucket at the smallest allowed
+    # interval; minimum_interval trims the ladder's small end
+    f4 = spark.createDataFrame([(0, dt.datetime(2024, 1, 8, 3, 4, 5))],
+                               "id long, ts timestamp")
+    g4 = dsl_aggregate(f4, {"aggs": {"d": {
+        "auto_date_histogram": {"field": "ts"}}}}).toPandas()
+    assert g4["interval"].iloc[0] == "1s" and len(g4) == 1
+    g4m = dsl_aggregate(f4, {"aggs": {"d": {"auto_date_histogram": {
+        "field": "ts", "minimum_interval": "month"}}}}).toPandas()
+    assert g4m["interval"].iloc[0] == "1M"
+    assert g4m["key"].iloc[0] == dt.datetime(2024, 1, 1)
+
+    # empty qualifying set -> zero rows, schema intact
+    g5 = dsl_aggregate(f4, {
+        "query": {"term": {"id": 999}},
+        "aggs": {"d": {"auto_date_histogram": {"field": "ts"}}}}
+    ).toPandas()
+    assert len(g5) == 0 and "interval" in g5.columns
+
+    # docs corpus: engine == indexed executor, and the label matches a
+    # python replay of the ladder choice on the corpus bounds
+    req = {"aggs": {"d": {"auto_date_histogram": {
+        "field": "ts", "buckets": 12}}}}
+    gd = dsl_aggregate(docs, req).toPandas()
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, gd)
+    lo = docs_pdf["ts"].min().to_pydatetime()
+    hi = docs_pdf["ts"].max().to_pydatetime()
+    elo = int(lo.replace(tzinfo=dt.timezone.utc).timestamp())
+    ehi = int(hi.replace(tzinfo=dt.timezone.utc).timestamp())
+    for secs, label in [(1, "1s"), (5, "5s"), (10, "10s"), (30, "30s"),
+                        (60, "1m"), (300, "5m"), (600, "10m"),
+                        (1800, "30m"), (3600, "1h"), (10800, "3h"),
+                        (43200, "12h"), (86400, "1d"), (604800, "7d")]:
+        if ehi // secs - elo // secs + 1 <= 12:
+            break
+    assert gd["interval"].iloc[0] == label
+    assert gd["doc_count"].sum() == len(docs_pdf)
+
+    for bad, msg in [
+        ({"field": "ts", "interval": "day"},
+         "unsupported auto_date_histogram options"),
+        ({"field": "ts", "time_zone": "UTC"},
+         "unsupported auto_date_histogram options"),
+        ({"field": "ts", "buckets": 0}, "buckets"),
+        ({"field": "ts", "minimum_interval": "week"},
+         "bad minimum_interval"),
+        ({"buckets": 10}, "needs a field"),
+    ]:
+        with pytest.raises(DslError, match=msg):
+            dsl_aggregate(docs, {"aggs": {"d": {
+                "auto_date_histogram": bad}}}).collect()
+    # a metric named `interval` collides with the label column
+    with pytest.raises(DslError, match="interval"):
+        dsl_aggregate(f4, {"aggs": {"d": {
+            "auto_date_histogram": {"field": "ts"},
+            "aggs": {"interval": {"avg": {"field": "id"}}}}}}).collect()
+
+
 def test_normalize_pipeline(spark, docs, docs_pdf, dsl_index):
     """ES `normalize` (7.9+): per-bucket value rescaled by bucket-list
     statistics — all six ES methods against a duckdb window replay;
