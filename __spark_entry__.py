@@ -340,6 +340,12 @@ def _dismax_topk(spark, sf_dir):
       (search/dsl.py FunctionScore/_fscore_factor). The twin replays
       the factor arithmetic verbatim over the same ``sc`` CTE — the
       value SQL is dialect-shared by construction.
+    - ``sscore`` (round 5, resumed closing): ``script_score`` — a
+      painless-subset script (``_score * Math.log(2 + doc['n_chars']
+      .value / params.d)``) compiled to ONE Catalyst expression
+      (search/dsl.py _compile_score_script; params resolve to
+      literals at compile time, negative results raise). The twin
+      replays the arithmetic over the shared ``sc`` CTE.
 
     - ``mbp`` (round 5): ``match_bool_prefix`` — 'hash' as a term
       match OR the first four 's*' expansions (the ES bool desugar;
@@ -414,6 +420,17 @@ def _dismax_topk(spark, sf_dir):
                                     "modifier": "log1p", "missing": 1}},
         ],
         "score_mode": "sum", "boost_mode": "multiply"}}}))
+    # script_score (round 5, resumed closing): a painless-subset
+    # script compiled to one Catalyst expression (search/dsl.py
+    # _compile_score_script) — score = _score * ln(2 + n_chars/100);
+    # the DuckDB twin replays the arithmetic verbatim over the shared
+    # sc CTE (ln == Math.log, both natural; round(,4) absorbs libm ulp)
+    out = out.unionByName(mode("sscore", {"query": {"script_score": {
+        "query": {"match": {"text": {"query": "key agg",
+                                     "operator": "or"}}},
+        "script": {"source": "_score * Math.log(2 + "
+                             "doc['n_chars'].value / params.d)",
+                   "params": {"d": 100}}}}}))
     # match_bool_prefix (round 5): 'hash' as a term match OR the first
     # four 's*' vocabulary terms (desugar onto the bool grammar,
     # search/dsl.py _desugar_match_bool_prefix) — same text as the
@@ -1310,6 +1327,20 @@ def _search_aggs_metrics(spark, sf_dir):
             "sort": {"ts": "asc"}}}}}}}).select(
         F.lit("tmxt").alias("shape"), "key", "doc_count",
         F.round("t_value", 6).alias("val"))
+    # auto_date_histogram (round 5, resumed closing): the engine
+    # resolves the ES rounding ladder from the window's ts bounds —
+    # target 20 picks 1d here (12h would need 28 buckets) — then runs
+    # the exact gap-filled fixed-interval path (search/dsl.py
+    # _resolve_auto_interval). The chosen label is pinned by embedding
+    # it in the key, so a ladder drift hash-mismatches; the twin
+    # replays the contiguous day sequence between the observed bounds
+    au = dsl_aggregate(ev, {**q, "aggs": {"d": {
+        "auto_date_histogram": {"field": "ts", "buckets": 20}}}}
+    ).select(
+        F.lit("auto").alias("shape"),
+        F.concat_ws("|", "interval",
+                    F.col("key").cast("string")).alias("key"),
+        "doc_count", nd.alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
@@ -1319,7 +1350,8 @@ def _search_aggs_metrics(spark, sf_dir):
             .unionByName(mmt).unionByName(tzb).unionByName(mt)
             .unionByName(bx).unionByName(md).unionByName(mdt)
             .unionByName(sst).unionByName(ti)
-            .unionByName(tm).unionByName(tmt).unionByName(nrm))
+            .unionByName(tm).unionByName(tmt).unionByName(nrm)
+            .unionByName(au))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -2350,6 +2382,17 @@ UNION ALL
         round(score, 4) AS score
  FROM fsq ORDER BY score DESC, doc_id LIMIT 10)
 UNION ALL
+-- script_score twin: the painless arithmetic replayed verbatim —
+-- _score * ln(2 + n_chars/100.0) over the 'key agg' or-match
+(SELECT 'sscore' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (SELECT sc.doc_id,
+              s1 * ln(2 + cast(d.n_chars as double) / 100.0) AS score
+       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       WHERE m1 > 0)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
 -- match_bool_prefix twin: match('hash') OR best 's*'-expansion match
 -- (bool-should sum over the matched sides, either qualifies)
 (SELECT 'mbp' AS mode, doc_id,
@@ -2812,6 +2855,20 @@ SELECT 'nrm', key || '|' || which, dc::BIGINT, round(val, 6) FROM (
   FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)::VARCHAR AS key,
                count(*)::DOUBLE AS dc, avg(value) AS m
         FROM w GROUP BY 1))
+UNION ALL
+-- auto_date_histogram twin: the ladder resolves to 1d on this
+-- window's bounds (span ~14 days, target 20; 12h would need 28
+-- buckets) — the key embeds the label so a ladder drift mismatches;
+-- contiguous day sequence between the OBSERVED bounds, epoch-floored
+-- day == date_trunc('day')
+SELECT 'auto', '1d|' || CAST(CAST(d.key AS TIMESTAMP) AS VARCHAR),
+       coalesce(b.c, 0), NULL::DOUBLE FROM
+  (SELECT unnest(generate_series(
+     (SELECT date_trunc('day', min(ts)) FROM w),
+     (SELECT date_trunc('day', max(ts)) FROM w),
+     INTERVAL 1 DAY)) AS key) d
+  LEFT JOIN (SELECT date_trunc('day', ts) AS key, count(*) AS c
+             FROM w GROUP BY 1) b ON d.key = b.key
 """
 
 # pii_scrub twin: identical augmentation (residue classes over doc_id)

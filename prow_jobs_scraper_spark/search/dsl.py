@@ -364,6 +364,16 @@ class FScoreFn:
     weight: float
     value_sql: str
     fields: tuple  # doc/doc_stats columns the function reads
+    # compiled painless score script (script_score query): a closure
+    # (field_col, qscore) -> Column. Set -> value_sql is unused; the
+    # script gets the wrapped query's score, which no SQL string could
+    # carry (value_sql is evaluated before the combine step sees it)
+    script: "object | None" = None
+    # (source, params-items) the script compiled from — kept so an
+    # INDEPENDENT oracle (the pytest pandas/numpy evaluator) can
+    # re-evaluate the same painless text without going through the
+    # engine's compiler, mirroring how value_sql is replayed in DuckDB
+    script_src: "tuple | None" = None
 
 
 @dataclass
@@ -1565,9 +1575,11 @@ def _parse_function_score(body: dict) -> QuerySpec:
     function), metadata ``filter`` per function, ``weight``,
     ``field_value_factor``, numeric ``gauss``/``exp``/``linear``
     decay, ``score_mode``, ``boost_mode``, ``max_boost``,
-    ``min_score``, ``boost``. ``script_score``/``random_score`` are
-    out of grammar (fail loud: scripts are arbitrary code, random is
-    non-deterministic — both would break oracle identity)."""
+    ``min_score``, ``boost``. ``script_score``/``random_score`` as
+    FUNCTIONS here are out of grammar (random is non-deterministic and
+    would break oracle identity; scripts are supported via the
+    dedicated top-level ``script_score`` query,
+    :func:`_parse_script_score`)."""
     if not isinstance(body, dict):
         raise DslError(f"bad function_score body {body!r}")
     known = ({"query", "functions", "score_mode", "boost_mode",
@@ -1617,6 +1629,251 @@ def _parse_function_score(body: dict) -> QuerySpec:
     # (the same contract the *_sql predicate lists follow)
     for fn in funcs:
         spec.sql_fields.update(fn.fields)
+    return spec
+
+
+# script_score token grammar: the painless subset real scoring scripts
+# write — doc['f'].value field access, params.x (resolved to literals
+# at COMPILE time from the request's params dict), _score, numbers,
+# arithmetic, and the Math.* calls both Spark SQL and DuckDB expose
+# under portable names (ln/log10/sqrt/abs/power/exp/greatest/least).
+# No booleans: a score is numeric, so comparisons/&&/|| stay out of
+# grammar (ternaries would need them; they fail loud like everywhere
+# else in the DSL).
+_SCORE_TOKEN = _re.compile(
+    r"(\s+)"
+    r"|doc\['([A-Za-z_]\w*)'\]\.value"
+    r"|params\.([A-Za-z_]\w*)"
+    r"|(_score)\b"
+    r"|Math\.(log10|log|sqrt|abs|pow|max|min|exp)\b"
+    r"|(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|([-+*/(),])")
+
+_SCORE_MATH_1 = {"log": F.log, "log10": F.log10, "sqrt": F.sqrt,
+                 "abs": F.abs, "exp": F.exp}
+
+
+def _compile_score_script(source: str, params: dict):
+    """``script_score`` source -> (closure, fields). The closure takes
+    ``(field_col, qscore)`` — a field-name -> Column resolver and the
+    wrapped query's score Column — and returns the score Column. This
+    is the one DSL compiler that emits COLUMN BUILDERS instead of a
+    shared-subset SQL string: the script references ``_score``, a
+    per-executor row expression no replayable text could carry (the
+    naive executor holds it as the wrapped bool's score expression,
+    the indexed executor as the candidate frame's score column).
+    ``params.x`` resolve to literals at compile time; Math.* map to
+    the portable functions (log->ln, pow->power, max/min->
+    greatest/least); unsupported syntax (ternaries, comparisons,
+    method calls, unknown vars) fails loud at parse."""
+    if not isinstance(source, str) or not source.strip():
+        raise DslError(f"script_score needs a script source string, "
+                       f"got {source!r}")
+    toks, pos, fields = [], 0, []
+    while pos < len(source):
+        m = _SCORE_TOKEN.match(source, pos)
+        if m is None:
+            raise DslError(
+                f"script_score: unsupported syntax at "
+                f"{source[pos:pos + 16]!r} (grammar: doc['f'].value, "
+                f"params.x, _score, numbers, + - * / parens, "
+                f"Math.log/log10/sqrt/abs/pow/max/min/exp)")
+        pos = m.end()
+        if m.group(1):
+            continue
+        if m.group(2):
+            f = m.group(2)
+            if f not in fields:
+                fields.append(f)
+            toks.append(("field", f))
+        elif m.group(3):
+            p = m.group(3)
+            if p not in params:
+                raise DslError(
+                    f"script_score references params.{p} which is not "
+                    f"in params {sorted(params)}")
+            v = params[p]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise DslError(
+                    f"script_score params.{p} must be a number, "
+                    f"got {v!r}")
+            toks.append(("num", float(v)))
+        elif m.group(4):
+            toks.append(("score", None))
+        elif m.group(5):
+            toks.append(("math", m.group(5)))
+        elif m.group(6):
+            toks.append(("num", float(m.group(6))))
+        else:
+            toks.append(("op", m.group(7)))
+
+    # recursive descent into closures (precedence: +- < */ < unary -)
+    i = 0
+
+    def peek():
+        return toks[i] if i < len(toks) else (None, None)
+
+    def take():
+        nonlocal i
+        t = toks[i]
+        i += 1
+        return t
+
+    def expect(op):
+        if peek() != ("op", op):
+            raise DslError(
+                f"script_score: expected {op!r}, got {peek()[1]!r}")
+        take()
+
+    def atom():
+        kind, val = peek()
+        if kind == "num":
+            take()
+            return lambda fc, qs, v=val: F.lit(v)
+        if kind == "field":
+            take()
+            return lambda fc, qs, f=val: fc(f)
+        if kind == "score":
+            take()
+            return lambda fc, qs: qs
+        if kind == "math":
+            take()
+            name = val
+            expect("(")
+            args = [add()]
+            while peek() == ("op", ","):
+                take()
+                args.append(add())
+            expect(")")
+            n = len(args)
+            if name == "pow":
+                if n != 2:
+                    raise DslError("script_score: Math.pow takes "
+                                   f"exactly 2 arguments, got {n}")
+                return lambda fc, qs, a=args: F.pow(a[0](fc, qs),
+                                                    a[1](fc, qs))
+            if name in ("max", "min"):
+                if n < 2:
+                    raise DslError(f"script_score: Math.{name} takes "
+                                   f"at least 2 arguments, got {n}")
+                g = F.greatest if name == "max" else F.least
+                return lambda fc, qs, a=args, g=g: g(
+                    *[x(fc, qs) for x in a])
+            if n != 1:
+                raise DslError(f"script_score: Math.{name} takes "
+                               f"exactly 1 argument, got {n}")
+            fn = _SCORE_MATH_1[name]
+            return lambda fc, qs, a=args[0], fn=fn: fn(a(fc, qs))
+        if kind == "op" and val == "(":
+            take()
+            inner = add()
+            expect(")")
+            return inner
+        raise DslError(f"script_score: expected a value, got {val!r}")
+
+    def unary():
+        if peek() == ("op", "-"):
+            take()
+            sub = unary()
+            return lambda fc, qs: -sub(fc, qs)
+        return atom()
+
+    def mul():
+        left = unary()
+        while peek()[0] == "op" and peek()[1] in ("*", "/"):
+            op = take()[1]
+            right = unary()
+            if op == "*":
+                left = (lambda fc, qs, a=left, b=right:
+                        a(fc, qs) * b(fc, qs))
+            else:
+                left = (lambda fc, qs, a=left, b=right:
+                        a(fc, qs) / b(fc, qs))
+        return left
+
+    def add():
+        left = mul()
+        while peek()[0] == "op" and peek()[1] in ("+", "-"):
+            op = take()[1]
+            right = mul()
+            if op == "+":
+                left = (lambda fc, qs, a=left, b=right:
+                        a(fc, qs) + b(fc, qs))
+            else:
+                left = (lambda fc, qs, a=left, b=right:
+                        a(fc, qs) - b(fc, qs))
+        return left
+
+    body = add()
+    if i != len(toks):
+        raise DslError(
+            f"script_score: trailing tokens after the expression "
+            f"({toks[i][1]!r})")
+    return body, tuple(fields)
+
+
+def _parse_script_score(body: dict) -> QuerySpec:
+    """ES ``script_score`` query -> a :class:`QuerySpec` carrying a
+    :class:`FunctionScore` whose single function evaluates the
+    compiled script (boost_mode=replace: the script's value IS the
+    score — the ES rule). The wrapped query qualifies docs and feeds
+    ``_score`` (an unscored wrapped query contributes 1.0, the
+    constant-score-leaf rule). NULL field values raise at run time
+    (the :func:`_fscore_field_sql` contract) and a NEGATIVE script
+    result raises too — ES rejects negative script scores, and
+    silently clamping would reorder results unseen. ``min_score``
+    drops docs below the final score; works in every executor and
+    every bool context (rides the fscore machinery); block-max
+    pruning stays off (:func:`_prunable_for_topk`) — per-term bounds
+    don't survive arbitrary per-doc arithmetic."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad script_score body {body!r}")
+    unknown = set(body) - {"query", "script", "min_score", "boost"}
+    if unknown:
+        raise DslError(
+            f"unsupported script_score options {sorted(unknown)}")
+    if "query" not in body:
+        raise DslError("script_score needs a query")
+    script = body.get("script")
+    if isinstance(script, str):
+        script = {"source": script}
+    if not isinstance(script, dict):
+        raise DslError(f"script_score needs a script, got {script!r}")
+    if script.get("lang", "painless") != "painless":
+        raise DslError(
+            f"unsupported script lang {script['lang']!r} "
+            f"(only the painless subset compiles)")
+    sunknown = set(script) - {"source", "params", "lang"}
+    if sunknown:
+        raise DslError(
+            f"unsupported script keys {sorted(sunknown)} "
+            f"(stored scripts by id are out of grammar)")
+    params = script.get("params", {})
+    if not isinstance(params, dict):
+        raise DslError(f"bad script params {params!r}")
+    raw, fields = _compile_score_script(script.get("source"), params)
+
+    neg_err = ("cast(raise_error('script_score produced a negative "
+               "score') as double)")
+
+    def compiled(fc, qs, raw=raw, neg_err=neg_err):
+        v = raw(fc, qs).cast("double")
+        return F.when(v < 0, F.expr(neg_err)).otherwise(v)
+
+    min_score = (None if "min_score" not in body
+                 else _fscore_num(body["min_score"], "min_score"))
+    boost = _fscore_num(body.get("boost", 1.0), "boost",
+                        lo=0.0, lo_open=True)
+    fs = FunctionScore(
+        wrapped=parse_query(body["query"]),
+        funcs=[FScoreFn(filter_sql=None, weight=1.0, value_sql="1.0",
+                        fields=fields, script=compiled,
+                        script_src=(script.get("source"),
+                                    tuple(sorted(params.items()))))],
+        score_mode="multiply", boost_mode="replace",
+        max_boost=None, min_score=min_score, boost=boost)
+    spec = QuerySpec(fscore=fs)
+    spec.sql_fields.update(fields)
     return spec
 
 
@@ -1784,18 +2041,29 @@ def _parse_distance_feature(body: dict) -> QuerySpec:
     return out
 
 
-def _fscore_factor(fs: FunctionScore):
+def _script_field_col(field: str):
+    """script_score field access: the established fscore rule —
+    double-cast, NULL raises at run time (no ``missing`` in the
+    script grammar)."""
+    return F.expr(_fscore_field_sql(field, None))
+
+
+def _fscore_factor(fs: FunctionScore, qscore=None):
     """The per-doc function factor as ONE row expression (shared by
     the naive executor over the corpus frame and the indexed executor
     over doc_stats-joined candidates): each function contributes
     weight * value when its filter matches; matched contributions
     combine per ``score_mode``; no function matched -> 1.0 (the ES
-    rule); ``max_boost`` caps the result."""
+    rule); ``max_boost`` caps the result. ``qscore`` is the wrapped
+    query's score expression, consumed only by compiled script_score
+    functions (``FScoreFn.script``)."""
     parts = []
     for fn in fs.funcs:
         m = (F.coalesce(F.expr(fn.filter_sql), F.lit(False))
              if fn.filter_sql is not None else F.lit(True))
-        v = F.expr(fn.value_sql).cast("double") * F.lit(fn.weight)
+        v = (fn.script(_script_field_col, qscore)
+             if fn.script is not None
+             else F.expr(fn.value_sql).cast("double")) * F.lit(fn.weight)
         parts.append((m, v, fn.weight))
     mode = fs.score_mode
     if mode == "multiply":
@@ -2011,6 +2279,8 @@ def parse_query(q: dict) -> QuerySpec:
         return _parse_boosting(body)
     if kind == "function_score":
         return _parse_function_score(body)
+    if kind == "script_score":
+        return _parse_script_score(body)
     if kind == "rank_feature":
         return _parse_rank_feature(body)
     if kind == "distance_feature":
@@ -2096,19 +2366,22 @@ def parse_query(q: dict) -> QuerySpec:
                 else:
                     spec.must_not.append(tc)
             elif ck in ("constant_score", "boosting", "function_score",
-                        "rank_feature", "distance_feature"):
+                        "script_score", "rank_feature",
+                        "distance_feature"):
                 # score matters in must/should (constant_score adds
                 # `boost`; boosting adds the demoted positive score;
-                # function_score — and the rank/distance_feature
-                # queries that desugar onto it — adds its combined
-                # score); in filter/must_not only qualification
-                # survives — all five are exactly the child-bool
-                # semantics, so they ride the *_bool lists
+                # function_score/script_score — and the rank/
+                # distance_feature queries that desugar onto it — add
+                # their combined score); in filter/must_not only
+                # qualification survives — all six are exactly the
+                # child-bool semantics, so they ride the *_bool lists
                 getattr(spec, f"{ctx}_bool").append(
                     _parse_constant_score(cb) if ck == "constant_score"
                     else _parse_boosting(cb) if ck == "boosting"
                     else _parse_function_score(cb)
                     if ck == "function_score"
+                    else _parse_script_score(cb)
+                    if ck == "script_score"
                     else _parse_rank_feature(cb) if ck == "rank_feature"
                     else _parse_distance_feature(cb))
             elif ck in ("term", "terms", "range", "exists", "prefix",
@@ -2403,8 +2676,8 @@ def _compile_specs(
             wok, wsc, wq, wscored = spec_exprs(fs.wrapped)
             if not wok:
                 return False, None, None, False
-            final = _fscore_combine(wsc if wscored else F.lit(1.0),
-                                    _fscore_factor(fs), fs)
+            wqs = wsc if wscored else F.lit(1.0)
+            final = _fscore_combine(wqs, _fscore_factor(fs, wqs), fs)
             qual = wq
             if fs.min_score is not None:
                 qual = (F.coalesce(qual, F.lit(False))
@@ -6420,9 +6693,8 @@ def _qualify_indexed(
             fr = fr.join(
                 _doc_stats_union(spark, dirs).select("doc_id", *need),
                 "doc_id", "left")
-        final = _fscore_combine(
-            F.col("score") if wscored else F.lit(1.0),
-            _fscore_factor(fs), fs)
+        wqs = F.col("score") if wscored else F.lit(1.0)
+        final = _fscore_combine(wqs, _fscore_factor(fs, wqs), fs)
         fr = fr.select("doc_id", final.alias("score"))
         if fs.min_score is not None:
             fr = fr.where(F.col("score") >= F.lit(fs.min_score))

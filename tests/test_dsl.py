@@ -174,6 +174,38 @@ def _value_vec(pdf: pd.DataFrame, sql: str) -> np.ndarray:
     return np.array([float(by_id[d]) for d in pdf["doc_id"]])
 
 
+def _script_vec(pdf: pd.DataFrame, script_src, qscore) -> np.ndarray:
+    """Independent ``script_score`` evaluator: rewrite the painless
+    source into a Python expression and let Python's OWN parser +
+    numpy evaluate it (precedence, parens, unary minus all come from
+    a second implementation, not the engine's recursive descent).
+    Negative results raise, mirroring the engine's run-time rule."""
+    import functools
+    import re
+
+    src, params = script_src
+    params = dict(params)
+    expr = re.sub(r"doc\['([A-Za-z_]\w*)'\]\.value", r"__f_\1", src)
+    expr = re.sub(r"params\.([A-Za-z_]\w*)",
+                  lambda m: repr(float(params[m.group(1)])), expr)
+    expr = re.sub(r"(?<!\w)_score\b", "__score", expr)
+    expr = expr.replace("Math.", "__m_")
+    env = {
+        "__score": np.asarray(qscore, dtype=float),
+        "__m_log": np.log, "__m_log10": np.log10, "__m_sqrt": np.sqrt,
+        "__m_abs": np.abs, "__m_exp": np.exp, "__m_pow": np.power,
+        "__m_max": lambda *a: functools.reduce(np.maximum, a),
+        "__m_min": lambda *a: functools.reduce(np.minimum, a),
+    }
+    for col in re.findall(r"__f_([A-Za-z_]\w*)", expr):
+        env[f"__f_{col}"] = pdf[col].to_numpy(dtype=float)
+    out = np.asarray(eval(expr, {"__builtins__": {}}, env), dtype=float)
+    if out.shape == ():
+        out = np.full(len(pdf), float(out))
+    assert not (out < 0).any(), "oracle: negative script score"
+    return out
+
+
 def _spec_eval(pdf, fstats, n, spec):
     """One (sub)bool -> (ok, score, qual, scored) numpy arrays —
     recursive, mirrors ES semantics independently of the Spark plans."""
@@ -191,7 +223,10 @@ def _spec_eval(pdf, fstats, n, spec):
             mats.append(_pred_mask(pdf, fn.filter_sql)
                         if fn.filter_sql is not None
                         else np.ones(n, dtype=bool))
-            vals.append(_value_vec(pdf, fn.value_sql) * fn.weight)
+            v = (_script_vec(pdf, fn.script_src, qscore)
+                 if fn.script_src is not None
+                 else _value_vec(pdf, fn.value_sql))
+            vals.append(v * fn.weight)
             wts.append(fn.weight)
         M, V = np.stack(mats), np.stack(vals)
         anym = M.any(axis=0)
@@ -827,6 +862,35 @@ DSL_QUERIES = [
     ("distance-feature-top", {"query": {"distance_feature": {
         "field": "ts", "origin": "2025-06-15T00:00:00||/d",
         "pivot": "12h"}}}),
+    # ---- script_score (round 5, resumed closing): painless-subset
+    # scripts compiled to Catalyst columns; the pytest oracle
+    # re-evaluates the SAME source through Python's own parser + numpy
+    # (_script_vec) — an independent second implementation
+    ("script-score-log", {"query": {"script_score": {
+        "query": {"match": {"text": {"query": "key agg",
+                                     "operator": "or"}}},
+        "script": {
+            "source": "_score * Math.log(2 + doc['turn_idx'].value "
+                      "/ params.d)",
+            "params": {"d": 7}}}}}),
+    ("script-score-in-should", {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "should": [{"script_score": {
+            "query": {"term": {"role": "user"}},
+            "script": "Math.sqrt(1 + doc['turn_idx'].value)"}}],
+    }}}),
+    ("script-score-minscore", {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source":
+                   "Math.max(doc['turn_idx'].value, params.f) / "
+                   "(1 + doc['turn_idx'].value)",
+                   "params": {"f": 5.0},
+                   "lang": "painless"},
+        "min_score": 0.5, "boost": 2.0}}}),
+    ("script-score-precedence", {"query": {"script_score": {
+        "query": {"match": {"text": "hash"}},
+        "script": "1 + _score * 2 - -3 / (1 + Math.abs("
+                  "doc['turn_idx'].value - 10))"}}}),
 ]
 
 
@@ -1146,6 +1210,71 @@ def test_function_score_validation():
     # surface for indexed doc_stats validation
     assert len(spec.text_clauses()) == 1
     assert spec.all_sql_fields() == {"role", "turn_idx"}
+
+
+def test_script_score_validation():
+    """Out-of-grammar painless (ternaries, comparisons, method calls,
+    strings, unknown/missing/non-numeric params, non-painless lang,
+    stored-script ids) and malformed bodies fail loud at PARSE time —
+    a silently-misread script would reorder every result."""
+    for bad in (
+        "not-a-dict",
+        {"script": "1"},  # no query
+        {"query": {"match_all": {}}},  # no script
+        {"query": {"match_all": {}}, "script": 7},
+        {"query": {"match_all": {}}, "script": "1",
+         "functions": []},  # function_score key
+        {"query": {"match_all": {}},
+         "script": {"source": "1", "id": "stored"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "1", "lang": "expression"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "doc['x'].value > 1 ? 2 : 3"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "doc['x'].value.length()"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "params.missing + 1"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "params.s", "params": {"s": "str"}}},
+        {"query": {"match_all": {}},
+         "script": {"source": "params.b", "params": {"b": True}}},
+        {"query": {"match_all": {}},
+         "script": {"source": "Math.tan(1)"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "Math.pow(2)"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "Math.max(2)"}},
+        {"query": {"match_all": {}},
+         "script": {"source": "Math.sqrt(2, 3)"}},
+        {"query": {"match_all": {}}, "script": {"source": "1 + "}},
+        {"query": {"match_all": {}}, "script": {"source": "(1"}},
+        {"query": {"match_all": {}}, "script": {"source": "1 2"}},
+        {"query": {"match_all": {}}, "script": {"source": ""}},
+        {"query": {"match_all": {}},
+         "script": {"source": "_score"}, "min_score": "x"},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"script_score": bad})
+    # fields read by the script surface for doc_stats validation
+    spec = parse_query({"script_score": {
+        "query": {"match": {"text": "x"}},
+        "script": "doc['turn_idx'].value + doc['ts'].value"}})
+    assert spec.all_sql_fields() == {"turn_idx", "ts"}
+    # function_score with a script_score FUNCTION stays out of grammar
+    with pytest.raises(DslError):
+        parse_query({"function_score": {
+            "query": {"match_all": {}},
+            "script_score": {"script": "1"}}})
+
+
+def test_script_score_negative_raises(spark, docs):
+    """A negative script result raises at RUN time — ES rejects
+    negative scores, and clamping would reorder results unseen."""
+    q = {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": "-1 * (1 + doc['turn_idx'].value)"}}}
+    with pytest.raises(Exception, match="negative"):
+        search_dsl(docs, q, 5).collect()
 
 
 def test_function_score_null_without_missing_raises(spark):
