@@ -15,6 +15,11 @@ Grammar (ES subset = the reference's surface + the engine's search shapes)::
     match        := {"match": {field: text | {"query": text,
                                               "operator": "and"|"or",
                                               "boost": number}}}
+                 -- the long form also takes "fuzziness" (int|"AUTO")
+                 -- with optional prefix_length/max_expansions:
+                 -- desugars at parse time to the bool of per-term
+                 -- fuzzy leaves ES's MatchQuery builds internally
+                 -- (_desugar_match_fuzzy; boost+fuzziness fails loud)
     match_phrase := {"match_phrase": {field: text | {"query": text,
                                                      "boost": number,
                                                      "slop": int}}}
@@ -1065,6 +1070,56 @@ def _desugar_match_bool_prefix(body: dict) -> dict:
                 "minimum_should_match only applies under operator: or")
         bq["minimum_should_match"] = spec["minimum_should_match"]
     return {"bool": bq}
+
+
+def _match_fuzzy_body(body) -> bool:
+    """True when a ``match`` body is the long form carrying
+    ``fuzziness`` — the shape :func:`_desugar_match_fuzzy` handles;
+    every other shape keeps riding :func:`_parse_text` (whose
+    allowlist still fails loud on fuzziness combined with options the
+    desugar doesn't support, e.g. boost)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        return False
+    (_, spec), = body.items()
+    return isinstance(spec, dict) and "fuzziness" in spec
+
+
+def _desugar_match_fuzzy(body: dict) -> dict:
+    """ES ``match`` with ``fuzziness`` -> the bool of per-term
+    ``fuzzy`` leaves ES's MatchQuery builds internally: each analyzed
+    token becomes a FuzzyQuery (operator ``or`` -> should with
+    minimum_should_match 1, ``and`` -> must);
+    ``fuzziness``/``prefix_length``/``max_expansions`` forward to
+    every leaf, and ``AUTO`` resolves PER TERM length inside
+    :func:`_parse_fuzzy` (the ES AUTO:3,6 rule — short tokens in the
+    same query stay exact while long ones fuzz, exactly like ES).
+    A pure parse-time desugar — zero new execution code, the
+    match_bool_prefix pattern. Scoring rides the engine's documented
+    fuzzy rule (dis_max over expansions; ES blends term stats).
+    ``boost`` with fuzziness stays out of grammar (the fuzzy leaf
+    carries no boost)."""
+    (fld, spec), = body.items()
+    unknown = set(spec) - {"query", "operator", "fuzziness",
+                           "prefix_length", "max_expansions"}
+    if unknown:
+        raise DslError(
+            f"unsupported fuzzy-match options {sorted(unknown)}")
+    if "query" not in spec or not isinstance(spec["query"], str):
+        raise DslError(f"match needs query text, got {spec!r}")
+    op = spec.get("operator", "or")
+    if op not in ("or", "and"):
+        raise DslError(f"operator must be or|and, got {op!r}")
+    toks = tokenize_text(spec["query"])
+    if not toks:
+        raise DslError(
+            f"match query must analyze to at least one term, "
+            f"{spec['query']!r} gave none")
+    leaf = {k: spec[k] for k in ("fuzziness", "prefix_length",
+                                 "max_expansions") if k in spec}
+    clauses = [{"fuzzy": {fld: {"value": t, **leaf}}} for t in toks]
+    if op == "and":
+        return {"bool": {"must": clauses}}
+    return {"bool": {"should": clauses, "minimum_should_match": 1}}
 
 
 def _as_list(v) -> list:
@@ -2258,6 +2313,8 @@ def parse_query(q: dict) -> QuerySpec:
         spec.match_all = True
         return spec
     if kind in ("match", "match_phrase"):
+        if kind == "match" and _match_fuzzy_body(body):
+            return parse_query(_desugar_match_fuzzy(body))
         spec.must.append(_parse_text(kind, body))
         return spec
     if kind in ("span_term", "span_near"):
@@ -2352,6 +2409,12 @@ def parse_query(q: dict) -> QuerySpec:
                 if ctx == "must_not":
                     raise DslError("must_not match_all matches nothing")
                 spec.match_all = True
+                continue
+            if ck == "match" and _match_fuzzy_body(cb):
+                # fuzzy match rides its bool desugar as a child bool
+                # (fuzzy leaves resolve per executor, like everywhere)
+                getattr(spec, f"{ctx}_bool").append(
+                    parse_query(_desugar_match_fuzzy(cb)))
                 continue
             if ck in ("match", "match_phrase", "span_term", "span_near"):
                 tc = (_parse_text(ck, cb)

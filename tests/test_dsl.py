@@ -5424,6 +5424,75 @@ def test_fuzzy_query(spark, docs, docs_pdf, dsl_index):
             parse_query(bad)
 
 
+def test_match_fuzziness(spark, docs, dsl_index):
+    """`match` with `fuzziness` (round 5): desugars at parse time to
+    the bool of per-term `fuzzy` leaves ES's MatchQuery builds —
+    operator or -> should/msm 1, and -> must; AUTO resolves per term
+    LENGTH so short tokens stay exact while long ones fuzz. Identity
+    against the hand-written desugar in every context, naive ==
+    indexed; unsupported option combos raise."""
+    mq = {"query": {"match": {"text": {
+        "query": "spark w00042", "fuzziness": 1, "prefix_length": 1,
+        "max_expansions": 20}}}}
+    hand = {"query": {"bool": {"should": [
+        {"fuzzy": {"text": {"value": "spark", "fuzziness": 1,
+                            "prefix_length": 1, "max_expansions": 20}}},
+        {"fuzzy": {"text": {"value": "w00042", "fuzziness": 1,
+                            "prefix_length": 1, "max_expansions": 20}}},
+    ], "minimum_should_match": 1}}}
+    a = search_dsl(docs, mq, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    _assert_rank_identical(a, b, "mfuzz==desugar")
+    assert len(a) == 10
+    gi = search_dsl_indexed(spark, dsl_index, mq, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "mfuzz-indexed")
+
+    # operator and + AUTO: 'the' (<3 chars) stays exact at 0 edits
+    # while 'w00042' (6 chars) fuzzes at 2 — the per-term AUTO rule
+    ma = {"query": {"match": {"text": {
+        "query": "term w00042", "operator": "and",
+        "fuzziness": "AUTO"}}}}
+    handa = {"query": {"bool": {"must": [
+        {"fuzzy": {"text": {"value": "term", "fuzziness": 1}}},
+        {"fuzzy": {"text": {"value": "w00042", "fuzziness": 2}}},
+    ]}}}
+    a2 = search_dsl(docs, ma, 10).toPandas()
+    b2 = search_dsl(docs, handa, 10).toPandas()
+    _assert_rank_identical(a2, b2, "mfuzz-and-auto")
+    gi2 = search_dsl_indexed(spark, dsl_index, ma, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gi2, a2, "mfuzz-and-indexed")
+
+    # rides bool contexts as a child bool (should + filter)
+    nested = {"query": {"bool": {
+        "must": [{"match": {"text": "the_hot_term"}}],
+        "should": [{"match": {"text": {"query": "w00042",
+                                       "fuzziness": 1}}}],
+        "filter": [{"term": {"role": "user"}}],
+    }}}
+    a3 = search_dsl(docs, nested, 10).toPandas()
+    gi3 = search_dsl_indexed(spark, dsl_index, nested, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gi3, a3, "mfuzz-nested-indexed")
+    assert (a3["score"] > 0).all()
+
+    for bad in (
+        {"match": {"text": {"query": "x", "fuzziness": 1,
+                            "boost": 2.0}}},  # boost + fuzziness
+        {"match": {"text": {"query": "x", "fuzziness": 1,
+                            "minimum_should_match": 1}}},
+        {"match": {"text": {"query": "x y", "fuzziness": 1,
+                            "operator": "xor"}}},
+        {"match": {"text": {"query": "...", "fuzziness": 1}}},
+        {"match": {"text": {"query": "x", "fuzziness": -1}}},
+        {"match": {"text": {"query": "x", "fuzziness": "AUTO:3,6"}}},
+        {"match_phrase": {"text": {"query": "x y", "fuzziness": 1}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query(bad)
+
+
 def test_match_phrase_prefix(spark, docs, docs_pdf, dsl_index):
     """ES `match_phrase_prefix` (round 5): the analyzed query's last
     term is a prefix, expanded against the vocabulary to the FIRST
