@@ -1821,7 +1821,15 @@ def _lsh_ann_topk(spark, sf_dir):
     (round 5, in-window again after the queries() growth pushed the
     standalone similarity_topk past the driver's 50-row cap) is the
     exact brute-force cosine baseline over the same query vector —
-    the recall yardstick every ANN variant is measured against."""
+    the recall yardstick every ANN variant is measured against.
+
+    Modes 'knn_cos'/'knn_l2' (round 5, resumed closing) drive the ES 8
+    ``_search`` ``knn`` section (search/dsl.py _parse_knn/_knn_hits)
+    over the same embeddings: knn_cos applies the ES PRE-filter
+    (label >= 1, qualification before the top-k cut) and boost 2.0 on
+    the (1+cos)/2 transform; knn_l2 ranks by 1/(1+d^2). The 'cosine'
+    column carries the TRANSFORMED ES _score for these modes; the twin
+    replays both transforms over the shared base CTE."""
     import tempfile  # noqa: PLC0415
 
     from prow_jobs_scraper_spark.operators.similarity import (
@@ -1829,6 +1837,7 @@ def _lsh_ann_topk(spark, sf_dir):
         build_lsh_index,
         lsh_probe_topk,
     )
+    from prow_jobs_scraper_spark.search.dsl import execute_request
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -1844,7 +1853,23 @@ def _lsh_ann_topk(spark, sf_dir):
         F.lit("brute").alias("mode"), "vec_id",
         F.row_number().over(w).alias("rank"),
         F.round("cosine", 4).alias("cosine"))
-    return a.unionByName(b)
+    ed = e.withColumnRenamed("vec_id", "doc_id")
+    wk = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def knn_mode(name, req):
+        return execute_request(ed, req).select(
+            F.lit(name).alias("mode"), F.col("doc_id").alias("vec_id"),
+            F.row_number().over(wk).alias("rank"),
+            F.round("score", 4).alias("cosine"))
+
+    kc = knn_mode("knn_cos", {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 10,
+        "num_candidates": 100, "boost": 2.0,
+        "filter": {"range": {"label": {"gte": 1}}}}})
+    kl = knn_mode("knn_l2", {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 10,
+        "metric": "l2_norm"}})
+    return a.unionByName(b).unionByName(kc).unionByName(kl)
 
 
 def _media_features(spark, sf_dir):
@@ -3235,7 +3260,8 @@ def _lsh_ann_sql(n_planes: int = 10, seed: int = 42, multi_probe: int = 2,
         for i in range(n_planes))
     return f"""
         WITH base AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings),
         sigs AS (SELECT vec_id, e, {bits} AS sig FROM base),
         q AS (SELECT e AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
         cand AS (
@@ -3250,12 +3276,37 @@ def _lsh_ann_sql(n_planes: int = 10, seed: int = 42, multi_probe: int = 2,
                        row_number() OVER (
                          ORDER BY list_cosine_similarity(
                            e, (SELECT qv FROM q)) DESC, vec_id) AS rank
-                FROM base)
+                FROM base),
+        -- knn twins: the ES dense-vector score transforms replayed —
+        -- knn_cos = (1+cos)/2 * boost 2 (== 1+cos exactly: /2 and *2
+        -- are power-of-two fp ops) over the label>=1 PRE-filter;
+        -- knn_l2 = 1/(1+d^2) (list_distance^2 vs the engine's direct
+        -- square-sum differ ~1 ulp, absorbed by round(,4))
+        kcs AS (SELECT vec_id,
+                       1.0 + list_cosine_similarity(e, (SELECT qv FROM q))
+                         AS s
+                FROM base WHERE label >= 1),
+        kcr AS (SELECT vec_id, s,
+                       row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+                FROM kcs),
+        kls AS (SELECT vec_id,
+                       1.0 / (1.0 + list_distance(e, (SELECT qv FROM q))
+                                    ** 2) AS s
+                FROM base),
+        klr AS (SELECT vec_id, s,
+                       row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+                FROM kls)
         SELECT 'lsh' AS mode, vec_id, rank, round(c, 4) AS cosine
         FROM rk WHERE rank <= {k}
         UNION ALL
         SELECT 'brute' AS mode, vec_id, rank, round(c, 4) AS cosine
         FROM brk WHERE rank <= {k}
+        UNION ALL
+        SELECT 'knn_cos' AS mode, vec_id, rank, round(s, 4) AS cosine
+        FROM kcr WHERE rank <= {k}
+        UNION ALL
+        SELECT 'knn_l2' AS mode, vec_id, rank, round(s, 4) AS cosine
+        FROM klr WHERE rank <= {k}
     """
 
 

@@ -2955,7 +2955,7 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 # result VALUES). Anything else — highlight, rescore, min_score... —
 # would silently change results and must fail loud.
 _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
-                 "collapse", "rescore", "highlight"}
+                 "collapse", "rescore", "highlight", "knn"}
 
 
 def _parse_highlight(request: dict):
@@ -3322,6 +3322,231 @@ def _sorted_hits(frame: DataFrame, score_col: str, sort,
     return out.offset(frm) if frm else out
 
 
+# ---- ES 8 kNN search (round 5, resumed closing) ----------------------
+
+_KNN_KEYS = {"field", "query_vector", "k", "num_candidates", "filter",
+             "boost", "metric", "similarity"}
+_KNN_METRICS = ("cosine", "dot_product", "l2_norm")
+
+
+@dataclass(frozen=True)
+class KnnSpec:
+    """Parsed ``_search`` ``knn`` section (ES 8 dense-vector search).
+    ``metric`` stands in for the dense_vector MAPPING's similarity —
+    this engine keeps no mappings, so the body carries it (default
+    ``cosine``, the ES mapping default). ``similarity`` keeps its ES
+    meaning: the minimum RAW similarity a hit must clear (cut applied
+    before the score transform and before ``boost``)."""
+
+    field: str
+    qvec: tuple  # float literals
+    k: int
+    metric: str
+    boost: float
+    min_sim: float | None
+    filter: "QuerySpec | None"
+
+
+def _parse_knn(body: dict) -> KnnSpec:
+    """ES 8 ``knn`` body -> :class:`KnnSpec`. ``num_candidates`` is the
+    HNSW recall knob — validated (int >= k) then a documented safe
+    no-op: this engine's kNN is EXACT brute force (a deviation in the
+    user's favor; the ANN scale paths are the LSH/IVF/IVF-PQ operators,
+    operators/similarity.py). ``filter`` is the ES pre-filter:
+    qualification only, evaluated BEFORE the top-k cut so the k hits
+    all satisfy it (ES semantics, unlike post-filtering)."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad knn body {body!r}")
+    unknown = set(body) - _KNN_KEYS
+    if unknown:
+        raise DslError(f"unsupported knn options {sorted(unknown)}")
+    if "field" not in body or "query_vector" not in body \
+            or "k" not in body:
+        raise DslError("knn needs field, query_vector and k")
+    fld = _ident(body["field"])
+    qv = body["query_vector"]
+    if not isinstance(qv, (list, tuple)) or not qv \
+            or not all(isinstance(x, (int, float))
+                       and not isinstance(x, bool) for x in qv):
+        raise DslError("query_vector must be a non-empty number list")
+    k = body["k"]
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise DslError(f"k must be an int >= 1, got {k!r}")
+    nc = body.get("num_candidates", k)
+    if isinstance(nc, bool) or not isinstance(nc, int) or nc < k:
+        raise DslError(
+            f"num_candidates must be an int >= k, got {nc!r}")
+    metric = body.get("metric", "cosine")
+    if metric not in _KNN_METRICS:
+        raise DslError(
+            f"metric must be one of {_KNN_METRICS}, got {metric!r}")
+    boost = body.get("boost", 1.0)
+    if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+            or boost <= 0:
+        raise DslError(f"knn boost must be > 0, got {boost!r}")
+    min_sim = body.get("similarity")
+    if min_sim is not None:
+        if isinstance(min_sim, bool) \
+                or not isinstance(min_sim, (int, float)):
+            raise DslError(
+                f"similarity must be a number, got {min_sim!r}")
+        if metric == "l2_norm":
+            # ES defines the l2 cut on distance, not similarity —
+            # honoring it under a similarity name would invert the
+            # inequality unseen
+            raise DslError("similarity cuts apply to cosine/"
+                           "dot_product only")
+    filt = body.get("filter")
+    fspec = None
+    if filt is not None:
+        fspec = parse_query({"bool": {"filter": _as_list(filt)}})
+    return KnnSpec(field=fld, qvec=tuple(float(x) for x in qv), k=int(k),
+                   metric=metric, boost=float(boost),
+                   min_sim=None if min_sim is None else float(min_sim),
+                   filter=fspec)
+
+
+def _knn_hits(docs_df: DataFrame, knn: KnnSpec,
+              params: BM25Params) -> DataFrame:
+    """The vector side: exact top-k -> (doc_id, __knn_score). ONE scan,
+    all-Catalyst arithmetic (zip_with + aggregate — no UDF), one
+    TakeOrderedAndProject; the filter qualifies BEFORE the cut. Docs
+    with a NULL vector never match (the ES missing-field rule); a
+    WRONG-DIMENSION vector raises at run time (ES rejects it at index
+    time — an engine without mappings can only catch it here, and a
+    silent zip_with NULL would drop the doc unseen). Scores are the ES
+    dense-vector transforms: cosine/dot (1+raw)/2, l2 1/(1+d^2)."""
+    frame = docs_df
+    if knn.filter is not None:
+        mf = _matched_frame(docs_df, knn.filter, params)
+        if mf is None:
+            return docs_df.sparkSession.createDataFrame(
+                [], "doc_id long, __knn_score double")
+        frame = mf[0]
+    elif "doc_id" not in frame.columns \
+            and {"conv_id", "turn_idx"} <= set(frame.columns):
+        frame = with_doc_ids(frame)
+    vec = F.col(knn.field)
+    dim = len(knn.qvec)
+    qa = F.array(*[F.lit(x) for x in knn.qvec])
+    dim_err = F.expr("cast(raise_error('knn: wrong-dimension vector') "
+                     "as double)")
+
+    def guarded(expr):
+        return F.when(F.size(vec) == F.lit(dim), expr).otherwise(dim_err)
+
+    dot = F.aggregate(
+        F.zip_with(vec, qa, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda a, x: a + x)
+    if knn.metric == "l2_norm":
+        d2 = F.aggregate(
+            F.zip_with(vec, qa, lambda x, y:
+                       (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: a + x)
+        raw = guarded(d2)
+        score = F.lit(1.0) / (F.lit(1.0) + raw)
+    else:
+        if knn.metric == "cosine":
+            qn = math.sqrt(sum(x * x for x in knn.qvec)) or 1e-12
+            vnorm = F.sqrt(F.aggregate(
+                vec, F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double")))
+            raw = guarded(dot / (vnorm * F.lit(qn) + F.lit(1e-12)))
+        else:
+            raw = guarded(dot)
+        score = (F.lit(1.0) + raw) / F.lit(2.0)
+    frame = frame.where(vec.isNotNull())
+    if knn.min_sim is not None:
+        frame = frame.where(raw >= F.lit(knn.min_sim))
+    return (frame
+            .select("doc_id",
+                    (score * F.lit(knn.boost)).alias("__knn_score"))
+            .orderBy(F.desc("__knn_score"), F.asc("doc_id"))
+            .limit(knn.k))
+
+
+def _collect_knn_hits(khits: DataFrame):
+    """Materialize the vector side ONCE -> (k-row local DataFrame,
+    [doc_id...]). The collect is bounded by the user's ``k`` (the
+    IVF/PQ candidate-list precedent, operators/similarity.py) and the
+    ids are needed driver-side anyway: the query side must score
+    exactly these docs through an ``ids`` filter, whatever their pure
+    BM25 rank."""
+    rows = [(int(r["doc_id"]), float(r["__knn_score"]))
+            for r in khits.collect()]
+    local = khits.sparkSession.createDataFrame(
+        rows, "doc_id long, __knn_score double")
+    return local, [d for d, _ in rows]
+
+
+def _merge_knn_hits(khits: DataFrame, qs: DataFrame | None,
+                    size: int, frm: int) -> DataFrame:
+    """ES hybrid merge: a doc's final score = query score + knn score,
+    each side contributing 0 where the doc is absent. ``qs`` carries
+    query scores for (a) the query-side top ``frm + size + k`` — a
+    non-knn doc in the merged top-(frm+size) outranks all but
+    < frm+size docs, of which at most k carry any vector contribution,
+    so its pure-query rank is within frm+size+k — and (b) the k knn
+    docs themselves (via an ids filter), whose query scores ES adds
+    REGARDLESS of their query rank. Both inputs are k/size-bounded, so
+    the full-outer join never touches corpus-sized data."""
+    if qs is None:
+        out = khits.select(
+            "doc_id", F.col("__knn_score").alias("score"))
+    else:
+        out = (qs.join(khits, "doc_id", "full_outer")
+               .select("doc_id",
+                       (F.coalesce(F.col("__q"), F.lit(0.0))
+                        + F.coalesce(F.col("__knn_score"), F.lit(0.0))
+                        ).alias("score")))
+    out = (out.orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(frm + size))
+    return out.offset(frm) if frm else out
+
+
+def _knn_combo_guard(request: dict, collapse, rescore, hl) -> None:
+    if ("aggs" in request or request.get("sort") is not None
+            or request.get("search_after") is not None
+            or collapse is not None or rescore is not None
+            or hl is not None):
+        raise DslError(
+            "knn combines with query/size/from only (aggs/sort/"
+            "search_after/collapse/rescore/highlight on a hybrid "
+            "ranking are not supported)")
+
+
+def _execute_knn_request(
+    docs_df: DataFrame,
+    request: dict,
+    params: BM25Params | None = None,
+) -> DataFrame:
+    """``_search`` with a ``knn`` section (naive executor): the vector
+    side is one exact scan + top-k; with a ``query`` the two sides
+    merge by score sum over a k-row full-outer join (never
+    corpus-sized)."""
+    params = params or BM25Params()
+    knn = _parse_knn(request["knn"])
+    size = int(request.get("size", DEFAULT_SIZE))
+    frm = int(request.get("from", 0))
+    if size < 0 or frm < 0:
+        raise DslError("size/from must be non-negative")
+    khits, kids = _collect_knn_hits(_knn_hits(docs_df, knn, params))
+    qs = None
+    if "query" in request:
+        mf = _matched_frame(docs_df, parse_query(request["query"]),
+                            params)
+        if mf is not None:
+            qframe = mf[0].select("doc_id",
+                                  F.col("__dsl_score").alias("__q"))
+            qtop = (qframe.orderBy(F.desc("__q"), F.asc("doc_id"))
+                    .limit(frm + size + knn.k))
+            if kids:
+                qtop = qtop.unionByName(
+                    qframe.where(F.col("doc_id").isin(kids)))
+            qs = qtop.dropDuplicates(["doc_id"])
+    return _merge_knn_hits(khits, qs, size, frm)
+
+
 def _validate_request_keys(request: dict) -> None:
     unknown = set(request) - _REQUEST_KEYS - _REQUEST_NOOP_KEYS
     if unknown:
@@ -3366,6 +3591,9 @@ def execute_request(
         raise DslError("highlight cannot be combined with sort/"
                        "collapse/rescore (the default ordering must be "
                        "restorable after the highlight join)")
+    if "knn" in request:
+        _knn_combo_guard(request, collapse, rescore, hl)
+        return _execute_knn_request(docs_df, request, params)
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
                 or collapse is not None or rescore is not None \
@@ -7112,6 +7340,36 @@ def execute_request_indexed(
     if hl is not None and docs_df is None:
         raise DslError("highlight needs docs_df: the index does not "
                        "store field text")
+    if "knn" in request:
+        _knn_combo_guard(request, collapse, rescore, hl)
+        if docs_df is None:
+            raise DslError("knn needs docs_df: the index stores no "
+                           "vectors (the ANN scale paths are the "
+                           "LSH/IVF operators)")
+        knn = _parse_knn(request["knn"])
+        ksize = int(request.get("size", DEFAULT_SIZE))
+        kfrm = int(request.get("from", 0))
+        if ksize < 0 or kfrm < 0:
+            raise DslError("size/from must be non-negative")
+        khits, kids = _collect_knn_hits(
+            _knn_hits(docs_df, knn, BM25Params()))
+        qs = None
+        if "query" in request:
+            qtop = search_dsl_indexed(
+                spark, index_dir, request["query"],
+                kfrm + ksize + knn.k, docs_df)
+            if kids:
+                # the knn docs' query scores, whatever their BM25
+                # rank — an ids FILTER rides filter context, so the
+                # scores are identical to the plain query's
+                qtop = qtop.unionByName(search_dsl_indexed(
+                    spark, index_dir,
+                    {"bool": {"must": [request["query"]],
+                              "filter": [{"ids": {"values": kids}}]}},
+                    knn.k, docs_df))
+            qs = (qtop.withColumnRenamed("score", "__q")
+                  .dropDuplicates(["doc_id"]))
+        return _merge_knn_hits(khits, qs, ksize, kfrm)
     if "aggs" in request:
         if "sort" in request or "search_after" in request \
                 or collapse is not None or rescore is not None \

@@ -6677,3 +6677,165 @@ def test_missing_agg(spark, docs, docs_pdf, dsl_index):
         with pytest.raises(DslError):
             dsl_aggregate(docs, {"query": {"match_all": {}},
                                  "aggs": bad}).collect()
+
+
+# --------------------------------------------------------------------------
+# ES 8 kNN search (round 5, resumed closing)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vec_docs(spark, docs_pdf):
+    """The corpus with a deterministic dense-vector column attached —
+    same doc_ids/text as the `docs` fixture, so the dsl_index built
+    from `docs` serves as the query side of hybrid requests."""
+    rng = np.random.default_rng(7)
+    pdf = docs_pdf[["doc_id", "text", "role", "turn_idx"]].copy()
+    emb = rng.standard_normal((len(pdf), 8))
+    pdf = pdf.reset_index(drop=True)
+    pdf["embedding"] = [list(map(float, r)) for r in emb]
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _knn_oracle(pdf, qv, metric, boost=1.0, min_sim=None, mask=None):
+    """Independent numpy replay of the engine's knn arithmetic."""
+    E = np.stack([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+    q = np.asarray(qv, dtype=float)
+    dot = E @ q
+    if metric == "l2_norm":
+        raw = ((E - q) ** 2).sum(axis=1)
+        score = 1.0 / (1.0 + raw)
+    else:
+        if metric == "cosine":
+            qn = np.linalg.norm(q) or 1e-12
+            raw = dot / (np.linalg.norm(E, axis=1) * qn + 1e-12)
+        else:
+            raw = dot
+        score = (1.0 + raw) / 2.0
+    out = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                        "score": score * boost, "raw": raw})
+    if mask is not None:
+        out = out[np.asarray(mask)]
+    if min_sim is not None:
+        out = out[out["raw"] >= min_sim]
+    return (out.sort_values(["score", "doc_id"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def test_knn_search(spark, docs, dsl_index, vec_docs):
+    """ES 8 `_search` `knn`: exact vector top-k (all-Catalyst zip_with
+    arithmetic), the three metric transforms, the raw-similarity cut,
+    the ES pre-filter, and the hybrid query+knn score-sum merge —
+    each against an independent numpy oracle; the indexed executor
+    (query side from the index, vectors from docs_df) must equal the
+    naive one; malformed bodies and unsupported combos fail loud."""
+    vdf, vpdf = vec_docs
+    rng = np.random.default_rng(11)
+    qv = [float(x) for x in rng.standard_normal(8)]
+
+    for metric in ("cosine", "dot_product", "l2_norm"):
+        got = execute_request(vdf, {"knn": {
+            "field": "embedding", "query_vector": qv, "k": 7,
+            "num_candidates": 50, "metric": metric},
+            "size": 7}).toPandas()
+        want = _knn_oracle(vpdf, qv, metric).head(7)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), metric
+        assert np.allclose(got["score"], want["score"]), metric
+
+    # default metric is cosine; boost scales the transformed score
+    gb = execute_request(vdf, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 5,
+        "boost": 3.0}}).toPandas()
+    wb = _knn_oracle(vpdf, qv, "cosine", boost=3.0).head(5)
+    assert gb["doc_id"].tolist() == wb["doc_id"].tolist()
+    assert np.allclose(gb["score"], wb["score"])
+
+    # similarity: the raw cosine cut, applied before boost
+    med = float(np.quantile(_knn_oracle(vpdf, qv, "cosine")["raw"], 0.9))
+    gs = execute_request(vdf, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 500,
+        "similarity": med}, "size": 500}).toPandas()
+    ws = _knn_oracle(vpdf, qv, "cosine", min_sim=med)
+    assert gs["doc_id"].tolist() == ws["doc_id"].tolist()
+
+    # filter: qualification BEFORE the top-k cut (every hit satisfies)
+    gf = execute_request(vdf, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 6,
+        "filter": {"term": {"role": "user"}}}}).toPandas()
+    wf = _knn_oracle(vpdf, qv, "cosine",
+                     mask=(vpdf["role"] == "user").to_numpy()).head(6)
+    assert gf["doc_id"].tolist() == wf["doc_id"].tolist()
+
+    # hybrid: query + knn, score = sum of sides (absent side -> 0)
+    q = {"match": {"text": {"query": "spark agent", "operator": "or"}}}
+    hyb = {"query": q, "knn": {"field": "embedding", "query_vector": qv,
+                               "k": 10, "boost": 5.0}, "size": 10}
+    gh = execute_request(vdf, hyb).toPandas()
+    qall = search_dsl(vdf, {"query": q}, 100_000).toPandas()
+    qmap = dict(zip(qall["doc_id"], qall["score"]))
+    kside = _knn_oracle(vpdf, qv, "cosine", boost=5.0).head(10)
+    kmap = dict(zip(kside["doc_id"], kside["score"]))
+    merged = pd.DataFrame(
+        {"doc_id": list(set(qmap) | set(kmap))})
+    merged["score"] = [qmap.get(d, 0.0) + kmap.get(d, 0.0)
+                       for d in merged["doc_id"]]
+    wh = (merged.sort_values(["score", "doc_id"],
+                             ascending=[False, True]).head(10))
+    assert gh["doc_id"].tolist() == wh["doc_id"].tolist()
+    assert np.allclose(gh["score"], wh["score"])
+
+    # indexed executor: query side from the index, vectors from docs_df
+    gi = execute_request_indexed(spark, dsl_index, hyb,
+                                 docs_df=vdf).toPandas()
+    assert gi["doc_id"].tolist() == gh["doc_id"].tolist()
+    assert np.allclose(gi["score"], gh["score"])
+
+    # from/size pagination over the merged ranking
+    gp = execute_request(vdf, {**hyb, "size": 3, "from": 4}).toPandas()
+    assert gp["doc_id"].tolist() == wh["doc_id"].tolist()[4:7]
+
+    # NULL vectors never match; wrong dimension raises
+    from pyspark.sql import functions as SF
+    vnull = vdf.withColumn(
+        "embedding",
+        SF.when(SF.col("role") == "user",
+                SF.col("embedding")).otherwise(SF.lit(None)))
+    gn = execute_request(vnull, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 6}}).toPandas()
+    assert gn["doc_id"].tolist() == wf["doc_id"].tolist()  # == filtered
+    with pytest.raises(Exception, match="wrong-dimension"):
+        execute_request(vdf, {"knn": {
+            "field": "embedding", "query_vector": qv[:5],
+            "k": 3}}).collect()
+
+    for bad in (
+        {"field": "embedding", "query_vector": qv},  # no k
+        {"field": "embedding", "k": 3},  # no vector
+        {"query_vector": qv, "k": 3},  # no field
+        {"field": "embedding", "query_vector": [], "k": 3},
+        {"field": "embedding", "query_vector": ["x"], "k": 3},
+        {"field": "embedding", "query_vector": qv, "k": 0},
+        {"field": "embedding", "query_vector": qv, "k": 5,
+         "num_candidates": 3},
+        {"field": "embedding", "query_vector": qv, "k": 3,
+         "metric": "hamming"},
+        {"field": "embedding", "query_vector": qv, "k": 3,
+         "metric": "l2_norm", "similarity": 0.5},
+        {"field": "embedding", "query_vector": qv, "k": 3,
+         "boost": 0},
+        {"field": "embedding", "query_vector": qv, "k": 3,
+         "rescore_vector": {}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(vdf, {"knn": bad})
+    for combo in ({"sort": {"turn_idx": "asc"}},
+                  {"aggs": {"m": {"avg": {"field": "turn_idx"}}}},
+                  {"search_after": [1.0, 5]},
+                  {"collapse": {"field": "role"}}):
+        with pytest.raises(DslError):
+            execute_request(vdf, {"knn": {
+                "field": "embedding", "query_vector": qv, "k": 3},
+                **combo})
+    with pytest.raises(DslError, match="docs_df"):
+        execute_request_indexed(spark, dsl_index, {"knn": {
+            "field": "embedding", "query_vector": qv, "k": 3}})
