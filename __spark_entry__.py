@@ -374,6 +374,12 @@ def _dismax_topk(spark, sf_dir):
     - ``wrap`` (round 5, resumed closing): the dismax query base64-
       encoded through the ES ``wrapper`` escape hatch — must reproduce
       the 'dismax' rows verbatim (search/dsl.py _unwrap_wrapper).
+    - ``tset`` (round 5, resumed closing): ``terms_set`` — Lucene
+      CoveringQuery over {key, agg, hash} whose PER-DOC minimum comes
+      from the painless-subset script Math.min(params.num_terms,
+      doc['n_chars'].value / 300) truncated to long and clamped >= 1;
+      score = sum of the MATCHED terms' BM25 (search/dsl.py
+      _parse_terms_set / TermsSetClause).
 
     Still ONE map-side scoring pass each; the indexed twins are
     pytest-gated rank-identical (tests/test_dsl.py)."""
@@ -486,6 +492,19 @@ def _dismax_topk(spark, sf_dir):
     out = out.unionByName(mode("wrap", {"query": {"wrapper": {
         "query": _b64.b64encode(
             _json.dumps(_DISMAX_QUERY["query"]).encode()).decode()}}}))
+    # terms_set (round 5, resumed closing): Lucene CoveringQuery — the
+    # per-doc minimum_should_match comes from the painless-subset
+    # script Math.min(params.num_terms, doc['n_chars'].value/params.d)
+    # (truncated to long, clamped >= 1 like CoveringScorer), score =
+    # sum of the MATCHED terms' BM25 over {key, agg, hash}
+    # (search/dsl.py _parse_terms_set / TermsSetClause)
+    out = out.unionByName(mode("tset", {"query": {"terms_set": {"text": {
+        "terms": ["key", "agg", "hash"],
+        "minimum_should_match_script": {
+            "source": "Math.min(params.num_terms, "
+                      "doc['n_chars'].value / params.d)",
+            "params": {"d": 300}},
+    }}}}))
     return out
 
 
@@ -2479,6 +2498,20 @@ UNION ALL
         row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         round(score, 4) AS score
  FROM dm ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- terms_set twin (CoveringQuery): matched-term count over
+-- key/agg/hash (the sc CTE's m1+m2) must clear the per-doc
+-- minimum trunc(least(3, n_chars/300)) clamped >= 1 (the engine's
+-- cast-to-long truncates; DuckDB CAST rounds, hence trunc()); score
+-- = sum of the MATCHED terms' BM25 (s1 + s2)
+(SELECT 'tset' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (SELECT sc.doc_id, s1 + s2 AS score
+       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       WHERE m1 + m2 >= greatest(1.0, trunc(least(3.0,
+             cast(d.n_chars AS DOUBLE) / 300.0))))
+ ORDER BY score DESC, doc_id LIMIT 10)
 """.replace("{toks}", _TOKS)
 
 # multi_match most_fields twin of _MULTI_MATCH_QUERY: each field scored

@@ -399,6 +399,28 @@ class FunctionScore:
     boost: float
 
 
+@dataclass(frozen=True)
+class TermsSetClause:
+    """ES ``terms_set``: match docs containing at least a PER-DOC
+    number of the listed terms (Lucene CoveringQuery). ``children``
+    hold one single-term :class:`TextClause` per distinct term — they
+    ride the tree walkers so the shared stats agg covers them; the
+    minimum comes from ``msm_field`` (a numeric doc column) or
+    ``msm_script`` (the painless subset, ``params.num_terms``
+    injected), truncated to a long like Lucene's LongValuesSource and
+    clamped to >= 1 (the CoveringScorer rule). A doc whose minimum
+    resolves NULL never matches (Lucene: advanceExact false). Score =
+    sum of the MATCHED terms' BM25 (the CoveringQuery sum)."""
+
+    field: str
+    children: tuple  # single-term TextClauses, one per distinct term
+    msm_field: str | None
+    msm_script: "object | None"  # compiled (field_col,) -> Column
+    msm_src: "tuple | None"  # (source, params items) for oracles
+    script_fields: tuple
+    boost: float
+
+
 @dataclass
 class QuerySpec:
     """Normalized bool query: text clauses by context + SQL predicates +
@@ -425,6 +447,9 @@ class QuerySpec:
     # unresolved more_like_this leaves as (context, MltClause);
     # executors resolve them against their df stats via _resolve_mlt
     mlt: list = _field(default_factory=list)
+    # terms_set leaves as (context, TermsSetClause) — compiled per
+    # executor (per-doc minimum_should_match can't ride the bool msm)
+    terms_set: list = _field(default_factory=list)
     must_bool: list["QuerySpec"] = _field(default_factory=list)
     filter_bool: list["QuerySpec"] = _field(default_factory=list)
     should_bool: list["QuerySpec"] = _field(default_factory=list)
@@ -459,7 +484,9 @@ class QuerySpec:
 
     def minimum_should_match(self) -> int:
         n_should = (len(self.should) + len(self.should_bool)
-                    + len(self.should_sql) + len(self.should_dismax))
+                    + len(self.should_sql) + len(self.should_dismax)
+                    + sum(1 for ctx, _ in self.terms_set
+                          if ctx == "should"))
         if self.msm is not None:
             if isinstance(self.msm, str):
                 # ES percentage form: "75%" -> floor(n*0.75); a negative
@@ -478,7 +505,9 @@ class QuerySpec:
                           or any(ctx in ("must", "filter")
                                  for ctx, _ in self.fuzzy)
                           or any(ctx in ("must", "filter")
-                                 for ctx, _ in self.mlt))
+                                 for ctx, _ in self.mlt)
+                          or any(ctx in ("must", "filter")
+                                 for ctx, _ in self.terms_set))
         return 0 if has_anchor else (1 if n_should else 0)
 
     def has_fuzzy(self) -> bool:
@@ -512,10 +541,12 @@ class QuerySpec:
 
     def text_clauses(self) -> list[TextClause]:
         """Every text clause in the tree (self + nested bools +
-        dis_max children)."""
+        dis_max children + terms_set per-term children)."""
         out = (self.must + self.should + self.filter_text + self.must_not)
         for dm in self.must_dismax + self.should_dismax:
             out.extend(dm.children)
+        for _, ts in self.terms_set:
+            out.extend(ts.children)
         for child in self.child_specs():
             out.extend(child.text_clauses())
         return out
@@ -984,6 +1015,77 @@ def _parse_fuzzy(body: dict) -> FuzzyClause:
         raise DslError(f"max_expansions must be an int >= 1, got {mx!r}")
     return FuzzyClause(field=_ident(fld), value=value, fuzziness=fz,
                        prefix_length=pl, max_expansions=mx)
+
+
+def _parse_terms_set(body: dict) -> TermsSetClause:
+    """ES ``terms_set`` body -> :class:`TermsSetClause`. Terms are
+    term-level like the fuzzy value (each must analyze to exactly one
+    token; duplicates collapse — Lucene TermInSetQuery semantics).
+    Exactly one of ``minimum_should_match_field`` (numeric doc column)
+    or ``minimum_should_match_script`` (the painless subset of
+    :func:`_compile_score_script` with ``params.num_terms`` injected —
+    the ES-documented idiom ``Math.min(params.num_terms,
+    doc['required'].value)``) must be given; ``_score`` is meaningless
+    inside a minimum and fails loud. The script result truncates to a
+    long (the Lucene LongValuesSource cast) and clamps to >= 1 (the
+    CoveringScorer rule)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"bad terms_set body {body!r}")
+    (fld, spec), = body.items()
+    if not isinstance(spec, dict):
+        raise DslError(f"bad terms_set body {spec!r}")
+    unknown = set(spec) - {"terms", "minimum_should_match_field",
+                           "minimum_should_match_script", "boost"}
+    if unknown:
+        raise DslError(f"unsupported terms_set options {sorted(unknown)}")
+    raw_terms = spec.get("terms")
+    if not isinstance(raw_terms, (list, tuple)) or not raw_terms \
+            or not all(isinstance(t, str) for t in raw_terms):
+        raise DslError("terms_set needs a non-empty string terms list")
+    terms = []
+    for t in raw_terms:
+        toks = tokenize_text(t)
+        if len(toks) != 1:
+            raise DslError(
+                f"each terms_set term must analyze to exactly one "
+                f"token, {t!r} gave {toks!r}")
+        if toks[0] not in terms:
+            terms.append(toks[0])
+    msm_field = spec.get("minimum_should_match_field")
+    msm_script = spec.get("minimum_should_match_script")
+    if (msm_field is None) == (msm_script is None):
+        raise DslError("terms_set needs exactly one of "
+                       "minimum_should_match_field / _script")
+    boost = spec.get("boost", 1.0)
+    if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+            or boost <= 0:
+        raise DslError(f"terms_set boost must be > 0, got {boost!r}")
+    fld = _ident(fld)
+    children = tuple(TextClause(field=fld, text=t) for t in terms)
+    if msm_field is not None:
+        return TermsSetClause(field=fld, children=children,
+                              msm_field=_ident(msm_field),
+                              msm_script=None, msm_src=None,
+                              script_fields=(), boost=float(boost))
+    if isinstance(msm_script, str):
+        msm_script = {"source": msm_script}
+    if not isinstance(msm_script, dict):
+        raise DslError(
+            f"bad minimum_should_match_script {msm_script!r}")
+    sunknown = set(msm_script) - {"source", "params"}
+    if sunknown:
+        raise DslError(f"unsupported script keys {sorted(sunknown)}")
+    src = msm_script.get("source")
+    if isinstance(src, str) and _re.search(r"(?<!\w)_score\b", src):
+        raise DslError("_score is meaningless in a terms_set minimum")
+    params = dict(msm_script.get("params", {}))
+    params.setdefault("num_terms", len(terms))
+    compiled, fields = _compile_score_script(src, params)
+    return TermsSetClause(
+        field=fld, children=children, msm_field=None,
+        msm_script=compiled,
+        msm_src=(src, tuple(sorted(params.items()))),
+        script_fields=fields, boost=float(boost))
 
 
 def _parse_phrase_prefix(body: dict) -> PhrasePrefixClause:
@@ -2312,6 +2414,14 @@ def parse_query(q: dict) -> QuerySpec:
     if kind == "match_all":
         spec.match_all = True
         return spec
+    if kind == "match_none":
+        # the ES match_none query: matches NO documents. Desugars to
+        # an unsatisfiable shared-subset predicate so both executors
+        # (and the filters-agg clause compiler) handle it for free.
+        if body != {}:
+            raise DslError(f"match_none takes an empty body, got {body!r}")
+        spec.filter_sql.append("false")
+        return spec
     if kind in ("match", "match_phrase"):
         if kind == "match" and _match_fuzzy_body(body):
             return parse_query(_desugar_match_fuzzy(body))
@@ -2352,6 +2462,13 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind == "fuzzy":
         spec.fuzzy.append(("must", _parse_fuzzy(body)))
+        return spec
+    if kind == "terms_set":
+        ts = _parse_terms_set(body)
+        spec.terms_set.append(("must", ts))
+        if ts.msm_field is not None:
+            spec.sql_fields.add(ts.msm_field)
+        spec.sql_fields.update(ts.script_fields)
         return spec
     if kind == "match_phrase_prefix":
         spec.fuzzy.append(("must", _parse_phrase_prefix(body)))
@@ -2410,6 +2527,22 @@ def parse_query(q: dict) -> QuerySpec:
                     raise DslError("must_not match_all matches nothing")
                 spec.match_all = True
                 continue
+            if ck == "match_none":
+                # never matches: unsatisfiable predicate in must/
+                # filter/should (a should that can never fire still
+                # counts as a clause for minimum_should_match, the ES
+                # clause-count rule); must_not match_none is a no-op
+                # (NOT false) rather than a reject — ES accepts it
+                if cb != {}:
+                    raise DslError(
+                        f"match_none takes an empty body, got {cb!r}")
+                if ctx in ("must", "filter"):
+                    spec.filter_sql.append("false")
+                elif ctx == "should":
+                    spec.should_sql.append("false")
+                else:  # must_not
+                    spec.must_not_sql.append("false")
+                continue
             if ck == "match" and _match_fuzzy_body(cb):
                 # fuzzy match rides its bool desugar as a child bool
                 # (fuzzy leaves resolve per executor, like everywhere)
@@ -2462,6 +2595,12 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.should_sql.append(pred)
             elif ck == "fuzzy":
                 spec.fuzzy.append((ctx, _parse_fuzzy(cb)))
+            elif ck == "terms_set":
+                ts = _parse_terms_set(cb)
+                spec.terms_set.append((ctx, ts))
+                if ts.msm_field is not None:
+                    spec.sql_fields.add(ts.msm_field)
+                spec.sql_fields.update(ts.script_fields)
             elif ck == "match_phrase_prefix":
                 spec.fuzzy.append((ctx, _parse_phrase_prefix(cb)))
             elif ck == "more_like_this":
@@ -2725,6 +2864,37 @@ def _compile_specs(
         score = best + F.lit(dm.tie_breaker) * (total - best)
         return True, score, matched
 
+    def terms_set_exprs(ts: TermsSetClause):
+        """-> (satisfiable, score_expr, matched_expr): Lucene
+        CoveringQuery — matched when the number of present terms
+        clears the PER-DOC minimum (field or script, truncated to
+        long, clamped >= 1; NULL minimum never matches), score = sum
+        of the matched terms' BM25. Still row expressions — no extra
+        pass."""
+        parts = []
+        for c in ts.children:
+            ok, sc, m = clause_exprs(c)
+            if ok:
+                parts.append((sc, m))
+        if not parts:
+            return False, None, None
+        hits = reduce(lambda a, b: a + b,
+                      [m.cast("int") for _, m in parts])
+        score = reduce(lambda a, b: a + b,
+                       [F.when(m, sc).otherwise(F.lit(0.0))
+                        for sc, m in parts])
+        if ts.msm_script is not None:
+            msm = ts.msm_script(lambda f: F.col(f).cast("double"),
+                                None).cast("long")
+        else:
+            msm = F.col(ts.msm_field).cast("long")
+        matched = (msm.isNotNull()
+                   & (hits.cast("long")
+                      >= F.greatest(F.lit(1).cast("long"), msm)))
+        if ts.boost != 1.0:
+            score = score * F.lit(ts.boost)
+        return True, score, matched
+
     def spec_exprs(sp: QuerySpec):
         """One (sub)bool -> (ok, score_expr, qual_expr, scored); ok=False
         means provably empty (a required clause can never match). Child
@@ -2783,6 +2953,22 @@ def _compile_specs(
             qual = qual & cq
             score = score + csc
             scored = scored or cscored
+        for tctx, ts in sp.terms_set:
+            ok, tsc, tm = terms_set_exprs(ts)
+            if tctx == "must":
+                if not ok:
+                    return False, None, None, False
+                qual = qual & tm
+                score = score + tsc
+                scored = True
+            elif tctx == "filter":
+                if not ok:
+                    return False, None, None, False
+                qual = qual & tm
+            elif tctx == "must_not":
+                if ok:
+                    qual = qual & ~F.coalesce(tm, F.lit(False))
+            # should handled below with the other should clauses
         for c in sp.filter_text:
             ok, _, m = clause_exprs(c)
             if not ok:
@@ -2817,6 +3003,15 @@ def _compile_specs(
             n_should_live += 1
             score = score + F.when(m, sc).otherwise(F.lit(0.0))
             should_cnt = should_cnt + m.cast("int")
+        for tctx, ts in sp.terms_set:
+            if tctx != "should":
+                continue
+            ok, tsc, tm = terms_set_exprs(ts)
+            if not ok:
+                continue
+            n_should_live += 1
+            score = score + F.when(tm, tsc).otherwise(F.lit(0.0))
+            should_cnt = should_cnt + tm.cast("int")
         if n_should_live:
             scored = True
         for pred in sp.should_sql:
@@ -5268,11 +5463,13 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
     in several buckets), which a plain groupBy key cannot express: the
     doc fans out map-side into its matching buckets (explode over a
     per-row when() array — no join, no second scan), then one grouped
-    aggregation. Buckets keep definition order (ES); empty buckets
-    vanish from the flattened output (ES emits them with doc_count 0 —
-    the engine's documented empty-bucket deviation). Metric sub-aggs
-    only (bucket nesting below a multi-membership parent is
-    out-of-grammar here)."""
+    aggregation. Buckets keep definition order (ES); ``filters``
+    returns EVERY named bucket — empty ones at doc_count 0 with NULL
+    metric leaves, the ES shape — while ``range``/``adjacency_matrix``
+    drop empty buckets from the flattened output (for adjacency_matrix
+    that IS the ES rule; for range it is the engine's one documented
+    empty-bucket deviation). Metric sub-aggs only (bucket nesting
+    below a multi-membership parent is out-of-grammar here)."""
     metrics_spec, sub_bucket = _split_sub(sub)
     if sub_bucket is not None:
         raise DslError(f"{kind} aggregations take metric sub-aggs only")
@@ -5426,7 +5623,7 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
     ])
     fr = (frame.withColumn("__b", F.explode(tagged))
           .where(F.col("__b").isNotNull()))
-    return (
+    out = (
         fr.groupBy(F.col("__b.k").alias("key"))
         .agg(F.min("__b.r").alias("__rank"),
              F.count(F.lit(1)).alias("doc_count"),
@@ -5434,6 +5631,26 @@ def _apply_multibucket_agg(frame: DataFrame, agg_name: str, kind: str,
         .orderBy("__rank")
         .drop("__rank")
     )
+    if kind == "filters":
+        # ES returns EVERY named filters bucket, empty ones at
+        # doc_count 0 (metric leaves stay NULL on an empty bucket);
+        # adjacency_matrix omits empty intersections, so only the
+        # filters kind pins the bucket frame. The literal bucket
+        # relation is bucket-count-sized — a broadcast join, never a
+        # shuffle — and also covers an empty qualifying set.
+        order = frame.sparkSession.createDataFrame(
+            [(i, key) for i, key, _ in buckets],
+            "__rank INT, key STRING")
+        out = (order.join(out.withColumnRenamed("doc_count", "__dc"),
+                          "key", "left")
+               .withColumn("doc_count",
+                           F.coalesce(F.col("__dc"), F.lit(0)))
+               .drop("__dc")
+               .orderBy("__rank").drop("__rank"))
+        cols = ["key", "doc_count"] + [
+            c for c in out.columns if c not in ("key", "doc_count")]
+        out = out.select(*cols)
+    return out
 
 
 def _filter_cond(name: str, clause):
@@ -5444,13 +5661,17 @@ def _filter_cond(name: str, clause):
     (ck, cb), = clause.items()
     if ck == "match_all":
         return F.lit(True)
+    if ck == "match_none":
+        if cb != {}:
+            raise DslError(f"match_none takes an empty body, got {cb!r}")
+        return F.lit(False)
     if ck in ("term", "terms", "range", "exists", "prefix",
               "wildcard", "regexp", "ids"):
         return F.coalesce(F.expr(_compile_meta(ck, cb)[0]),
                           F.lit(False))
     raise DslError(
-        f"filters agg supports metadata clauses and match_all, "
-        f"got {ck!r}")
+        f"filters agg supports metadata clauses, match_all and "
+        f"match_none, got {ck!r}")
 
 
 def _apply_top_hits(frame: DataFrame, agg_name: str, kind: str,
@@ -6519,7 +6740,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.filter_bool or spec.should_bool
             or spec.must_not_bool or spec.should_sql
             or spec.must_dismax or spec.should_dismax or spec.fuzzy
-            or spec.mlt or spec.const_boost is not None
+            or spec.mlt or spec.terms_set
+            or spec.const_boost is not None
             or spec.boosting is not None or spec.fscore is not None):
         return False
     cls = spec.must + spec.should
@@ -7031,6 +7253,43 @@ def _qualify_indexed(
             (F.col("mx") + F.lit(dm.tie_breaker)
              * (F.col("sm") - F.col("mx"))).alias("score"))
 
+    def terms_set_frame(ts: TermsSetClause) -> DataFrame | None:
+        """terms_set from the index: one postings frame per distinct
+        term -> union -> per-doc (score sum, matched count) in ONE
+        aggregation, then the per-doc minimum joins in from doc_stats
+        (candidate-sized join, never a corpus scan) — the Lucene
+        CoveringQuery rule exactly as the naive executor compiles it
+        (truncate to long, clamp >= 1, NULL minimum never matches)."""
+        parts = []
+        for c in ts.children:
+            fr = clause_frame(c)
+            if fr is not None:
+                parts.append(fr.select("doc_id", "score"))
+        if not parts:
+            return None
+        u = reduce(DataFrame.unionByName, parts)
+        agg = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.count(F.lit(1)).alias("__ts_cnt"))
+        need = ((ts.msm_field,) if ts.msm_field is not None
+                else ts.script_fields)
+        if need:
+            agg = agg.join(
+                _doc_stats_union(spark, dirs).select("doc_id", *need),
+                "doc_id")
+        if ts.msm_script is not None:
+            msm = ts.msm_script(lambda f: F.col(f).cast("double"),
+                                None).cast("long")
+        else:
+            msm = F.col(ts.msm_field).cast("long")
+        out = agg.where(
+            msm.isNotNull()
+            & (F.col("__ts_cnt").cast("long")
+               >= F.greatest(F.lit(1).cast("long"), msm)))
+        score = (F.col("score") * F.lit(ts.boost) if ts.boost != 1.0
+                 else F.col("score"))
+        return out.select("doc_id", score.alias("score"))
+
     # ---- anchor frame: must/must_bool (scores add) + filter* (semi)
     anchor: DataFrame | None = None
     child_scored = False
@@ -7074,6 +7333,18 @@ def _qualify_indexed(
         if fr is None:
             return None, False
         anchor = add_filtering(anchor, fr)
+    ts_scored = False
+    for tctx, ts in spec.terms_set:
+        if tctx in ("should", "must_not"):
+            continue  # handled in their own sections below
+        fr = terms_set_frame(ts)
+        if fr is None:
+            return None, False
+        if tctx == "must":
+            anchor = add_scoring(anchor, fr)
+            ts_scored = True
+        else:  # filter
+            anchor = add_filtering(anchor, fr)
 
     msm = spec.minimum_should_match()
 
@@ -7092,6 +7363,13 @@ def _qualify_indexed(
             n_scoring_should += 1
     for dm in spec.should_dismax:
         fr = dismax_frame(dm)
+        if fr is not None:
+            should_frames.append(fr.select("doc_id", "score"))
+            n_scoring_should += 1
+    for tctx, ts in spec.terms_set:
+        if tctx != "should":
+            continue
+        fr = terms_set_frame(ts)
         if fr is not None:
             should_frames.append(fr.select("doc_id", "score"))
             n_scoring_should += 1
@@ -7146,15 +7424,18 @@ def _qualify_indexed(
         anchor = anchor.drop("s_cnt")
 
     scored = bool(spec.must or spec.must_dismax or n_scoring_should
-                  or child_scored)
+                  or child_scored or ts_scored)
     if anchor is None:
         # pure filter / match_all / pure must_not / explicit msm=0 with
         # no live should: every doc qualifies at score 0
         qualifies_all = (
             spec.match_all or spec.filter_sql or spec.must_not
             or spec.must_not_sql or spec.must_not_bool
+            or any(c == "must_not" for c, _ in spec.terms_set)
             or ((spec.should or spec.should_bool or spec.should_sql
-                 or spec.should_dismax) and msm == 0))
+                 or spec.should_dismax
+                 or any(c == "should" for c, _ in spec.terms_set))
+                and msm == 0))
         if not qualifies_all:
             return None, False
         anchor = _doc_stats_union(spark, dirs).select(
@@ -7173,6 +7454,12 @@ def _qualify_indexed(
     # ---- must_not text clauses / child bools: anti-join matching ids
     for c in spec.must_not:
         fr = clause_frame(c)
+        if fr is not None:
+            anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
+    for tctx, ts in spec.terms_set:
+        if tctx != "must_not":
+            continue
+        fr = terms_set_frame(ts)
         if fr is not None:
             anchor = anchor.join(fr.select("doc_id"), "doc_id", "left_anti")
     for child in spec.must_not_bool:

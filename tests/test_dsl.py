@@ -5244,7 +5244,11 @@ def test_unknown_clause_options_fail_loud():
     — an ignored fuzziness/analyzer would return silently-different
     results than the user's ES cluster."""
     for q in (
-        {"match": {"text": {"query": "x", "fuzziness": "AUTO"}}},
+        # match fuzziness became SUPPORTED in round 5
+        # (_desugar_match_fuzzy); a malformed fuzziness and
+        # boost-with-fuzziness still fail loud
+        {"match": {"text": {"query": "x", "fuzziness": "bad"}}},
+        {"match": {"text": {"query": "x", "fuzziness": 1, "boost": 2.0}}},
         {"match": {"text": {"query": "x", "analyzer": "standard"}}},
         # slop is SUPPORTED since round 5; other phrase options and a
         # malformed slop still fail loud
@@ -6839,3 +6843,256 @@ def test_knn_search(spark, docs, dsl_index, vec_docs):
     with pytest.raises(DslError, match="docs_df"):
         execute_request_indexed(spark, dsl_index, {"knn": {
             "field": "embedding", "query_vector": qv, "k": 3}})
+
+
+# --------------------------------------------------------------------------
+# terms_set (Lucene CoveringQuery: per-doc minimum_should_match)
+# --------------------------------------------------------------------------
+
+_TS_TERMS = ["spark", "agent", "tool_call"]
+
+
+def _terms_set_oracle(pdf, fstats, n, terms, min_vec):
+    """Independent CoveringQuery oracle: hits >= max(1, trunc(minimum)),
+    NaN minimum never matches, score = sum of the MATCHED terms' BM25."""
+    from prow_jobs_scraper_spark.search.dsl import TextClause
+    parts = [_clause_eval(pdf, fstats, n, TextClause(field="text", text=t))
+             for t in terms]
+    hits = np.stack([m for _, m in parts]).sum(axis=0)
+    score = np.stack([np.where(m, s, 0.0) for s, m in parts]).sum(axis=0)
+    minv = np.maximum(1.0, np.trunc(min_vec))
+    matched = ~np.isnan(min_vec) & (hits >= minv)
+    return score, matched
+
+
+def _topk_oracle(pdf, score, matched, k):
+    out = pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy()[matched],
+                        "score": score[matched]})
+    return (out.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True))
+
+
+def test_terms_set_field_minimum(spark, docs, docs_pdf, dsl_index):
+    """minimum_should_match_field: the per-doc minimum comes from a
+    numeric doc column (turn_idx — varied 0..99 in the fixture, so the
+    clamp-to->=1 at 0 and the never-matches-above-3 tail are both
+    exercised), score is the sum of the matched terms' BM25."""
+    q = {"query": {"terms_set": {"text": {
+        "terms": _TS_TERMS, "minimum_should_match_field": "turn_idx"}}}}
+    fstats = _field_stats(docs_pdf, {"text"})
+    score, matched = _terms_set_oracle(
+        docs_pdf, fstats, len(docs_pdf), _TS_TERMS,
+        docs_pdf["turn_idx"].to_numpy(dtype=np.float64))
+    want = _topk_oracle(docs_pdf, score, matched, 10)
+    got = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set field naive")
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set field indexed")
+    # duplicate terms collapse (Lucene TermInSetQuery)
+    qd = {"query": {"terms_set": {"text": {
+        "terms": [_TS_TERMS[0]] + _TS_TERMS,
+        "minimum_should_match_field": "turn_idx"}}}}
+    gd = search_dsl(docs, qd, 10).toPandas()
+    pd.testing.assert_frame_equal(gd, got)
+    # boost scales scores, order unchanged
+    qb = {"query": {"terms_set": {"text": {
+        "terms": _TS_TERMS, "minimum_should_match_field": "turn_idx",
+        "boost": 2.5}}}}
+    gb = search_dsl(docs, qb, 10).toPandas()
+    assert gb["doc_id"].tolist() == got["doc_id"].tolist()
+    np.testing.assert_allclose(gb["score"], got["score"] * 2.5, rtol=1e-9)
+    gbi = search_dsl_indexed(spark, dsl_index, qb, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gbi, gb, "terms_set boost indexed")
+
+
+def test_terms_set_script_minimum(spark, docs, docs_pdf, dsl_index):
+    """minimum_should_match_script: the ES-documented idiom
+    Math.min(params.num_terms, doc['required'].value) through the
+    painless subset; params.num_terms injects automatically."""
+    q = {"query": {"terms_set": {"text": {
+        "terms": _TS_TERMS,
+        "minimum_should_match_script": {
+            "source": "Math.min(params.num_terms, doc['turn_idx'].value)"
+        }}}}}
+    fstats = _field_stats(docs_pdf, {"text"})
+    min_vec = np.minimum(
+        float(len(_TS_TERMS)),
+        docs_pdf["turn_idx"].to_numpy(dtype=np.float64))
+    score, matched = _terms_set_oracle(
+        docs_pdf, fstats, len(docs_pdf), _TS_TERMS, min_vec)
+    want = _topk_oracle(docs_pdf, score, matched, 10)
+    got = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set script naive")
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set script indexed")
+    # bare string form == {"source": ...} form
+    qs = {"query": {"terms_set": {"text": {
+        "terms": _TS_TERMS,
+        "minimum_should_match_script":
+            "Math.min(params.num_terms, doc['turn_idx'].value)"}}}}
+    gs = search_dsl(docs, qs, 10).toPandas()
+    pd.testing.assert_frame_equal(gs, got)
+
+
+def test_terms_set_null_minimum_never_matches(spark, docs, docs_pdf):
+    """A doc whose minimum field is NULL never matches (Lucene
+    LongValuesSource.advanceExact false), even when every term hits."""
+    from pyspark.sql import functions as F
+    d2 = docs.withColumn(
+        "req", F.when(F.col("turn_idx") % 2 == 0, F.lit(None))
+                .otherwise(F.lit(1)))
+    q = {"query": {"terms_set": {"text": {
+        "terms": _TS_TERMS, "minimum_should_match_field": "req"}}}}
+    fstats = _field_stats(docs_pdf, {"text"})
+    min_vec = np.where(docs_pdf["turn_idx"].to_numpy() % 2 == 0,
+                       np.nan, 1.0)
+    score, matched = _terms_set_oracle(
+        docs_pdf, fstats, len(docs_pdf), _TS_TERMS, min_vec)
+    want = _topk_oracle(docs_pdf, score, matched, 15)
+    got = search_dsl(d2, q, 15).toPandas()
+    _assert_rank_identical(got, want, "terms_set null minimum")
+    assert (docs_pdf.set_index("doc_id").loc[got["doc_id"]]
+            .reset_index()["turn_idx"] % 2 == 1).all()
+
+
+def test_terms_set_bool_contexts(spark, docs, docs_pdf, dsl_index):
+    """terms_set as a bool child: filter qualifies at zero score
+    contribution, must_not excludes, should adds score and counts
+    toward minimum_should_match — naive == indexed for each."""
+    ts = {"terms_set": {"text": {
+        "terms": _TS_TERMS, "minimum_should_match_field": "turn_idx"}}}
+    fstats = _field_stats(docs_pdf, {"text"})
+    sc_ts, m_ts = _terms_set_oracle(
+        docs_pdf, fstats, len(docs_pdf), _TS_TERMS,
+        docs_pdf["turn_idx"].to_numpy(dtype=np.float64))
+    from prow_jobs_scraper_spark.search.dsl import TextClause
+    sc_hot, m_hot = _clause_eval(
+        docs_pdf, fstats, len(docs_pdf),
+        TextClause(field="text", text="the_hot_term"))
+
+    # filter: anchor scores, terms_set only qualifies
+    qf = {"query": {"bool": {"must": [{"match": {"text": "the_hot_term"}}],
+                             "filter": [ts]}}}
+    want = _topk_oracle(docs_pdf, np.where(m_hot, sc_hot, 0.0),
+                        m_hot & m_ts, 10)
+    got = search_dsl(docs, qf, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set filter naive")
+    gi = search_dsl_indexed(spark, dsl_index, qf, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set filter indexed")
+
+    # must_not: excludes the covering docs
+    qn = {"query": {"bool": {"must": [{"match": {"text": "the_hot_term"}}],
+                             "must_not": [ts]}}}
+    want = _topk_oracle(docs_pdf, np.where(m_hot, sc_hot, 0.0),
+                        m_hot & ~m_ts, 10)
+    got = search_dsl(docs, qn, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set must_not naive")
+    gi = search_dsl_indexed(spark, dsl_index, qn, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set must_not indexed")
+
+    # should: scores add where matched; msm=1 makes it the sole anchor
+    qs = {"query": {"bool": {"should": [ts],
+                             "minimum_should_match": 1}}}
+    want = _topk_oracle(docs_pdf, np.where(m_ts, sc_ts, 0.0), m_ts, 10)
+    got = search_dsl(docs, qs, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set should naive")
+    gi = search_dsl_indexed(spark, dsl_index, qs, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set should indexed")
+
+    # should next to a scoring must: additive decoration
+    qm = {"query": {"bool": {"must": [{"match": {"text": "the_hot_term"}}],
+                             "should": [ts]}}}
+    want = _topk_oracle(
+        docs_pdf,
+        np.where(m_hot, sc_hot, 0.0) + np.where(m_ts, sc_ts, 0.0),
+        m_hot, 10)
+    got = search_dsl(docs, qm, 10).toPandas()
+    _assert_rank_identical(got, want, "terms_set should+must naive")
+    gi = search_dsl_indexed(spark, dsl_index, qm, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "terms_set should+must indexed")
+
+
+def test_terms_set_validation():
+    """Out-of-grammar terms_set bodies fail loud."""
+    good_terms = {"terms": ["spark", "agent"]}
+    for bad in (
+        {},                                             # no field
+        {"text": "spark"},                              # body not dict
+        {"text": {}},                                   # no terms
+        {"text": {"terms": []}},                        # empty terms
+        {"text": {"terms": [1]}},                       # non-string term
+        {"text": good_terms},                           # no minimum source
+        {"text": {**good_terms,                         # both sources
+                  "minimum_should_match_field": "a",
+                  "minimum_should_match_script": "1"}},
+        {"text": {**good_terms,                         # unknown option
+                  "minimum_should_match_field": "a", "nope": 1}},
+        {"text": {**good_terms,                         # bad boost
+                  "minimum_should_match_field": "a", "boost": 0}},
+        {"text": {"terms": ["two words"],               # multi-token term
+                  "minimum_should_match_field": "a"}},
+        {"text": {**good_terms,                         # _score in minimum
+                  "minimum_should_match_script": "_score + 1"}},
+        {"text": {**good_terms,                         # unknown script key
+                  "minimum_should_match_script": {"source": "1",
+                                                  "lang": "painless"}}},
+        {"text": good_terms, "other": good_terms},      # two fields
+    ):
+        with pytest.raises(DslError):
+            parse_query({"terms_set": bad})
+
+
+def test_match_none(spark, docs, dsl_index):
+    """ES `match_none`: matches no documents — empty top-level, empty
+    in must/filter, a no-op in must_not, a live-but-never-firing
+    clause for minimum_should_match in should; filters-agg bucket is
+    empty; non-empty bodies fail loud."""
+    from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
+
+    assert search_dsl(docs, {"query": {"match_none": {}}}, 5).count() == 0
+    assert search_dsl_indexed(
+        spark, dsl_index, {"query": {"match_none": {}}}, 5).count() == 0
+    hot = {"match": {"text": "the_hot_term"}}
+    base = search_dsl(docs, {"query": hot}, 10).toPandas()
+    for ctx in ("must", "filter"):
+        q = {"query": {"bool": {"must": [hot],
+                                ctx: [{"match_none": {}}]
+                                if ctx != "must" else
+                                [hot, {"match_none": {}}]}}}
+        assert search_dsl(docs, q, 5).count() == 0
+        assert search_dsl_indexed(spark, dsl_index, q, 5).count() == 0
+    # must_not match_none: a no-op — identical rows to the plain query
+    qn = {"query": {"bool": {"must": [hot],
+                             "must_not": [{"match_none": {}}]}}}
+    got = search_dsl(docs, qn, 10).toPandas()
+    pd.testing.assert_frame_equal(got, base)
+    gi = search_dsl_indexed(spark, dsl_index, qn, 10).toPandas()
+    assert gi["doc_id"].tolist() == base["doc_id"].tolist()
+    # should match_none counts as a clause for msm but never fires:
+    # msm=2 with one live should -> only docs matching BOTH shoulds
+    # could qualify -> empty; msm=1 -> the live should carries it
+    q2 = {"query": {"bool": {"should": [hot, {"match_none": {}}],
+                             "minimum_should_match": 2}}}
+    assert search_dsl(docs, q2, 5).count() == 0
+    assert search_dsl_indexed(spark, dsl_index, q2, 5).count() == 0
+    q1 = {"query": {"bool": {"should": [hot, {"match_none": {}}],
+                             "minimum_should_match": 1}}}
+    g1 = search_dsl(docs, q1, 10).toPandas()
+    _assert_rank_identical(g1, base, "match_none should msm=1")
+    # filters agg: the match_none bucket exists with doc_count 0
+    agg = dsl_aggregate(docs, {"aggs": {"b": {"filters": {"filters": {
+        "all": {"match_all": {}},
+        "none": {"match_none": {}}}}}}, "size": 0}).toPandas()
+    by_key = dict(zip(agg["key"], agg["doc_count"]))
+    assert by_key["none"] == 0 and by_key["all"] == docs.count()
+    with pytest.raises(DslError):
+        parse_query({"match_none": {"boost": 2}})
+    with pytest.raises(DslError):
+        parse_query({"bool": {"must": [{"match_none": {"x": 1}}]}})
