@@ -143,6 +143,12 @@ def _phrase_match(spark, sf_dir):
       span_exists_expr), a different qualifying set than the sloppy-
       phrase displacement rule on the same inputs; the DuckDB twin
       replays both windows with list_filter lambdas.
+    - ``span_first3`` / ``span_or`` (round 5, resumed closing):
+      Lucene SpanFirstQuery ('hash' ending at position <= 3, i.e.
+      within the first three tokens, scored by its own BM25) and the
+      span_or union of that clause with the ORDERED slop-2 window
+      (bool-should msm=1 desugar — matched children's scores SUM);
+      twins replay list_position and the full-join score sum.
 
     Scoring is slop-independent (BM25 over the phrase's distinct terms,
     corpus-global stats). The index-accelerated twins (search_phrase /
@@ -174,6 +180,31 @@ def _phrase_match(spark, sf_dir):
             F.lit(mode).alias("mode"), "doc_id",
             F.row_number().over(w).alias("rank"),
             F.round("score", 4).alias("score")))
+    # span_first (round 5, resumed closing): Lucene SpanFirstQuery —
+    # 'hash' must occur at 0-based position p with p+1 <= 3 (i.e.
+    # within the first three tokens); score = the term's BM25
+    # (search/dsl.py _parse_span span_first branch)
+    sf_child = {"span_first": {
+        "match": {"span_term": {"text": "hash"}}, "end": 3}}
+    out = out.unionByName(search_dsl(docs, {"query": sf_child},
+                                     10).select(
+        F.lit("span_first3").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score")))
+    # span_or (round 5, resumed closing): any child span matches,
+    # scores sum over the matched children (the bool-should msm=1
+    # desugar, search/dsl.py _span_or_as_bool) — children = the
+    # span_first above + the ORDERED slop-2 window, so a doc matching
+    # both sums both contributions
+    qso = {"query": {"span_or": {"clauses": [
+        sf_child,
+        {"span_near": {"clauses": [{"span_term": {"text": "table"}},
+                                   {"span_term": {"text": "hash"}}],
+                       "slop": 2, "in_order": True}}]}}}
+    out = out.unionByName(search_dsl(docs, qso, 10).select(
+        F.lit("span_or").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score")))
     return out
 
 
@@ -3149,6 +3180,54 @@ UNION ALL
            p0 -> len(list_filter(
                    list_filter(range(1, len(t)+1), j -> t[j] = 'hash'),
                    p1 -> abs(p1 - p0) <= 3)) > 0)) > 0)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- span_first end=3: 'hash' first occurs within the first 3 tokens
+-- (1-based list_position <= 3 == Lucene 0-based p+1 <= 3); score =
+-- the term's own BM25
+(SELECT 'span_first3' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT tf.doc_id,
+          ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+          * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS score
+   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+   WHERE tf.term = 'hash'
+     AND tf.doc_id IN (
+       SELECT doc_id FROM toks
+       WHERE list_position(t, 'hash') BETWEEN 1 AND 3))
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- span_or twin: bool-should msm=1 over (span_first3, ordered slop-2
+-- window) — matched children's scores SUM (hash BM25 counted by each
+-- matching child)
+(SELECT 'span_or' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT coalesce(f.doc_id, wn.doc_id) AS doc_id,
+          coalesce(f.score, 0) + coalesce(wn.score, 0) AS score
+   FROM (
+     SELECT tf.doc_id,
+            ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+            * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS score
+     FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+     WHERE tf.term = 'hash'
+       AND tf.doc_id IN (
+         SELECT doc_id FROM toks
+         WHERE list_position(t, 'hash') BETWEEN 1 AND 3)) f
+   FULL JOIN (
+     SELECT sc.doc_id, sc.score
+     FROM sc WHERE sc.doc_id IN (
+       SELECT doc_id FROM toks
+       WHERE len(list_filter(
+               list_filter(range(1, len(t)+1), i -> t[i] = 'table'),
+               p0 -> len(list_filter(
+                       list_filter(range(1, len(t)+1),
+                                   j -> t[j] = 'hash'),
+                       p1 -> p0 < p1 AND p1 - p0 <= 3)) > 0)) > 0)) wn
+   ON f.doc_id = wn.doc_id)
  ORDER BY score DESC, doc_id LIMIT 10)
 """
 

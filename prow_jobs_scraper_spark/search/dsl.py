@@ -273,6 +273,12 @@ class TextClause:
     # the Lucene SpanNearQuery window rule instead of the sloppy-phrase
     # displacement rule; only meaningful with phrase=True
     span_in_order: bool | None = None
+    # span_first desugar (:func:`_parse_span`): the Lucene
+    # SpanFirstQuery bound — the wrapped single term must occur at a
+    # 0-based position p with p + 1 <= span_first_end (span end <=
+    # end). Qualification-only, like slop; only meaningful on a
+    # single-term clause with phrase=False
+    span_first_end: int | None = None
 
 
 @dataclass(frozen=True)
@@ -927,24 +933,55 @@ def _span_term_of(clause: dict, expect_field: str | None):
 
 
 def _parse_span(kind: str, body) -> TextClause:
-    """ES ``span_term`` / ``span_near`` -> :class:`TextClause` desugar.
+    """ES ``span_term`` / ``span_near`` / ``span_first`` ->
+    :class:`TextClause` desugar.
 
     - ``span_term`` degenerates to a single-term conjunctive match
       (identical qualification and scoring).
     - ``span_near`` (``span_term`` clauses only — nested span algebra
-      stays out of grammar) rides the phrase machinery: conjunctive
-      candidates + a positions predicate, with the Lucene
-      SpanNearQuery window rule (``..compressed.span_exists_expr``)
-      instead of the phrase displacement rule. ``slop`` is required
-      (ES) and ``in_order`` is required EXPLICITLY — ES documentation
-      states the default inconsistently across versions, and a silent
-      wrong default is the divergence failure mode this grammar
-      refuses. Scoring is the engine's phrase rule (per-term BM25 sum,
-      qualification span-dependent only — the documented deviation
-      family; ES weighs spans by 1/(1+matchLength))."""
+      beyond span_or/span_first stays out of grammar) rides the phrase
+      machinery: conjunctive candidates + a positions predicate, with
+      the Lucene SpanNearQuery window rule
+      (``..compressed.span_exists_expr``) instead of the phrase
+      displacement rule. ``slop`` is required (ES) and ``in_order`` is
+      required EXPLICITLY — ES documentation states the default
+      inconsistently across versions, and a silent wrong default is
+      the divergence failure mode this grammar refuses. Scoring is the
+      engine's phrase rule (per-term BM25 sum, qualification
+      span-dependent only — the documented deviation family; ES weighs
+      spans by 1/(1+matchLength)).
+    - ``span_first`` (``span_term`` match only — a span_near child
+      needs span END positions the existence predicates don't expose)
+      is the Lucene SpanFirstQuery rule: the term's span must END at
+      or before ``end``, i.e. 0-based position p with p + 1 <= end.
+      Qualification-only, like slop; scoring is the term's BM25."""
     if kind == "span_term":
         fld, term = _span_term_of({"span_term": body}, None)
         return TextClause(field=fld, text=term, operator="and")
+    if kind == "span_first":
+        if not isinstance(body, dict):
+            raise DslError(f"bad span_first body {body!r}")
+        unknown = set(body) - {"match", "end", "boost"}
+        if unknown:
+            raise DslError(
+                f"unsupported span_first options {sorted(unknown)}")
+        match = body.get("match")
+        if not (isinstance(match, dict) and len(match) == 1
+                and "span_term" in match):
+            raise DslError(
+                "span_first supports a span_term match only (span_near "
+                f"children need span end positions), got {match!r}")
+        end = body.get("end")
+        if isinstance(end, bool) or not isinstance(end, int) or end < 0:
+            raise DslError(
+                f"span_first needs a non-negative integer end, got {end!r}")
+        boost = body.get("boost", 1.0)
+        if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+                or not boost > 0:
+            raise DslError(f"boost must be a positive number, got {boost!r}")
+        fld, term = _span_term_of(match, None)
+        return TextClause(field=fld, text=term, operator="and",
+                          boost=float(boost), span_first_end=end)
     if not isinstance(body, dict):
         raise DslError(f"bad span_near body {body!r}")
     unknown = set(body) - {"clauses", "slop", "in_order", "boost"}
@@ -1086,6 +1123,37 @@ def _parse_terms_set(body: dict) -> TermsSetClause:
         msm_script=compiled,
         msm_src=(src, tuple(sorted(params.items()))),
         script_fields=fields, boost=float(boost))
+
+
+def _span_or_as_bool(body) -> "QuerySpec":
+    """ES ``span_or`` -> a bool-should over the child spans with
+    minimum_should_match 1 (any child span matches). Under the
+    engine's documented span scoring family the union scores as the
+    sum of the matched children's BM25 (Lucene sums the matching
+    spans' freq). Children: span_term / span_near / span_first —
+    each already a :class:`TextClause` desugar, so both executors
+    support the algebra for free; deeper nesting (span_or inside
+    span_near, span_not) stays fail-loud."""
+    if not isinstance(body, dict):
+        raise DslError(f"bad span_or body {body!r}")
+    unknown = set(body) - {"clauses"}
+    if unknown:
+        raise DslError(f"unsupported span_or options {sorted(unknown)}")
+    clauses = body.get("clauses")
+    if not isinstance(clauses, list) or not clauses:
+        raise DslError("span_or needs a non-empty clauses list")
+    child = QuerySpec()
+    for cl in clauses:
+        if not (isinstance(cl, dict) and len(cl) == 1
+                and next(iter(cl)) in ("span_term", "span_near",
+                                       "span_first")):
+            raise DslError(
+                f"span_or clauses must be span queries "
+                f"(span_term/span_near/span_first), got {cl!r}")
+        (ck, cb), = cl.items()
+        child.should.append(_parse_span(ck, cb))
+    child.msm = 1
+    return child
 
 
 def _parse_phrase_prefix(body: dict) -> PhrasePrefixClause:
@@ -2427,9 +2495,11 @@ def parse_query(q: dict) -> QuerySpec:
             return parse_query(_desugar_match_fuzzy(body))
         spec.must.append(_parse_text(kind, body))
         return spec
-    if kind in ("span_term", "span_near"):
+    if kind in ("span_term", "span_near", "span_first"):
         spec.must.append(_parse_span(kind, body))
         return spec
+    if kind == "span_or":
+        return _span_or_as_bool(body)
     if kind in ("term", "terms", "range", "exists", "prefix", "wildcard",
                 "regexp", "ids"):
         pred, fld = _compile_meta(kind, body)
@@ -2549,7 +2619,11 @@ def parse_query(q: dict) -> QuerySpec:
                 getattr(spec, f"{ctx}_bool").append(
                     parse_query(_desugar_match_fuzzy(cb)))
                 continue
-            if ck in ("match", "match_phrase", "span_term", "span_near"):
+            if ck == "span_or":
+                getattr(spec, f"{ctx}_bool").append(_span_or_as_bool(cb))
+                continue
+            if ck in ("match", "match_phrase", "span_term", "span_near",
+                      "span_first"):
                 tc = (_parse_text(ck, cb)
                       if ck in ("match", "match_phrase")
                       else _parse_span(ck, cb))
@@ -2836,6 +2910,15 @@ def _compile_specs(
             matched = hits == len(live)
         else:
             matched = hits > 0
+        if c.span_first_end is not None:
+            # Lucene SpanFirstQuery: the single term's span must END
+            # at or before `end` — first 0-based position p satisfies
+            # p + 1 <= end, i.e. 1-based array_position <= end
+            # (array_position is 0 when absent; `matched` already
+            # requires presence)
+            matched = matched & (
+                F.array_position(toks, live[0])
+                <= F.lit(c.span_first_end).cast("long"))
         if c.boost != 1.0:
             score = score * F.lit(c.boost)
         return True, score, matched
@@ -6671,6 +6754,44 @@ def _clause_frame_indexed(
                 .select("doc_id")
             )
         frame = frame.join(verified, "doc_id")
+    if c.span_first_end is not None:
+        # Lucene SpanFirstQuery bound: first 0-based position p of the
+        # (single) term must satisfy p + 1 <= end. From the positions
+        # sidecar it's a tb+term-pruned read (positions stored
+        # ascending: element_at 1 is the first occurrence) joined to
+        # the candidate frame — index I/O only; with docs_df it's the
+        # same semi-join recheck the phrase path uses.
+        tid = tid_of[terms[0]]
+        if docs_df is None:
+            if not all(m.get("has_positions") for m in metas):
+                raise DslError(
+                    "span_first needs docs_df for the position bound, "
+                    "or every index segment built with "
+                    "store_positions=True")
+            pos = None
+            for d, m in zip(dirs, metas):
+                nb = int(m["n_buckets"])
+                p = (spark.read.parquet(IndexPaths(d).positions)
+                     .where((F.col("tb") == tid % nb)
+                            & (F.col("term_id") == tid))
+                     .select("doc_id", "positions"))
+                pos = p if pos is None else pos.unionByName(p)
+            verified = (
+                pos.join(frame.select("doc_id"), "doc_id")
+                .where(F.element_at("positions", 1)
+                       < F.lit(c.span_first_end))
+                .select("doc_id"))
+        else:
+            if "doc_id" not in docs_df.columns:
+                docs_df = with_doc_ids(docs_df)
+            pred = (F.array_position(
+                tokenize_column(F.col(c.field)), terms[0])
+                .between(1, c.span_first_end))
+            verified = (
+                docs_df.join(frame.select("doc_id"), "doc_id",
+                             "left_semi")
+                .where(pred).select("doc_id"))
+        frame = frame.join(verified, "doc_id")
     return frame
 
 
@@ -6745,7 +6866,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
             or spec.boosting is not None or spec.fscore is not None):
         return False
     cls = spec.must + spec.should
-    if not cls or any(c.phrase or c.boost != 1.0 for c in cls):
+    if not cls or any(c.phrase or c.boost != 1.0
+                      or c.span_first_end is not None for c in cls):
         # boosted clauses take the exact score-all path: the batch
         # kernels key their stats on the raw term, and one term may
         # appear under different boosts across clauses

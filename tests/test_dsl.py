@@ -7096,3 +7096,122 @@ def test_match_none(spark, docs, dsl_index):
         parse_query({"match_none": {"boost": 2}})
     with pytest.raises(DslError):
         parse_query({"bool": {"must": [{"match_none": {"x": 1}}]}})
+
+
+# --------------------------------------------------------------------------
+# span algebra: span_first / span_or
+# --------------------------------------------------------------------------
+
+def test_span_first(spark, docs, docs_pdf, dsl_index, tmp_path_factory):
+    """Lucene SpanFirstQuery: the wrapped span_term must END at or
+    before `end` (0-based position p, p + 1 <= end). Oracle = pandas
+    first-index check on the tokenized text; indexed == naive on both
+    the docs_df-recheck and positions-sidecar paths."""
+    term = "the_hot_term"
+    end = 2
+    q = {"query": {"span_first": {
+        "match": {"span_term": {"text": term}}, "end": end}}}
+    fstats = _field_stats(docs_pdf, {"text"})
+    from prow_jobs_scraper_spark.search.dsl import TextClause
+    sc, m = _clause_eval(docs_pdf, fstats, len(docs_pdf),
+                         TextClause(field="text", text=term))
+    toks = tokenize_pandas(docs_pdf["text"].fillna("")).tolist()
+    first = np.array([lst.index(term) if term in lst else -1
+                      for lst in toks])
+    matched = m & (first >= 0) & (first + 1 <= end)
+    want = _topk_oracle(docs_pdf, np.where(matched, sc, 0.0), matched, 10)
+    got = search_dsl(docs, q, 10).toPandas()
+    _assert_rank_identical(got, want, "span_first naive")
+    # the hot term is INJECTED at position 0 in ~35% of docs — end=2
+    # admits them; a plain match admits strictly more docs
+    n_all = search_dsl(docs, {"query": {"match": {"text": term}}},
+                       10000).count()
+    n_first = search_dsl(docs, q, 10000).count()
+    assert 0 < n_first < n_all
+    gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, want, "span_first indexed recheck")
+    # positions-sidecar path (no docs_df)
+    dp = str(tmp_path_factory.mktemp("dsl_spanfirst"))
+    build_index(spark, docs, dp,
+                BuildConfig(n_ranges=8, n_buckets=4, store_positions=True))
+    gp = search_dsl_indexed(spark, dp, q, 10).toPandas()
+    _assert_rank_identical(gp, want, "span_first indexed positions")
+    with pytest.raises(DslError, match="store_positions"):
+        search_dsl_indexed(spark, dsl_index, q, 10).toPandas()
+    # end=0 can never admit a span (p+1 >= 1 > 0)
+    q0 = {"query": {"span_first": {
+        "match": {"span_term": {"text": term}}, "end": 0}}}
+    assert search_dsl(docs, q0, 5).count() == 0
+    # in a bool filter context: qualification only, anchor scores
+    qf = {"query": {"bool": {"must": [{"match": {"text": "spark"}}],
+                             "filter": [q["query"]]}}}
+    a = search_dsl(docs, qf, 10).toPandas()
+    b = search_dsl_indexed(spark, dsl_index, qf, 10,
+                           docs_df=docs).toPandas()
+    _assert_rank_identical(b, a, "span_first filter indexed")
+    for bad in (
+        {"match": {"span_term": {"text": term}}},            # no end
+        {"match": {"span_term": {"text": term}}, "end": -1},
+        {"match": {"span_term": {"text": term}}, "end": 1.5},
+        {"end": 2},                                           # no match
+        {"match": {"match": {"text": term}}, "end": 2},      # non-span
+        {"match": {"span_near": {"clauses": [                 # span_near
+            {"span_term": {"text": term}}], "slop": 0,
+            "in_order": True}}, "end": 2},
+        {"match": {"span_term": {"text": term}}, "end": 2, "x": 1},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"span_first": bad})
+
+
+def test_span_or(spark, docs, docs_pdf, dsl_index):
+    """span_or: any child span matches; scores sum over the matched
+    children (the engine's documented span scoring family). Equals the
+    hand-written bool-should msm=1 of the same desugared children —
+    top level and in bool contexts; indexed == naive."""
+    so = {"span_or": {"clauses": [
+        {"span_term": {"text": "the_hot_term"}},
+        {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "agent"}}],
+            "slop": 3, "in_order": False}},
+        {"span_first": {"match": {"span_term": {"text": "tool_call"}},
+                        "end": 1}},
+    ]}}
+    hand = {"bool": {"should": [
+        {"span_term": {"text": "the_hot_term"}},
+        {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "agent"}}],
+            "slop": 3, "in_order": False}},
+        {"span_first": {"match": {"span_term": {"text": "tool_call"}},
+                        "end": 1}}],
+        "minimum_should_match": 1}}
+    a = search_dsl(docs, {"query": so}, 10).toPandas()
+    b = search_dsl(docs, {"query": hand}, 10).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    gi = search_dsl_indexed(spark, dsl_index, {"query": so}, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "span_or indexed")
+    # as a bool child: filter (qualify only) and must_not (exclude)
+    anchor = {"match": {"text": "spark"}}
+    qf = {"query": {"bool": {"must": [anchor], "filter": [so]}}}
+    qn = {"query": {"bool": {"must": [anchor], "must_not": [so]}}}
+    for q in (qf, qn):
+        x = search_dsl(docs, q, 10).toPandas()
+        y = search_dsl_indexed(spark, dsl_index, q, 10,
+                               docs_df=docs).toPandas()
+        _assert_rank_identical(y, x, f"span_or bool ctx {q}")
+    fa = set(search_dsl(docs, qf, 10000).toPandas()["doc_id"])
+    na = set(search_dsl(docs, qn, 10000).toPandas()["doc_id"])
+    assert fa and na and not (fa & na)
+    for bad in (
+        {},                                     # no clauses
+        {"clauses": []},
+        {"clauses": [{"match": {"text": "x"}}]},  # non-span child
+        {"clauses": [{"span_term": {"text": "x"}}], "boost": 2},
+        {"clauses": [{"span_not": {}}]},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"span_or": bad})
