@@ -149,6 +149,11 @@ def _phrase_match(spark, sf_dir):
       span_or union of that clause with the ORDERED slop-2 window
       (bool-should msm=1 desugar — matched children's scores SUM);
       twins replay list_position and the full-join score sum.
+    - ``iv_any`` (round 5, resumed closing): ES ``intervals`` —
+      any_of over (ordered max_gaps-2 "table hash", plain "scan");
+      gaps = width - k is the SAME arithmetic as the span window
+      (search/dsl.py _parse_intervals), twin = window set score
+      FULL JOIN a dedicated 'scan' BM25 CTE.
 
     Scoring is slop-independent (BM25 over the phrase's distinct terms,
     corpus-global stats). The index-accelerated twins (search_phrase /
@@ -203,6 +208,19 @@ def _phrase_match(spark, sf_dir):
                        "slop": 2, "in_order": True}}]}}}
     out = out.unionByName(search_dsl(docs, qso, 10).select(
         F.lit("span_or").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score")))
+    # intervals (round 5, resumed closing): the ES-7+ proximity query
+    # — any_of over (ordered max_gaps-2 window on "table hash", plain
+    # "scan") desugared onto the span/bool machinery (search/dsl.py
+    # _parse_intervals: gaps = width - k, identical arithmetic to
+    # span_exists_expr); matched children's scores sum
+    qiv = {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "table hash", "max_gaps": 2,
+                   "ordered": True}},
+        {"match": {"query": "scan"}}]}}}}}
+    out = out.unionByName(search_dsl(docs, qiv, 10).select(
+        F.lit("iv_any").alias("mode"), "doc_id",
         F.row_number().over(w).alias("rank"),
         F.round("score", 4).alias("score")))
     return out
@@ -3126,6 +3144,10 @@ tf AS (
   WHERE tok IN ('table','hash') GROUP BY 1, 2),
 dl AS (SELECT doc_id, len(t)::DOUBLE dl FROM toks),
 df AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+tfs AS (
+  SELECT doc_id, count(*)::DOUBLE tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  WHERE tok = 'scan' GROUP BY 1),
 ph AS (
   SELECT doc_id FROM toks
   WHERE position(' table hash ' IN
@@ -3228,6 +3250,34 @@ UNION ALL
                                    j -> t[j] = 'hash'),
                        p1 -> p0 < p1 AND p1 - p0 <= 3)) > 0)) > 0)) wn
    ON f.doc_id = wn.doc_id)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- intervals any_of twin: ordered max_gaps-2 window score (sc, both
+-- terms) FULL JOIN the plain 'scan' BM25 — matched children sum
+(SELECT 'iv_any' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT coalesce(wv.doc_id, sn.doc_id) AS doc_id,
+          coalesce(wv.score, 0) + coalesce(sn.score, 0) AS score
+   FROM (
+     SELECT sc.doc_id, sc.score
+     FROM sc WHERE sc.doc_id IN (
+       SELECT doc_id FROM toks
+       WHERE len(list_filter(
+               list_filter(range(1, len(t)+1), i -> t[i] = 'table'),
+               p0 -> len(list_filter(
+                       list_filter(range(1, len(t)+1),
+                                   j -> t[j] = 'hash'),
+                       p1 -> p0 < p1 AND p1 - p0 <= 3)) > 0)) > 0)) wv
+   FULL JOIN (
+     SELECT tfs.doc_id,
+            ln(1+(s.n-(SELECT count(*) FROM tfs)+0.5)
+               /((SELECT count(*) FROM tfs)+0.5))
+            * tfs.tf*2.2/(tfs.tf+1.2*(0.25+0.75*dl.dl/s.avgdl))
+              AS score
+     FROM tfs JOIN dl USING(doc_id) CROSS JOIN s) sn
+   ON wv.doc_id = sn.doc_id)
  ORDER BY score DESC, doc_id LIMIT 10)
 """
 

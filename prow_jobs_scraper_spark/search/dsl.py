@@ -1156,6 +1156,114 @@ def _span_or_as_bool(body) -> "QuerySpec":
     return child
 
 
+# intervals "unlimited gaps" (ES max_gaps: -1): a slop bound no human
+# document can exceed — the window predicate compares position
+# differences against it, so any value above max doc length is exact
+_UNLIMITED_GAPS = 1 << 30
+
+
+def _parse_intervals(body) -> "TextClause | QuerySpec":
+    """ES ``intervals`` -> TextClause / bool-QuerySpec desugar. The
+    modern proximity query (ES 7+, the span family's replacement):
+
+    - ``match`` rule: the analyzed terms within ``max_gaps`` total
+      gaps (width - k; -1 = unlimited, the ES default), ``ordered``
+      or not — EXACTLY the Lucene SpanNearQuery window rule this
+      engine already implements (span_exists_expr: width <= slop +
+      k - 1 ⟺ gaps <= slop), so a multi-term match desugars to the
+      span clause with slop = max_gaps. The unordered-unlimited
+      distinct-terms case degenerates to a conjunctive match (cheap,
+      prunable); duplicate terms keep the span predicate (distinct
+      occurrences required, Lucene rule). One term = a term match.
+    - ``any_of``: union of the sub-rules — a bool-should msm=1.
+    - ``all_of``: all sub-rules match (the ES DEFAULT semantics:
+      max_gaps -1, ordered false — relative-position constraints
+      between sub-intervals need interval-extent algebra the
+      existence predicates don't expose, so those options fail loud)
+      — a bool-must.
+
+    Scoring is the engine's documented span family (per-term BM25 sum
+    per matched rule; matched any_of/all_of children sum). ``prefix``/
+    ``wildcard``/``fuzzy`` rules and ``filter`` blocks stay fail-loud.
+    """
+    if not isinstance(body, dict) or len(body) != 1:
+        raise DslError(f"intervals needs exactly one field, got {body!r}")
+    (fld, rule), = body.items()
+    fld = _ident(fld)
+
+    def walk(r) -> "TextClause | QuerySpec":
+        if not isinstance(r, dict) or len(r) != 1:
+            raise DslError(f"bad intervals rule {r!r}")
+        (rk, rb), = r.items()
+        if rk == "match":
+            if not isinstance(rb, dict):
+                raise DslError(f"bad intervals match {rb!r}")
+            unknown = set(rb) - {"query", "max_gaps", "ordered"}
+            if unknown:
+                raise DslError(
+                    f"unsupported intervals match options "
+                    f"{sorted(unknown)}")
+            q = rb.get("query")
+            if not isinstance(q, str):
+                raise DslError(
+                    f"intervals match needs a string query, got {q!r}")
+            toks = tokenize_text(q)
+            if not toks:
+                raise DslError(
+                    f"intervals match query {q!r} analyzes to no terms")
+            g = rb.get("max_gaps", -1)
+            if isinstance(g, bool) or not isinstance(g, int) or g < -1:
+                raise DslError(
+                    f"intervals max_gaps must be an int >= -1, got {g!r}")
+            ordered = rb.get("ordered", False)
+            if not isinstance(ordered, bool):
+                raise DslError(
+                    f"intervals ordered must be a bool, got {ordered!r}")
+            if len(toks) == 1:
+                return TextClause(field=fld, text=toks[0], operator="and")
+            if g == -1 and not ordered and len(set(toks)) == len(toks):
+                # unordered, unlimited gaps, no duplicate terms: the
+                # window constraint is vacuous — plain conjunction
+                return TextClause(field=fld, text=" ".join(toks),
+                                  operator="and")
+            return TextClause(field=fld, text=" ".join(toks),
+                              operator="and", phrase=True,
+                              slop=g if g >= 0 else _UNLIMITED_GAPS,
+                              span_in_order=ordered)
+        if rk in ("any_of", "all_of"):
+            if not isinstance(rb, dict):
+                raise DslError(f"bad intervals {rk} {rb!r}")
+            unknown = set(rb) - {"intervals"}
+            if unknown:
+                # all_of's ordered/max_gaps constrain RELATIVE positions
+                # of sub-intervals — inexpressible exactly here, so the
+                # grammar refuses rather than silently ignoring them
+                raise DslError(
+                    f"unsupported intervals {rk} options "
+                    f"{sorted(unknown)}")
+            subs = rb.get("intervals")
+            if not isinstance(subs, list) or not subs:
+                raise DslError(
+                    f"intervals {rk} needs a non-empty intervals list")
+            child = QuerySpec()
+            for sub in subs:
+                parsed = walk(sub)
+                if rk == "any_of":
+                    (child.should if isinstance(parsed, TextClause)
+                     else child.should_bool).append(parsed)
+                else:
+                    (child.must if isinstance(parsed, TextClause)
+                     else child.must_bool).append(parsed)
+            if rk == "any_of":
+                child.msm = 1
+            return child
+        raise DslError(
+            f"unsupported intervals rule {rk!r} (supported: match, "
+            f"any_of, all_of)")
+
+    return walk(rule)
+
+
 def _parse_phrase_prefix(body: dict) -> PhrasePrefixClause:
     """ES ``match_phrase_prefix`` body -> :class:`PhrasePrefixClause`.
     The query analyzes through the engine tokenizer; it must yield at
@@ -2500,6 +2608,12 @@ def parse_query(q: dict) -> QuerySpec:
         return spec
     if kind == "span_or":
         return _span_or_as_bool(body)
+    if kind == "intervals":
+        parsed = _parse_intervals(body)
+        if isinstance(parsed, TextClause):
+            spec.must.append(parsed)
+            return spec
+        return parsed
     if kind in ("term", "terms", "range", "exists", "prefix", "wildcard",
                 "regexp", "ids"):
         pred, fld = _compile_meta(kind, body)
@@ -2621,6 +2735,19 @@ def parse_query(q: dict) -> QuerySpec:
                 continue
             if ck == "span_or":
                 getattr(spec, f"{ctx}_bool").append(_span_or_as_bool(cb))
+                continue
+            if ck == "intervals":
+                parsed = _parse_intervals(cb)
+                if not isinstance(parsed, TextClause):
+                    getattr(spec, f"{ctx}_bool").append(parsed)
+                elif ctx == "must":
+                    spec.must.append(parsed)
+                elif ctx == "filter":
+                    spec.filter_text.append(parsed)
+                elif ctx == "should":
+                    spec.should.append(parsed)
+                else:
+                    spec.must_not.append(parsed)
                 continue
             if ck in ("match", "match_phrase", "span_term", "span_near",
                       "span_first"):

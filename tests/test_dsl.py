@@ -7215,3 +7215,101 @@ def test_span_or(spark, docs, docs_pdf, dsl_index):
     ):
         with pytest.raises(DslError):
             parse_query({"span_or": bad})
+
+
+def test_intervals_query(spark, docs, docs_pdf, dsl_index):
+    """ES `intervals` (the span family's ES-7+ replacement): the match
+    rule's gap arithmetic is EXACTLY the SpanNearQuery window rule
+    (gaps = width - k <= max_gaps), so intervals must equal its
+    span_near desugar; any_of == bool-should msm=1, all_of (default
+    semantics) == bool-must; unordered-unlimited == conjunctive match;
+    indexed == naive; out-of-grammar rules fail loud."""
+    # ordered max_gaps == span_near ordered slop — identical frames
+    iq = {"query": {"intervals": {"text": {"match": {
+        "query": "spark agent", "max_gaps": 2, "ordered": True}}}}}
+    sq = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "spark"}},
+                    {"span_term": {"text": "agent"}}],
+        "slop": 2, "in_order": True}}}
+    a = search_dsl(docs, iq, 10).toPandas()
+    b = search_dsl(docs, sq, 10).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    gi = search_dsl_indexed(spark, dsl_index, iq, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "intervals ordered indexed")
+    # unordered bounded == span_near unordered
+    iu = {"query": {"intervals": {"text": {"match": {
+        "query": "spark agent", "max_gaps": 2}}}}}
+    su = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "spark"}},
+                    {"span_term": {"text": "agent"}}],
+        "slop": 2, "in_order": False}}}
+    pd.testing.assert_frame_equal(search_dsl(docs, iu, 10).toPandas(),
+                                  search_dsl(docs, su, 10).toPandas())
+    # unordered unlimited distinct terms == conjunctive match
+    iun = {"query": {"intervals": {"text": {"match": {
+        "query": "spark agent"}}}}}
+    mq = {"query": {"match": {"text": {"query": "spark agent",
+                                       "operator": "and"}}}}
+    pd.testing.assert_frame_equal(search_dsl(docs, iun, 10).toPandas(),
+                                  search_dsl(docs, mq, 10).toPandas())
+    # ordered unlimited: order still constrains — a doc with only
+    # "agent ... spark" (reversed) qualifies unordered but not ordered
+    iord = {"query": {"intervals": {"text": {"match": {
+        "query": "spark agent", "ordered": True}}}}}
+    n_ord = search_dsl(docs, iord, 10000).count()
+    n_un = search_dsl(docs, iun, 10000).count()
+    assert 0 < n_ord < n_un
+    go = search_dsl(docs, iord, 10).toPandas()
+    gio = search_dsl_indexed(spark, dsl_index, iord, 10,
+                             docs_df=docs).toPandas()
+    _assert_rank_identical(gio, go, "intervals ordered-unlimited indexed")
+    # any_of / all_of == their bool desugars, nested one level
+    comb = {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "tool_call"}},
+        {"all_of": {"intervals": [
+            {"match": {"query": "spark agent", "max_gaps": 2,
+                       "ordered": True}},
+            {"match": {"query": "token"}}]}},
+    ]}}}}}
+    hand = {"query": {"bool": {"should": [
+        {"match": {"text": {"query": "tool_call", "operator": "and"}}},
+        {"bool": {"must": [sq["query"],
+                           {"match": {"text": {"query": "token",
+                                               "operator": "and"}}}]}}],
+        "minimum_should_match": 1}}}
+    x = search_dsl(docs, comb, 10).toPandas()
+    y = search_dsl(docs, hand, 10).toPandas()
+    pd.testing.assert_frame_equal(x, y)
+    gx = search_dsl_indexed(spark, dsl_index, comb, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gx, x, "intervals any_of indexed")
+    # bool contexts: filter qualifies only, must_not excludes
+    anchor = {"match": {"text": "token"}}
+    for ctx in ("filter", "must_not"):
+        q = {"query": {"bool": {"must": [anchor],
+                                ctx: [{"intervals": {"text": {"match": {
+                                    "query": "spark agent",
+                                    "max_gaps": 2}}}}]}}}
+        p = search_dsl(docs, q, 10).toPandas()
+        pi = search_dsl_indexed(spark, dsl_index, q, 10,
+                                docs_df=docs).toPandas()
+        _assert_rank_identical(pi, p, f"intervals {ctx} indexed")
+    for bad in (
+        {},                                                # no field
+        {"text": {"match": {"query": "a"}}, "t2": {}},     # two fields
+        {"text": {"match": {}}},                           # no query
+        {"text": {"match": {"query": "a", "analyzer": "x"}}},
+        {"text": {"match": {"query": "a", "max_gaps": -2}}},
+        {"text": {"match": {"query": "a", "ordered": 1}}},
+        {"text": {"match": {"query": "!!!"}}},             # no terms
+        {"text": {"prefix": {"prefix": "a"}}},             # unsupported
+        {"text": {"any_of": {"intervals": []}}},
+        {"text": {"all_of": {"intervals": [
+            {"match": {"query": "a"}}], "ordered": True}}},  # constrained
+        {"text": {"all_of": {"intervals": [
+            {"match": {"query": "a"}}], "max_gaps": 1}}},
+        {"text": {"match": {"query": "a", "filter": {}}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"intervals": bad})
