@@ -223,6 +223,20 @@ def _phrase_match(spark, sf_dir):
         F.lit("iv_any").alias("mode"), "doc_id",
         F.row_number().over(w).alias("rank"),
         F.round("score", 4).alias("score")))
+    # span_not (round 5, this session): Lucene SpanNotQuery — a 'hash'
+    # occurrence survives unless 'table' occurs in [p-1, p] (pre=1,
+    # post=0: "hash not immediately preceded by table"; distinct terms
+    # never share a position, so post=0 is inert here). Score = the
+    # include term's BM25 (search/dsl.py _parse_span span_not branch,
+    # predicate search/compressed.py span_not_exists_expr)
+    qsn = {"query": {"span_not": {
+        "include": {"span_term": {"text": "hash"}},
+        "exclude": {"span_term": {"text": "table"}},
+        "pre": 1, "post": 0}}}
+    out = out.unionByName(search_dsl(docs, qsn, 10).select(
+        F.lit("span_not").alias("mode"), "doc_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("score", 4).alias("score")))
     return out
 
 
@@ -890,16 +904,31 @@ def _token_counts(spark, sf_dir):
 
 
 def _quality(spark, sf_dir):
-    from prow_jobs_scraper_spark.operators.textqc import quality_score
+    """ONE-SCAN per-document QC feature row (round 5): quality features
+    + token counts + language ID computed together — the shape a real
+    training pipeline uses (one pass over 100 TB emitting every per-doc
+    feature, all pure Catalyst, zero shuffle). Folds the formerly
+    separate token_counts / language_id driver rows (operators/
+    textqc.py quality_score, token_count, language_id); their individual
+    entries stay at the contract tail."""
+    from prow_jobs_scraper_spark.operators.textqc import (
+        language_id,
+        quality_score,
+        token_count,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    out = quality_score(d)
+    out = language_id(token_count(quality_score(d)))
     return out.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("distinct_ratio", 6).alias("distinct_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_est").cast("long").alias("n_bpe_est"),
+        "lang_pred",
     )
 
 
@@ -908,6 +937,76 @@ def _language_id(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return language_id(d).select("doc_id", "lang_pred")
+
+
+def _repetition_qc(spark, sf_dir):
+    """Gopher repetition quality rules (Rae et al. 2021 A1.1 /
+    datatrove's GopherRepetitionFilter), oracle-checked: duplicate-line
+    and duplicate-paragraph fractions, top-{2,3,4}-gram character
+    coverage, duplicate-{5,10}-gram occurrence fractions
+    (operators/textqc.py repetition_stats — pure Catalyst higher-order
+    array expressions, map-side, zero shuffle). The documents text is
+    single-line word soup, so multi-line structure is synthesized
+    deterministically per doc_id residue class: a duplicated full line
+    (%4), a distinct 40-char prefix line (%6), a repeated paragraph
+    (%5, duplicated again at %10)."""
+    from prow_jobs_scraper_spark.operators.textqc import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("\n"), F.col("text"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("\n"), F.substring(F.col("text"), 1, 40))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("\n\npara two repeated here")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.lit("\n\npara two repeated here")).otherwise(F.lit("")),
+    ).alias("text"))
+    out = repetition_stats(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("dup_para_frac", 6).alias("dup_para_frac"),
+        F.round("dup_para_char_frac", 6).alias("dup_para_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+        F.round("top_3gram_char_frac", 6).alias("top_3gram_char_frac"),
+        F.round("top_4gram_char_frac", 6).alias("top_4gram_char_frac"),
+        F.round("dup_5gram_frac", 6).alias("dup_5gram_frac"),
+        F.round("dup_10gram_frac", 6).alias("dup_10gram_frac"),
+    )
+
+
+def _contamination_check(spark, sf_dir):
+    """Benchmark decontamination (the GPT-3 / PaLM 13-gram rule),
+    oracle-checked: every document's 13-gram occurrences are tested for
+    membership in a benchmark gram set and contaminated docs flagged
+    (operators/textqc.py contamination_check — benchmark side shingled,
+    distinct, BROADCAST; corpus explode+join stays map-side, per-doc
+    re-agg partially aggregates before its doc_id exchange). The
+    benchmark is synthesized deterministically: the first-20-token
+    prefix of every doc_id % 37 == 0 document — so those docs are
+    contaminated by construction and the tiny shared vocabulary gives
+    genuine cross-doc hits."""
+    from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
+    from prow_jobs_scraper_spark.operators.textqc import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 37 == 0).select(
+        F.array_join(F.slice(tokenize_column(F.col("text")), 1, 20),
+                     " ").alias("text"))
+    out = contamination_check(d, bench, n=13)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+        "is_contaminated",
+    )
 
 
 def _pii_scrub(spark, sf_dir):
@@ -2160,9 +2259,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trivial_filters_suite": _trivial_filters_suite,
         "exact_dedup": _exact_dedup,
         "unigram_jaccard": _unigram_jaccard,
-        "token_counts": _token_counts,
+        # quality is the merged ONE-SCAN per-doc QC feature row (quality
+        # + token counts + language ID — their standalone entries sit at
+        # the tail); the freed slots hold the round-5 training-pipeline
+        # rows repetition_qc and contamination_check
         "quality": _quality,
-        "language_id": _language_id,
+        "repetition_qc": _repetition_qc,
+        "contamination_check": _contamination_check,
         "pii_scrub": _pii_scrub,
         "span_dedup": _span_dedup,
         "hybrid_rrf_topk": _hybrid_rrf_topk,
@@ -2208,6 +2311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi_match_topk; this naive-executor row keeps its pytest +
         # replica coverage
         "bm25_topk_or": _bm25_topk_or,
+        # per-doc QC features: displaced to the tail round 5 — BOTH stay
+        # value-checked IN-WINDOW as columns of the merged quality row
+        "token_counts": _token_counts,
+        "language_id": _language_id,
     }
 
 
@@ -2978,6 +3085,147 @@ SELECT 'auto', '1d|' || CAST(CAST(d.key AS TIMESTAMP) AS VARCHAR),
              FROM w GROUP BY 1) b ON d.key = b.key
 """
 
+# repetition_qc twin: identical multi-line augmentation, then the
+# Gopher statistics replayed RELATIONALLY (unnest + group + window)
+# where the engine uses per-row higher-order array expressions — an
+# independent computation path, not a transliteration. Top-gram
+# tie-break: max count, then lexicographically greatest gram (the
+# engine's struct array_max order).
+_REPETITION_QC_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || text ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || substr(text, 1, 40) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || chr(10) || 'para two repeated here'
+                 ELSE '' END
+         || CASE WHEN doc_id % 10 = 0
+                 THEN chr(10) || chr(10) || 'para two repeated here'
+                 ELSE '' END AS text
+  FROM documents),
+base AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)),
+                     x -> trim(x) <> '') AS lines,
+         list_filter(regexp_split_to_array(text, '\\n\\n+'),
+                     x -> trim(x) <> '') AS paras
+  FROM aug),
+lstats AS (
+  SELECT doc_id,
+         len(lines)::BIGINT AS n_lines,
+         CASE WHEN len(lines) > 0 THEN
+           (len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines)
+           ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN coalesce(list_sum(list_transform(lines,
+                x -> length(x))), 0) > 0 THEN
+           (list_sum(list_transform(lines, x -> length(x)))
+            - list_sum(list_transform(list_distinct(lines),
+                                      x -> length(x))))::DOUBLE
+             / list_sum(list_transform(lines, x -> length(x)))
+           ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(paras) > 0 THEN
+           (len(paras) - len(list_distinct(paras)))::DOUBLE / len(paras)
+           ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN coalesce(list_sum(list_transform(paras,
+                x -> length(x))), 0) > 0 THEN
+           (list_sum(list_transform(paras, x -> length(x)))
+            - list_sum(list_transform(list_distinct(paras),
+                                      x -> length(x))))::DOUBLE
+             / list_sum(list_transform(paras, x -> length(x)))
+           ELSE 0.0 END AS dup_para_char_frac
+  FROM base),
+g2 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS gram
+         FROM base) GROUP BY 1, 2),
+g3 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         FROM base) GROUP BY 1, 2),
+g4 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+                  i -> array_to_string(toks[i:i+3], ' '))) AS gram
+         FROM base) GROUP BY 1, 2),
+g5 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                  i -> array_to_string(toks[i:i+4], ' '))) AS gram
+         FROM base) GROUP BY 1, 2),
+g10 AS (SELECT doc_id, gram, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8),
+                   i -> array_to_string(toks[i:i+9], ' '))) AS gram
+          FROM base) GROUP BY 1, 2),
+t2 AS (SELECT doc_id, cnt, gram FROM (
+         SELECT doc_id, gram, cnt, row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         FROM g2) WHERE rn = 1),
+t3 AS (SELECT doc_id, cnt, gram FROM (
+         SELECT doc_id, gram, cnt, row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         FROM g3) WHERE rn = 1),
+t4 AS (SELECT doc_id, cnt, gram FROM (
+         SELECT doc_id, gram, cnt, row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+         FROM g4) WHERE rn = 1),
+d5 AS (SELECT doc_id,
+              coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0)::DOUBLE
+                / sum(cnt) AS f
+       FROM g5 GROUP BY 1),
+d10 AS (SELECT doc_id,
+               coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0)::DOUBLE
+                 / sum(cnt) AS f
+        FROM g10 GROUP BY 1)
+SELECT b.doc_id, l.n_lines,
+       round(l.dup_line_frac, 6) AS dup_line_frac,
+       round(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(l.dup_para_frac, 6) AS dup_para_frac,
+       round(l.dup_para_char_frac, 6) AS dup_para_char_frac,
+       round(coalesce(CASE WHEN b.n_chars > 0 THEN
+         t2.cnt * length(t2.gram)::DOUBLE / b.n_chars END, 0.0), 6)
+         AS top_2gram_char_frac,
+       round(coalesce(CASE WHEN b.n_chars > 0 THEN
+         t3.cnt * length(t3.gram)::DOUBLE / b.n_chars END, 0.0), 6)
+         AS top_3gram_char_frac,
+       round(coalesce(CASE WHEN b.n_chars > 0 THEN
+         t4.cnt * length(t4.gram)::DOUBLE / b.n_chars END, 0.0), 6)
+         AS top_4gram_char_frac,
+       round(coalesce(d5.f, 0.0), 6) AS dup_5gram_frac,
+       round(coalesce(d10.f, 0.0), 6) AS dup_10gram_frac
+FROM base b
+JOIN lstats l USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id)
+LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
+"""
+
+# contamination_check twin: the engine joins (xxhash64(gram), gram)
+# with the benchmark side broadcast; the twin joins the gram STRINGS —
+# value-identical because the hash only prunes comparisons.
+_CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 11),
+           i -> array_to_string(toks[i:i+12], ' '))) AS g
+  FROM t),
+bench AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(toks[1:20]) - 11),
+           i -> array_to_string((toks[1:20])[i:i+12], ' '))) AS g
+  FROM t WHERE doc_id % 37 = 0),
+agg AS (
+  SELECT gr.doc_id, count(*) AS n_grams, count(b.g) AS n_contaminated
+  FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+  GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(a.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0 THEN
+         a.n_contaminated::DOUBLE / a.n_grams ELSE 0.0 END, 6)
+         AS contaminated_frac,
+       coalesce(a.n_contaminated, 0) > 0 AS is_contaminated
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
 # pii_scrub twin: identical augmentation (residue classes over doc_id)
 # and the same 4-stage count-then-mask chain — the patterns live in the
 # Java/RE2 shared regex subset, so DuckDB replays them verbatim
@@ -3278,6 +3526,28 @@ UNION ALL
               AS score
      FROM tfs JOIN dl USING(doc_id) CROSS JOIN s) sn
    ON wv.doc_id = sn.doc_id)
+ ORDER BY score DESC, doc_id LIMIT 10)
+UNION ALL
+-- span_not twin: a 'hash' occurrence with NO 'table' at q in [p-1, p]
+-- (pre=1, post=0 — "hash not immediately preceded by table"); score =
+-- the include term's BM25
+(SELECT 'span_not' AS mode, doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        round(score, 4) AS score
+ FROM (
+   SELECT tf.doc_id,
+          ln(1+(s.n-df.df+0.5)/(df.df+0.5))
+          * tf.tf*2.2/(tf.tf+1.2*(0.25+0.75*dl.dl/s.avgdl)) AS score
+   FROM tf JOIN df USING(term) JOIN dl USING(doc_id) CROSS JOIN s
+   WHERE tf.term = 'hash'
+     AND tf.doc_id IN (
+       SELECT doc_id FROM toks
+       WHERE len(list_filter(
+               list_filter(range(1, len(t)+1), i -> t[i] = 'hash'),
+               p -> len(list_filter(
+                      list_filter(range(1, len(t)+1),
+                                  j -> t[j] = 'table'),
+                      q -> q >= p - 1 AND q <= p)) = 0)) > 0))
  ORDER BY score DESC, doc_id LIMIT 10)
 """
 
@@ -3882,8 +4152,24 @@ WHERE rn = 1
             FROM documents
         """,
         "quality": f"""
-            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-            SELECT doc_id,
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+            sc AS (
+              SELECT doc_id, list_max([
+                {{'hits': len(list_intersect(list_distinct(toks),
+                   ['the','and','of','to','in','is','that','it','for',
+                    'with'])), 'lang': 'en'}},
+                {{'hits': len(list_intersect(list_distinct(toks),
+                   ['der','die','und','das','ist','nicht','ein','mit',
+                    'auf'])), 'lang': 'de'}},
+                {{'hits': len(list_intersect(list_distinct(toks),
+                   ['le','la','et','les','des','est','pas','une','dans'])),
+                 'lang': 'fr'}},
+                {{'hits': len(list_intersect(list_distinct(toks),
+                   ['el','la','los','las','es','una','para','por','con'])),
+                 'lang': 'es'}}
+              ]) AS best
+              FROM t)
+            SELECT t.doc_id,
                    length(text)::BIGINT AS n_chars,
                    round(CASE WHEN length(text) > 0 THEN
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
@@ -3893,9 +4179,17 @@ WHERE rn = 1
                      ELSE 0.0 END, 6) AS distinct_ratio,
                    round(CASE WHEN len(toks) > 0 THEN
                      list_sum(list_transform(toks, x -> length(x)))::DOUBLE
-                       / len(toks) ELSE 0.0 END, 6) AS mean_word_len
-            FROM t
+                       / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> ''))::BIGINT AS n_ws_tokens,
+                   len(toks)::BIGINT AS n_tokens,
+                   ceil(length(text) / 4.0)::BIGINT AS n_bpe_est,
+                   CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+                     AS lang_pred
+            FROM t JOIN sc USING (doc_id)
         """,
+        "repetition_qc": _REPETITION_QC_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
         "language_id": f"""
             WITH t AS (
               SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),

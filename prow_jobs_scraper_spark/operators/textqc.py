@@ -1,6 +1,7 @@
 """Text-analysis operators for training-data pipelines: language ID,
 quality scoring, token counting, document fingerprinting, PII
-scrubbing, span-level exact dedup.
+scrubbing, span-level exact dedup, Gopher-style repetition stats,
+benchmark contamination checking.
 
 All Catalyst-first: counts/ratios are JVM expressions over the shared
 tokenizer; the only pandas UDF is the rolling-hash fingerprint (numeric
@@ -207,6 +208,226 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         cur = F.regexp_replace(cur, pat, mask)
     cols[f"{text_col}_scrubbed"] = cur
     return df.withColumns(cols)
+
+
+def _ngram_col(toks, n: int):
+    """Space-joined token n-grams as an array<string> Column (empty when
+    the doc has fewer than ``n`` tokens — guarded because F.sequence
+    counts DOWN when start > stop)."""
+    m = F.size(toks)
+    return F.when(
+        m >= n,
+        F.transform(F.sequence(F.lit(1), m - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_fracs(arr):
+    """(dup_frac, dup_char_frac) for an array column: the fraction of
+    occurrences (resp. characters) beyond each distinct value's first —
+    the standard implementation of Gopher's duplicate line / paragraph
+    fractions ((total - distinct) / total)."""
+    cnt = F.size(arr)
+    dcnt = F.size(F.array_distinct(arr))
+    chars = F.aggregate(arr, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x))
+    dchars = F.aggregate(F.array_distinct(arr), F.lit(0).cast("long"),
+                         lambda a, x: a + F.length(x))
+    frac = F.when(cnt > 0, (cnt - dcnt) / cnt).otherwise(F.lit(0.0))
+    cfrac = F.when(chars > 0, (chars - dchars) / chars).otherwise(F.lit(0.0))
+    return frac, cfrac
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 — the public MassiveWeb
+    filter set): per-document duplicate-line / duplicate-paragraph
+    fractions, top-n-gram character coverage, and duplicate-n-gram
+    occurrence fractions. Training pipelines drop documents above
+    thresholds on these (e.g. dup_line_frac > 0.30,
+    top_2gram_char_frac > 0.20).
+
+    Emitted columns:
+
+    - ``n_lines``, ``dup_line_frac``, ``dup_line_char_frac`` — lines =
+      non-empty ``\\n`` splits; frac = (total - distinct) / total
+      occurrences (resp. characters).
+    - ``dup_para_frac``, ``dup_para_char_frac`` — paragraphs = non-empty
+      ``\\n\\n+`` splits.
+    - ``top_{n}gram_char_frac`` for n in ``top_ns`` — occurrences of the
+      single most frequent token n-gram × its joined character length /
+      document characters (ties break on the lexicographically greatest
+      gram, deterministic). Documented deviation from Gopher: the gram's
+      character length is measured on the space-joined token form, not
+      the raw source span (identical on single-spaced text). Matches
+      the de-facto public implementation (datatrove's
+      GopherRepetitionFilter): occurrences are NOT union-coalesced, so
+      heavily self-overlapping repeats can push the value above 1.0.
+    - ``dup_{n}gram_frac`` for n in ``dup_ns`` — fraction of n-gram
+      OCCURRENCES whose gram appears more than once in the document.
+      Documented deviation: Gopher measures the union of characters
+      covered by duplicated n-grams; the occurrence fraction is the
+      standard SQL-replayable simplification and orders documents the
+      same way.
+
+    Scale shape: every statistic is a pure Catalyst higher-order-function
+    expression over the tokenizer output — map-side, zero shuffle, zero
+    Python, embarrassingly parallel at any corpus size. Sorting each
+    doc's n-gram array costs O(t log t) per doc. Intermediates (token
+    array, sorted gram arrays, run starts) are materialized as LAYERED
+    projection columns rather than inlined subexpressions — a lambda
+    that references an inlined `array_sort(...)` subtree duplicates it
+    at every reference and the optimizer/codegen cost explodes
+    combinatorially (measured: minutes per 500 docs inlined, sub-second
+    layered).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _seq1(m):
+        # 1..m as an array (F.sequence counts DOWN when m < start, so
+        # guard the empty case explicitly).
+        return F.when(m > 0, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>"))
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    # layer 0: token array, lines, paragraphs, char count
+    out = df.withColumns({
+        "__rs_toks": tokenize_column(F.col(text_col)),
+        "__rs_nchars": F.length(text),
+        "__rs_lines": F.filter(F.split(text, r"\n"),
+                               lambda x: F.trim(x) != ""),
+        "__rs_paras": F.filter(F.split(text, r"\n\n+"),
+                               lambda x: F.trim(x) != ""),
+    })
+    # layer 1: sorted n-gram arrays
+    out = out.withColumns({
+        f"__rs_s{n}": F.array_sort(_ngram_col(F.col("__rs_toks"), n))
+        for n in all_ns
+    })
+    # layer 2: run starts in each sorted array (top_ns only). F.get is
+    # 0-based and NULL on out-of-bounds (ANSI-safe at the edges).
+    def _starts(n):
+        s = F.col(f"__rs_s{n}")
+        return F.filter(
+            _seq1(F.size(s)),
+            lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)),
+        )
+
+    out = out.withColumns({f"__rs_st{n}": _starts(n) for n in top_ns})
+
+    line_frac, line_cfrac = _dup_fracs(F.col("__rs_lines"))
+    para_frac, para_cfrac = _dup_fracs(F.col("__rs_paras"))
+    cols: dict[str, object] = {
+        "n_lines": F.size("__rs_lines"),
+        "dup_line_frac": line_frac,
+        "dup_line_char_frac": line_cfrac,
+        "dup_para_frac": para_frac,
+        "dup_para_char_frac": para_cfrac,
+    }
+    n_chars = F.col("__rs_nchars")
+
+    for n in top_ns:
+        s, starts = F.col(f"__rs_s{n}"), F.col(f"__rs_st{n}")
+        m = F.size(s)
+        # runs = (next start - start) -> (run length, gram) structs;
+        # array_max picks (max count, then max gram)
+        ends = F.concat(F.slice(starts, 2, F.size(starts)),
+                        F.array(m + 1))
+        runs = F.zip_with(starts, ends, lambda a, b: b - a)
+        best = F.array_max(F.zip_with(
+            runs,
+            F.transform(starts, lambda i: F.get(s, i - 1)),
+            lambda r, g: F.struct(r.alias("cnt"), g.alias("gram")),
+        ))
+        cols[f"top_{n}gram_char_frac"] = F.when(
+            (m > 0) & (n_chars > 0),
+            best["cnt"] * F.length(best["gram"]) / n_chars,
+        ).otherwise(F.lit(0.0))
+
+    for n in dup_ns:
+        s = F.col(f"__rs_s{n}")
+        m = F.size(s)
+        dup_occ = F.size(F.filter(
+            _seq1(m),
+            lambda i: ((i > 1) & (F.get(s, i - 1) == F.get(s, i - 2)))
+            | ((i < m) & (F.get(s, i - 1) == F.get(s, i))),
+        ))
+        cols[f"dup_{n}gram_frac"] = F.when(
+            m > 0, dup_occ / m).otherwise(F.lit(0.0))
+
+    out = out.withColumns(cols)
+    return out.drop("__rs_toks", "__rs_nchars", "__rs_lines", "__rs_paras",
+                    *[f"__rs_s{n}" for n in all_ns],
+                    *[f"__rs_st{n}" for n in top_ns])
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / PaLM rule, public in both
+    papers' appendices): flag training documents sharing any exact
+    ``n``-gram (default 13, the published choice) with an evaluation
+    benchmark, so contaminated docs can be dropped before training.
+
+    Returns one row per input document: ``(id_col, n_grams,
+    n_contaminated, contaminated_frac, is_contaminated)`` where
+    ``n_contaminated`` counts the document's n-gram OCCURRENCES found in
+    the benchmark's n-gram set and ``is_contaminated`` = any hit.
+
+    Scale shape (the part that matters at 100 TB): benchmark suites are
+    tiny (10^5-10^7 grams) next to the corpus, so the benchmark side is
+    shingled, made distinct, and **broadcast** — the corpus-side explode
+    + join runs entirely map-side (no corpus shuffle), and the per-doc
+    re-aggregation partially aggregates map-side to ONE row per document
+    before its doc_id-keyed exchange. Join key is (xxhash64(gram), gram):
+    the 8-byte hash prunes comparisons, the gram string keeps the match
+    exact. No Python anywhere in the row path.
+    """
+    toks = tokenize_column(F.col(text_col))
+    grams = _ngram_col(toks, n)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.explode_outer(grams).alias("__g"),
+    )
+    bench = (
+        benchmark_df
+        .select(F.explode(
+            _ngram_col(tokenize_column(F.col(bench_text_col)), n)
+        ).alias("__g"))
+        .distinct()
+        .select(F.xxhash64("__g").alias("__h"), "__g",
+                F.lit(1).alias("__hit"))
+    )
+    joined = doc_grams.join(
+        F.broadcast(bench),
+        on=(F.xxhash64(doc_grams["__g"]) == bench["__h"])
+        & (doc_grams["__g"] == bench["__g"]),
+        how="left",
+    )
+    out = joined.groupBy(id_col).agg(
+        F.first("n_grams").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_contaminated") / F.col("n_grams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col, "n_grams", "n_contaminated",
+        frac.alias("contaminated_frac"),
+        (F.col("n_contaminated") > 0).alias("is_contaminated"),
+    )
 
 
 def span_dedup(

@@ -1259,6 +1259,41 @@ def span_tokens_expr(toks_col, ordered_terms: list[str], slop: int,
         [pos_of[t] for t in ordered_terms], ordered_terms, slop, in_order)
 
 
+def span_not_exists_expr(inc_pos, exc_pos, pre: int, post: int):
+    """Catalyst predicate for ``span_not`` over width-1 (term) spans —
+    the Lucene SpanNotQuery rule (public: Lucene SpanNotQuery docs):
+    an include occurrence at position ``p`` survives unless an exclude
+    occurrence ``q`` lies in ``[p - pre, p + post]``; the doc matches
+    when ANY include occurrence survives. ``inc_pos`` / ``exc_pos`` are
+    array<int> position columns (exclude may be NULL — no exclude
+    occurrences in the doc — which excludes nothing). Same nested-
+    ``F.exists`` whole-stage-codegen construction as the other span
+    predicates; O(|inc|·|exc|) per doc, short-circuiting."""
+    exc = F.coalesce(exc_pos, F.array().cast("array<int>"))
+    return F.exists(
+        inc_pos,
+        lambda p: ~F.exists(
+            exc, lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(post))),
+    )
+
+
+def span_not_tokens_expr(toks_col, inc_term: str, exc_term: str,
+                         pre: int, post: int):
+    """:func:`span_not_exists_expr` over a tokenized TEXT column —
+    per-term position arrays derived in-expression exactly like
+    :func:`sloppy_tokens_expr`, so the corpus and positions-sidecar
+    paths share one semantics definition."""
+    pos_of = {}
+    for t in {inc_term, exc_term}:
+        idx = F.transform(
+            toks_col,
+            (lambda tt: lambda x, i:
+             F.when(x == F.lit(tt), i).otherwise(F.lit(-1)))(t))
+        pos_of[t] = F.filter(idx, lambda p: p >= 0)
+    return span_not_exists_expr(pos_of[inc_term], pos_of[exc_term],
+                                pre, post)
+
+
 def sloppy_tokens_expr(toks_col, ordered_terms: list[str], slop: int):
     """:func:`sloppy_exists_expr` over a tokenized TEXT column (the
     corpus-fallback twin of the positions-sidecar path): per-term

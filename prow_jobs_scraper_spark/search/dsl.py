@@ -279,6 +279,14 @@ class TextClause:
     # end). Qualification-only, like slop; only meaningful on a
     # single-term clause with phrase=False
     span_first_end: int | None = None
+    # span_not desugar (:func:`_parse_span`): the Lucene SpanNotQuery
+    # rule for single-position spans — (exclude_term, pre, post); an
+    # include occurrence at position p survives unless the exclude
+    # term occurs at any q with p - pre <= q <= p + post, and the doc
+    # matches when at least one occurrence survives.
+    # Qualification-only; only meaningful on a single-term clause with
+    # phrase=False (include/exclude are span_terms on the same field)
+    span_not: tuple[str, int, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -982,6 +990,50 @@ def _parse_span(kind: str, body) -> TextClause:
         fld, term = _span_term_of(match, None)
         return TextClause(field=fld, text=term, operator="and",
                           boost=float(boost), span_first_end=end)
+    if kind == "span_not":
+        # Lucene SpanNotQuery, single-position spans only: include and
+        # exclude must both be span_terms (a span_near on either side
+        # needs span EXTENTS the existence predicates don't expose —
+        # the same boundary as span_first). `dist` is ES shorthand for
+        # pre = post = dist; defaults 0/0 (overlap-only exclusion).
+        # Same-term include/exclude can never match (a position always
+        # overlaps itself) — the natural consequence of the rule, kept.
+        if not isinstance(body, dict):
+            raise DslError(f"bad span_not body {body!r}")
+        unknown = set(body) - {"include", "exclude", "pre", "post",
+                               "dist", "boost"}
+        if unknown:
+            raise DslError(
+                f"unsupported span_not options {sorted(unknown)}")
+        if "dist" in body and ("pre" in body or "post" in body):
+            raise DslError(
+                "span_not takes dist OR pre/post, not both (ES: dist "
+                "sets both)")
+        inc = body.get("include")
+        exc = body.get("exclude")
+        for name, cl in (("include", inc), ("exclude", exc)):
+            if not (isinstance(cl, dict) and len(cl) == 1
+                    and "span_term" in cl):
+                raise DslError(
+                    f"span_not {name} supports a span_term only "
+                    f"(span extents are out of grammar), got {cl!r}")
+        dist = body.get("dist", 0)
+        pre = body.get("pre", dist)
+        post = body.get("post", dist)
+        for name, v in (("pre", pre), ("post", post), ("dist", dist)):
+            if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+                raise DslError(
+                    f"span_not {name} must be a non-negative integer, "
+                    f"got {v!r}")
+        boost = body.get("boost", 1.0)
+        if isinstance(boost, bool) or not isinstance(boost, (int, float)) \
+                or not boost > 0:
+            raise DslError(f"boost must be a positive number, got {boost!r}")
+        fld, inc_term = _span_term_of(inc, None)
+        _, exc_term = _span_term_of(exc, fld)  # same-field rule (ES)
+        return TextClause(field=fld, text=inc_term, operator="and",
+                          boost=float(boost),
+                          span_not=(exc_term, int(pre), int(post)))
     if not isinstance(body, dict):
         raise DslError(f"bad span_near body {body!r}")
     unknown = set(body) - {"clauses", "slop", "in_order", "boost"}
@@ -1146,10 +1198,10 @@ def _span_or_as_bool(body) -> "QuerySpec":
     for cl in clauses:
         if not (isinstance(cl, dict) and len(cl) == 1
                 and next(iter(cl)) in ("span_term", "span_near",
-                                       "span_first")):
+                                       "span_first", "span_not")):
             raise DslError(
                 f"span_or clauses must be span queries "
-                f"(span_term/span_near/span_first), got {cl!r}")
+                f"(span_term/span_near/span_first/span_not), got {cl!r}")
         (ck, cb), = cl.items()
         child.should.append(_parse_span(ck, cb))
     child.msm = 1
@@ -2603,7 +2655,7 @@ def parse_query(q: dict) -> QuerySpec:
             return parse_query(_desugar_match_fuzzy(body))
         spec.must.append(_parse_text(kind, body))
         return spec
-    if kind in ("span_term", "span_near", "span_first"):
+    if kind in ("span_term", "span_near", "span_first", "span_not"):
         spec.must.append(_parse_span(kind, body))
         return spec
     if kind == "span_or":
@@ -2750,7 +2802,7 @@ def parse_query(q: dict) -> QuerySpec:
                     spec.must_not.append(parsed)
                 continue
             if ck in ("match", "match_phrase", "span_term", "span_near",
-                      "span_first"):
+                      "span_first", "span_not"):
                 tc = (_parse_text(ck, cb)
                       if ck in ("match", "match_phrase")
                       else _parse_span(ck, cb))
@@ -3046,6 +3098,17 @@ def _compile_specs(
             matched = matched & (
                 F.array_position(toks, live[0])
                 <= F.lit(c.span_first_end).cast("long"))
+        if c.span_not is not None:
+            # Lucene SpanNotQuery (single-position spans): at least
+            # one include occurrence p with NO exclude occurrence q in
+            # [p - pre, p + post] — pure array higher-order functions,
+            # one pass over the token array
+            from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+                span_not_tokens_expr,
+            )
+            exc_t, pre, post = c.span_not
+            matched = matched & span_not_tokens_expr(
+                toks, live[0], exc_t, pre, post)
         if c.boost != 1.0:
             score = score * F.lit(c.boost)
         return True, score, matched
@@ -6919,6 +6982,54 @@ def _clause_frame_indexed(
                              "left_semi")
                 .where(pred).select("doc_id"))
         frame = frame.join(verified, "doc_id")
+    if c.span_not is not None:
+        # Lucene SpanNotQuery bound (span_not_exists_expr): from the
+        # positions sidecar it's TWO tb+term-pruned reads — include
+        # positions inner-joined to the candidate frame, exclude
+        # positions LEFT-joined (docs without the exclude term exclude
+        # nothing) — index I/O only; with docs_df it's the semi-join
+        # recheck the phrase path uses.
+        from prow_jobs_scraper_spark.search.compressed import (  # noqa: PLC0415
+            span_not_exists_expr,
+            span_not_tokens_expr,
+        )
+        exc_t, pre, post = c.span_not
+        if docs_df is None:
+            if not all(m.get("has_positions") for m in metas):
+                raise DslError(
+                    "span_not needs docs_df for the position check, or "
+                    "every index segment built with store_positions=True")
+            inc_tid = tid_of[terms[0]]
+            exc_tid = term_id_py(exc_t)
+            inc_pos, exc_pos = None, None
+            for d, m in zip(dirs, metas):
+                nb = int(m["n_buckets"])
+                pf = spark.read.parquet(IndexPaths(d).positions)
+                ip = (pf.where((F.col("tb") == inc_tid % nb)
+                               & (F.col("term_id") == inc_tid))
+                      .select("doc_id", "positions"))
+                ep = (pf.where((F.col("tb") == exc_tid % nb)
+                               & (F.col("term_id") == exc_tid))
+                      .select("doc_id",
+                              F.col("positions").alias("exc_positions")))
+                inc_pos = ip if inc_pos is None else inc_pos.unionByName(ip)
+                exc_pos = ep if exc_pos is None else exc_pos.unionByName(ep)
+            verified = (
+                inc_pos.join(frame.select("doc_id"), "doc_id")
+                .join(exc_pos, "doc_id", "left")
+                .where(span_not_exists_expr(
+                    F.col("positions"), F.col("exc_positions"), pre, post))
+                .select("doc_id"))
+        else:
+            if "doc_id" not in docs_df.columns:
+                docs_df = with_doc_ids(docs_df)
+            verified = (
+                docs_df.join(frame.select("doc_id"), "doc_id", "left_semi")
+                .where(span_not_tokens_expr(
+                    tokenize_column(F.col(c.field)), terms[0], exc_t,
+                    pre, post))
+                .select("doc_id"))
+        frame = frame.join(verified, "doc_id")
     return frame
 
 
@@ -6994,7 +7105,8 @@ def _prunable_for_topk(spec: QuerySpec) -> bool:
         return False
     cls = spec.must + spec.should
     if not cls or any(c.phrase or c.boost != 1.0
-                      or c.span_first_end is not None for c in cls):
+                      or c.span_first_end is not None
+                      or c.span_not is not None for c in cls):
         # boosted clauses take the exact score-all path: the batch
         # kernels key their stats on the raw term, and one term may
         # appear under different boosts across clauses

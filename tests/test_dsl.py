@@ -7217,6 +7217,114 @@ def test_span_or(spark, docs, docs_pdf, dsl_index):
             parse_query({"span_or": bad})
 
 
+def test_span_not(spark, docs, docs_pdf, dsl_index, tmp_path_factory):
+    """Lucene SpanNotQuery over single-position spans: an include
+    occurrence at p survives unless the exclude term occurs at any q in
+    [p - pre, p + post]; the doc matches when any occurrence survives.
+    Oracle = independent numpy position check; indexed == naive on the
+    docs_df-recheck and positions-sidecar paths; dist == pre = post."""
+    from prow_jobs_scraper_spark.search.dsl import TextClause
+
+    inc, exc = "spark", "agent"
+    fstats = _field_stats(docs_pdf, {"text"})
+    toks = tokenize_pandas(docs_pdf["text"].fillna("")).tolist()
+
+    def _want(pre, post, k=10):
+        sc, m = _clause_eval(docs_pdf, fstats, len(docs_pdf),
+                             TextClause(field="text", text=inc))
+        surv = []
+        for lst in toks:
+            ip = [i for i, t in enumerate(lst) if t == inc]
+            ep = [i for i, t in enumerate(lst) if t == exc]
+            surv.append(any(
+                not any(p - pre <= q <= p + post for q in ep)
+                for p in ip))
+        matched = m & np.array(surv)
+        return _topk_oracle(docs_pdf, np.where(matched, sc, 0.0),
+                            matched, k)
+
+    shapes = []
+    for pre, post in ((0, 0), (1, 2), (3, 0)):
+        q = {"query": {"span_not": {
+            "include": {"span_term": {"text": inc}},
+            "exclude": {"span_term": {"text": exc}},
+            "pre": pre, "post": post}}}
+        want = _want(pre, post)
+        got = search_dsl(docs, q, 10).toPandas()
+        _assert_rank_identical(got, want, f"span_not naive {pre}/{post}")
+        gi = search_dsl_indexed(spark, dsl_index, q, 10,
+                                docs_df=docs).toPandas()
+        _assert_rank_identical(gi, want, f"span_not indexed {pre}/{post}")
+        shapes.append(q)
+    # exclusion must actually fire: strictly fewer matches than the
+    # plain include match at a wide window, non-zero at (0, 0)
+    n_all = search_dsl(docs, {"query": {"match": {"text": inc}}},
+                       10000).count()
+    n00 = search_dsl(docs, shapes[0], 10000).count()
+    qwide = {"query": {"span_not": {
+        "include": {"span_term": {"text": inc}},
+        "exclude": {"span_term": {"text": exc}}, "dist": 50}}}
+    nw = search_dsl(docs, qwide, 10000).count()
+    assert 0 < nw < n00 <= n_all
+    # dist shorthand == explicit pre = post = dist
+    qd = {"query": {"span_not": {
+        "include": {"span_term": {"text": inc}},
+        "exclude": {"span_term": {"text": exc}}, "dist": 2}}}
+    qe = {"query": {"span_not": {
+        "include": {"span_term": {"text": inc}},
+        "exclude": {"span_term": {"text": exc}}, "pre": 2, "post": 2}}}
+    pd.testing.assert_frame_equal(search_dsl(docs, qd, 10).toPandas(),
+                                  search_dsl(docs, qe, 10).toPandas())
+    # positions-sidecar path (no docs_df)
+    dp = str(tmp_path_factory.mktemp("dsl_spannot"))
+    build_index(spark, docs, dp,
+                BuildConfig(n_ranges=8, n_buckets=4, store_positions=True))
+    gp = search_dsl_indexed(spark, dp, shapes[1], 10).toPandas()
+    _assert_rank_identical(gp, _want(1, 2), "span_not indexed positions")
+    with pytest.raises(DslError, match="store_positions"):
+        search_dsl_indexed(spark, dsl_index, shapes[0], 10).toPandas()
+    # same-term include/exclude can never match (p overlaps itself)
+    qs = {"query": {"span_not": {
+        "include": {"span_term": {"text": inc}},
+        "exclude": {"span_term": {"text": inc}}}}}
+    assert search_dsl(docs, qs, 5).count() == 0
+    # bool filter context + span_or child: qualification only
+    qf = {"query": {"bool": {"must": [{"match": {"text": "agent"}}],
+                             "filter": [shapes[0]["query"]]}}}
+    a = search_dsl(docs, qf, 10).toPandas()
+    b = search_dsl_indexed(spark, dsl_index, qf, 10,
+                           docs_df=docs).toPandas()
+    _assert_rank_identical(b, a, "span_not filter indexed")
+    so = {"query": {"span_or": {"clauses": [
+        shapes[0]["query"], {"span_term": {"text": "the_hot_term"}}]}}}
+    hand = {"query": {"bool": {"should": [
+        shapes[0]["query"], {"span_term": {"text": "the_hot_term"}}],
+        "minimum_should_match": 1}}}
+    pd.testing.assert_frame_equal(search_dsl(docs, so, 10).toPandas(),
+                                  search_dsl(docs, hand, 10).toPandas())
+    for bad in (
+        {},                                                   # nothing
+        {"include": {"span_term": {"text": inc}}},            # no exclude
+        {"exclude": {"span_term": {"text": exc}}},            # no include
+        {"include": {"match": {"text": inc}},                 # non-span
+         "exclude": {"span_term": {"text": exc}}},
+        {"include": {"span_near": {"clauses": [               # extent
+            {"span_term": {"text": inc}}], "slop": 0,
+            "in_order": True}},
+         "exclude": {"span_term": {"text": exc}}},
+        {"include": {"span_term": {"text": inc}},
+         "exclude": {"span_term": {"text": exc}}, "pre": -1},
+        {"include": {"span_term": {"text": inc}},
+         "exclude": {"span_term": {"text": exc}}, "dist": 1, "pre": 1},
+        {"include": {"span_term": {"text": inc}},
+         "exclude": {"span_term": {"text": exc}}, "x": 1},
+        {"include": {"span_term": {"text": inc}},
+         "exclude": {"span_term": {"other_field": exc}}},     # cross-field
+    ):
+        with pytest.raises(DslError):
+            parse_query({"span_not": bad})
+
+
 def test_intervals_query(spark, docs, docs_pdf, dsl_index):
     """ES `intervals` (the span family's ES-7+ replacement): the match
     rule's gap arithmetic is EXACTLY the SpanNearQuery window rule

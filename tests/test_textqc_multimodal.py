@@ -443,3 +443,132 @@ def test_resize_uses_header_dims(spark):
         xi = np.arange(4) * w // 4
         want = img[yi][:, xi].tobytes()
         assert bytes(out[mid]["payload"]) == want, mid
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition stats + benchmark contamination (round 5)
+# ---------------------------------------------------------------------------
+
+def _py_repetition(text: str | None):
+    """Independent pure-Python replay of repetition_stats' definitions."""
+    import re
+    from collections import Counter
+
+    text = text or ""
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    out = {}
+
+    def dup_fracs(items):
+        if not items:
+            return 0.0, 0.0
+        cnt, dcnt = len(items), len(set(items))
+        chars = sum(len(x) for x in items)
+        dchars = sum(len(x) for x in set(items))
+        return (cnt - dcnt) / cnt, (chars - dchars) / chars if chars else 0.0
+
+    lines = [x for x in text.split("\n") if x.strip()]
+    paras = [x for x in re.split(r"\n\n+", text) if x.strip()]
+    out["n_lines"] = len(lines)
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_fracs(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_fracs(paras)
+
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or not text:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        c = Counter(grams)
+        best_cnt = max(c.values())
+        best = max(g for g, k in c.items() if k == best_cnt)
+        out[f"top_{n}gram_char_frac"] = best_cnt * len(best) / len(text)
+
+    for n in (5, 10):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            out[f"dup_{n}gram_frac"] = 0.0
+            continue
+        c = Counter(grams)
+        dup = sum(k for k in c.values() if k >= 2)
+        out[f"dup_{n}gram_frac"] = dup / len(grams)
+    return out
+
+
+def test_repetition_stats_python_oracle(spark):
+    rows = [
+        (0, "a b c\na b c\nx y z"),
+        (1, "one two one two one two one two"),
+        (2, None),
+        (3, ""),
+        (4, "p q r s t u v w\n\np q r s t u v w"),
+        (5, "a b c d e a b c d e a b c d e f g h i j"),
+        (6, "solo"),
+        (7, "line one\nline two\nline one\n\n\npara two\n\npara two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in Q.repetition_stats(df).collect()}
+    for doc_id, text in rows:
+        want = _py_repetition(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == pytest.approx(v), (doc_id, k)
+
+
+def test_repetition_stats_on_corpus_sample(spark, transcripts):
+    """Every frac stays in a sane range on real-ish text and the
+    spam-heavy doc ranks above the clean doc on 2-gram coverage."""
+    df = transcripts.limit(200).select(
+        F.col("conv_id").alias("doc_id"), "text")
+    rows = Q.repetition_stats(df).collect()
+    assert rows
+    for r in rows:
+        for k in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+                  "dup_para_char_frac", "dup_5gram_frac", "dup_10gram_frac"):
+            assert 0.0 <= r[k] <= 1.0, (r["doc_id"], k, r[k])
+        assert r["top_2gram_char_frac"] >= 0.0
+
+
+def test_contamination_check_python_oracle(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "one two three four five six seven eight nine"),
+        (2, None),
+        (3, "one two three four five"),
+        (4, "completely novel words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_rows = [("one two three four five six",),
+                  ("alpha beta gamma delta epsilon",)]
+    bench = spark.createDataFrame(bench_rows, "text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in Q.contamination_check(df, bench, n=5).collect()}
+
+    import re
+
+    def grams(t, n=5):
+        toks = re.findall(r"[a-z0-9_]+", (t or "").lower())
+        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    bench_set = set()
+    for (t,) in bench_rows:
+        bench_set.update(grams(t))
+    for doc_id, text in rows:
+        g = grams(text)
+        hits = sum(1 for x in g if x in bench_set)
+        r = got[doc_id]
+        assert r["n_grams"] == len(g), doc_id
+        assert r["n_contaminated"] == hits, doc_id
+        assert r["is_contaminated"] == (hits > 0), doc_id
+        want_frac = hits / len(g) if g else 0.0
+        assert r["contaminated_frac"] == pytest.approx(want_frac), doc_id
+
+
+def test_contamination_broadcast_plan(spark):
+    """The benchmark side must broadcast: the corpus never shuffles for
+    the join (only the per-doc re-agg exchanges doc-sized rows)."""
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j k l m n")], "doc_id long, text string")
+    bench = spark.createDataFrame([("a b c d e f g h i j k l m",)],
+                                  "text string")
+    plan = Q.contamination_check(df, bench)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
