@@ -1508,6 +1508,26 @@ def _search_aggs_metrics(spark, sf_dir):
         F.concat_ws("|", "interval",
                     F.col("key").cast("string")).alias("key"),
         "doc_count", nd.alias("val"))
+    # matrix_stats (round 5, this session): the ES matrix aggregations
+    # module — per-field moments + pairwise SAMPLE covariance /
+    # correlation over (value, v2=user_id%50; small magnitudes keep
+    # round(·,6) safely clear of cross-engine ulp noise), melted to
+    # key='field|other|stat' (search/dsl.py _apply_matrix_stats —
+    # closed-form raw moments, Pearson kurtosis, the twin replays the
+    # identical arithmetic)
+    ms = dsl_aggregate(
+        ev.withColumn("v2", (F.col("user_id") % 50).cast("double")),
+        {**q, "aggs": {"m": {"matrix_stats": {
+            "fields": ["value", "v2"]}}}},
+    ).select(
+        "field", "other", "doc_count",
+        F.expr("stack(6, 'mean', mean, 'var', variance, "
+               "'skew', skewness, 'kurt', kurtosis, "
+               "'cov', covariance, 'corr', correlation) AS (stat, v)"),
+    ).select(
+        F.lit("mstat").alias("shape"),
+        F.concat_ws("|", "field", "other", "stat").alias("key"),
+        "doc_count", F.round("v", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
@@ -1518,7 +1538,7 @@ def _search_aggs_metrics(spark, sf_dir):
             .unionByName(bx).unionByName(md).unionByName(mdt)
             .unionByName(sst).unionByName(ti)
             .unionByName(tm).unionByName(tmt).unionByName(nrm)
-            .unionByName(au))
+            .unionByName(au).unionByName(ms))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -3083,6 +3103,57 @@ SELECT 'auto', '1d|' || CAST(CAST(d.key AS TIMESTAMP) AS VARCHAR),
      INTERVAL 1 DAY)) AS key) d
   LEFT JOIN (SELECT date_trunc('day', ts) AS key, count(*) AS c
              FROM w GROUP BY 1) b ON d.key = b.key
+UNION ALL
+-- matrix_stats twin: closed-form raw moments over (value, v2) — the
+-- same arithmetic the engine compiles (sample n/(n-1) variance and
+-- covariance, skew m3/m2^1.5, Pearson kurtosis m4/m2^2, correlation
+-- cov/sqrt(var_i*var_j)); one row per (field, other, stat)
+SELECT 'mstat', k, n, round(v, 6)
+FROM (
+  WITH mv AS (
+    SELECT count(*)::BIGINT n,
+           avg(x) m1x, avg(x*x) m2x, avg(x*x*x) m3x, avg(x*x*x*x) m4x,
+           avg(y) m1y, avg(y*y) m2y, avg(y*y*y) m3y, avg(y*y*y*y) m4y,
+           avg(x*y) mxy
+    FROM (SELECT value AS x, (user_id % 50)::DOUBLE AS y FROM w
+          WHERE value IS NOT NULL AND user_id IS NOT NULL)),
+  cm AS (
+    SELECT n, m1x, m1y,
+           m2x - m1x*m1x AS c2x,
+           m3x - 3*m1x*m2x + 2*m1x*m1x*m1x AS c3x,
+           m4x - 4*m1x*m3x + 6*m1x*m1x*m2x - 3*m1x*m1x*m1x*m1x AS c4x,
+           m2y - m1y*m1y AS c2y,
+           m3y - 3*m1y*m2y + 2*m1y*m1y*m1y AS c3y,
+           m4y - 4*m1y*m3y + 6*m1y*m1y*m2y - 3*m1y*m1y*m1y*m1y AS c4y,
+           mxy - m1x*m1y AS cxy
+    FROM mv)
+  SELECT n,
+    unnest(['value|value|mean', 'value|value|var', 'value|value|skew',
+            'value|value|kurt', 'value|value|cov', 'value|value|corr',
+            'value|v2|mean', 'value|v2|var', 'value|v2|skew',
+            'value|v2|kurt', 'value|v2|cov', 'value|v2|corr',
+            'v2|value|mean', 'v2|value|var', 'v2|value|skew',
+            'v2|value|kurt', 'v2|value|cov', 'v2|value|corr',
+            'v2|v2|mean', 'v2|v2|var', 'v2|v2|skew',
+            'v2|v2|kurt', 'v2|v2|cov', 'v2|v2|corr']) AS k,
+    unnest([
+      m1x, c2x * n / (n - 1), c3x / pow(c2x, 1.5), c4x / (c2x * c2x),
+        c2x * n / (n - 1),
+        (c2x * n / (n - 1)) / sqrt((c2x * n / (n - 1))
+                                   * (c2x * n / (n - 1))),
+      m1x, c2x * n / (n - 1), c3x / pow(c2x, 1.5), c4x / (c2x * c2x),
+        cxy * n / (n - 1),
+        (cxy * n / (n - 1)) / sqrt((c2x * n / (n - 1))
+                                   * (c2y * n / (n - 1))),
+      m1y, c2y * n / (n - 1), c3y / pow(c2y, 1.5), c4y / (c2y * c2y),
+        cxy * n / (n - 1),
+        (cxy * n / (n - 1)) / sqrt((c2y * n / (n - 1))
+                                   * (c2x * n / (n - 1))),
+      m1y, c2y * n / (n - 1), c3y / pow(c2y, 1.5), c4y / (c2y * c2y),
+        c2y * n / (n - 1),
+        (c2y * n / (n - 1)) / sqrt((c2y * n / (n - 1))
+                                   * (c2y * n / (n - 1)))]) AS v
+  FROM cm)
 """
 
 # repetition_qc twin: identical multi-line augmentation, then the

@@ -6346,6 +6346,127 @@ def _apply_rare_terms(frame: DataFrame, agg_name: str, body: dict,
     return out.orderBy(F.asc("doc_count"), F.asc("key"))
 
 
+def _apply_matrix_stats(frame: DataFrame, name: str,
+                        body) -> DataFrame:
+    """ES ``matrix_stats`` (the matrix aggregations module): per-field
+    count/mean/variance/skewness/kurtosis plus pairwise covariance and
+    correlation over numeric fields. Output is FLATTENED to one row per
+    ordered (field, other) pair — per-field stats describe ``field``,
+    covariance/correlation describe the pair (the diagonal carries
+    variance and correlation 1) — key-sorted by (field, other).
+
+    Semantics pinned to the documented ES rules:
+
+    - a document missing ANY of the fields is EXCLUDED from the whole
+      matrix unless ``missing`` supplies that field's substitute
+      (``{"missing": {field: value}}``);
+    - variance and covariance are SAMPLE (n-1) estimates, correlation
+      their ratio (ES RunningStats); n <= 1 renders them NULL;
+    - skewness = m3 / m2^1.5 and kurtosis = m4 / m2^2 (Pearson, not
+      excess) over POPULATION central moments, computed closed-form
+      from raw moments — deterministic and replayable in plain SQL,
+      where ES's streaming update order can drift in the last ulps
+      (documented deviation family, like percentiles);
+    - ``mode`` (multi-valued field handling) stays out of grammar:
+      the engine's columns are scalars, so accepting it would imply
+      array semantics that don't exist here.
+
+    Plan shape: ONE aggregation row (Catalyst partial-aggregates
+    map-side) exploded into k^2 pair rows — bucket-cardinality work,
+    never a second scan; no shuffle beyond the single global agg."""
+    if not isinstance(body, dict) or "fields" not in body:
+        raise DslError(f"matrix_stats needs fields, got {body!r}")
+    unknown = set(body) - {"fields", "missing"}
+    if unknown:
+        raise DslError(
+            f"unsupported matrix_stats options {sorted(unknown)}")
+    fields = body["fields"]
+    if (not isinstance(fields, list) or not fields
+            or not all(isinstance(f, str) for f in fields)
+            or len(set(fields)) != len(fields)):
+        raise DslError(
+            f"matrix_stats fields must be a non-empty list of distinct "
+            f"field names, got {fields!r}")
+    fields = [_ident(f) for f in fields]
+    miss = body.get("missing", {})
+    if not isinstance(miss, dict) or not all(
+            isinstance(k, str) and not isinstance(v, bool)
+            and isinstance(v, (int, float)) for k, v in miss.items()):
+        raise DslError(f"bad matrix_stats missing {miss!r}")
+    extra = set(miss) - set(fields)
+    if extra:
+        raise DslError(
+            f"matrix_stats missing names unknown fields {sorted(extra)}")
+    for f in fields:
+        if f not in frame.columns:
+            raise DslError(f"matrix_stats field {f!r} is not available")
+    vals = {
+        f: (F.coalesce(F.col(f).cast("double"), F.lit(float(miss[f])))
+            if f in miss else F.col(f).cast("double"))
+        for f in fields
+    }
+    keep = reduce(lambda a, b: a & b,
+                  [vals[f].isNotNull() for f in fields])
+    kept = frame.where(keep)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        x = vals[f]
+        aggs += [F.avg(x).alias(f"__m1_{f}"),
+                 F.avg(x * x).alias(f"__m2_{f}"),
+                 F.avg(x * x * x).alias(f"__m3_{f}"),
+                 F.avg(x * x * x * x).alias(f"__m4_{f}")]
+    for i, fi in enumerate(fields):
+        for fj in fields[i:]:
+            aggs.append(F.avg(vals[fi] * vals[fj]).alias(f"__xy_{fi}_{fj}"))
+    row = kept.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+
+    def _central(f):
+        m1, m2r = F.col(f"__m1_{f}"), F.col(f"__m2_{f}")
+        m3r, m4r = F.col(f"__m3_{f}"), F.col(f"__m4_{f}")
+        m2 = m2r - m1 * m1
+        m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+        m4 = (m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+              - 3 * m1 * m1 * m1 * m1)
+        return m1, m2, m3, m4
+
+    def _cov(fi, fj):
+        a, b = (fi, fj) if f"__xy_{fi}_{fj}" in row.columns else (fj, fi)
+        exy = F.col(f"__xy_{a}_{b}")
+        # sample covariance: n/(n-1) * (E[xy] - E[x]E[y])
+        return F.when(n > 1, (exy - F.col(f"__m1_{fi}")
+                              * F.col(f"__m1_{fj}")) * n / (n - 1))
+
+    pairs = []
+    for fi in fields:
+        m1, m2, m3, m4 = _central(fi)
+        for fj in fields:
+            cov = _cov(fi, fj)
+            var_j = _cov(fj, fj)
+            corr = F.when(
+                (n > 1) & (cov.isNotNull()),
+                cov / F.sqrt(_cov(fi, fi) * var_j))
+            pairs.append(F.struct(
+                F.lit(fi).alias("field"),
+                F.lit(fj).alias("other"),
+                F.col("__n").alias("doc_count"),
+                F.when(n > 0, m1).alias("mean"),
+                _cov(fi, fi).alias("variance"),
+                F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+                .otherwise(F.when(n > 0, F.lit(0.0))).alias("skewness"),
+                F.when(m2 > 0, m4 / (m2 * m2))
+                .otherwise(F.when(n > 0, F.lit(0.0))).alias("kurtosis"),
+                cov.alias("covariance"),
+                corr.alias("correlation"),
+            ))
+    return (row.select(F.explode(F.array(*pairs)).alias("__p"))
+            .select("__p.field", "__p.other", "__p.doc_count", "__p.mean",
+                    "__p.variance", "__p.skewness", "__p.kurtosis",
+                    "__p.covariance", "__p.correlation")
+            .orderBy("field", "other"))
+
+
 def _apply_string_stats(frame: DataFrame, name: str,
                         body: dict) -> DataFrame:
     """ES ``string_stats`` (bare): count / min_length / max_length /
@@ -6532,6 +6653,8 @@ def _apply_agg(frame: DataFrame, agg_name: str, kind: str, body: dict,
                                   F.lit(0.5)).alias(agg_name)))
     if kind == "string_stats" and not sub:
         return _apply_string_stats(frame, agg_name, body)
+    if kind == "matrix_stats" and not sub:
+        return _apply_matrix_stats(frame, agg_name, body)
     if kind == "weighted_avg" and not sub:
         return frame.agg(_weighted_avg_expr(agg_name, body))
     if kind == "composite":

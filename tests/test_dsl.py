@@ -3215,6 +3215,115 @@ def test_boxplot_mad_string_stats(spark, docs, docs_pdf, dsl_index):
             dsl_aggregate(docs, bad)
 
 
+def test_matrix_stats(spark, docs, docs_pdf, dsl_index):
+    """ES `matrix_stats` (the matrix aggregations module): one row per
+    ordered field pair with count/mean/sample variance/skewness
+    (m3/m2^1.5)/Pearson kurtosis (m4/m2^2)/sample covariance/sample
+    correlation. Oracle = duckdb closed-form raw-moment replay; the ES
+    exclusion rule (a doc missing ANY field leaves the whole matrix
+    unless `missing` fills it) is value-checked; indexed identity on a
+    doc_stats field; unknown options fail loud."""
+    from pyspark.sql import functions as F
+
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    d2 = docs.withColumns({
+        "ti2": (F.col("turn_idx") * 7) % 13,
+        "gap": F.when(F.col("turn_idx") % 5 == 0, None)
+        .otherwise(F.col("turn_idx") % 17),
+    })
+    con = duckdb.connect()
+    con.register("t0", docs_pdf)
+    con.execute("""CREATE VIEW t AS SELECT *, (turn_idx * 7) % 13 AS ti2,
+        CASE WHEN turn_idx % 5 = 0 THEN NULL ELSE turn_idx % 17 END AS gap
+        FROM t0""")
+
+    def _pairs_sql(fields, fill=None, where="TRUE"):
+        cols = {f: (f"coalesce({f}, {fill[f]})"
+                    if fill and f in fill else f) for f in fields}
+        notnull = " AND ".join(f"{c} IS NOT NULL"
+                               for c in cols.values())
+        rows = []
+        for fi in fields:
+            for fj in fields:
+                x, y = cols[fi], cols[fj]
+                rows.append(f"""
+        SELECT '{fi}' AS field, '{fj}' AS other,
+          count(*) AS doc_count, avg({x}) AS mean,
+          (avg(({x})*({x})) - avg({x})*avg({x}))
+            * count(*)::DOUBLE / (count(*) - 1) AS variance,
+          (avg(({x})*({x})*({x})) - 3*avg({x})*avg(({x})*({x}))
+             + 2*avg({x})*avg({x})*avg({x}))
+          / pow(avg(({x})*({x})) - avg({x})*avg({x}), 1.5) AS skewness,
+          (avg(({x})*({x})*({x})*({x})) - 4*avg({x})*avg(({x})*({x})*({x}))
+             + 6*avg({x})*avg({x})*avg(({x})*({x}))
+             - 3*avg({x})*avg({x})*avg({x})*avg({x}))
+          / pow(avg(({x})*({x})) - avg({x})*avg({x}), 2) AS kurtosis,
+          (avg(({x})*({y})) - avg({x})*avg({y}))
+            * count(*)::DOUBLE / (count(*) - 1) AS covariance,
+          (avg(({x})*({y})) - avg({x})*avg({y}))
+          / sqrt((avg(({x})*({x})) - avg({x})*avg({x}))
+                 * (avg(({y})*({y})) - avg({y})*avg({y})))
+            AS correlation
+        FROM t WHERE {where} AND {notnull}""")
+        return (" UNION ALL ".join(rows)
+                + " ORDER BY field, other")
+
+    fields = ["turn_idx", "ti2", "gap"]
+    # with the missing fill: every doc participates
+    got = dsl_aggregate(d2, {"aggs": {"m": {"matrix_stats": {
+        "fields": fields, "missing": {"gap": 8}}}}}).toPandas()
+    want = con.sql(_pairs_sql(fields, fill={"gap": 8})).df()
+    assert got["doc_count"].nunique() == 1
+    assert int(got["doc_count"].iloc[0]) == len(docs_pdf)
+    for c in ("mean", "variance", "skewness", "kurtosis", "covariance",
+              "correlation"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-9,
+                                   err_msg=c)
+    diag = got[got["field"] == got["other"]]
+    np.testing.assert_allclose(diag["correlation"], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(diag["variance"], diag["covariance"])
+    # WITHOUT the fill: the ES exclusion rule — docs missing gap leave
+    # the whole matrix, shrinking doc_count and shifting turn_idx stats
+    got2 = dsl_aggregate(d2, {"aggs": {"m": {"matrix_stats": {
+        "fields": fields}}}}).toPandas()
+    want2 = con.sql(_pairs_sql(fields)).df()
+    assert int(got2["doc_count"].iloc[0]) == int(want2["doc_count"].iloc[0])
+    assert int(got2["doc_count"].iloc[0]) < len(docs_pdf)
+    for c in ("mean", "variance", "covariance", "correlation"):
+        np.testing.assert_allclose(got2[c], want2[c], rtol=1e-9,
+                                   err_msg=c)
+    # under a real query (the qualifying set, not the corpus)
+    req = {"query": {"match": {"text": "spark"}},
+           "aggs": {"m": {"matrix_stats": {"fields": ["turn_idx"]}}}}
+    g3 = dsl_aggregate(d2, req).toPandas()
+    assert 0 < int(g3["doc_count"].iloc[0]) < len(docs_pdf)
+    # indexed identity on a doc_stats-persisted field
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    gn = dsl_aggregate(docs, req).toPandas()
+    pd.testing.assert_frame_equal(gi, gn)
+    # fail loud
+    for bad in (
+        {"fields": []},
+        {"fields": "turn_idx"},
+        {"fields": ["turn_idx", "turn_idx"]},
+        {"fields": ["turn_idx"], "mode": "avg"},
+        {"fields": ["turn_idx"], "missing": {"zz": 1}},
+        {"fields": ["turn_idx"], "missing": {"turn_idx": True}},
+        {"fields": ["nope"]},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(d2, {"aggs": {"m": {
+                "matrix_stats": bad}}}).collect()
+    with pytest.raises(DslError):  # sub-aggs out of grammar
+        dsl_aggregate(d2, {"aggs": {"m": {
+            "matrix_stats": {"fields": ["turn_idx"]},
+            "aggs": {"a": {"avg": {"field": "turn_idx"}}}}}}).collect()
+
+
 def test_top_metrics(spark, docs, docs_pdf, dsl_index):
     """ES `top_metrics` (size 1): the winning document's metric values
     by sort, flattened to `<name>_<field>` columns, bare and inside
