@@ -267,6 +267,42 @@ def test_pii_scrub_stays_jvm_side(spark):
     assert n_scans == 1, f"{n_scans} scans\n{plan}"
 
 
+def test_repetition_stats_stays_jvm_side(spark):
+    # Gopher repetition stats are pure Catalyst higher-order
+    # expressions: no Python, no shuffle (embarrassingly parallel),
+    # one corpus scan — the layered-projection structure must not
+    # introduce exchanges
+    from prow_jobs_scraper_spark.operators.textqc import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = repetition_stats(docs).select(
+        "doc_id", "dup_line_frac", "top_2gram_char_frac",
+        "dup_10gram_frac")
+    plan = _plan(out)
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"{n_scans} scans\n{plan}"
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    # decontamination at 100 TB: the benchmark gram set broadcasts, the
+    # corpus-side explode+join stays map-side (no SortMergeJoin — a
+    # corpus shuffle would be the scale-killer), the per-doc re-agg
+    # partially aggregates before its exchange, no Python
+    from prow_jobs_scraper_spark.operators.textqc import (
+        contamination_check,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where("doc_id % 37 = 0").select("text")
+    plan = _plan(contamination_check(docs, bench, n=13))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_" in plan, plan
+
+
 def test_span_dedup_one_scan_one_keyfirst_window(spark):
     # span dedup: map-side chunk explode off ONE corpus scan, the
     # keep-first decision is a window (no self-join), no Python
