@@ -147,6 +147,29 @@ def bench_dsl_ops(spark) -> dict[str, float]:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base_q = {"match": {"text": {"query": "key agg", "operator": "or"}}}
+
+    def _rep_stats(d):
+        from prow_jobs_scraper_spark.operators.textqc import (  # noqa: PLC0415
+            repetition_stats,
+        )
+        return repetition_stats(d).select(
+            "doc_id", "dup_line_frac", "top_2gram_char_frac",
+            "dup_5gram_frac", "dup_10gram_frac")
+
+    def _contamination(d):
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from prow_jobs_scraper_spark.functions.tokenize import (  # noqa: PLC0415
+            tokenize_column,
+        )
+        from prow_jobs_scraper_spark.operators.textqc import (  # noqa: PLC0415
+            contamination_check,
+        )
+        bench = d.where(F.col("doc_id") % 37 == 0).select(
+            F.array_join(F.slice(tokenize_column(F.col("text")), 1, 20),
+                         " ").alias("text"))
+        return contamination_check(d, bench, n=13)
+
     jobs = {
         "rescore_search": lambda: execute_request(docs, {
             "query": base_q, "size": 10,
@@ -181,6 +204,19 @@ def bench_dsl_ops(spark) -> dict[str, float]:
             "query": base_q,
             "aggs": {"s": {"significant_text": {"field": "text",
                                                 "min_doc_count": 2}}}}),
+        # round-5 final session: the training-pipeline ops + the two
+        # new query/agg surfaces, timed on the same SF documents table
+        "repetition_qc": lambda: _rep_stats(docs),
+        "contamination": lambda: _contamination(docs),
+        "span_not_search": lambda: search_dsl(docs, {
+            "query": {"span_not": {
+                "include": {"span_term": {"text": "hash"}},
+                "exclude": {"span_term": {"text": "table"}},
+                "pre": 1, "post": 0}}}, 10),
+        "matrix_stats_agg": lambda: dsl_aggregate(docs, {
+            "query": base_q,
+            "aggs": {"m": {"matrix_stats": {
+                "fields": ["n_chars", "doc_id"]}}}}),
     }
     out = {}
     for name, fn in jobs.items():
