@@ -3423,7 +3423,103 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 # result VALUES). Anything else — highlight, rescore, min_score... —
 # would silently change results and must fail loud.
 _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
-                 "collapse", "rescore", "highlight", "knn"}
+                 "collapse", "rescore", "highlight", "knn", "_source",
+                 "script_fields"}
+
+
+def _parse_script_fields(request: dict):
+    """ES ``script_fields``: -> None or ``[(name, closure, fields)]``.
+    Each script compiles through the painless-subset compiler the
+    scoring scripts use (:func:`_compile_score_script` —
+    ``doc['f'].value``, ``params.*`` resolved to literals, ``_score``,
+    arithmetic, the Math.* portable set; anything else fails loud at
+    parse), emitting ONE Catalyst column per field — computed on the
+    final page-sized hit frame, never corpus-wide."""
+    sf = request.get("script_fields")
+    if sf is None:
+        return None
+    if not isinstance(sf, dict) or not sf:
+        raise DslError(
+            f"script_fields must be a non-empty dict, got {sf!r}")
+    out = []
+    for name, spec in sf.items():
+        if not isinstance(name, str) or name in ("doc_id", "score"):
+            raise DslError(
+                f"script_fields name {name!r} collides with a hit "
+                f"column")
+        if not isinstance(spec, dict) or set(spec) != {"script"}:
+            raise DslError(
+                f"script_fields entry {name!r} takes exactly a script, "
+                f"got {spec!r}")
+        sc = spec["script"]
+        if isinstance(sc, str):
+            sc = {"source": sc}
+        if not isinstance(sc, dict):
+            raise DslError(
+                f"bad script for script_fields {name!r}: {sc!r}")
+        unknown = set(sc) - {"source", "params", "lang"}
+        if unknown:
+            raise DslError(
+                f"unsupported script options {sorted(unknown)} on "
+                f"script_fields {name!r}")
+        if sc.get("lang", "painless") != "painless":
+            raise DslError(
+                f"script_fields {name!r}: only painless is supported")
+        params = sc.get("params", {})
+        if not isinstance(params, dict):
+            raise DslError(
+                f"script_fields {name!r} params must be a dict")
+        fn, fields = _compile_score_script(sc.get("source"), params)
+        out.append((name, fn, fields))
+    return out
+
+
+def _parse_source(request: dict):
+    """Top-level ``_source``: -> None or a field-name list. The
+    engine's hit identity is ``(doc_id, score)``, so ``true``/``false``
+    stay documented no-ops (a full-source echo is a join the caller
+    owns); a list/string joins exactly those fields onto the hits page.
+    Wildcard patterns and includes/excludes objects fail loud."""
+    src = request.get("_source")
+    if src is None or isinstance(src, bool):
+        return None
+    if isinstance(src, str):
+        src = [src]
+    if not isinstance(src, list) or not src \
+            or not all(isinstance(f, str) for f in src):
+        raise DslError(
+            f"_source must be a bool, a field name, or a list of "
+            f"field names, got {request.get('_source')!r}")
+    for f in src:
+        if "*" in f:
+            raise DslError(
+                f"_source wildcard patterns are not supported: {f!r}")
+    return [_ident(f) for f in src]
+
+
+def _apply_fields(out: DataFrame, field_frame: DataFrame, src, sfs,
+                  order) -> DataFrame:
+    """Join ``_source`` fields / compute ``script_fields`` onto the
+    FINAL hits page — one page-sized join-back (the highlight
+    precedent; the corpus/doc_stats is touched only for the joined
+    rows' columns), then the request ordering is restored."""
+    want = list(dict.fromkeys(
+        (src or []) + [f for _, _, fl in (sfs or []) for f in fl]))
+    missing = [f for f in want if f not in field_frame.columns]
+    if missing:
+        raise DslError(
+            f"_source/script_fields reference field(s) {missing} not "
+            f"available (have: {sorted(field_frame.columns)})")
+    joined = out
+    if want:
+        joined = out.join(field_frame.select("doc_id", *want),
+                          "doc_id", "left")
+    for name, fn, _fl in (sfs or []):
+        joined = joined.withColumn(
+            name, fn(lambda f: F.col(f), F.col("score")))
+    cols = (["doc_id", "score"] + (src or [])
+            + [n for n, _, _ in (sfs or [])])
+    return joined.select(*cols).orderBy(*order)
 
 
 def _parse_highlight(request: dict):
@@ -3700,7 +3796,7 @@ def _apply_rescore(base: DataFrame, rs: DataFrame | None, window: int,
                        F.asc("doc_id"))
            .limit(frm + size).select("doc_id", "score"))
     return out.offset(frm) if frm else out
-_REQUEST_NOOP_KEYS = {"track_total_hits", "_source"}
+_REQUEST_NOOP_KEYS = {"track_total_hits"}
 
 
 def _parse_collapse(request: dict) -> str | None:
@@ -4059,6 +4155,16 @@ def execute_request(
         raise DslError("highlight cannot be combined with sort/"
                        "collapse/rescore (the default ordering must be "
                        "restorable after the highlight join)")
+    sfs = _parse_script_fields(request)
+    src = _parse_source(request)
+    if (sfs is not None or src is not None) and (
+            hl is not None or rescore is not None or collapse is not None
+            or "knn" in request or "aggs" in request
+            or request.get("sort") is not None):
+        raise DslError(
+            "_source/script_fields are supported on the default-"
+            "ordering and search_after paths only (the joined page "
+            "must be re-orderable)")
     if "knn" in request:
         _knn_combo_guard(request, collapse, rescore, hl)
         return _execute_knn_request(docs_df, request, params)
@@ -4142,12 +4248,21 @@ def execute_request(
         if hl is not None:
             out = _apply_highlight(
                 out, docs_df, _resolved_spec_naive(docs_df, query), hl)
+        if sfs is not None or src is not None:
+            out = _apply_fields(out, with_doc_ids(docs_df)
+                                if "doc_id" not in docs_df.columns
+                                else docs_df, src, sfs, order)
         return out
     out = search_dsl(docs_df, query, frm + size, params)
     out = out.offset(frm) if frm else out
     if hl is not None:
         out = _apply_highlight(
             out, docs_df, _resolved_spec_naive(docs_df, query), hl)
+    if sfs is not None or src is not None:
+        out = _apply_fields(out, with_doc_ids(docs_df)
+                            if "doc_id" not in docs_df.columns
+                            else docs_df, src, sfs,
+                            [F.desc("score"), F.asc("doc_id")])
     return out
 
 
@@ -8111,6 +8226,41 @@ def execute_request_indexed(
     if hl is not None and docs_df is None:
         raise DslError("highlight needs docs_df: the index does not "
                        "store field text")
+    sfs = _parse_script_fields(request)
+    src = _parse_source(request)
+    if (sfs is not None or src is not None) and (
+            hl is not None or rescore is not None or collapse is not None
+            or "knn" in request or "aggs" in request
+            or request.get("sort") is not None):
+        raise DslError(
+            "_source/script_fields are supported on the default-"
+            "ordering and search_after paths only (the joined page "
+            "must be re-orderable)")
+
+    def _field_frame(want: list[str]) -> DataFrame:
+        # _source/script_fields columns join from doc_stats (the
+        # doc-values analogue — every non-text input column persists);
+        # anything else (e.g. the indexed text field) needs docs_df,
+        # like highlight
+        dirs, _m, _n, _a = _load_segments(index_dir)
+        stats = _doc_stats_union(spark, dirs)
+        if all(f in stats.columns for f in want):
+            return stats
+        if docs_df is not None:
+            dd = (docs_df if "doc_id" in docs_df.columns
+                  else with_doc_ids(docs_df))
+            if all(f in dd.columns for f in want):
+                return dd
+            missing = [f for f in want if f not in dd.columns]
+        else:
+            missing = [f for f in want if f not in stats.columns]
+        raise DslError(
+            f"_source/script_fields reference field(s) {missing} not "
+            f"in doc_stats — pass docs_df for non-persisted fields")
+
+    def _fields_wanted() -> list[str]:
+        return list(dict.fromkeys(
+            (src or []) + [f for _, _, fl in (sfs or []) for f in fl]))
     if "knn" in request:
         _knn_combo_guard(request, collapse, rescore, hl)
         if docs_df is None:
@@ -8247,6 +8397,9 @@ def execute_request_indexed(
             out = _apply_highlight(
                 out, docs_df,
                 _resolved_spec_indexed(spark, index_dir, query), hl)
+        if sfs is not None or src is not None:
+            out = _apply_fields(out, _field_frame(_fields_wanted()),
+                                src, sfs, order)
         return out
     out = search_dsl_indexed(spark, index_dir, query, frm + size, docs_df)
     out = out.offset(frm) if frm else out
@@ -8254,6 +8407,10 @@ def execute_request_indexed(
         out = _apply_highlight(
             out, docs_df,
             _resolved_spec_indexed(spark, index_dir, query), hl)
+    if sfs is not None or src is not None:
+        out = _apply_fields(out, _field_frame(_fields_wanted()),
+                            src, sfs,
+                            [F.desc("score"), F.asc("doc_id")])
     return out
 
 

@@ -5408,6 +5408,91 @@ def test_unknown_request_options_fail_loud(spark, docs, dsl_index):
                                 {**base, "highlight": {}})
 
 
+def test_source_and_script_fields(spark, docs, docs_pdf, dsl_index):
+    """_search `_source` (field list joined onto the hits page; bools
+    stay documented no-ops) and `script_fields` (painless-subset
+    scripts — doc values, params as literals, _score — computed on the
+    page only). Values pinned against a pandas replay; indexed == naive
+    (doc_stats fields; a non-persisted field falls back to docs_df and
+    fails loud without it); default + search_after paths; combination
+    guards and parse rejects."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        execute_request,
+        execute_request_indexed,
+    )
+
+    req = {"query": {"match": {"text": "spark"}}, "size": 5,
+           "_source": ["role", "turn_idx"],
+           "script_fields": {
+               "ti10": {"script": {"source":
+                                   "doc['turn_idx'].value * params.m",
+                                   "params": {"m": 10}}},
+               "boosted": {"script": "_score * 2"}}}
+    got = execute_request(docs, req).toPandas()
+    base = execute_request(docs, {"query": req["query"],
+                                  "size": 5}).toPandas()
+    assert got["doc_id"].tolist() == base["doc_id"].tolist()
+    assert list(got.columns) == ["doc_id", "score", "role", "turn_idx",
+                                 "ti10", "boosted"]
+    byid = docs_pdf.set_index(
+        docs_pdf.index if "doc_id" not in docs_pdf.columns else "doc_id")
+    if "doc_id" in docs_pdf.columns:
+        for _, r in got.iterrows():
+            assert r["role"] == byid.loc[r["doc_id"]]["role"]
+    np.testing.assert_allclose(got["ti10"], got["turn_idx"] * 10.0)
+    np.testing.assert_allclose(got["boosted"], got["score"] * 2.0)
+    # indexed identity: role/turn_idx persist in doc_stats
+    gi = execute_request_indexed(spark, dsl_index, req,
+                                 docs_df=docs).toPandas()
+    pd.testing.assert_frame_equal(gi, got)
+    gi2 = execute_request_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi2, got)
+    # the indexed TEXT field is not in doc_stats: docs_df fallback
+    # works, absence fails loud naming the field
+    rq_text = {"query": req["query"], "size": 3, "_source": ["text"]}
+    gt = execute_request_indexed(spark, dsl_index, rq_text,
+                                 docs_df=docs).toPandas()
+    assert gt["text"].notna().all()
+    with pytest.raises(DslError, match="text"):
+        execute_request_indexed(spark, dsl_index, rq_text).toPandas()
+    # bools stay no-ops; search_after path carries the fields
+    gb = execute_request(docs, {"query": req["query"], "size": 3,
+                                "_source": False}).toPandas()
+    assert list(gb.columns) == ["doc_id", "score"]
+    p1 = execute_request(docs, {"query": req["query"], "size": 3,
+                                "_source": ["role"]}).toPandas()
+    cur = [float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1])]
+    p2 = execute_request(docs, {"query": req["query"], "size": 3,
+                                "search_after": cur,
+                                "_source": ["role"]}).toPandas()
+    p2i = execute_request_indexed(spark, dsl_index,
+                                  {"query": req["query"], "size": 3,
+                                   "search_after": cur,
+                                   "_source": ["role"]}).toPandas()
+    pd.testing.assert_frame_equal(p2i, p2)
+    assert p2["role"].notna().all()
+    # combination guards + parse rejects
+    for bad in (
+        {"query": req["query"], "sort": [{"turn_idx": "desc"}],
+         "_source": ["role"]},
+        {"query": req["query"], "collapse": {"field": "role"},
+         "script_fields": {"x": {"script": "1"}}},
+        {"query": req["query"], "_source": ["ro*le"]},
+        {"query": req["query"], "_source": []},
+        {"query": req["query"],
+         "script_fields": {"score": {"script": "1"}}},
+        {"query": req["query"],
+         "script_fields": {"x": {"script": {"source": "1",
+                                            "lang": "js"}}}},
+        {"query": req["query"],
+         "script_fields": {"x": {"script": "doc['zz'].value"}}},
+        {"query": req["query"],
+         "script_fields": {"x": {"script": "params.q"}}},
+    ):
+        with pytest.raises(DslError):
+            execute_request(docs, {**bad, "size": 2}).collect()
+
+
 def test_custom_sort_field_and_score(spark, docs, docs_pdf, dsl_index):
     """ES `sort`: field keys (asc default) and _score (desc default),
     paged with size/from; indexed twin joins field keys from doc_stats
