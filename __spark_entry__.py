@@ -952,7 +952,7 @@ def _repetition_qc(spark, sf_dir):
     (%5, duplicated again at %10)."""
     from prow_jobs_scraper_spark.operators.textqc import repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     aug = d.select("doc_id", F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 4 == 0,
@@ -995,7 +995,7 @@ def _contamination_check(spark, sf_dir):
     from prow_jobs_scraper_spark.functions.tokenize import tokenize_column
     from prow_jobs_scraper_spark.operators.textqc import contamination_check
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     bench = d.where(F.col("doc_id") % 37 == 0).select(
         F.array_join(F.slice(tokenize_column(F.col("text")), 1, 20),
                      " ").alias("text"))

@@ -148,11 +148,20 @@ def bench_dsl_ops(spark) -> dict[str, float]:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base_q = {"match": {"text": {"query": "key agg", "operator": "or"}}}
 
+    def _fan(d):
+        # the sf documents table is ONE unsplittable parquet file — fan
+        # it out so the per-doc-heavy stages parallelize (the entry
+        # file's _spread rule; never fires on a real multi-file corpus)
+        target = spark.sparkContext.defaultParallelism
+        if d.rdd.getNumPartitions() < max(2, target // 4):
+            return d.repartition(target)
+        return d
+
     def _rep_stats(d):
         from prow_jobs_scraper_spark.operators.textqc import (  # noqa: PLC0415
             repetition_stats,
         )
-        return repetition_stats(d).select(
+        return repetition_stats(_fan(d)).select(
             "doc_id", "dup_line_frac", "top_2gram_char_frac",
             "dup_5gram_frac", "dup_10gram_frac")
 
@@ -168,7 +177,7 @@ def bench_dsl_ops(spark) -> dict[str, float]:
         bench = d.where(F.col("doc_id") % 37 == 0).select(
             F.array_join(F.slice(tokenize_column(F.col("text")), 1, 20),
                          " ").alias("text"))
-        return contamination_check(d, bench, n=13)
+        return contamination_check(_fan(d), bench, n=13)
 
     jobs = {
         "rescore_search": lambda: execute_request(docs, {

@@ -393,18 +393,26 @@ def contamination_check(
     the 8-byte hash prunes comparisons, the gram string keeps the match
     exact. No Python anywhere in the row path.
     """
-    toks = tokenize_column(F.col(text_col))
-    grams = _ngram_col(toks, n)
-    doc_grams = df.select(
-        F.col(id_col),
-        F.size(grams).alias("n_grams"),
-        F.explode_outer(grams).alias("__g"),
+    # layered projections (NOT one inlined expression): `__grams`
+    # materializes once per row, so size() and explode() reference an
+    # attribute instead of re-evaluating the tokenize-per-slice subtree
+    # — the same combinatorial-blowup guard repetition_stats documents
+    # (measured here: 230 s -> seconds at sf0.1)
+    doc_grams = (
+        df.select(F.col(id_col),
+                  tokenize_column(F.col(text_col)).alias("__toks"))
+        .select(id_col, _ngram_col(F.col("__toks"), n).alias("__grams"))
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("n_grams"),
+            F.explode_outer("__grams").alias("__g"),
+        )
     )
     bench = (
         benchmark_df
-        .select(F.explode(
-            _ngram_col(tokenize_column(F.col(bench_text_col)), n)
-        ).alias("__g"))
+        .select(tokenize_column(F.col(bench_text_col)).alias("__toks"))
+        .select(_ngram_col(F.col("__toks"), n).alias("__grams"))
+        .select(F.explode("__grams").alias("__g"))
         .distinct()
         .select(F.xxhash64("__g").alias("__h"), "__g",
                 F.lit(1).alias("__hit"))
