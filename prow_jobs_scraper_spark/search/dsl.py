@@ -4337,17 +4337,62 @@ def _fill_missing(kind: str, body: dict, col, allow_str: bool = False):
 
 def _metric_col(kind: str, body, allow_str_missing: bool = False):
     """Validate a metric body -> its (possibly ``missing``-filled)
-    column. Unknown options FAIL — a silently-ignored ``script`` would
-    return different numbers than the user's ES cluster (the same rule
-    clause bodies and _search requests already enforce)."""
-    if not isinstance(body, dict) or "field" not in body:
-        raise DslError(f"{kind} metric needs a field, got {body!r}")
+    column. Takes exactly one of ``field`` or ``script`` (round 5: the
+    painless-subset compiler turns a script source into ONE Catalyst
+    column — :func:`_agg_script_col`); other unknown options FAIL — a
+    silently-ignored knob would return different numbers than the
+    user's ES cluster (the same rule clause bodies and _search requests
+    already enforce). ``missing`` applies to field metrics only (a
+    script reads doc values itself; ES ignores missing on script
+    metrics — here that combination fails loud instead)."""
+    if not isinstance(body, dict) \
+            or ("field" in body) == ("script" in body):
+        raise DslError(
+            f"{kind} metric needs exactly one of field/script, "
+            f"got {body!r}")
+    if "script" in body:
+        unknown = set(body) - {"script"}
+        if unknown:
+            raise DslError(
+                f"unsupported {kind} script-metric options "
+                f"{sorted(unknown)}")
+        return _agg_script_col(f"{kind} metric", body["script"])
     unknown = set(body) - {"field", "missing"}
     if unknown:
         raise DslError(
             f"unsupported {kind} metric options {sorted(unknown)}")
     return _fill_missing(kind, body, F.col(_ident(body["field"])),
                          allow_str=allow_str_missing)
+
+
+def _agg_script_col(ctx: str, sc):
+    """Aggregation ``script`` source -> ONE Catalyst column through the
+    shared painless-subset compiler (:func:`_compile_score_script`:
+    ``doc['f'].value``, ``params.*`` resolved to literals, arithmetic,
+    the Math.* portable set — anything else fails loud at parse).
+    ``_score`` has no meaning in the aggregation context (ES
+    aggregations run over the qualifying set, not scored hits) and
+    fails loud."""
+    if isinstance(sc, str):
+        sc = {"source": sc}
+    if not isinstance(sc, dict):
+        raise DslError(f"bad {ctx} script {sc!r}")
+    unknown = set(sc) - {"source", "params", "lang"}
+    if unknown:
+        raise DslError(
+            f"unsupported script options {sorted(unknown)} on {ctx}")
+    if sc.get("lang", "painless") != "painless":
+        raise DslError(f"{ctx}: only painless scripts are supported")
+    params = sc.get("params", {})
+    if not isinstance(params, dict):
+        raise DslError(f"{ctx} script params must be a dict")
+    source = sc.get("source")
+    if isinstance(source, str) and "_score" in source:
+        raise DslError(
+            f"{ctx}: _score is not available in the aggregation "
+            f"context")
+    fn, _fields = _compile_score_script(source, params)
+    return fn(lambda f: F.col(f), None)
 
 
 def _stats_exprs(name: str, f) -> list:
@@ -5541,13 +5586,33 @@ def _bucket_key(kind: str, body: dict):
         # results here), accepted for client compatibility
         unknown = set(body) - {"field", "size", "order", "min_doc_count",
                                "missing", "shard_size", "include",
-                               "exclude"}
+                               "exclude", "script"}
         if unknown:
             raise DslError(f"unsupported terms options {sorted(unknown)}")
+        if ("field" in body) == ("script" in body):
+            raise DslError(
+                f"terms needs exactly one of field/script, got {body!r}")
         order = body.get("order", {"_count": "desc"})  # the ES default
         if not isinstance(order, dict) or len(order) != 1:
             raise DslError(
                 'terms order must be a single {"target": "asc"|"desc"}')
+        if "script" in body:
+            # scripted bucket keys (round 5): the painless-subset
+            # compiler emits one Catalyst key expression — numeric keys
+            # (the compiler's domain), so the string-form knobs
+            # (missing fills, include/exclude patterns) stay out of
+            # grammar with a script
+            bad = {"missing", "include", "exclude"} & set(body)
+            if bad:
+                raise DslError(
+                    f"terms script buckets do not take {sorted(bad)}")
+            key = _agg_script_col("terms script", body["script"])
+            size = body.get("size", 10)
+            if isinstance(size, bool) or not isinstance(size, int) \
+                    or size < 1:
+                raise DslError(
+                    f"terms size must be an int >= 1, got {size!r}")
+            return key, size, order, _parse_min_doc_count(body)
         key = F.col(_ident(body["field"]))
         if "missing" in body:
             # ES terms `missing`: NULL-field docs bucket under this

@@ -3215,6 +3215,74 @@ def test_boxplot_mad_string_stats(spark, docs, docs_pdf, dsl_index):
             dsl_aggregate(docs, bad)
 
 
+def test_scripted_agg_sources(spark, docs, docs_pdf, dsl_index):
+    """Aggregation `script` sources (round 5): metric bodies and terms
+    bucket keys take a painless-subset script compiled to ONE Catalyst
+    expression (doc values, params as literals; _score fails loud —
+    aggs run over the qualifying set). Oracle = duckdb arithmetic
+    replay; indexed == naive; field+script / missing-with-script /
+    non-painless fail loud."""
+    from prow_jobs_scraper_spark.search.dsl import (
+        dsl_aggregate,
+        dsl_aggregate_indexed,
+    )
+
+    con = duckdb.connect()
+    con.register("t", docs_pdf)
+    # bare scripted metric
+    req = {"aggs": {"a": {"avg": {"script": {
+        "source": "doc['turn_idx'].value * params.m + 1",
+        "params": {"m": 3}}}}}}
+    got = dsl_aggregate(docs, req).toPandas()
+    want = con.sql("SELECT avg(turn_idx * 3.0 + 1) AS a FROM t").df()
+    np.testing.assert_allclose(got["a"], want["a"], rtol=1e-12)
+    gi = dsl_aggregate_indexed(spark, dsl_index, req).toPandas()
+    pd.testing.assert_frame_equal(gi, got)
+    # scripted metric under a terms bucket
+    reqb = {"aggs": {"r": {"terms": {"field": "role"},
+                           "aggs": {"m": {"max": {
+                               "script": "doc['turn_idx'].value * 2"}}}}}}
+    gb = dsl_aggregate(docs, reqb).toPandas()
+    wb = con.sql("""SELECT role AS key, max(turn_idx * 2.0) AS m
+                    FROM t WHERE role IS NOT NULL GROUP BY 1""").df()
+    mm = gb.merge(wb, on="key", suffixes=("", "_w"))
+    assert len(mm) == len(gb) > 1
+    np.testing.assert_allclose(mm["m"], mm["m_w"], rtol=1e-12)
+    gib = dsl_aggregate_indexed(spark, dsl_index, reqb).toPandas()
+    pd.testing.assert_frame_equal(
+        gib.sort_values("key").reset_index(drop=True),
+        gb.sort_values("key").reset_index(drop=True))
+    # scripted terms bucket key (integer-valued arithmetic)
+    reqk = {"aggs": {"b": {"terms": {
+        "script": "doc['turn_idx'].value * 10", "size": 4},
+        "aggs": {"c": {"value_count": {"field": "turn_idx"}}}}}}
+    gk = dsl_aggregate(docs, reqk).toPandas()
+    wk = con.sql("""SELECT turn_idx * 10.0 AS key, count(*) AS doc_count
+                    FROM t GROUP BY 1 ORDER BY doc_count DESC, key
+                    LIMIT 4""").df()
+    np.testing.assert_allclose(gk["key"], wk["key"])
+    assert gk["doc_count"].tolist() == wk["doc_count"].tolist()
+    gki = dsl_aggregate_indexed(spark, dsl_index, reqk).toPandas()
+    pd.testing.assert_frame_equal(gki, gk)
+    # fail loud
+    for bad in (
+        {"avg": {"field": "turn_idx", "script": "1"}},
+        {"avg": {}},
+        {"avg": {"script": "_score + 1"}},
+        {"avg": {"script": {"source": "1", "lang": "js"}}},
+        {"avg": {"script": "1", "missing": 0}},
+        {"sum": {"script": {"source": "doc['x'].value",
+                            "id": "stored"}}},
+        {"terms": {"script": "doc['turn_idx'].value", "missing": 0}},
+        {"terms": {"script": "doc['turn_idx'].value",
+                   "include": ["1"]}},
+        {"terms": {"field": "role", "script": "1"}},
+        {"terms": {}},
+    ):
+        with pytest.raises(DslError):
+            dsl_aggregate(docs, {"aggs": {"x": bad}}).collect()
+
+
 def test_matrix_stats(spark, docs, docs_pdf, dsl_index):
     """ES `matrix_stats` (the matrix aggregations module): one row per
     ordered field pair with count/mean/sample variance/skewness
