@@ -1528,6 +1528,19 @@ def _search_aggs_metrics(spark, sf_dir):
         F.lit("mstat").alias("shape"),
         F.concat_ws("|", "field", "other", "stat").alias("key"),
         "doc_count", F.round("v", 6).alias("val"))
+    # scripted sources (round 5, this session): a terms bucket KEYED by
+    # a painless-subset script with a scripted avg metric riding
+    # (search/dsl.py _agg_script_col — one Catalyst expression each,
+    # params resolved to literals); count-desc/key-asc order keeps the
+    # size cut integer-deterministic; the twin replays the arithmetic
+    ssc = dsl_aggregate(ev, {**q, "aggs": {"b": {
+        "terms": {"script": "doc['user_id'].value * 2 + 1", "size": 7},
+        "aggs": {"av": {"avg": {"script": {
+            "source": "doc['value'].value * params.w + 2",
+            "params": {"w": 3}}}}}}}}).select(
+        F.lit("sscript").alias("shape"),
+        F.col("key").cast("string").alias("key"),
+        "doc_count", F.round("av", 6).alias("val"))
     return (h.unionByName(p).unionByName(c)
             .unionByName(pl).unionByName(co).unionByName(sb)
             .unionByName(sb2).unionByName(sg).unionByName(rr)
@@ -1538,7 +1551,7 @@ def _search_aggs_metrics(spark, sf_dir):
             .unionByName(bx).unionByName(md).unionByName(mdt)
             .unionByName(sst).unionByName(ti)
             .unionByName(tm).unionByName(tmt).unionByName(nrm)
-            .unionByName(au).unionByName(ms))
+            .unionByName(au).unionByName(ms).unionByName(ssc))
 
 
 def _similarity_topk(spark, sf_dir):
@@ -3154,6 +3167,16 @@ FROM (
         (c2y * n / (n - 1)) / sqrt((c2y * n / (n - 1))
                                    * (c2y * n / (n - 1)))]) AS v
   FROM cm)
+UNION ALL
+-- scripted-sources twin: the same arithmetic the painless subset
+-- compiles (script terms key user_id*2+1, script avg value*3+2);
+-- NULL keys drop (the terms rule), count-desc/key-asc cut
+SELECT 'sscript', CAST(key AS VARCHAR), doc_count, round(av, 6)
+FROM (
+  SELECT user_id * 2.0 + 1 AS key, count(*) AS doc_count,
+         avg(value * 3.0 + 2) AS av
+  FROM w WHERE user_id IS NOT NULL
+  GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 7)
 """
 
 # repetition_qc twin: identical multi-line augmentation, then the
