@@ -1235,7 +1235,18 @@ def _parse_intervals(body) -> "TextClause | QuerySpec":
       — a bool-must.
 
     Scoring is the engine's documented span family (per-term BM25 sum
-    per matched rule; matched any_of/all_of children sum). ``prefix``/
+    per matched rule; matched any_of/all_of children sum).
+
+    - ``prefix`` rule (round 5, this session): any term carrying the
+      prefix — the same data-dependent vocabulary expansion
+      match_phrase_prefix resolves (term-dict order, capped at 128
+      like Lucene's interval prefix automaton), desugared to a
+      lead-less :class:`PhrasePrefixClause`, so both executors resolve
+      it through their existing expanders. Documented deviation: the
+      engine scores the best expanded term's BM25 (the expansion-
+      scoring rule fuzzy/match_phrase_prefix document) where ES scores
+      interval coverage.
+
     ``wildcard``/``fuzzy`` rules and ``filter`` blocks stay fail-loud.
     """
     if not isinstance(body, dict) or len(body) != 1:
@@ -1309,9 +1320,34 @@ def _parse_intervals(body) -> "TextClause | QuerySpec":
             if rk == "any_of":
                 child.msm = 1
             return child
+        if rk == "prefix":
+            if not isinstance(rb, dict):
+                raise DslError(f"bad intervals prefix {rb!r}")
+            unknown = set(rb) - {"prefix"}
+            if unknown:
+                # analyzer/use_field change what the expansion matches
+                # against — silently ignoring them is the divergence
+                # failure mode this grammar refuses
+                raise DslError(
+                    f"unsupported intervals prefix options "
+                    f"{sorted(unknown)}")
+            p = rb.get("prefix")
+            if not isinstance(p, str):
+                raise DslError(
+                    f"intervals prefix needs a string, got {p!r}")
+            ptoks = tokenize_text(p)
+            if len(ptoks) != 1:
+                raise DslError(
+                    f"intervals prefix must analyze to exactly one "
+                    f"term, {p!r} gave {ptoks!r}")
+            child = QuerySpec()
+            child.fuzzy.append(("must", PhrasePrefixClause(
+                field=fld, lead=(), prefix=ptoks[0],
+                max_expansions=128)))
+            return child
         raise DslError(
             f"unsupported intervals rule {rk!r} (supported: match, "
-            f"any_of, all_of)")
+            f"any_of, all_of, prefix)")
 
     return walk(rule)
 

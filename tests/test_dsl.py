@@ -7673,13 +7673,55 @@ def test_intervals_query(spark, docs, docs_pdf, dsl_index):
         {"text": {"match": {"query": "a", "max_gaps": -2}}},
         {"text": {"match": {"query": "a", "ordered": 1}}},
         {"text": {"match": {"query": "!!!"}}},             # no terms
-        {"text": {"prefix": {"prefix": "a"}}},             # unsupported
+        {"text": {"wildcard": {"pattern": "a*"}}},         # unsupported
         {"text": {"any_of": {"intervals": []}}},
         {"text": {"all_of": {"intervals": [
             {"match": {"query": "a"}}], "ordered": True}}},  # constrained
         {"text": {"all_of": {"intervals": [
             {"match": {"query": "a"}}], "max_gaps": 1}}},
         {"text": {"match": {"query": "a", "filter": {}}}},
+    ):
+        with pytest.raises(DslError):
+            parse_query({"intervals": bad})
+
+
+def test_intervals_prefix_rule(spark, docs, docs_pdf, dsl_index):
+    """intervals `prefix` rule: any term carrying the prefix, resolved
+    through the match_phrase_prefix vocabulary expander (term-dict
+    order, cap 128) — equal to the lead-less match_phrase_prefix
+    desugar; composes inside any_of; indexed == naive; bad bodies fail
+    loud."""
+    iq = {"query": {"intervals": {"text": {"prefix": {
+        "prefix": "spar"}}}}}
+    hand = {"query": {"match_phrase_prefix": {"text": {
+        "query": "spar", "max_expansions": 128}}}}
+    a = search_dsl(docs, iq, 10).toPandas()
+    b = search_dsl(docs, hand, 10).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    gi = search_dsl_indexed(spark, dsl_index, iq, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(gi, a, "intervals prefix indexed")
+    # inside any_of, unioned with a plain match rule
+    any_q = {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"prefix": {"prefix": "spar"}},
+        {"match": {"query": "tool_call"}}]}}}}}
+    hand_b = {"query": {"bool": {"should": [
+        hand["query"], {"match": {"text": "tool_call"}}],
+        "minimum_should_match": 1}}}
+    x = search_dsl(docs, any_q, 10).toPandas()
+    y = search_dsl(docs, hand_b, 10).toPandas()
+    pd.testing.assert_frame_equal(x, y)
+    xi = search_dsl_indexed(spark, dsl_index, any_q, 10,
+                            docs_df=docs).toPandas()
+    _assert_rank_identical(xi, x, "intervals any_of prefix indexed")
+    for bad in (
+        {"text": {"prefix": {}}},                      # no prefix
+        {"text": {"prefix": {"prefix": 3}}},
+        {"text": {"prefix": {"prefix": "a b"}}},       # two terms
+        {"text": {"prefix": {"prefix": "!!!"}}},       # no terms
+        {"text": {"prefix": {"prefix": "a", "analyzer": "x"}}},
+        {"text": {"prefix": {"prefix": "a", "use_field": "t2"}}},
     ):
         with pytest.raises(DslError):
             parse_query({"intervals": bad})
