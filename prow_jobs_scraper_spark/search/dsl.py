@@ -3460,7 +3460,7 @@ DEFAULT_SIZE = 10  # the ES `_search` default
 # would silently change results and must fail loud.
 _REQUEST_KEYS = {"query", "size", "from", "search_after", "aggs", "sort",
                  "collapse", "rescore", "highlight", "knn", "_source",
-                 "script_fields"}
+                 "script_fields", "fields"}
 
 
 def _parse_script_fields(request: dict):
@@ -3511,26 +3511,41 @@ def _parse_script_fields(request: dict):
 
 
 def _parse_source(request: dict):
-    """Top-level ``_source``: -> None or a field-name list. The
-    engine's hit identity is ``(doc_id, score)``, so ``true``/``false``
-    stay documented no-ops (a full-source echo is a join the caller
-    owns); a list/string joins exactly those fields onto the hits page.
-    Wildcard patterns and includes/excludes objects fail loud."""
-    src = request.get("_source")
-    if src is None or isinstance(src, bool):
-        return None
-    if isinstance(src, str):
-        src = [src]
-    if not isinstance(src, list) or not src \
-            or not all(isinstance(f, str) for f in src):
-        raise DslError(
-            f"_source must be a bool, a field name, or a list of "
-            f"field names, got {request.get('_source')!r}")
-    for f in src:
-        if "*" in f:
+    """Top-level ``_source`` AND the ES 8 ``fields`` retrieval option:
+    -> None or a merged field-name list. The engine's hit identity is
+    ``(doc_id, score)``, so ``_source: true/false`` stay documented
+    no-ops (a full-source echo is a join the caller owns); a
+    list/string joins exactly those fields onto the hits page.
+    ``fields`` entries may be strings or the ES ``{"field": name}``
+    long form (``format`` — a rendering knob — fails loud). Wildcard
+    patterns and includes/excludes objects fail loud."""
+    def _one(key, raw):
+        if raw is None or (key == "_source" and isinstance(raw, bool)):
+            return []
+        if isinstance(raw, str):
+            raw = [raw]
+        if not isinstance(raw, list) or not raw:
             raise DslError(
-                f"_source wildcard patterns are not supported: {f!r}")
-    return [_ident(f) for f in src]
+                f"{key} must be a field name or a non-empty list, "
+                f"got {raw!r}")
+        names = []
+        for f in raw:
+            if isinstance(f, dict):
+                if key != "fields" or set(f) != {"field"} \
+                        or not isinstance(f.get("field"), str):
+                    raise DslError(f"bad {key} entry {f!r}")
+                f = f["field"]
+            if not isinstance(f, str):
+                raise DslError(f"bad {key} entry {f!r}")
+            if "*" in f:
+                raise DslError(
+                    f"{key} wildcard patterns are not supported: {f!r}")
+            names.append(_ident(f))
+        return names
+    merged = list(dict.fromkeys(
+        _one("_source", request.get("_source"))
+        + _one("fields", request.get("fields"))))
+    return merged or None
 
 
 def _apply_fields(out: DataFrame, field_frame: DataFrame, src, sfs,

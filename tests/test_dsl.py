@@ -5539,8 +5539,26 @@ def test_source_and_script_fields(spark, docs, docs_pdf, dsl_index):
                                    "_source": ["role"]}).toPandas()
     pd.testing.assert_frame_equal(p2i, p2)
     assert p2["role"].notna().all()
+    # ES 8 `fields` retrieval option: same join-back as _source, long
+    # form accepted, merged and deduped with _source
+    gf = execute_request(docs, {"query": req["query"], "size": 5,
+                                "fields": ["role",
+                                           {"field": "turn_idx"}]}
+                         ).toPandas()
+    gs = execute_request(docs, {"query": req["query"], "size": 5,
+                                "_source": ["role", "turn_idx"]}
+                         ).toPandas()
+    pd.testing.assert_frame_equal(gf, gs)
+    gm = execute_request(docs, {"query": req["query"], "size": 5,
+                                "_source": ["role"],
+                                "fields": ["role", "turn_idx"]}
+                         ).toPandas()
+    pd.testing.assert_frame_equal(gm, gs)
     # combination guards + parse rejects
     for bad in (
+        {"query": req["query"],
+         "fields": [{"field": "role", "format": "x"}]},
+        {"query": req["query"], "fields": []},
         {"query": req["query"], "sort": [{"turn_idx": "desc"}],
          "_source": ["role"]},
         {"query": req["query"], "collapse": {"field": "role"},
