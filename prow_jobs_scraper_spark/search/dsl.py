@@ -6389,19 +6389,30 @@ def _apply_significant_terms(frame: DataFrame, bg_frame: DataFrame,
     doc lands in exactly one bucket, so each total is an unpartitioned
     window sum over its own bucket frame (bucket-cardinality rows;
     plan-gated in tests/test_plans.py). No per-doc state, no driver
-    collection. ``background_filter``, text-field sampling, and the
-    other ES heuristics (gnd/chi_square/...) stay out of grammar —
-    fail loud."""
+    collection.
+
+    ``background_filter`` (round 5, this session) narrows the
+    background set to docs matching a metadata clause or match_all
+    (the filters-agg clause grammar, :func:`_filter_cond`) — the ES
+    knob for "significant vs a comparable slice, not the whole
+    index". Terms absent from the FILTERED background drop (the
+    fg ⊆ bg assumption the ES docs state; a background that doesn't
+    contain the foreground divides by zero in ES's own arithmetic).
+    Text-field sampling and the other ES heuristics
+    (gnd/chi_square/...) stay out of grammar — fail loud."""
     metrics_spec, sub_bucket = _split_sub(sub)
     if sub_bucket is not None or metrics_spec:
         raise DslError(
             "significant_terms supports no sub-aggregations")
     # shard_size: a safe no-op here (exact global counts), as on terms
     unknown = set(body) - {"field", "size", "min_doc_count",
-                           "shard_size"}
+                           "shard_size", "background_filter"}
     if unknown:
         raise DslError(
             f"unsupported significant_terms options {sorted(unknown)}")
+    if "background_filter" in body:
+        bg_frame = bg_frame.where(
+            _filter_cond("background_filter", body["background_filter"]))
     fld = _ident(body.get("field", ""))
     if not fld:
         raise DslError("significant_terms needs a field")

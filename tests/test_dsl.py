@@ -4042,6 +4042,44 @@ def test_significant_terms_matches_duckdb(spark, docs, docs_pdf,
     pd.testing.assert_frame_equal(
         gi.sort_values("key").reset_index(drop=True),
         got.sort_values("key").reset_index(drop=True))
+    # background_filter (round 5): the background narrows to a
+    # metadata slice — scores shift vs the whole-index run; duckdb
+    # replays the filtered percentages; indexed identical
+    reqf = {"query": {"range": {"turn_idx": {"lt": 5}}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "tool", "size": 4,
+                "background_filter": {"range": {"turn_idx":
+                                                {"lt": 20}}}}}}}
+    gf = dsl_aggregate(docs, reqf).toPandas()
+    wf = con.sql("""
+        WITH fg AS (SELECT tool AS key, count(*) AS doc_count FROM t
+                    WHERE turn_idx < 5 AND tool IS NOT NULL GROUP BY 1),
+             bg AS (SELECT tool AS key, count(*) AS bg_count FROM t
+                    WHERE turn_idx < 20 AND tool IS NOT NULL GROUP BY 1),
+             tot AS (SELECT
+                (SELECT count(*) FROM t
+                 WHERE turn_idx < 5 AND tool IS NOT NULL) AS ft,
+                (SELECT count(*) FROM t
+                 WHERE turn_idx < 20 AND tool IS NOT NULL) AS bt)
+        SELECT key, doc_count, bg_count,
+               (doc_count*1.0/ft - bg_count*1.0/bt)
+                 * ((doc_count*1.0/ft)/(bg_count*1.0/bt)) AS score
+        FROM fg JOIN bg USING (key), tot
+        WHERE doc_count >= 3 AND doc_count*1.0/ft > bg_count*1.0/bt
+        ORDER BY score DESC, key ASC LIMIT 4
+    """).df()
+    assert gf["key"].tolist() == wf["key"].tolist()
+    assert gf["bg_count"].tolist() == wf["bg_count"].astype(int).tolist()
+    np.testing.assert_allclose(gf["score"], wf["score"], rtol=1e-12)
+    assert not gf["bg_count"].equals(got["bg_count"])  # it narrowed
+    gfi = dsl_aggregate_indexed(spark, dsl_index, reqf).toPandas()
+    pd.testing.assert_frame_equal(
+        gfi.sort_values("key").reset_index(drop=True),
+        gf.sort_values("key").reset_index(drop=True))
+    with pytest.raises(DslError):
+        dsl_aggregate(docs, {"aggs": {"s": {"significant_terms": {
+            "field": "tool",
+            "background_filter": {"match": {"text": "x"}}}}}}).collect()
 
 
 def test_significant_text_matches_replay(spark, docs, docs_pdf,
