@@ -297,6 +297,49 @@ def cmd_cleanup(args) -> dict:
     return {"dry_run": False, **out}
 
 
+def cmd_textqc(args) -> dict:
+    """Training-data QC over a parquet table of documents: per-doc
+    quality/token/language features, Gopher repetition stats, PII
+    scrubbing, and (with --benchmark) 13-gram contamination flags —
+    the one-pass curation features a data pipeline computes before
+    training. Writes the augmented table; prints one JSON summary."""
+    from prow_jobs_scraper_spark.operators.textqc import (
+        contamination_check,
+        language_id,
+        pii_scrub,
+        quality_score,
+        repetition_stats,
+        token_count,
+    )
+
+    spark = _spark(args)
+    t0 = time.time()
+    d = spark.read.parquet(args.table)
+    out = repetition_stats(language_id(token_count(quality_score(
+        pii_scrub(d, text_col=args.text_col)), text_col=args.text_col),
+        text_col=args.text_col), text_col=args.text_col)
+    stats: dict = {}
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        flags = contamination_check(
+            d, bench, text_col=args.text_col, id_col=args.id_col,
+            bench_text_col=args.bench_text_col, n=args.ngram)
+        out = out.join(
+            flags.select(args.id_col, "n_contaminated",
+                         "contaminated_frac", "is_contaminated"),
+            args.id_col, "left")
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    stats["n_docs"] = res.count()
+    if args.benchmark:
+        stats["n_contaminated_docs"] = res.where(
+            "is_contaminated").count()
+    stats["n_pii_docs"] = res.where(
+        "n_emails + n_urls + n_ipv4s + n_phones > 0").count()
+    return {"output": args.output,
+            "elapsed_sec": round(time.time() - t0, 3), **stats}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="prow_jobs_scraper_spark")
     p.add_argument("--cores", type=int, default=None,
@@ -402,6 +445,20 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--n-partitions", type=int, default=32)
     g.set_defaults(fn=cmd_synth)
+
+    q = sub.add_parser(
+        "textqc",
+        help="training-data QC: quality/repetition/PII features (+ "
+             "optional 13-gram benchmark contamination flags)")
+    q.add_argument("--table", required=True, help="documents parquet")
+    q.add_argument("--output", required=True)
+    q.add_argument("--text-col", default="text")
+    q.add_argument("--id-col", default="doc_id")
+    q.add_argument("--benchmark", default=None,
+                   help="benchmark parquet for contamination checking")
+    q.add_argument("--bench-text-col", default="text")
+    q.add_argument("--ngram", type=int, default=13)
+    q.set_defaults(fn=cmd_textqc)
 
     args = p.parse_args(argv)
     print(json.dumps(args.fn(args), default=str))

@@ -249,3 +249,50 @@ def test_cli_tick_incremental(spark, tmp_path, capsys):
     r = _run(capsys, ["search", "--index", r1["new_segment"],
                       "--query", "spark", "--k", "3"])
     assert len(r["hits"]) == 3
+
+
+def test_cli_textqc(spark, tmp_path, capsys):
+    """`textqc` = the training-data curation pass: quality/repetition/
+    PII features over a documents parquet, plus 13-gram contamination
+    flags against a benchmark table; summary counts match the written
+    table."""
+    import pandas as pd
+
+    src = str(tmp_path / "qc_docs")
+    bench = str(tmp_path / "qc_bench")
+    out = str(tmp_path / "qc_out")
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi",
+            "mail me at bob@example.com about the run",
+            "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen",
+            "the quick brown fox jumps over the lazy dog repeatedly",
+            "spam spam spam spam spam spam",
+            "clean text with nothing special at all here today",
+        ],
+    })
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pd.DataFrame({"text": [
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen"]})).write.mode("overwrite").parquet(bench)
+    r = _run(capsys, ["textqc", "--table", src, "--output", out,
+                      "--benchmark", bench])
+    assert r["n_docs"] == 6
+    assert r["n_contaminated_docs"] == 1
+    assert r["n_pii_docs"] == 1
+    got = {row["doc_id"]: row
+           for row in spark.read.parquet(out).collect()}
+    assert got[2]["is_contaminated"] and not got[0]["is_contaminated"]
+    assert got[1]["n_emails"] == 1 and "<EMAIL>" in got[1]["text_scrubbed"]
+    assert got[4]["distinct_ratio"] < 0.5
+    assert set(got[0].asDict()) >= {
+        "quality_score", "lang_pred", "n_tokens", "dup_5gram_frac",
+        "top_2gram_char_frac", "contaminated_frac"}
+    # without a benchmark: no contamination columns, still one pass
+    out2 = str(tmp_path / "qc_out2")
+    r2 = _run(capsys, ["textqc", "--table", src, "--output", out2])
+    assert r2["n_docs"] == 6 and "n_contaminated_docs" not in r2
+    assert "is_contaminated" not in spark.read.parquet(out2).columns
