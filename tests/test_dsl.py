@@ -4315,9 +4315,14 @@ def test_global_agg_ignores_the_query(spark, docs, docs_pdf, dsl_index):
 def test_new_agg_rejects(spark, docs):
     from prow_jobs_scraper_spark.search.dsl import dsl_aggregate
 
-    with pytest.raises(DslError, match="unsupported significant_terms"):
+    # background_filter is SUPPORTED since round 5's final session —
+    # an empty clause now fails in the filters-clause grammar instead
+    with pytest.raises(DslError, match="bad filter 'background_filter'"):
         dsl_aggregate(docs, {"aggs": {"s": {"significant_terms": {
             "field": "tool", "background_filter": {}}}}})
+    with pytest.raises(DslError, match="unsupported significant_terms"):
+        dsl_aggregate(docs, {"aggs": {"s": {"significant_terms": {
+            "field": "tool", "gnd": {}}}}})
     with pytest.raises(DslError, match="no sub-aggregations"):
         dsl_aggregate(docs, {"aggs": {"s": {
             "significant_terms": {"field": "tool"},
